@@ -1,0 +1,110 @@
+"""Spark-side kernel tests: applyInPandas featurization equals the direct
+numpy kernel on identical data; results are invariant to partitioning and
+input row order; tumbling windows group correctly."""
+
+import numpy as np
+import numpy.testing as npt
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cesium_spark.datagen import generate_transcripts
+from cesium_spark.features.registry import compute_features
+from cesium_spark.kernel import featurize, SECONDS_PER_DAY
+
+FEATS = [
+    "n_epochs", "mean", "std", "amplitude", "total_time", "avgt",
+    "cads_avg", "cads_med", "cads_std", "median", "median_absolute_deviation",
+    "skew", "stetson_j", "weighted_average", "max_slope",
+]
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    df = generate_transcripts(spark, n_convs=30, seed=7, max_turns=3000).cache()
+    df.count()
+    return df
+
+
+def _oracle(pdf: pd.DataFrame, feats) -> dict:
+    pdf = pdf.sort_values(["ts", "turn_idx"], kind="stable")
+    us = ((pdf["ts"] - pd.Timestamp(0)).to_numpy().astype("timedelta64[us]")).astype(np.int64)
+    t = us.astype(np.float64) / (SECONDS_PER_DAY * 1e6)
+    m = pdf["text"].str.len().to_numpy(dtype=np.float64)
+    e = np.full(len(pdf), 1e-4)
+    return compute_features(t, m, e, feats)
+
+
+def test_whole_conversation_featurize_matches_numpy(spark, transcripts):
+    result = featurize(transcripts, FEATS).toPandas().set_index("conv_id")
+    local = transcripts.toPandas()
+    assert len(result) == local["conv_id"].nunique()
+    for conv_id, g in local.groupby("conv_id"):
+        want = _oracle(g, FEATS)
+        for f in FEATS:
+            npt.assert_allclose(
+                result.loc[conv_id, f], want[f], rtol=1e-12, atol=1e-12,
+                err_msg=f"{conv_id}.{f}",
+            )
+
+
+def test_partitioning_invariance(spark, transcripts):
+    a = featurize(transcripts.repartition(1), FEATS).toPandas()
+    b = featurize(transcripts.repartition(16), FEATS).toPandas()
+    a = a.sort_values("conv_id").reset_index(drop=True)
+    b = b.sort_values("conv_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)  # bit-exact, not approx
+
+
+def test_row_order_invariance(spark, transcripts):
+    shuffled = transcripts.orderBy(F.md5(F.concat_ws("|", "conv_id", "turn_idx")))
+    a = featurize(transcripts, FEATS).toPandas().sort_values("conv_id").reset_index(drop=True)
+    b = featurize(shuffled, FEATS).toPandas().sort_values("conv_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_windowed_featurize_matches_pandas_grouping(spark, transcripts):
+    feats = ["n_epochs", "mean", "amplitude", "std"]
+    result = featurize(transcripts, feats, window="1 hour").toPandas()
+    local = transcripts.toPandas()
+    local["window_start"] = local["ts"].dt.floor("h")
+    assert len(result) == local.groupby(["conv_id", "window_start"]).ngroups
+    merged = result.set_index(["conv_id", "window_start"])
+    for (cid, ws), g in local.groupby(["conv_id", "window_start"]):
+        want = _oracle(g, feats)
+        got = merged.loc[(cid, ws)]
+        for f in feats:
+            npt.assert_allclose(got[f], want[f], rtol=1e-12, err_msg=f"{cid}@{ws}.{f}")
+
+
+def test_duplicate_ts_tie_broken_by_turn_idx(spark):
+    # two rows with identical ts: stable order must be by turn_idx
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c"] * 3,
+            "turn_idx": [2, 0, 1],
+            "role": ["user"] * 3,
+            "text": ["aa", "bbbb", "c"],
+            "tool": [""] * 3,
+            "ts": pd.to_datetime(["2025-01-01 00:00:05", "2025-01-01 00:00:00",
+                                  "2025-01-01 00:00:05"]),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = featurize(df, ["max_slope", "n_epochs"]).toPandas()
+    # sorted series: (t=0,m=4), (t=5,m=1 [idx1]), (t=5,m=2 [idx2])
+    t0 = 5.0 / SECONDS_PER_DAY
+    slopes = [abs((1 - 4) / t0)]  # dt=0 pair excluded -> inf; cesium keeps inf
+    assert got["n_epochs"][0] == 3
+    assert np.isinf(got["max_slope"][0])  # zero-gap duplicate -> inf slope
+
+
+def test_text_byte_equality_survives_generation(spark, transcripts):
+    # the generator is deterministic: same seed -> byte-identical text
+    a = generate_transcripts(spark, n_convs=5, seed=7).toPandas()
+    b = generate_transcripts(spark, n_convs=5, seed=7, partitions=3).toPandas()
+    key = ["conv_id", "turn_idx"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert (a["text"] == b["text"]).all()
+    assert (a["ts"] == b["ts"]).all()
