@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry runs an engine operator (SURVEY.md §2) over the
+driver's parquet tables; the matching ``oracle_sql()`` entry re-derives
+the same result in ANSI SQL for DuckDB. Column names and rounding are
+aligned on both sides (the driver hashes values after sorting columns by
+name).
+
+Series mapping for the `events` table: series key = user_id, time = ts
+(converted to float days of unix_micros/86400e6 — bit-identical in both
+engines), measurement m = value, tiebreak = event_id, error e = cesium's
+DEFAULT_ERROR_VALUE except where a synthetic per-row error is derived from
+event_id to exercise the weighted features.
 """
 
 from __future__ import annotations
@@ -12,27 +18,584 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cesium_spark.kernel import featurize
+from cesium_spark.operators.aggstate import finalize_states, merge_states, partial_states
+from cesium_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from cesium_spark.operators.locf import locf_grid
+from cesium_spark.operators.rollup import rollup_kernel, rollup_sql
+from cesium_spark.operators.similarity import cosine_topk_bruteforce, lsh_bucket_topk
+from cesium_spark.operators.text import fingerprint, lang_id, quality_score, text_stats
+
+R = 6  # shared rounding for float comparisons across engines
+# +1e-9 before rounding on BOTH sides: input values have few decimal
+# digits, so aggregates frequently land exactly on a .xxxxxx5 boundary
+# where engine-specific 1e-13 float noise flips the rounded digit.
+EPS = 1e-9
+
+
+def _r(col):
+    return F.round(col + F.lit(EPS), R)
+
+# ---------------------------------------------------------------- helpers
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _feat(spark, sf_dir, feats, **kw):
+    return featurize(
+        _events(spark, sf_dir), feats,
+        key_col="user_id", ts_col="ts", tiebreak_col="event_id", m="value", **kw,
+    )
+
+
+def _round_feats(df: DataFrame, feats) -> DataFrame:
+    return df.select(
+        "user_id", *[_r(F.col(f)).alias(f) for f in feats]
+    )
+
+
+_T_DAYS_SQL = "(epoch_us(ts) / 86400000000.0)"  # matches kernel's unix_micros/8.64e10
+
+
+# ---------------------------------------------------------------- queries
+
+
+def q_ts_profile_basic(spark, sf_dir):
+    feats = ["n_epochs", "mean", "minimum", "maximum", "amplitude", "total_time", "avgt"]
+    return _round_feats(_feat(spark, sf_dir, feats), feats)
+
+
+def q_ts_dispersion(spark, sf_dir):
+    feats = ["std", "median", "median_absolute_deviation", "skew", "kurtosis"]
+    return _round_feats(_feat(spark, sf_dir, feats), feats)
+
+
+def q_ts_cadence(spark, sf_dir):
+    feats = ["cads_avg", "cads_med", "cads_std", "avg_double_to_single_step"]
+    return _round_feats(_feat(spark, sf_dir, feats), feats)
+
+
+def q_ts_cad_probs(spark, sf_dir):
+    feats = ["cad_probs_1", "cad_probs_100", "cad_probs_1000", "cad_probs_10000"]
+    return _round_feats(_feat(spark, sf_dir, feats), feats)
+
+
+def q_ts_weighted(spark, sf_dir):
+    feats = ["weighted_average", "weighted_std_dev", "percent_beyond_1_std"]
+    e = F.lit(1e-4) * (F.lit(1) + F.col("event_id") % 10)
+    return _round_feats(_feat(spark, sf_dir, feats, e=e), feats)
+
+
+def q_ts_percentiles(spark, sf_dir):
+    df = _events(spark, sf_dir)
+    qs = {"p05": 0.05, "p25": 0.25, "p50": 0.5, "p75": 0.75, "p95": 0.95}
+    return df.groupBy("user_id").agg(
+        *[_r(F.percentile("value", F.lit(p))).alias(name) for name, p in qs.items()]
+    )
+
+
+def q_ts_close_to_median(spark, sf_dir):
+    feats = ["max_slope", "percent_close_to_median"]
+    return _round_feats(_feat(spark, sf_dir, feats), feats)
+
+
+def q_rollup_1h_sql(spark, sf_dir):
+    out = rollup_sql(_events(spark, sf_dir), "1h", key_col="user_id", ts_col="ts", m="value")
+    num = ["n_epochs", "mean", "minimum", "maximum", "amplitude", "std", "total_time", "avgt"]
+    return out.select("user_id", "window_start", *[_r(F.col(c)).alias(c) for c in num])
+
+
+def q_rollup_1d_kernel(spark, sf_dir):
+    feats = ["n_epochs", "mean", "std", "amplitude", "median"]
+    out = rollup_kernel(
+        _events(spark, sf_dir), feats, "1d",
+        key_col="user_id", ts_col="ts", tiebreak_col="event_id", m="value",
+    )
+    return out.select(
+        "user_id", "window_start", *[_r(F.col(f)).alias(f) for f in feats]
+    )
+
+
+def q_locf_1h(spark, sf_dir):
+    return locf_grid(
+        _events(spark, sf_dir), "1h",
+        key_col="user_id", ts_col="ts", tiebreak_col="event_id", value="value",
+    )
+
+
+def q_agg_merge(spark, sf_dir):
+    st = partial_states(
+        _events(spark, sf_dir), "1h",
+        key_col="user_id", ts_col="ts", tiebreak_col="event_id", m="value",
+    )
+    merged = merge_states(st, ["user_id"])
+    fin = finalize_states(merged, ["user_id"])
+    cols = ["n_epochs", "mean", "minimum", "maximum", "amplitude", "std",
+            "total_time", "avgt", "last_value"]
+    return fin.select("user_id", *[_r(F.col(c)).alias(c) for c in cols])
+
+
+def q_sessionize_30m(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    df = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    from cesium_spark.kernel import ts_micros
+
+    gap = ts_micros(F.col("ts")) - ts_micros(F.lag("ts").over(w))
+    marked = df.select(
+        "user_id", "ts", "event_id",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0).alias("new_s"),
+    )
+    sess = marked.select(
+        "user_id", F.sum("new_s").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("session_id"),
+    )
+    per_sess = sess.groupBy("user_id", "session_id").agg(F.count("*").alias("sz"))
+    return per_sess.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.max("sz").alias("max_session_events"),
+        _r(F.avg("sz")).alias("avg_session_events"),
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    return exact_dedup_groups(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def q_text_stats(spark, sf_dir):
+    return text_stats(_docs(spark, sf_dir))
+
+
+def q_quality(spark, sf_dir):
+    return quality_score(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_jaccard_5gram(spark, sf_dir):
+    out = ngram_jaccard_pairs(_docs(spark, sf_dir), k=5, threshold=0.35)
+    return out.select("id_a", "id_b", _r(F.col("jaccard")).alias("jaccard"))
+
+
+def q_minhash_lsh(spark, sf_dir):
+    return minhash_lsh_pairs(_docs(spark, sf_dir), k=5, num_hashes=16, bands=4)
+
+
+def q_knn_cosine(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    return cosine_topk_bruteforce(emb, queries, k=3)
+
+
+# ------- weaker (rows-only) checks: non-SQL-expressible operators -------
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=12, blocks=4)
+
+
+def q_ann_lsh(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    return lsh_bucket_topk(emb, queries, k=3, n_planes=6)
+
+
+def q_features_wide(spark, sf_dir):
+    """Full cadence+general registry over each user series — the flagship
+    per-series featureset (73 columns). Values anchored by the golden
+    tests; here the driver checks stability (rows/schema)."""
+    from cesium_spark.features.registry import CADENCE_FEATS, GENERAL_FEATS
+
+    feats = [f for f in CADENCE_FEATS + GENERAL_FEATS
+             if f not in ("period_fast", "qso_log_chi2_qsonu", "qso_log_chi2nuNULL_chi2nu")]
+    return _feat(spark, sf_dir, feats)
+
+
+# ---------------------------------------------------------------- contract
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: 1h-tier rollup featureset over sf0.001 events."""
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    feats = ["n_epochs", "mean", "std", "amplitude", "total_time",
+             "cads_avg", "median", "stetson_j", "stetson_k"]
+    return rollup_kernel(
+        df, feats, "1h", key_col="user_id", ts_col="ts",
+        tiebreak_col="event_id", m="value",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "ts_profile_basic": q_ts_profile_basic,
+        "ts_dispersion": q_ts_dispersion,
+        "ts_cadence": q_ts_cadence,
+        "ts_cad_probs": q_ts_cad_probs,
+        "ts_weighted": q_ts_weighted,
+        "ts_percentiles": q_ts_percentiles,
+        "ts_close_to_median": q_ts_close_to_median,
+        "rollup_1h_sql": q_rollup_1h_sql,
+        "rollup_1d_kernel": q_rollup_1d_kernel,
+        "locf_1h": q_locf_1h,
+        "agg_merge": q_agg_merge,
+        "sessionize_30m": q_sessionize_30m,
+        "dedup_exact": q_dedup_exact,
+        "doc_fingerprint": q_fingerprint,
+        "text_stats": q_text_stats,
+        "text_quality": q_quality,
+        "lang_id": q_lang_id,
+        "jaccard_5gram": q_jaccard_5gram,
+        "minhash_lsh": q_minhash_lsh,
+        "knn_cosine": q_knn_cosine,
+        "simhash_near_dups": q_simhash_near_dups,
+        "ann_lsh": q_ann_lsh,
+        "features_wide": q_features_wide,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_CTE_DIFFS = f"""
+WITH t AS (
+  SELECT user_id, {_T_DAYS_SQL} AS t,
+         t - lag({_T_DAYS_SQL}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d
+  FROM events
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    sql: dict[str, str] = {}
+
+    sql["ts_profile_basic"] = f"""
+        SELECT user_id,
+               round(CAST(count(*) AS DOUBLE) + {EPS}, {R}) AS n_epochs,
+               round(avg(value) + {EPS}, {R}) AS mean,
+               round(min(value) + {EPS}, {R}) AS minimum,
+               round(max(value) + {EPS}, {R}) AS maximum,
+               round((max(value) - min(value)) / 2.0 + {EPS}, {R}) AS amplitude,
+               round(max({_T_DAYS_SQL}) - min({_T_DAYS_SQL}) + {EPS}, {R}) AS total_time,
+               round(avg({_T_DAYS_SQL}) + {EPS}, {R}) AS avgt
+        FROM events GROUP BY user_id
     """
-    return {}
+
+    sql["ts_dispersion"] = f"""
+        WITH mu AS (SELECT user_id, avg(value) AS m FROM events GROUP BY user_id),
+        med AS (SELECT user_id, median(value) AS md FROM events GROUP BY user_id)
+        SELECT e.user_id,
+               round(stddev_pop(e.value) + {EPS}, {R}) AS std,
+               round(median(e.value) + {EPS}, {R}) AS median,
+               round(median(abs(e.value - med.md)) + {EPS}, {R}) AS median_absolute_deviation,
+               round(avg(pow(e.value - mu.m, 3)) / pow(avg(pow(e.value - mu.m, 2)), 1.5) + {EPS}, {R}) AS skew,
+               round(avg(pow(e.value - mu.m, 4)) / pow(avg(pow(e.value - mu.m, 2)), 2) - 3.0 + {EPS}, {R}) AS kurtosis
+        FROM events e JOIN mu ON e.user_id = mu.user_id JOIN med ON e.user_id = med.user_id
+        GROUP BY e.user_id
+    """
+
+    sql["ts_cadence"] = f"""
+        {_CTE_DIFFS},
+        dd AS (
+          SELECT user_id, d,
+                 lead(d, 1) OVER (PARTITION BY user_id ORDER BY t) AS d1,
+                 lead(d, 2) OVER (PARTITION BY user_id ORDER BY t) AS d2
+          FROM t WHERE d IS NOT NULL
+        )
+        SELECT user_id,
+               round(avg(d) + {EPS}, {R}) AS cads_avg,
+               round(median(d) + {EPS}, {R}) AS cads_med,
+               round(stddev_pop(d) + {EPS}, {R}) AS cads_std,
+               round(avg(CASE WHEN d2 IS NOT NULL THEN (d2 + d) / (d1 - d) END) + {EPS}, {R})
+                 AS avg_double_to_single_step
+        FROM dd GROUP BY user_id
+    """
+
+    cad_prob_cases = []
+    for k in (1, 100, 1000, 10000):
+        s = f"({k} / 1440.0)"
+        cad_prob_cases.append(
+            f"round((count(*) FILTER (d < {s}) + count(*) FILTER (d <= {s}) + "
+            f"CASE WHEN count(*) FILTER (d <= {s}) > count(*) FILTER (d < {s}) "
+            f"THEN 1 ELSE 0 END) / (2.0 * count(*)), {R}) AS cad_probs_{k}"
+        )
+    sql["ts_cad_probs"] = f"""
+        {_CTE_DIFFS}
+        SELECT user_id, {', '.join(cad_prob_cases)}
+        FROM t WHERE d IS NOT NULL GROUP BY user_id
+    """
+
+    sql["ts_weighted"] = f"""
+        WITH w AS (
+          SELECT user_id, value,
+                 1.0 / pow(1e-4 * (1 + event_id % 10), 2) AS wt
+          FROM events
+        ),
+        a AS (
+          SELECT user_id, sum(wt * value) / sum(wt) AS wavg
+          FROM w GROUP BY user_id
+        ),
+        s AS (
+          SELECT w.user_id, any_value(a.wavg) AS wavg,
+                 sqrt(sum(wt * pow(value - a.wavg, 2)) / sum(wt)) AS wstd
+          FROM w JOIN a ON w.user_id = a.user_id GROUP BY w.user_id
+        )
+        SELECT w.user_id,
+               round(any_value(s.wavg) + {EPS}, {R}) AS weighted_average,
+               round(any_value(s.wstd) + {EPS}, {R}) AS weighted_std_dev,
+               round(avg(CASE WHEN abs(w.value - s.wavg) > s.wstd THEN 1.0 ELSE 0.0 END) + {EPS}, {R})
+                 AS percent_beyond_1_std
+        FROM w JOIN s ON w.user_id = s.user_id
+        GROUP BY w.user_id
+    """
+
+    sql["ts_percentiles"] = f"""
+        SELECT user_id,
+               round(quantile_cont(value, 0.05) + {EPS}, {R}) AS p05,
+               round(quantile_cont(value, 0.25) + {EPS}, {R}) AS p25,
+               round(quantile_cont(value, 0.50) + {EPS}, {R}) AS p50,
+               round(quantile_cont(value, 0.75) + {EPS}, {R}) AS p75,
+               round(quantile_cont(value, 0.95) + {EPS}, {R}) AS p95
+        FROM events GROUP BY user_id
+    """
+
+    sql["ts_close_to_median"] = f"""
+        WITH st AS (
+          SELECT user_id, median(value) AS md,
+                 (max(value) - min(value)) * 0.1 AS win
+          FROM events GROUP BY user_id
+        ),
+        sl AS (
+          SELECT user_id,
+                 abs((value - lag(value) OVER ww) /
+                     ({_T_DAYS_SQL} - lag({_T_DAYS_SQL}) OVER ww)) AS slope
+          FROM events
+          WINDOW ww AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT e.user_id,
+               round((SELECT max(slope) FROM sl WHERE sl.user_id = e.user_id) + {EPS}, {R}) AS max_slope,
+               round(avg(CASE WHEN abs(e.value - st.md) < st.win THEN 1.0 ELSE 0.0 END) + {EPS}, {R})
+                 AS percent_close_to_median
+        FROM events e JOIN st ON e.user_id = st.user_id
+        GROUP BY e.user_id
+    """
+
+    sql["rollup_1h_sql"] = f"""
+        SELECT user_id, date_trunc('hour', ts) AS window_start,
+               round(CAST(count(*) AS DOUBLE) + {EPS}, {R}) AS n_epochs,
+               round(avg(value) + {EPS}, {R}) AS mean,
+               round(min(value) + {EPS}, {R}) AS minimum,
+               round(max(value) + {EPS}, {R}) AS maximum,
+               round((max(value) - min(value)) / 2.0 + {EPS}, {R}) AS amplitude,
+               round(stddev_pop(value) + {EPS}, {R}) AS std,
+               round(max({_T_DAYS_SQL}) - min({_T_DAYS_SQL}) + {EPS}, {R}) AS total_time,
+               round(avg({_T_DAYS_SQL}) + {EPS}, {R}) AS avgt
+        FROM events GROUP BY user_id, date_trunc('hour', ts)
+    """
+
+    sql["rollup_1d_kernel"] = f"""
+        SELECT user_id, date_trunc('day', ts) AS window_start,
+               round(CAST(count(*) AS DOUBLE) + {EPS}, {R}) AS n_epochs,
+               round(avg(value) + {EPS}, {R}) AS mean,
+               round(stddev_pop(value) + {EPS}, {R}) AS std,
+               round((max(value) - min(value)) / 2.0 + {EPS}, {R}) AS amplitude,
+               round(median(value) + {EPS}, {R}) AS median
+        FROM events GROUP BY user_id, date_trunc('day', ts)
+    """
+
+    sql["locf_1h"] = """
+        WITH b AS (
+          SELECT user_id, date_trunc('hour', ts) AS grid_ts,
+                 arg_max(value, ts) AS window_last
+          FROM events GROUP BY user_id, date_trunc('hour', ts)
+        ),
+        span AS (
+          SELECT user_id, min(grid_ts) AS g0, max(grid_ts) AS g1 FROM b GROUP BY user_id
+        ),
+        grid AS (
+          SELECT user_id, unnest(generate_series(g0, g1, INTERVAL 1 HOUR)) AS grid_ts
+          FROM span
+        )
+        SELECT g.user_id, g.grid_ts,
+               last_value(b.window_last IGNORE NULLS) OVER (
+                 PARTITION BY g.user_id ORDER BY g.grid_ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value,
+               b.window_last IS NULL AS filled
+        FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.grid_ts = b.grid_ts
+    """
+
+    sql["agg_merge"] = f"""
+        SELECT user_id,
+               round(CAST(count(*) AS DOUBLE) + {EPS}, {R}) AS n_epochs,
+               round(avg(value) + {EPS}, {R}) AS mean,
+               round(min(value) + {EPS}, {R}) AS minimum,
+               round(max(value) + {EPS}, {R}) AS maximum,
+               round((max(value) - min(value)) / 2.0 + {EPS}, {R}) AS amplitude,
+               round(stddev_pop(value) + {EPS}, {R}) AS std,
+               round(max({_T_DAYS_SQL}) - min({_T_DAYS_SQL}) + {EPS}, {R}) AS total_time,
+               round(avg({_T_DAYS_SQL}) + {EPS}, {R}) AS avgt,
+               round(arg_max(value, ts) + {EPS}, {R}) AS last_value
+        FROM events GROUP BY user_id
+    """
+
+    sql["sessionize_30m"] = f"""
+        WITH m AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+          SELECT user_id,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM m
+        ),
+        per AS (
+          SELECT user_id, session_id, count(*) AS sz FROM s GROUP BY user_id, session_id
+        )
+        SELECT user_id, count(*) AS n_sessions, max(sz) AS max_session_events,
+               round(avg(sz) + {EPS}, {R}) AS avg_session_events
+        FROM per GROUP BY user_id
+    """
+
+    sql["dedup_exact"] = """
+        SELECT md5(text) AS text_md5, count(*) AS group_size, min(doc_id) AS keeper_id
+        FROM documents GROUP BY md5(text)
+    """
+
+    sql["doc_fingerprint"] = """
+        SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+        FROM documents
+    """
+
+    sql["text_stats"] = f"""
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               round(length(text) / len(string_split_regex(trim(text), '\\s+')) + {EPS}, {R}) AS mean_token_len,
+               round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / length(text) + {EPS}, {R}) AS punct_ratio,
+               round(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|for)\\b'))
+                     / len(string_split_regex(trim(text), '\\s+')), {R}) AS stopword_ratio
+        FROM documents
+    """
+
+    sql["text_quality"] = f"""
+        WITH s AS (
+          SELECT doc_id,
+                 len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                 round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / length(text) + {EPS}, {R}) AS punct_ratio,
+                 round(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|for)\\b'))
+                       / len(string_split_regex(trim(text), '\\s+')), {R}) AS stopword_ratio
+          FROM documents
+        )
+        SELECT doc_id,
+               round(least(n_tokens / 100.0, 1.0) * 0.4
+                     + least(stopword_ratio * 4.0, 1.0) * 0.4
+                     + greatest(0.2 - punct_ratio * 2.0, 0.0), {R}) AS quality
+        FROM s
+    """
+
+    lang_hit = {
+        lang: (
+            f"len(regexp_extract_all(lower(text), '\\b({'|'.join(words)})\\b'))"
+        )
+        for lang, words in {
+            "en": ["the", "and", "of", "to", "in", "is", "that", "for"],
+            "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "zu"],
+            "fr": ["le", "la", "les", "et", "est", "que", "pour", "dans"],
+            "es": ["el", "la", "los", "que", "es", "de", "por", "para"],
+        }.items()
+    }
+    best = f"greatest({lang_hit['de']}, {lang_hit['en']}, {lang_hit['es']}, {lang_hit['fr']})"
+    guess = "'und'"
+    for lang in sorted(lang_hit, reverse=True):
+        guess = (
+            f"CASE WHEN {lang_hit[lang]} > 0 AND {lang_hit[lang]} = {best} "
+            f"THEN '{lang}' ELSE {guess} END"
+        )
+    sql["lang_id"] = f"SELECT doc_id, {guess} AS lang_guess FROM documents"
+
+    shingle_cte = """
+        sh AS (
+          SELECT DISTINCT doc_id AS id, substr(text, CAST(i AS INT), 5) AS shingle
+          FROM documents, LATERAL unnest(generate_series(1, greatest(length(text) - 4, 0))) AS u(i)
+        )
+    """
+
+    sql["jaccard_5gram"] = f"""
+        WITH {shingle_cte},
+        sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+        c AS (
+          SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+          GROUP BY a.id, b.id
+        )
+        SELECT c.id_a, c.id_b,
+               round(common / (za.sz + zb.sz - common) + {EPS}, {R}) AS jaccard
+        FROM c JOIN sz za ON c.id_a = za.id JOIN sz zb ON c.id_b = zb.id
+        WHERE common / (za.sz + zb.sz - common) >= 0.35
+    """
+
+    mh_cols = ", ".join(
+        f"min(md5(concat('{i}|', shingle))) AS mh_{i}" for i in range(16)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, md5(concat(mh_{b*4}, mh_{b*4+1}, mh_{b*4+2}, mh_{b*4+3})) AS key FROM sig"
+        for b in range(4)
+    )
+    sql["minhash_lsh"] = f"""
+        WITH {shingle_cte},
+        sig AS (SELECT id, {mh_cols} FROM sh GROUP BY id),
+        bands AS ({band_rows})
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS matching_bands
+        FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+        GROUP BY a.id, b.id
+    """
+
+    sql["knn_cosine"] = f"""
+        WITH q AS (
+          SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < 20
+        ),
+        s AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+                 round(list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[]))
+                       / (sqrt(list_dot_product(q.qv, q.qv))
+                          * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                  CAST(e.embedding AS DOUBLE[])))), {R}) AS cosine
+          FROM q, embeddings e WHERE e.vec_id <> q.query_id
+        ),
+        r AS (
+          SELECT query_id, neighbor_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM s
+        )
+        SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= 3
+    """
+
+    return sql

@@ -170,6 +170,9 @@ def _build_feature_graph() -> dict:
         "percent_close_to_median": (gen.percent_close_to_median, "m"),
         "percent_difference_flux_percentile": (gen.percent_difference_flux_percentile, "m"),
         "skew": (moment_skew, "m"),
+        # engine extension (not in cesium's registry, which only has
+        # cads_kurtosis): kurtosis of the value channel
+        "kurtosis": (moment_kurtosis, "m"),
         "std": (np.std, "m"),
         "stetson_j": (gen.stetson_j, "m"),
         "stetson_k": (gen.stetson_k, "m"),
@@ -334,9 +337,15 @@ def compute_features(
 ) -> dict:
     """Compute the requested features for one already-sorted series; returns
     {name: float}. This is the single-series kernel the Spark layer wraps."""
+    import warnings
+
     t = np.ascontiguousarray(t, dtype=np.float64)
     m = np.ascontiguousarray(m, dtype=np.float64)
     e = np.ascontiguousarray(e, dtype=np.float64)
     graph = build_graph(t, m, e, custom_functions, meta_features)
-    vals = evaluate(graph, list(features), raise_exceptions=raise_exceptions)
+    # NaN results (empty slices, 0/0) are expected under the NaN-on-error
+    # policy; don't spam executors' stderr with numpy RuntimeWarnings.
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        vals = evaluate(graph, list(features), raise_exceptions=raise_exceptions)
     return {k: float(v) for k, v in vals.items()}

@@ -38,7 +38,14 @@ from .features.registry import compute_features
 DEFAULT_ERROR_VALUE = 1e-4  # cesium's DEFAULT_ERROR_VALUE (time_series.py:10)
 SECONDS_PER_DAY = 86400.0
 
-__all__ = ["featurize", "make_kernel", "DEFAULT_ERROR_VALUE", "SECONDS_PER_DAY"]
+__all__ = ["featurize", "make_kernel", "ts_micros", "DEFAULT_ERROR_VALUE", "SECONDS_PER_DAY"]
+
+
+def ts_micros(col: Column) -> Column:
+    """unix microseconds of a timestamp column; tolerates TIMESTAMP_NTZ
+    inputs (cast is value-identity under the engine's fixed UTC session
+    timezone, see session.py)."""
+    return F.unix_micros(col.cast("timestamp"))
 
 
 def make_kernel(
@@ -105,7 +112,7 @@ def featurize(
     if t_col is None:
         # integer microseconds -> double -> one division: bit-deterministic
         # (us < 2^52 is exactly representable in float64)
-        t_col = F.unix_micros(F.col(ts_col)).cast("double") / F.lit(time_unit_seconds * 1e6)
+        t_col = ts_micros(F.col(ts_col)).cast("double") / F.lit(time_unit_seconds * 1e6)
 
     cols = [
         F.col(key_col),

@@ -1,0 +1,93 @@
+"""Gap-fill via last-observation-carried-forward onto a dense tier grid.
+
+cesium never fills gaps (it featurizes irregular sampling directly); LOCF
+is the rollup engine's own north-rule requirement: the regularized tier
+grid carries the last observed value through empty windows, flagged
+``filled`` so downstream consumers can distinguish observation from fill.
+
+Physical plan: one JVM aggregation to per-window last-values, a
+``sequence()`` explode to densify (no Python), then a single
+``last(ignorenulls) over (partition by series order by grid)`` window —
+three narrow stages, one shuffle on the series key, no UDFs.
+
+Scale note: the dense grid size is (span / tier width) per series. For
+1m tiers over years-long conversations, bound the densified range by
+filtering the tier horizon first (retention: raw below the horizon is
+dropped after rollup commit) — pass ``horizon`` to cap it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .rollup import TIERS
+
+_TIER_SECONDS = {"1m": 60, "1h": 3600, "1d": 86400}
+
+__all__ = ["locf_grid"]
+
+
+def locf_grid(
+    df: DataFrame,
+    tier: str,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "turn_idx",
+    value: Column | str | None = None,
+    horizon: tuple[str, str] | None = None,
+) -> DataFrame:
+    """Dense per-series grid at `tier` with LOCF-filled last values.
+
+    Output: (key, grid_ts, locf_value, filled) where `filled` marks grid
+    slots with no observation in their window. The carried value is the
+    window's *last* observation under stable (ts, tiebreak) ordering.
+    """
+    step = _TIER_SECONDS[tier]
+    v_col = F.col(value) if isinstance(value, str) else value
+    if v_col is None:
+        v_col = F.length(F.col("text")).cast("double")
+    if horizon is not None:
+        df = df.filter(F.col(ts_col).between(*horizon))
+
+    # last observation per (series, window), ordered by (ts, tiebreak):
+    # max_by over a deterministic composite rank — pure JVM aggregation.
+    rank = F.struct(F.col(ts_col), F.col(tiebreak_col).cast("long"))
+    bucket = F.window(F.col(ts_col), TIERS[tier]).start
+    per_window = (
+        df.select(
+            F.col(key_col),
+            bucket.alias("grid_ts"),
+            v_col.alias("v"),
+            rank.alias("r"),
+        )
+        .groupBy(key_col, "grid_ts")
+        .agg(F.max_by("v", "r").alias("window_last"))
+    )
+
+    # dense grid: sequence(min, max, step) per series, exploded JVM-side
+    spans = per_window.groupBy(key_col).agg(
+        F.min("grid_ts").alias("g0"), F.max("grid_ts").alias("g1")
+    )
+    grid = spans.select(
+        key_col,
+        F.explode(
+            F.sequence("g0", "g1", F.expr(f"INTERVAL {step} SECONDS"))
+        ).alias("grid_ts"),
+    )
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("grid_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(per_window, [key_col, "grid_ts"], "left")
+        .select(
+            key_col,
+            "grid_ts",
+            F.last("window_last", ignorenulls=True).over(w).alias("locf_value"),
+            F.col("window_last").isNull().alias("filled"),
+        )
+    )

@@ -1,0 +1,111 @@
+"""Tiered rollup engine: tumbling-window featurization at the three
+retention tiers (1m / 1h / 1d) plus a pure-SQL fast path for the
+mergeable feature subset.
+
+Two physical strategies, chosen per feature set:
+
+1. ``rollup_kernel`` — the full cesium feature registry via one
+   applyInPandas per (series, window). Needed for order-sensitive /
+   non-mergeable features (median, MAD, percentiles, stetson, peaks...).
+   Window bounds group size, so even a hot conversation's 1m window fits
+   one task.
+
+2. ``rollup_sql`` — whole-stage-codegen JVM aggregation for the features
+   expressible as exact built-in aggs (count/mean/min/max/stddev_pop/...).
+   No Python in the hot path; this is the 100 TB fast lane and is provably
+   identical to the kernel for these features (modulo float summation
+   order; see tests).
+
+Tier semantics: window_start = floor(event-time) to the tier width,
+computed with date_trunc-equivalent ``F.window`` so Iceberg/parquet
+partition pruning on ts still applies upstream.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..kernel import DEFAULT_ERROR_VALUE, SECONDS_PER_DAY, featurize, ts_micros
+
+TIERS = {"1m": "1 minute", "1h": "1 hour", "1d": "1 day"}
+
+# features whose partial states merge exactly (see aggstate.py); everything
+# else requires windowed raw data (bounded by the tier window).
+MERGEABLE_FEATS = {
+    "n_epochs", "mean", "minimum", "maximum", "amplitude", "std",
+    "total_time", "avgt", "avg_err", "std_err", "weighted_average",
+    "weighted_std_dev", "skew", "kurtosis",
+}
+
+__all__ = ["TIERS", "MERGEABLE_FEATS", "rollup_kernel", "rollup_sql", "rollup_all_tiers"]
+
+
+def rollup_kernel(
+    df: DataFrame,
+    features: Sequence[str],
+    tier: str,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "turn_idx",
+    m: Column | str | None = None,
+    e: Column | str | None = None,
+) -> DataFrame:
+    """Full-registry featurization at one tier; output one row per
+    (series, window_start)."""
+    window = TIERS.get(tier, tier)
+    return featurize(
+        df, features, key_col=key_col, ts_col=ts_col, tiebreak_col=tiebreak_col,
+        m=m, e=e, window=window,
+    )
+
+
+def rollup_sql(
+    df: DataFrame,
+    tier: str,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    m: Column | str | None = None,
+) -> DataFrame:
+    """JVM-only rollup of the mergeable feature subset (no Python UDFs).
+
+    Matches the kernel definitions: std is population (np.std ddof=0),
+    total_time/avgt are in days of the bit-deterministic time axis.
+    """
+    window = TIERS.get(tier, tier)
+    m_col = F.col(m) if isinstance(m, str) else m
+    if m_col is None:
+        m_col = F.length(F.col("text")).cast("double")
+    t_days = ts_micros(F.col(ts_col)).cast("double") / F.lit(SECONDS_PER_DAY * 1e6)
+    return (
+        df.select(
+            F.col(key_col),
+            F.window(F.col(ts_col), window).start.alias("window_start"),
+            m_col.alias("m"),
+            t_days.alias("t"),
+        )
+        .groupBy(key_col, "window_start")
+        .agg(
+            F.count("*").cast("double").alias("n_epochs"),
+            F.avg("m").alias("mean"),
+            F.min("m").alias("minimum"),
+            F.max("m").alias("maximum"),
+            ((F.max("m") - F.min("m")) / 2.0).alias("amplitude"),
+            F.stddev_pop("m").alias("std"),
+            (F.max("t") - F.min("t")).alias("total_time"),
+            F.avg("t").alias("avgt"),
+        )
+    )
+
+
+def rollup_all_tiers(
+    df: DataFrame,
+    features: Sequence[str],
+    tiers: Sequence[str] = ("1m", "1h", "1d"),
+    **kwargs,
+) -> dict[str, DataFrame]:
+    """Materialize every retention tier. Callers persist the input once
+    (``df.cache()`` or a first-tier write) so the scan isn't repeated."""
+    return {t: rollup_kernel(df, features, t, **kwargs) for t in tiers}
