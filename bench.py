@@ -1,0 +1,120 @@
+"""Benchmark runner: headline engine queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., ...extras}
+
+Each query is forced end-to-end with the noop sink (full computation, no
+driver collect). The transcript rollup queries additionally report
+points/sec throughput (the BASELINE.md metric) in the "throughput" extra.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "1000"))
+
+
+def _force(df):
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main():
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from cesium_spark.datagen import generate_transcripts
+    from cesium_spark.operators.rollup import rollup_kernel, rollup_sql
+    from cesium_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="cesium-spark-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=2 * CPUS,
+        extra_conf={"spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "48g")},
+    )
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+
+    qfns = entry.queries()
+    headline = [
+        "features_wide",      # full 70-feature kernel per series
+        "rollup_1h_sql",      # JVM-only tier rollup
+        "rollup_1d_kernel",   # kernel tier rollup
+        "locf_1h",            # gap-fill grid
+        "agg_merge",          # continuous-aggregate merge path
+        "minhash_lsh",        # dedup LSH
+        "knn_cosine",         # brute-force ANN baseline
+        "text_stats",         # text analysis
+        "sessionize_30m",     # windowed sessionization
+    ]
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # warm the JVM + python workers once (tiny query, not timed)
+    _force(qfns["ts_profile_basic"](spark, SF_DIR))
+
+    verbose = os.environ.get("SPARK_GRAFT_BENCH_VERBOSE")
+    for name in headline:
+        t0 = time.perf_counter()
+        _force(qfns[name](spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+        if verbose:
+            print(f"# {name}: {timings[name]}s", file=sys.stderr)
+
+    # transcript rollup throughput (the BASELINE.md metric): deterministic
+    # synthetic transcripts written to parquet once (untimed), then the
+    # timed scan -> 1h-tier rollup pipeline, reported as points/sec.
+    tpath = os.environ.get("SPARK_GRAFT_BENCH_PATH", "/tmp/cesium_bench_transcripts")
+    marker = f"{tpath}_n{N_CONVS}_ok"
+    if not os.path.exists(marker):
+        tr = generate_transcripts(spark, n_convs=N_CONVS, seed=42, max_turns=20000)
+        tr.write.mode("overwrite").parquet(tpath)
+        open(marker, "w").write("ok")
+    tr = spark.read.parquet(tpath)
+    n_turns = tr.count()
+    feats = ["n_epochs", "mean", "std", "amplitude", "total_time",
+             "cads_avg", "cads_med", "median", "median_absolute_deviation",
+             "stetson_j", "stetson_k", "skew"]
+    t0 = time.perf_counter()
+    _force(rollup_kernel(tr, feats, "1h"))
+    dt = time.perf_counter() - t0
+    timings["transcript_rollup_1h"] = round(dt, 3)
+    extras["transcript_turns"] = n_turns
+    extras["rollup_points_per_sec"] = round(n_turns / dt, 1)
+    extras["rollup_points_per_sec_per_core"] = round(n_turns / dt / CPUS, 1)
+
+    t0 = time.perf_counter()
+    _force(rollup_sql(tr, "1h"))
+    dt = time.perf_counter() - t0
+    timings["transcript_rollup_1h_sqlpath"] = round(dt, 3)
+    extras["sqlpath_points_per_sec"] = round(n_turns / dt, 1)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": CPUS,
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -61,12 +61,11 @@ def _conv_rows(ci: int, seed: int, span_days: float, zipf_a: float, max_turns: i
 
     turn_idx = np.arange(n, dtype=np.int32)
     lengths = 1 + (rng.rand(n) * 1999).astype(np.int64)
-    # deterministic text: per-turn seeded bytes of the requested length
-    texts = []
-    for i in range(n):
-        trng = np.random.RandomState(((seed + 7) * 131 + ci * 17 + i) % (2**31 - 1))
-        idx = trng.randint(0, len(_ALPHABET), lengths[i])
-        texts.append(_ALPHABET[idx].tobytes().decode("ascii"))
+    # deterministic text: one vectorized draw for the whole conversation,
+    # sliced per turn (fast path — one RandomState per conversation)
+    offs = np.concatenate(([0], np.cumsum(lengths)))
+    blob = _ALPHABET[rng.randint(0, len(_ALPHABET), offs[-1])].tobytes().decode("ascii")
+    texts = [blob[offs[i]: offs[i + 1]] for i in range(n)]
 
     pdf = pd.DataFrame(
         {

@@ -74,6 +74,71 @@ def make_kernel(
     return _kernel
 
 
+def make_batch_kernel(
+    features: Sequence[str],
+    key_cols: Sequence[str],
+    custom_functions: Mapping[str, Callable] | None = None,
+) -> Callable:
+    """Build the mapInPandas function: processes MANY groups per Arrow
+    batch (Spark's grouped-map dispatch costs ~15 ms *per group*, which is
+    catastrophic for tiny tier windows; batched mapping amortizes it to
+    ~nothing).
+
+    Contract: the input iterator covers one partition whose rows are
+    (a) hash-partitioned by the full group key and (b) sorted by
+    (key_cols..., t, _ord) — i.e. groups are contiguous and internally
+    time-ordered. A group can span Arrow batch boundaries; the trailing
+    (possibly incomplete) group of each batch is carried into the next.
+    """
+    features = list(features)
+    keys = list(key_cols)
+
+    def _emit(pdf: pd.DataFrame) -> pd.DataFrame:
+        # group boundaries: any key column changes vs previous row
+        n = len(pdf)
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        for k in keys:
+            col = pdf[k].to_numpy()
+            change[1:] |= col[1:] != col[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        t = pdf["t"].to_numpy(dtype=np.float64)
+        m = pdf["m"].to_numpy(dtype=np.float64)
+        e = pdf["e"].to_numpy(dtype=np.float64)
+        out_keys = {k: pdf[k].to_numpy()[starts] for k in keys}
+        out_feats = {f: np.empty(len(starts)) for f in features}
+        for gi, (s, z) in enumerate(zip(starts, ends)):
+            vals = compute_features(
+                t[s:z], m[s:z], e[s:z], features, custom_functions=custom_functions
+            )
+            for f in features:
+                out_feats[f][gi] = vals[f]
+        return pd.DataFrame({**out_keys, **out_feats})
+
+    def _mapper(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last = pdf.iloc[-1]
+            tail_mask = np.ones(len(pdf), dtype=bool)
+            for k in keys:
+                tail_mask &= (pdf[k] == last[k]).to_numpy()
+            # rows of the final (possibly continuing) group are contiguous
+            # at the end; everything before is complete
+            split = len(pdf) - int(tail_mask[::-1].argmin() if not tail_mask.all() else len(pdf))
+            body, carry = pdf.iloc[:split], pdf.iloc[split:]
+            if len(body):
+                yield _emit(body)
+        if carry is not None and len(carry):
+            yield _emit(carry)
+
+    return _mapper
+
+
 def featurize(
     df: DataFrame,
     features: Sequence[str],
@@ -86,6 +151,8 @@ def featurize(
     window: str | None = None,
     time_unit_seconds: float = SECONDS_PER_DAY,
     custom_functions: Mapping[str, Callable] | None = None,
+    strategy: str = "batched",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Featurize each (series [, tumbling window]) group of `df`.
 
@@ -100,6 +167,11 @@ def featurize(
     window : tumbling tier width, e.g. "1 minute"/"1 hour"/"1 day"; when
         set, output has a window_start timestamp column and groups are
         (key, window).
+    strategy : "batched" (default) shuffles once on the group key with a
+        secondary sort and evaluates many groups per Arrow batch via
+        mapInPandas — the scale path; "grouped" uses plain
+        groupBy().applyInPandas() (reference semantics, ~15 ms/group
+        dispatch overhead — only sensible for few, large groups).
     """
     features = list(features)
     m_col = F.col(m) if isinstance(m, str) else m
@@ -131,9 +203,19 @@ def featurize(
     key_fields = [narrow.schema[k] for k in [key_col]]
     out_fields = list(key_fields)
     if window is not None:
-        out_fields.append(StructField("window_start", TimestampType(), True))
+        out_fields.append(narrow.schema["window_start"])
     out_fields += [StructField(name, DoubleType(), True) for name in features]
     schema = StructType(out_fields)
 
-    kernel = make_kernel(features, key_cols, custom_functions)
-    return narrow.groupBy(*key_cols).applyInPandas(kernel, schema=schema)
+    if strategy == "grouped":
+        kernel = make_kernel(features, key_cols, custom_functions)
+        return narrow.groupBy(*key_cols).applyInPandas(kernel, schema=schema)
+
+    # batched: one shuffle on the group key + in-partition secondary sort,
+    # then whole-batch numpy evaluation (no per-group dispatch).
+    mapper = make_batch_kernel(features, key_cols, custom_functions)
+    npart = num_partitions or narrow.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    arranged = narrow.repartition(int(npart), *key_cols).sortWithinPartitions(
+        *key_cols, "t", "_ord"
+    )
+    return arranged.mapInPandas(mapper, schema=schema)

@@ -108,3 +108,12 @@ def test_text_byte_equality_survives_generation(spark, transcripts):
     b = b.sort_values(key).reset_index(drop=True)
     assert (a["text"] == b["text"]).all()
     assert (a["ts"] == b["ts"]).all()
+
+
+def test_batched_equals_grouped_strategy(spark, transcripts):
+    feats = ["n_epochs", "mean", "std", "median", "stetson_j", "cads_avg"]
+    a = featurize(transcripts, feats, strategy="batched", window="1 hour") \
+        .toPandas().sort_values(["conv_id", "window_start"]).reset_index(drop=True)
+    b = featurize(transcripts, feats, strategy="grouped", window="1 hour") \
+        .toPandas().sort_values(["conv_id", "window_start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)  # bit-exact across physical strategies
