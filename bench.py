@@ -60,8 +60,12 @@ def main():
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
-    # warm the JVM + python workers once (tiny query, not timed)
+    # warm the JVM + python workers once (tiny query, not timed), and do a
+    # full untimed scan of every input table so page-cache state doesn't
+    # pollute the timings (count() alone reads only parquet footers)
     _force(qfns["ts_profile_basic"](spark, SF_DIR))
+    for tbl in ("events", "documents", "embeddings"):
+        _force(spark.read.parquet(f"{SF_DIR}/{tbl}.parquet"))
 
     verbose = os.environ.get("SPARK_GRAFT_BENCH_VERBOSE")
     for name in headline:
@@ -81,6 +85,7 @@ def main():
         tr.write.mode("overwrite").parquet(tpath)
         open(marker, "w").write("ok")
     tr = spark.read.parquet(tpath)
+    _force(tr)  # untimed full scan: warm page cache for fair timing
     n_turns = tr.count()
     feats = ["n_epochs", "mean", "std", "amplitude", "total_time",
              "cads_avg", "cads_med", "median", "median_absolute_deviation",
