@@ -90,8 +90,14 @@ def make_batch_kernel(
     time-ordered. A group can span Arrow batch boundaries; the trailing
     (possibly incomplete) group of each batch is carried into the next.
     """
+    from .features.fastpath import FAST_FEATS, segmented_features
+
     features = list(features)
     keys = list(key_cols)
+    # segmented cross-group vectorization for supported features; the
+    # rest (iterative/model-based) fall back to the per-group registry
+    fast = [f for f in features if f in FAST_FEATS] if not custom_functions else []
+    slow = [f for f in features if f not in set(fast)]
 
     def _emit(pdf: pd.DataFrame) -> pd.DataFrame:
         # group boundaries: any key column changes vs previous row
@@ -107,14 +113,19 @@ def make_batch_kernel(
         m = pdf["m"].to_numpy(dtype=np.float64)
         e = pdf["e"].to_numpy(dtype=np.float64)
         out_keys = {k: pdf[k].to_numpy()[starts] for k in keys}
-        out_feats = {f: np.empty(len(starts)) for f in features}
-        for gi, (s, z) in enumerate(zip(starts, ends)):
-            vals = compute_features(
-                t[s:z], m[s:z], e[s:z], features, custom_functions=custom_functions
-            )
-            for f in features:
-                out_feats[f][gi] = vals[f]
-        return pd.DataFrame({**out_keys, **out_feats})
+        out_feats: dict[str, np.ndarray] = {}
+        if fast:
+            out_feats.update(segmented_features(t, m, e, starts, fast))
+        if slow:
+            for f in slow:
+                out_feats[f] = np.empty(len(starts))
+            for gi, (s, z) in enumerate(zip(starts, ends)):
+                vals = compute_features(
+                    t[s:z], m[s:z], e[s:z], slow, custom_functions=custom_functions
+                )
+                for f in slow:
+                    out_feats[f][gi] = vals[f]
+        return pd.DataFrame({**out_keys, **{f: out_feats[f] for f in features}})
 
     def _mapper(batches):
         carry: pd.DataFrame | None = None

@@ -198,3 +198,45 @@ def test_unknown_feature_is_nan():
     t, m, e = irregular_random()
     f = compute_features(t, m, e, ["no_such_feature"])
     assert math.isnan(f["no_such_feature"])
+
+
+def test_segmented_matches_pergroup_kernel():
+    """fastpath.segmented_features == registry.compute_features for every
+    fast feature, across group sizes incl. 1 and 2 (NaN semantics too)."""
+    from cesium_spark.features.fastpath import FAST_FEATS, segmented_features
+
+    rng = np.random.RandomState(3)
+    feats = sorted(FAST_FEATS)
+    sizes = [1, 2, 3, 5, 50, 229, 400, 2, 1, 17]
+    ts, ms, es, starts, off = [], [], [], [], 0
+    for s in sizes:
+        starts.append(off)
+        ts.append(np.sort(rng.uniform(0, 5, s)))
+        ms.append(rng.normal(100, 30, s))
+        es.append(rng.exponential(0.1, s))
+        off += s
+    t, m, e = np.concatenate(ts), np.concatenate(ms), np.concatenate(es)
+    res = segmented_features(t, m, e, np.array(starts), feats)
+    for gi, s in enumerate(sizes):
+        sl = slice(starts[gi], starts[gi] + s)
+        want = compute_features(t[sl], m[sl], e[sl], feats)
+        for f in feats:
+            got, w = res[f][gi], want[f]
+            assert (math.isnan(got) and math.isnan(w)) or np.isclose(
+                got, w, rtol=1e-9, atol=1e-12
+            ), (gi, s, f, got, w)
+
+
+def test_segmented_all_singletons():
+    """A batch where every group has one row: cadence feats all NaN."""
+    from cesium_spark.features.fastpath import FAST_FEATS, segmented_features
+
+    feats = sorted(FAST_FEATS)
+    t = np.array([0.0, 1.0, 2.0])
+    m = np.array([5.0, 6.0, 7.0])
+    e = np.full(3, 1e-4)
+    res = segmented_features(t, m, e, np.array([0, 1, 2]), feats)
+    assert np.isnan(res["cads_med"]).all()
+    assert np.isnan(res["max_slope"]).all()
+    npt.assert_allclose(res["mean"], m)
+    npt.assert_allclose(res["n_epochs"], 1.0)
