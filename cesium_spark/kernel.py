@@ -74,6 +74,42 @@ def make_kernel(
     return _kernel
 
 
+def iter_group_frames(batches, keys: Sequence[str]):
+    """Yield maximal group-complete pandas frames from an Arrow batch
+    iterator whose rows are key-contiguous (hash-partitioned + sorted by
+    keys). Groups spanning batch boundaries are stitched via carry-over.
+    Each yielded frame contains one or more complete groups."""
+    carry: pd.DataFrame | None = None
+    for pdf in batches:
+        if carry is not None and len(carry):
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+        if not len(pdf):
+            continue
+        last = pdf.iloc[-1]
+        tail_mask = np.ones(len(pdf), dtype=bool)
+        for k in keys:
+            tail_mask &= (pdf[k] == last[k]).to_numpy()
+        split = len(pdf) - int(
+            tail_mask[::-1].argmin() if not tail_mask.all() else len(pdf)
+        )
+        body, carry = pdf.iloc[:split], pdf.iloc[split:]
+        if len(body):
+            yield body
+    if carry is not None and len(carry):
+        yield carry
+
+
+def group_starts(pdf: pd.DataFrame, keys: Sequence[str]) -> np.ndarray:
+    """Start offsets of each contiguous group in a key-sorted frame."""
+    n = len(pdf)
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for k in keys:
+        col = pdf[k].to_numpy()
+        change[1:] |= col[1:] != col[:-1]
+    return np.flatnonzero(change)
+
+
 def make_batch_kernel(
     features: Sequence[str],
     key_cols: Sequence[str],
@@ -100,14 +136,8 @@ def make_batch_kernel(
     slow = [f for f in features if f not in set(fast)]
 
     def _emit(pdf: pd.DataFrame) -> pd.DataFrame:
-        # group boundaries: any key column changes vs previous row
         n = len(pdf)
-        change = np.zeros(n, dtype=bool)
-        change[0] = True
-        for k in keys:
-            col = pdf[k].to_numpy()
-            change[1:] |= col[1:] != col[:-1]
-        starts = np.flatnonzero(change)
+        starts = group_starts(pdf, keys)
         ends = np.append(starts[1:], n)
         t = pdf["t"].to_numpy(dtype=np.float64)
         m = pdf["m"].to_numpy(dtype=np.float64)
@@ -128,24 +158,8 @@ def make_batch_kernel(
         return pd.DataFrame({**out_keys, **{f: out_feats[f] for f in features}})
 
     def _mapper(batches):
-        carry: pd.DataFrame | None = None
-        for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-            if not len(pdf):
-                continue
-            last = pdf.iloc[-1]
-            tail_mask = np.ones(len(pdf), dtype=bool)
-            for k in keys:
-                tail_mask &= (pdf[k] == last[k]).to_numpy()
-            # rows of the final (possibly continuing) group are contiguous
-            # at the end; everything before is complete
-            split = len(pdf) - int(tail_mask[::-1].argmin() if not tail_mask.all() else len(pdf))
-            body, carry = pdf.iloc[:split], pdf.iloc[split:]
-            if len(body):
-                yield _emit(body)
-        if carry is not None and len(carry):
-            yield _emit(carry)
+        for body in iter_group_frames(batches, keys):
+            yield _emit(body)
 
     return _mapper
 

@@ -1,0 +1,142 @@
+"""Compressed block storage: Gorilla blocks per (series, tier window).
+
+compress_blocks: raw rows -> one row per (series, window) carrying the
+Gorilla-encoded (ts, value) block, point count, byte sizes, and an md5
+content hash of the per-turn text in stable (ts, tiebreak) order — the
+text-equality lineage required by the north rule (raw text itself stays in
+the raw table until its retention horizon; the hash lets any later stage
+prove the rollup saw exactly those bytes).
+
+decompress_blocks: the exact inverse of the (ts, value) encoding —
+bit-lossless, verified by roundtrip tests and the text hash.
+
+Physical plan: same single-shuffle batched-group pattern as the kernel
+(repartition on keys + secondary sort + mapInPandas); encode/decode are
+vectorized numpy per group.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..codec.gorilla import decode_block, encode_block
+from ..kernel import group_starts, iter_group_frames, ts_micros
+from .rollup import TIERS
+
+__all__ = ["compress_blocks", "decompress_blocks", "text_content_hash"]
+
+
+def text_content_hash(texts) -> str:
+    """Order-sensitive md5 over length-prefixed UTF-8 texts (length prefix
+    prevents concatenation ambiguity)."""
+    h = hashlib.md5()
+    for t in texts:
+        b = (t or "").encode("utf-8")
+        h.update(len(b).to_bytes(4, "little"))
+        h.update(b)
+    return h.hexdigest()
+
+
+def compress_blocks(
+    df: DataFrame,
+    tier: str,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "turn_idx",
+    value: Column | str | None = None,
+    text_col: str | None = "text",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    v_col = F.col(value) if isinstance(value, str) else value
+    if v_col is None:
+        v_col = F.length(F.col(text_col or "text")).cast("double")
+    cols = [
+        F.col(key_col),
+        F.window(F.col(ts_col), TIERS.get(tier, tier)).start.alias("window_start"),
+        ts_micros(F.col(ts_col)).alias("ts_us"),
+        F.col(tiebreak_col).cast("long").alias("_ord"),
+        v_col.alias("v"),
+    ]
+    if text_col is not None:
+        cols.append(F.col(text_col).alias("_text"))
+    narrow = df.select(*cols)
+    keys = [key_col, "window_start"]
+
+    key_field = narrow.schema[key_col]
+    ws_field = narrow.schema["window_start"]
+    out_schema = (
+        f"{key_field.name} {key_field.dataType.simpleString()}, "
+        f"window_start {ws_field.dataType.simpleString()}, "
+        "n_points long, block binary, raw_bytes long, block_bytes long"
+        + (", text_md5 string" if text_col is not None else "")
+    )
+
+    def _mapper(batches):
+        for body in iter_group_frames(batches, keys):
+            starts = group_starts(body, keys)
+            ends = np.append(starts[1:], len(body))
+            ts_all = body["ts_us"].to_numpy(dtype=np.int64)
+            v_all = body["v"].to_numpy(dtype=np.float64)
+            texts = body["_text"].to_numpy() if text_col is not None else None
+            rows = {k: body[k].to_numpy()[starts] for k in keys}
+            n_pts, blocks, raw_b, blk_b, hashes = [], [], [], [], []
+            for s, z in zip(starts, ends):
+                blk = encode_block(ts_all[s:z], v_all[s:z])
+                n_pts.append(z - s)
+                blocks.append(blk)
+                raw_b.append((z - s) * 16)
+                blk_b.append(len(blk))
+                if texts is not None:
+                    hashes.append(text_content_hash(texts[s:z]))
+            out = {**rows, "n_points": n_pts, "block": blocks,
+                   "raw_bytes": raw_b, "block_bytes": blk_b}
+            if text_col is not None:
+                out["text_md5"] = hashes
+            yield pd.DataFrame(out)
+
+    npart = num_partitions or narrow.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    arranged = narrow.repartition(int(npart), *keys).sortWithinPartitions(
+        *keys, "ts_us", "_ord"
+    )
+    return arranged.mapInPandas(_mapper, schema=out_schema)
+
+
+def decompress_blocks(
+    blocks: DataFrame,
+    key_col: str = "conv_id",
+) -> DataFrame:
+    """Blocks -> long-format rows (key, window_start, ts, value)."""
+    key_field = blocks.schema[key_col]
+    ws_field = blocks.schema["window_start"]
+    out_schema = (
+        f"{key_field.name} {key_field.dataType.simpleString()}, "
+        f"window_start {ws_field.dataType.simpleString()}, "
+        f"ts {ws_field.dataType.simpleString()}, value double"
+    )
+
+    def _mapper(batches):
+        for pdf in batches:
+            keys_rep, ws_rep, ts_out, v_out = [], [], [], []
+            for row in pdf.itertuples(index=False):
+                ts, v = decode_block(row.block)
+                keys_rep.append(np.repeat(getattr(row, key_col), len(ts)))
+                ws_rep.append(np.repeat(row.window_start, len(ts)))
+                ts_out.append(ts)
+                v_out.append(v)
+            if not ts_out:
+                continue
+            yield pd.DataFrame(
+                {
+                    key_col: np.concatenate(keys_rep),
+                    "window_start": np.concatenate(ws_rep),
+                    "ts": np.concatenate(ts_out).astype("datetime64[us]"),
+                    "value": np.concatenate(v_out),
+                }
+            )
+
+    return blocks.mapInPandas(_mapper, schema=out_schema)

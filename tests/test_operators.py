@@ -1,0 +1,124 @@
+"""Engine-level operator tests (FIXTURES.md F4): LOCF gap-fill, agg-state
+merge associativity, salt invariance, incremental re-aggregation, and the
+text-preserving lineage guarantees cesium itself never needed."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cesium_spark.datagen import generate_transcripts
+from cesium_spark.operators.aggstate import finalize_states, merge_states, partial_states
+from cesium_spark.operators.incremental import incremental_rollup, merge_new_batch
+from cesium_spark.operators.locf import locf_grid
+from cesium_spark.operators.rollup import rollup_kernel
+from cesium_spark.operators.salt import skew_resistant_features
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    df = generate_transcripts(spark, n_convs=24, seed=9, max_turns=3000).cache()
+    df.count()
+    return df
+
+
+def _gap_conv(spark):
+    """One conversation with turns only in hours {0,1,5,9} (gap_grid)."""
+    rows = []
+    for h, k in [(0, 3), (1, 2), (5, 1), (9, 2)]:
+        for i in range(k):
+            rows.append((
+                "g", len(rows), "user", f"t{h}-{i}" * (h + 1), "",
+                pd.Timestamp("2025-03-01") + pd.Timedelta(hours=h, minutes=i),
+            ))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    return spark.createDataFrame(pdf)
+
+
+def test_locf_dense_grid_and_fill_flags(spark):
+    out = locf_grid(_gap_conv(spark), "1h").toPandas().sort_values("grid_ts")
+    assert len(out) == 10  # hours 0..9 dense
+    filled = out.set_index(out["grid_ts"].dt.hour)["filled"]
+    assert not filled[0] and not filled[1] and not filled[5] and not filled[9]
+    assert filled[2] and filled[3] and filled[4] and filled[6] and filled[7] and filled[8]
+    vals = out.set_index(out["grid_ts"].dt.hour)["locf_value"]
+    # carried value = last observation of the most recent non-empty window
+    assert vals[2] == vals[1] and vals[6] == vals[5]
+    assert (~out["locf_value"].isna()).all()
+
+
+def test_agg_state_merge_equals_recompute(spark, transcripts):
+    """merge(state(A), state(B)) == state(A ∪ B) (random split)."""
+    a = transcripts.filter(F.crc32(F.concat_ws("|", "conv_id", "turn_idx")) % 2 == 0)
+    b = transcripts.subtract(a)
+    sa = partial_states(a, None)
+    sb = partial_states(b, None)
+    merged = finalize_states(
+        merge_states(sa.unionByName(sb), ["conv_id"]), ["conv_id"]
+    ).toPandas().sort_values("conv_id").reset_index(drop=True)
+    direct = finalize_states(partial_states(transcripts, None), ["conv_id"]) \
+        .toPandas().sort_values("conv_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(merged, direct, rtol=1e-9, atol=1e-12)
+
+
+def test_salt_count_invariance(spark, transcripts):
+    outs = []
+    for buckets in (1, 4, 16):
+        out = skew_resistant_features(transcripts, salt_buckets=buckets) \
+            .toPandas().sort_values("conv_id").reset_index(drop=True)
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1], rtol=1e-9, atol=1e-12)
+    pd.testing.assert_frame_equal(outs[0], outs[2], rtol=1e-9, atol=1e-12)
+
+
+def test_salted_features_match_kernel(spark, transcripts):
+    feats = ["n_epochs", "mean", "minimum", "maximum", "amplitude", "std",
+             "total_time", "avgt", "weighted_average"]
+    kern = rollup_kernel(transcripts, feats, "1 hour") \
+        .toPandas().sort_values(["conv_id", "window_start"]).reset_index(drop=True)
+    salted = skew_resistant_features(transcripts, salt_buckets=8, tier="1h") \
+        .toPandas().sort_values(["conv_id", "window_start"]).reset_index(drop=True)
+    for f in feats:
+        np.testing.assert_allclose(
+            kern[f], salted[f], rtol=1e-9, atol=1e-12, err_msg=f
+        )
+
+
+def test_incremental_mergeable_equals_full(spark, transcripts):
+    """Late arrivals: state(base) ⊕ batch == state(base ∪ batch)."""
+    base = transcripts.filter(F.col("turn_idx") % 7 != 0)
+    late = transcripts.subtract(base)  # rows landing inside rolled windows
+    st0 = partial_states(base, "1h")
+    merged = finalize_states(
+        merge_new_batch(st0, late, "1h"), ["conv_id", "window_start"]
+    ).toPandas().sort_values(["conv_id", "window_start"]).reset_index(drop=True)
+    full = finalize_states(
+        partial_states(transcripts, "1h"), ["conv_id", "window_start"]
+    ).toPandas().sort_values(["conv_id", "window_start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(merged, full, rtol=1e-9, atol=1e-12)
+
+
+def test_incremental_nonmergeable_equals_full(spark, transcripts):
+    """Dirty-window recompute: untouched ∪ recomputed == full recompute,
+    for non-mergeable features (median/MAD/stetson)."""
+    feats = ["n_epochs", "median", "median_absolute_deviation", "stetson_k"]
+    base = transcripts.filter(F.col("turn_idx") % 5 != 0)
+    late = transcripts.subtract(base)
+    old = rollup_kernel(base, feats, "1h")
+    got = incremental_rollup(old, transcripts, late, feats, "1h") \
+        .toPandas().sort_values(["conv_id", "window_start"]).reset_index(drop=True)
+    full = rollup_kernel(transcripts, feats, "1h") \
+        .toPandas().sort_values(["conv_id", "window_start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, full)
+
+
+def test_lineage_log_roundtrip(tmp_path):
+    from cesium_spark.streaming.checkpoint import LineageLog
+
+    log = LineageLog(str(tmp_path / "lineage"))
+    assert not log.is_committed("tier-1h", input_rows=100)
+    log.commit("tier-1h", input_rows=100, metrics={"windows_out": 5})
+    assert log.is_committed("tier-1h", input_rows=100)
+    assert not log.is_committed("tier-1h", input_rows=101)  # input changed
+    assert log.read("tier-1h")["metrics"]["windows_out"] == 5
+    assert log.units() == ["tier-1h"]
