@@ -2,9 +2,8 @@
 ASAS light curves and compare to expected_features.csv (the reference's own
 bit-level anchor, features/tests/test_graphs.py:14-46) to ~1e-6.
 
-Scope grows with the registry: IMPLEMENTED tracks which of the 73
-GENERAL+LOMB_SCARGLE columns the engine computes so far; the others are
-asserted NaN (NotImplementedError -> NaN policy)."""
+Scope grows with the registry: NOT_YET tracks the remaining unimplemented
+columns (asserted NaN via the NotImplementedError -> NaN policy)."""
 
 import math
 
@@ -18,20 +17,50 @@ from cesium_spark.features.registry import (
     compute_features,
 )
 
-NOT_YET = {
-    "period_fast", "qso_log_chi2_qsonu", "qso_log_chi2nuNULL_chi2nu",
-} | set(LOMB_SCARGLE_FEATS)
+NOT_YET = {"period_fast", "qso_log_chi2_qsonu", "qso_log_chi2nuNULL_chi2nu"}
 
-IMPLEMENTED = [f for f in GENERAL_FEATS + LOMB_SCARGLE_FEATS if f not in NOT_YET]
+FAST_IMPLEMENTED = [f for f in GENERAL_FEATS if f not in NOT_YET]
 
 
-def test_golden_feature_parity(golden):
+def _check(golden, feats):
     series, names, expected = golden
     for row, (fname, t, m, e) in enumerate(series):
-        vals = compute_features(t, m, e, IMPLEMENTED)
-        got = np.array([vals[n] for n in IMPLEMENTED])
-        want = np.array([expected[row, names.index(n)] for n in IMPLEMENTED])
+        vals = compute_features(t, m, e, feats)
+        got = np.array([vals[n] for n in feats])
+        want = np.array([expected[row, names.index(n)] for n in feats])
         npt.assert_array_almost_equal(got, want, err_msg=f"series {fname}")
+
+
+def test_golden_general_features(golden):
+    _check(golden, FAST_IMPLEMENTED)
+
+
+@pytest.mark.slow
+def test_golden_lomb_scargle_features(golden):
+    """All 47 periodic features on all 3 series (~40 s: the reference's
+    111k-point frequency grids)."""
+    _check(golden, LOMB_SCARGLE_FEATS)
+
+
+def test_lomb_scargle_recovers_known_frequencies():
+    """Synthetic signal recovery (reference test_lomb_scargle_features.py):
+    on-grid sinusoids at 5.3/3.3/2.1 with harmonic amplitudes."""
+    from cesium_spark.features.lomb import lomb_scargle_model
+
+    freqs = np.array([5.3, 3.3, 2.1])
+    amps = np.array([[1, 0.05, 0.01, 0.005]]) * np.array([[1], [0.5], [0.25]])
+    t = np.linspace(0, 2, 501)
+    m = np.zeros(501)
+    for (i, j), a in np.ndenumerate(amps):
+        m += a * np.sin(2 * np.pi * t * freqs[i] * (j + 1) + 0.1)
+    e = 1e-4 * np.ones(501)
+    model = lomb_scargle_model(t, m, e)
+    got = [model["freq_fits"][i]["freq"] for i in range(3)]
+    npt.assert_allclose(got, freqs, rtol=1e-2)
+    npt.assert_allclose(
+        [model["freq_fits"][i]["amplitude"][0] for i in range(3)],
+        [1.0, 0.5, 0.25], rtol=0.1,
+    )
 
 
 def test_golden_not_yet_are_nan(golden):
