@@ -17,9 +17,13 @@ from cesium_spark.features.registry import (
     compute_features,
 )
 
-NOT_YET = {"period_fast", "qso_log_chi2_qsonu", "qso_log_chi2nuNULL_chi2nu"}
+# period_fast is implemented as a documented approximation (the reference
+# wraps gatspy, whose exact optimizer internals aren't reproducible
+# offline) -> excluded from the golden-value comparison, covered by the
+# synthetic period-recovery test below.
+APPROXIMATE = {"period_fast"}
 
-FAST_IMPLEMENTED = [f for f in GENERAL_FEATS if f not in NOT_YET]
+FAST_IMPLEMENTED = [f for f in GENERAL_FEATS if f not in APPROXIMATE]
 
 
 def _check(golden, feats):
@@ -63,9 +67,22 @@ def test_lomb_scargle_recovers_known_frequencies():
     )
 
 
-def test_golden_not_yet_are_nan(golden):
-    series, _, _ = golden
-    _, t, m, e = series[0]
-    vals = compute_features(t, m, e, sorted(NOT_YET))
-    for k, v in vals.items():
-        assert math.isnan(v), k
+def test_qso_regression_constants():
+    """Reference hard-coded values (test_general_features.py:228-233)."""
+    st = np.random.RandomState(0)
+    t = np.sort(st.uniform(0, 10, 50))
+    m = st.normal(1, 1, 50)
+    e = st.exponential(0.1, 50)
+    v = compute_features(t, m, e, ["qso_log_chi2_qsonu", "qso_log_chi2nuNULL_chi2nu"])
+    npt.assert_allclose(v["qso_log_chi2_qsonu"], 6.9844064754)
+    npt.assert_allclose(v["qso_log_chi2nuNULL_chi2nu"], -0.456526327522)
+
+
+def test_period_fast_recovers_injected_period():
+    rng = np.random.RandomState(0)
+    t = np.sort(rng.uniform(0, 30, 300))
+    for p in (0.73, 2.5, 7.7):
+        m = 2.0 + np.sin(2 * np.pi * t / p) + 0.05 * rng.normal(size=300)
+        e = np.full(300, 0.05)
+        v = compute_features(t, m, e, ["period_fast"])
+        npt.assert_allclose(v["period_fast"], p, rtol=5e-3)
