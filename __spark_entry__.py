@@ -213,7 +213,40 @@ def q_knn_cosine(spark, sf_dir):
     return cosine_topk_bruteforce(emb, queries, k=3)
 
 
+def q_codec_roundtrip(spark, sf_dir):
+    """Gorilla compress per (user, day) -> decompress -> re-aggregate.
+    The oracle aggregates the raw table directly: equality proves the
+    codec is lossless end-to-end through Spark."""
+    from cesium_spark.operators.compress import compress_blocks, decompress_blocks
+
+    ev = _events(spark, sf_dir)
+    blocks = compress_blocks(
+        ev, "1d", key_col="user_id", ts_col="ts", tiebreak_col="event_id",
+        value="value", text_col=None,
+    )
+    back = decompress_blocks(blocks, key_col="user_id")
+    return back.groupBy("user_id").agg(
+        F.count("*").alias("n_points"),
+        _r(F.sum("value")).alias("sum_value"),
+        _r(F.min("value")).alias("min_value"),
+        _r(F.max("value")).alias("max_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
 # ------- weaker (rows-only) checks: non-SQL-expressible operators -------
+
+
+def q_features_periodic(spark, sf_dir):
+    """Full periodic block per user series: 3-frequency multi-harmonic
+    Lomb-Scargle + damped-random-walk fits (golden-anchored numerics;
+    not SQL-expressible -> rows-only driver check)."""
+    feats = ["freq1_freq", "freq1_amplitude1", "freq1_signif", "freq_varrat",
+             "linear_trend", "scatter_res_raw", "freq_model_max_delta_mags",
+             "p2p_scatter_over_mad", "fold2P_slope_90percentile",
+             "qso_log_chi2_qsonu", "qso_log_chi2nuNULL_chi2nu", "period_fast"]
+    return _feat(spark, sf_dir, feats)
 
 
 def q_simhash_near_dups(spark, sf_dir):
@@ -273,6 +306,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_5gram": q_jaccard_5gram,
         "minhash_lsh": q_minhash_lsh,
         "knn_cosine": q_knn_cosine,
+        "codec_roundtrip": q_codec_roundtrip,
+        "features_periodic": q_features_periodic,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_lsh": q_ann_lsh,
         "features_wide": q_features_wide,
@@ -596,6 +631,17 @@ def oracle_sql() -> dict[str, str]:
           FROM s
         )
         SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= 3
+    """
+
+    sql["codec_roundtrip"] = f"""
+        SELECT user_id,
+               count(*) AS n_points,
+               round(sum(value) + {EPS}, {R}) AS sum_value,
+               round(min(value) + {EPS}, {R}) AS min_value,
+               round(max(value) + {EPS}, {R}) AS max_value,
+               min(ts) AS first_ts,
+               max(ts) AS last_ts
+        FROM events GROUP BY user_id
     """
 
     return sql

@@ -1,0 +1,96 @@
+"""Multimodal column plumbing: image/audio/video payloads as opaque
+binary columns with typed metadata, processed by Arrow-batched UDFs.
+
+The decode step itself is STUBBED (no image/audio libraries ship in this
+container): `register_decoder` installs the real decoder in a deployment
+that has one; the default deterministic fake derives pseudo-features from
+the payload bytes so the Spark-side plumbing — schema, partitioning, UDF
+signatures, batch shapes — is real and tested end-to-end.
+
+Design for 100 TB: payloads never leave the executor as Python objects;
+mapInPandas streams Arrow batches, metadata-only operations (routing,
+size stats, dedup by digest) are pure JVM expressions on the narrow
+columns and never touch the blob.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "media_schema", "attach_media_metadata", "dedup_media_exact",
+    "extract_features", "register_decoder",
+]
+
+MEDIA_FEATURE_DIM = 8
+
+_DECODER: Callable[[bytes, str], np.ndarray] | None = None
+
+
+def register_decoder(fn: Callable[[bytes, str], np.ndarray]) -> None:
+    """Install a real decoder: fn(payload_bytes, media_type) -> float32
+    feature vector of length MEDIA_FEATURE_DIM."""
+    global _DECODER
+    _DECODER = fn
+
+
+def _fake_decode(payload: bytes, media_type: str) -> np.ndarray:
+    """Deterministic stand-in: 8 floats derived from the blake2b digest.
+    Real deployments replace this via register_decoder (the container has
+    no image/audio codecs)."""
+    d = hashlib.blake2b(payload or b"", digest_size=32).digest()
+    u = np.frombuffer(d, dtype=np.uint32).astype(np.float64)
+    return (u / np.float64(2**32)).astype(np.float32)
+
+
+def media_schema() -> str:
+    return (
+        "media_id long, media_type string, payload binary, "
+        "width int, height int, duration_ms int"
+    )
+
+
+def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """JVM-only metadata: byte size + content digest (for exact dedup and
+    routing) without deserializing the payload in Python."""
+    return df.withColumn("n_bytes", F.octet_length(F.col(payload_col))) \
+             .withColumn("digest", F.sha2(F.col(payload_col), 256))
+
+
+def dedup_media_exact(df: DataFrame, id_col: str = "media_id",
+                      payload_col: str = "payload") -> DataFrame:
+    """Exact payload dedup by digest: one hash-groupBy, blob never
+    shuffled (only the 32-byte digest moves)."""
+    return (
+        df.select(F.sha2(F.col(payload_col), 256).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(F.count("*").alias("group_size"), F.min(id_col).alias("keeper_id"))
+    )
+
+
+def extract_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    type_col: str = "media_type",
+) -> DataFrame:
+    """payload -> fixed-dim float feature vector via Arrow-batched
+    mapInPandas (decoder stub; see module docstring)."""
+    decoder = _DECODER or _fake_decode
+    out_schema = f"{id_col} long, features array<float>"
+
+    def _mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                decoder(p, t).tolist()
+                for p, t in zip(pdf[payload_col], pdf[type_col])
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
+
+    return df.select(id_col, payload_col, type_col).mapInPandas(_mapper, out_schema)

@@ -1,0 +1,86 @@
+"""Snapshot-table shim (append / dynamic overwrite / time travel), the
+reference-format CSV reader, and multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cesium_spark.sources.table import SnapshotTable
+from cesium_spark.sources.transcripts import read_ts_csv
+from cesium_spark.operators.multimodal import (
+    attach_media_metadata,
+    dedup_media_exact,
+    extract_features,
+    MEDIA_FEATURE_DIM,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["k", "part", "v"])
+    )
+
+
+def test_snapshot_table_append_and_time_travel(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    s1 = t.append(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    s2 = t.append(_df(spark, [(3, "a", 3.0)]))
+    cur = t.read(spark).toPandas().sort_values("k").reset_index(drop=True)
+    assert list(cur["k"]) == [1, 2, 3]
+    old = t.read(spark, as_of=s1).toPandas()
+    assert sorted(old["k"]) == [1, 2]
+    assert t.current_snapshot_id() == s2
+    assert [s["operation"] for s in t.snapshots()] == ["append", "append"]
+
+
+def test_snapshot_table_overwrite_partitions(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.append(_df(spark, [(1, "a", 1.0), (2, "b", 2.0), (3, "b", 3.0)]),
+             partition_by=["part"])
+    # replace only partition b
+    t.overwrite_partitions(_df(spark, [(9, "b", 9.0)]), partition_by=["part"])
+    cur = t.read(spark).toPandas().sort_values("k").reset_index(drop=True)
+    assert list(cur["k"]) == [1, 9]
+    assert set(cur["part"]) == {"a", "b"}
+
+
+def test_read_ts_csv_matches_reference_parse(spark, tmp_path):
+    # 3-column (t,m,e) and default-error fill on 2-column
+    p3 = tmp_path / "s3.csv"
+    p3.write_text("1.0,10.0,0.1\n0.5,9.0,0.2\n")
+    df = read_ts_csv(spark, str(p3)).toPandas().sort_values("idx")
+    assert list(df["t"]) == [0.5, 1.0]  # idx assigned in time order
+    assert list(df["e"]) == [0.2, 0.1]
+    p2 = tmp_path / "s2.csv"
+    p2.write_text("1.0,10.0\n2.0,11.0\n")
+    df2 = read_ts_csv(spark, str(p2)).toPandas()
+    assert (df2["e"] == 1e-4).all()
+
+
+@pytest.fixture()
+def media(spark):
+    rows = [
+        (1, "image/png", bytearray(b"payload-one"), 8, 8, None),
+        (2, "image/png", bytearray(b"payload-one"), 8, 8, None),  # exact dup of 1
+        (3, "audio/wav", bytearray(b"other"), None, None, 1200),
+    ]
+    return spark.createDataFrame(
+        rows, "media_id long, media_type string, payload binary, width int, height int, duration_ms int"
+    )
+
+
+def test_media_metadata_and_exact_dedup(spark, media):
+    meta = attach_media_metadata(media).toPandas()
+    assert list(meta["n_bytes"]) == [11, 11, 5]
+    groups = dedup_media_exact(media).toPandas().sort_values("keeper_id")
+    assert list(groups["group_size"]) == [2, 1]
+    assert list(groups["keeper_id"]) == [1, 3]
+
+
+def test_media_feature_extraction_stub(spark, media):
+    feats = extract_features(media).toPandas().set_index("media_id")
+    assert all(len(v) == MEDIA_FEATURE_DIM for v in feats["features"])
+    # deterministic: same payload -> same features; different -> different
+    np.testing.assert_array_equal(feats.loc[1, "features"], feats.loc[2, "features"])
+    assert not np.array_equal(feats.loc[1, "features"], feats.loc[3, "features"])
