@@ -213,6 +213,36 @@ def q_knn_cosine(spark, sf_dir):
     return cosine_topk_bruteforce(emb, queries, k=3)
 
 
+def q_rollup_1m_sql(spark, sf_dir):
+    out = rollup_sql(_events(spark, sf_dir), "1m", key_col="user_id", ts_col="ts", m="value")
+    num = ["n_epochs", "mean", "minimum", "maximum", "std"]
+    return out.select("user_id", "window_start", *[_r(F.col(c)).alias(c) for c in num])
+
+
+def q_locf_1d(spark, sf_dir):
+    return locf_grid(
+        _events(spark, sf_dir), "1d",
+        key_col="user_id", ts_col="ts", tiebreak_col="event_id", value="value",
+    )
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (cos >= 0.35, id_a < id_b; the threshold sits near the 99.95th pct of pairwise cosines so the pair set is non-trivial):
+    the embedding analogue of text near-dup detection."""
+    emb = _emb(spark, sf_dir)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    from cesium_spark.operators.similarity import _cosine_expr
+
+    pairs = (
+        a.join(F.broadcast(b))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(_cosine_expr("va", "vb"), R).alias("cosine"))
+        .filter(F.col("cosine") >= 0.35)
+    )
+    return pairs
+
+
 def q_codec_roundtrip(spark, sf_dir):
     """Gorilla compress per (user, day) -> decompress -> re-aggregate.
     The oracle aggregates the raw table directly: equality proves the
@@ -306,6 +336,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_5gram": q_jaccard_5gram,
         "minhash_lsh": q_minhash_lsh,
         "knn_cosine": q_knn_cosine,
+        "rollup_1m_sql": q_rollup_1m_sql,
+        "locf_1d": q_locf_1d,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "codec_roundtrip": q_codec_roundtrip,
         "features_periodic": q_features_periodic,
         "simhash_near_dups": q_simhash_near_dups,
@@ -642,6 +675,49 @@ def oracle_sql() -> dict[str, str]:
                min(ts) AS first_ts,
                max(ts) AS last_ts
         FROM events GROUP BY user_id
+    """
+
+    sql["rollup_1m_sql"] = f"""
+        SELECT user_id, date_trunc('minute', ts) AS window_start,
+               round(CAST(count(*) AS DOUBLE) + {EPS}, {R}) AS n_epochs,
+               round(avg(value) + {EPS}, {R}) AS mean,
+               round(min(value) + {EPS}, {R}) AS minimum,
+               round(max(value) + {EPS}, {R}) AS maximum,
+               round(stddev_pop(value) + {EPS}, {R}) AS std
+        FROM events GROUP BY user_id, date_trunc('minute', ts)
+    """
+
+    sql["locf_1d"] = """
+        WITH b AS (
+          SELECT user_id, date_trunc('day', ts) AS grid_ts,
+                 arg_max(value, ts) AS window_last
+          FROM events GROUP BY user_id, date_trunc('day', ts)
+        ),
+        span AS (
+          SELECT user_id, min(grid_ts) AS g0, max(grid_ts) AS g1 FROM b GROUP BY user_id
+        ),
+        grid AS (
+          SELECT user_id, unnest(generate_series(g0, g1, INTERVAL 1 DAY)) AS grid_ts
+          FROM span
+        )
+        SELECT g.user_id, g.grid_ts,
+               last_value(b.window_last IGNORE NULLS) OVER (
+                 PARTITION BY g.user_id ORDER BY g.grid_ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value,
+               b.window_last IS NULL AS filled
+        FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.grid_ts = b.grid_ts
+    """
+
+    sql["dedup_embedding_cosine"] = f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                     / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), {R}) AS cosine
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+          AND round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                       * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), {R}) >= 0.35
     """
 
     return sql
