@@ -122,3 +122,37 @@ def test_lineage_log_roundtrip(tmp_path):
     assert not log.is_committed("tier-1h", input_rows=101)  # input changed
     assert log.read("tier-1h")["metrics"]["windows_out"] == 5
     assert log.units() == ["tier-1h"]
+
+
+def test_salted_repartition_balances_hot_conversation(spark):
+    """F4 skew_table: one hot conversation (50k turns) + 100 small ones.
+    Unsalted repartition pins the hot conv to one partition; salted
+    spreads it so no partition exceeds 4x the median."""
+    import pandas as pd
+    from cesium_spark.operators.salt import salted_repartition
+
+    hot_n = 50_000
+    hot = pd.DataFrame({
+        "conv_id": "hot", "turn_idx": np.arange(hot_n, dtype=np.int32),
+        "role": "user", "text": "x", "tool": "",
+        "ts": pd.Timestamp("2025-01-01") + pd.to_timedelta(np.arange(hot_n), "s"),
+    })
+    small = pd.concat([
+        pd.DataFrame({
+            "conv_id": f"c{i}", "turn_idx": np.arange(100, dtype=np.int32),
+            "role": "user", "text": "y", "tool": "",
+            "ts": pd.Timestamp("2025-01-01") + pd.to_timedelta(np.arange(100), "s"),
+        }) for i in range(100)
+    ])
+    df = spark.createDataFrame(pd.concat([hot, small], ignore_index=True))
+
+    unsalted = df.repartition(8, "conv_id") \
+        .groupBy(F.spark_partition_id().alias("pid")).count().toPandas()
+    salted = salted_repartition(df, salt_buckets=8, num_partitions=8) \
+        .groupBy(F.spark_partition_id().alias("pid")).count().toPandas()
+
+    # hot conv dominates a single partition without salting...
+    assert unsalted["count"].max() >= hot_n
+    # ...and spreads with salting: straggler bound from FIXTURES.md F4
+    med = salted["count"].median()
+    assert salted["count"].max() <= 4 * med, (salted.to_dict(), med)
