@@ -235,13 +235,15 @@ def segmented_features(t, m, e, starts, features):
             empty = dlens <= 0  # groups with <2 rows have no cads
             nan_arr = np.full(len(starts), np.nan)
 
-            # reduceat misbehaves on empty segments (repeats); guard with masks
+            # reduceat only at non-empty groups' offsets (clamping empty
+            # trailing/middle offsets would split neighbors' segments);
+            # empty groups stay NaN
             def safe_reduceat(op, x):
-                if len(x) == 0:
-                    return nan_arr.copy()
-                idx = np.minimum(c_starts, max(len(x) - 1, 0))
-                vals = op.reduceat(x, idx)
-                return np.where(empty, np.nan, vals)
+                out = nan_arr.copy()
+                nz_mask = ~empty
+                if len(x) and nz_mask.any():
+                    out[nz_mask] = op.reduceat(x, c_starts[nz_mask])
+                return out
 
             if need("max_slope"):
                 ms_ = safe_reduceat(np.maximum, slopes)
@@ -297,10 +299,11 @@ def segmented_features(t, m, e, starts, features):
                         r_starts = np.zeros(len(starts), dtype=np.int64)
 
                     def safe_r(op, x):
-                        if len(x) == 0:
-                            return nan_arr.copy()
-                        idx = np.minimum(r_starts, max(len(x) - 1, 0))
-                        return np.where(r_empty, np.nan, op.reduceat(x, idx))
+                        out = nan_arr.copy()
+                        nz_mask = ~r_empty
+                        if len(x) and nz_mask.any():
+                            out[nz_mask] = op.reduceat(x, r_starts[nz_mask])
+                        return out
 
                     rmean = safe_r(np.add, ratios) / np.where(r_empty, np.nan, r_lens)
                     if "avg_double_to_single_step" in req:

@@ -1,0 +1,64 @@
+"""Property-based tests (hypothesis): codec losslessness over arbitrary
+float64 payloads and fastpath/per-group kernel agreement over arbitrary
+group layouts."""
+
+import math
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from cesium_spark.codec.gorilla import decode_block, encode_block
+from cesium_spark.features.fastpath import FAST_FEATS, segmented_features
+from cesium_spark.features.registry import compute_features
+
+finite_or_special = st.one_of(
+    st.floats(allow_nan=True, allow_infinity=True, width=64),
+    st.just(-0.0),
+    st.just(5e-324),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**48), min_size=0, max_size=300),
+    st.data(),
+)
+def test_codec_roundtrip_any_payload(ts_raw, data):
+    ts = np.sort(np.array(ts_raw, dtype=np.int64))
+    vals = np.array(
+        data.draw(st.lists(finite_or_special, min_size=len(ts), max_size=len(ts))),
+        dtype=np.float64,
+    )
+    ts2, v2 = decode_block(encode_block(ts, vals))
+    np.testing.assert_array_equal(ts, ts2)
+    np.testing.assert_array_equal(vals.view(np.uint64), v2.view(np.uint64))
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=60), min_size=1, max_size=12),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_fastpath_matches_pergroup_any_layout(sizes, seed):
+    rng = np.random.RandomState(seed)
+    feats = sorted(FAST_FEATS)
+    starts, off = [], 0
+    ts, ms, es = [], [], []
+    for s in sizes:
+        starts.append(off)
+        ts.append(np.sort(rng.uniform(0, 3, s)))
+        ms.append(rng.normal(0, 50, s))
+        es.append(rng.exponential(0.5, s) + 1e-6)
+        off += s
+    t, m, e = np.concatenate(ts), np.concatenate(ms), np.concatenate(es)
+    res = segmented_features(t, m, e, np.array(starts), feats)
+    for gi, s in enumerate(sizes):
+        sl = slice(starts[gi], starts[gi] + s)
+        want = compute_features(t[sl], m[sl], e[sl], feats)
+        for f in feats:
+            got, w = res[f][gi], want[f]
+            both_nan = math.isnan(got) and math.isnan(w)
+            both_inf = math.isinf(got) and math.isinf(w) and (got > 0) == (w > 0)
+            assert both_nan or both_inf or np.isclose(
+                got, w, rtol=1e-8, atol=1e-10
+            ), (gi, s, f, got, w, seed)
