@@ -289,6 +289,16 @@ def q_ann_lsh(spark, sf_dir):
     return lsh_bucket_topk(emb, queries, k=3, n_planes=6)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF approximate nearest neighbors: spherical-k-means lists +
+    n_probe probing (the embedding-scale ANN path)."""
+    from cesium_spark.operators.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    return ivf_topk(emb, queries, k=3, n_lists=16, n_probe=4)
+
+
 def q_features_wide(spark, sf_dir):
     """Full cadence+general registry over each user series — the flagship
     per-series featureset (73 columns). Values anchored by the golden
@@ -343,6 +353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "features_periodic": q_features_periodic,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "features_wide": q_features_wide,
     }
 

@@ -156,3 +156,24 @@ def test_salted_repartition_balances_hot_conversation(spark):
     # ...and spreads with salting: straggler bound from FIXTURES.md F4
     med = salted["count"].median()
     assert salted["count"].max() <= 4 * med, (salted.to_dict(), med)
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    """IVF ANN: probing n_probe of n_lists recovers most exact top-3
+    neighbors; full probe degenerates to exact."""
+    from cesium_spark.operators.similarity import cosine_topk_bruteforce, ivf_topk
+
+    rng = np.random.RandomState(4)
+    vecs = rng.normal(size=(400, 16)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": np.arange(400), "embedding": [v.tolist() for v in vecs]})
+    emb = spark.createDataFrame(pdf, "vec_id long, embedding array<float>").cache()
+    queries = emb.filter(F.col("vec_id") < 15)
+
+    exact = cosine_topk_bruteforce(emb, queries, k=3).toPandas()
+    approx = ivf_topk(emb, queries, k=3, n_lists=8, n_probe=3, seed=1).toPandas()
+    key = lambda d: set(zip(d.query_id, d.neighbor_id))
+    recall = len(key(exact) & key(approx)) / len(key(exact))
+    assert recall >= 0.6, recall
+
+    full = ivf_topk(emb, queries, k=3, n_lists=8, n_probe=8, seed=1).toPandas()
+    assert key(full) == key(exact)
