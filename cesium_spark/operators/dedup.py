@@ -119,11 +119,20 @@ def minhash_signatures(
     of md5(i || '|' || shingle). Engine-portable by construction (md5 hex
     is lexicographic) — the DuckDB oracle recomputes it verbatim."""
     sh = char_shingles(df, id_col, text_col, k)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
-    return sh.groupBy("id").agg(*aggs)
+    # hash each DISTINCT shingle once (the shingle vocabulary is far
+    # smaller than the (doc, shingle) relation), then join the small hash
+    # dim back — identical results, ~vocab/corpus fewer md5 evaluations
+    vocab = sh.select("shingle").distinct().select(
+        "shingle",
+        *[
+            F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))).alias(f"h_{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    joined = sh.join(vocab.hint("broadcast"), "shingle")
+    return joined.groupBy("id").agg(
+        *[F.min(f"h_{i}").alias(f"mh_{i}") for i in range(num_hashes)]
+    )
 
 
 def minhash_lsh_pairs(
