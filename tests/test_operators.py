@@ -177,3 +177,38 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
 
     full = ivf_topk(emb, queries, k=3, n_lists=8, n_probe=8, seed=1).toPandas()
     assert key(full) == key(exact)
+
+
+def test_run_rollup_units_and_resume(spark, transcripts, tmp_path):
+    """Per-(tier, day-bucket) unit commits: resume skips committed units;
+    a crashed unit (deleted lineage entry) is recomputed and the final
+    output equals a fresh full run."""
+    import os
+    from cesium_spark.jobs import run_rollup
+
+    inp = str(tmp_path / "in")
+    transcripts.write.mode("overwrite").parquet(inp)
+    out1, out2 = str(tmp_path / "o1"), str(tmp_path / "o2")
+
+    feats = ["n_epochs", "mean", "median"]
+    r1 = run_rollup(spark, inp, out1, tiers=("1h",), features=feats,
+                    bucket_days=3, verbose=False)
+    assert all(not u["skipped"] for u in r1)
+    assert len(r1) >= 2  # multiple day buckets
+
+    # simulate crash: forget one unit's commit, then resume
+    victim = r1[0]["unit"]
+    os.remove(os.path.join(out1, "_lineage", f"{victim}.json"))
+    r2 = run_rollup(spark, inp, out1, tiers=("1h",), features=feats,
+                    bucket_days=3, resume=True, verbose=False)
+    assert sum(not u["skipped"] for u in r2) == 1  # only the victim reran
+    assert sum(u["skipped"] for u in r2) == len(r1) - 1
+
+    # equality with a fresh full run
+    run_rollup(spark, inp, out2, tiers=("1h",), features=feats,
+               bucket_days=3, verbose=False)
+    a = spark.read.parquet(f"{out1}/tier=1h").toPandas() \
+        .sort_values(["conv_id", "window_start"]).reset_index(drop=True)
+    b = spark.read.parquet(f"{out2}/tier=1h").toPandas() \
+        .sort_values(["conv_id", "window_start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
