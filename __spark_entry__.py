@@ -279,6 +279,19 @@ def q_features_periodic(spark, sf_dir):
     return _feat(spark, sf_dir, feats)
 
 
+def q_winnowing(spark, sf_dir):
+    """Winnowing rolling-hash fingerprints per document (SWA 2003) —
+    set-valued output, rows-only check."""
+    from cesium_spark.operators.text import winnowing_fingerprint
+
+    out = winnowing_fingerprint(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.size("fingerprints").alias("n_fingerprints"),
+        F.element_at("fingerprints", 1).alias("min_fingerprint"),
+    )
+
+
 def q_simhash_near_dups(spark, sf_dir):
     return simhash_pairs(_docs(spark, sf_dir), max_hamming=12, blocks=4)
 
@@ -351,6 +364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "codec_roundtrip": q_codec_roundtrip,
         "features_periodic": q_features_periodic,
+        "doc_winnowing": q_winnowing,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -575,6 +589,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                length(text) AS n_chars,
                len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               len(regexp_extract_all(text, '([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ])')) AS n_bpe_tokens,
                round(length(text) / len(string_split_regex(trim(text), '\\s+')) + {EPS}, {R}) AS mean_token_len,
                round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / length(text) + {EPS}, {R}) AS punct_ratio,
                round(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|for)\\b'))

@@ -33,18 +33,27 @@ def _stopword_hits(col, words):
     return F.size(F.regexp_extract_all(F.lower(col), F.lit(pat), F.lit(1)))
 
 
+# BPE-ish pre-tokenization: letter runs, digit runs, and isolated
+# non-alphanumeric marks — the usual byte-pair pre-split, portable between
+# Java regex and RE2
+BPE_SPLIT = "([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ])"
+
+
 def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Per-document surface statistics: chars, whitespace tokens, mean
-    token length, punctuation ratio, stopword ratio (en)."""
+    """Per-document surface statistics: chars, whitespace tokens, BPE-ish
+    subword tokens, mean token length, punctuation ratio, stopword ratio
+    (en)."""
     t = F.col(text_col)
     n_chars = F.length(t)
     n_tokens = _word_count(t)
+    n_bpe = F.size(F.regexp_extract_all(t, F.lit(BPE_SPLIT), F.lit(1)))
     n_punct = n_chars - F.length(F.regexp_replace(t, PUNCT_CLASS, ""))
     n_stop = _stopword_hits(t, LANG_STOPWORDS["en"])
     return df.select(
         F.col(id_col),
         n_chars.cast("long").alias("n_chars"),
         n_tokens.cast("long").alias("n_tokens"),
+        n_bpe.cast("long").alias("n_bpe_tokens"),
         F.round(n_chars / n_tokens, 6).alias("mean_token_len"),
         F.round(n_punct / n_chars, 6).alias("punct_ratio"),
         F.round(n_stop / n_tokens, 6).alias("stopword_ratio"),
@@ -77,6 +86,53 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     for lang in sorted(hits, reverse=True):
         guess = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(guess)
     return df.select(F.col(id_col), guess.alias("lang_guess"))
+
+
+def winnowing_fingerprint(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprint (Schleimer/Wilkerson/Aiken 2003):
+    rolling Rabin-Karp hashes of character k-grams, min-sampled per
+    window, distinct set per document. Robust to local edits — shared
+    fingerprints localize plagiarized/duplicated spans. Vectorized numpy
+    per Arrow batch."""
+    import numpy as np
+    import pandas as pd
+
+    B = np.uint64(1000003)
+    MOD_MASK = np.uint64(0xFFFFFFFF)
+
+    def _fp(texts):
+        out = []
+        for text in texts:
+            b = np.frombuffer((text or "").encode("utf-8", "ignore"), dtype=np.uint8)
+            n = len(b)
+            if n < k:
+                out.append([])
+                continue
+            # rolling hash of all k-grams, vectorized via cumulative trick:
+            # h_i = sum b[i+j] * B^(k-1-j); compute with a strided matmul
+            powers = np.array(
+                [int(pow(int(B), k - 1 - j, 1 << 32)) for j in range(k)],
+                dtype=np.uint64,
+            )
+            windows_view = np.lib.stride_tricks.sliding_window_view(b, k)
+            h = (windows_view.astype(np.uint64) * powers).sum(axis=1) & MOD_MASK
+            if len(h) >= window:
+                mins = np.minimum.reduce(
+                    [h[i: len(h) - window + 1 + i] for i in range(window)]
+                )
+            else:
+                mins = np.array([h.min()], dtype=np.uint64)
+            out.append(sorted(set(int(x) for x in mins)))
+        return pd.Series(out)
+
+    udf = F.pandas_udf(_fp, "array<long>")
+    return df.select(F.col(id_col), udf(F.col(text_col)).alias("fingerprints"))
 
 
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
