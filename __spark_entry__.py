@@ -46,16 +46,24 @@ def _r(col):
 # ---------------------------------------------------------------- helpers
 
 
+def _ensure_conf(spark: SparkSession) -> SparkSession:
+    """The driver owns the session; pin the confs our semantics rely on
+    (deterministic NTZ<->timestamp casts, Arrow-batched UDF transport)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    return spark
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _ensure_conf(spark).read.parquet(f"{sf_dir}/events.parquet")
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _ensure_conf(spark).read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _ensure_conf(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def _feat(spark, sf_dir, feats, **kw):
@@ -328,7 +336,7 @@ def q_features_wide(spark, sf_dir):
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: 1h-tier rollup featureset over sf0.001 events."""
-    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    df = _ensure_conf(spark).read.parquet("/root/testdata/sf0.001/events.parquet")
     feats = ["n_epochs", "mean", "std", "amplitude", "total_time",
              "cads_avg", "median", "stetson_j", "stetson_k"]
     return rollup_kernel(
