@@ -38,7 +38,10 @@ from .features.registry import compute_features
 DEFAULT_ERROR_VALUE = 1e-4  # cesium's DEFAULT_ERROR_VALUE (time_series.py:10)
 SECONDS_PER_DAY = 86400.0
 
-__all__ = ["featurize", "make_kernel", "ts_micros", "DEFAULT_ERROR_VALUE", "SECONDS_PER_DAY"]
+__all__ = [
+    "featurize", "featurize_multichannel", "attach_meta_features",
+    "make_kernel", "ts_micros", "DEFAULT_ERROR_VALUE", "SECONDS_PER_DAY",
+]
 
 
 def ts_micros(col: Column) -> Column:
@@ -277,3 +280,39 @@ def featurize(
         *key_cols, "t", "_ord"
     )
     return arranged.mapInPandas(mapper, schema=schema)
+
+
+def featurize_multichannel(
+    df: DataFrame,
+    features: Sequence[str],
+    channels: Mapping[str, Column | str],
+    key_col: str = "conv_id",
+    window: str | None = None,
+    **kwargs,
+) -> DataFrame:
+    """Multichannel featurization: cesium computes each channel's features
+    independently over shared (t, e) axes (featurize.py:62, channels()
+    iteration in time_series.py:245-258); here each channel is one
+    featurize() pass and the per-channel frames join on the series (and
+    window) key. Output columns are ``{feature}_{channel}`` — the flattened
+    form of cesium's (feature, channel) MultiIndex (SURVEY.md §1.4)."""
+    keys = [key_col] + (["window_start"] if window is not None else [])
+    out = None
+    for ch_name, m in channels.items():
+        part = featurize(df, features, key_col=key_col, m=m, window=window, **kwargs)
+        part = part.select(
+            *keys, *[F.col(f).alias(f"{f}_{ch_name}") for f in features]
+        )
+        out = part if out is None else out.join(part, keys, "outer")
+    return out
+
+
+def attach_meta_features(
+    featureset: DataFrame,
+    meta: DataFrame,
+    key_col: str = "conv_id",
+) -> DataFrame:
+    """Join scalar per-series meta-features onto a featureset — cesium's
+    meta_features columns (featurize.py:136-141) as a broadcast hash join
+    on the series key."""
+    return featureset.join(F.broadcast(meta), key_col, "left")

@@ -117,3 +117,35 @@ def test_batched_equals_grouped_strategy(spark, transcripts):
     b = featurize(transcripts, feats, strategy="grouped", window="1 hour") \
         .toPandas().sort_values(["conv_id", "window_start"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)  # bit-exact across physical strategies
+
+
+def test_multichannel_featurize(spark, transcripts):
+    """Two channels over shared t/e axes: per-channel values equal the
+    single-channel runs; columns follow the {feature}_{channel} flattening."""
+    from cesium_spark.kernel import featurize_multichannel
+
+    feats = ["n_epochs", "mean", "std", "median"]
+    chans = {
+        "len": F.length("text").cast("double"),
+        "words": F.size(F.split("text", " ")).cast("double"),
+    }
+    multi = featurize_multichannel(transcripts, feats, chans) \
+        .toPandas().sort_values("conv_id").reset_index(drop=True)
+    for ch, m in chans.items():
+        single = featurize(transcripts, feats, m=m) \
+            .toPandas().sort_values("conv_id").reset_index(drop=True)
+        for f in feats:
+            npt.assert_allclose(multi[f"{f}_{ch}"], single[f], rtol=1e-12,
+                                err_msg=f"{f}_{ch}")
+
+
+def test_attach_meta_features(spark, transcripts):
+    from cesium_spark.kernel import attach_meta_features
+
+    fs = featurize(transcripts, ["n_epochs", "mean"])
+    meta = transcripts.groupBy("conv_id").agg(
+        F.first("role").alias("first_role"), F.count("*").alias("meta_n")
+    )
+    joined = attach_meta_features(fs, meta).toPandas()
+    assert {"first_role", "meta_n"} <= set(joined.columns)
+    assert (joined["meta_n"] == joined["n_epochs"]).all()
