@@ -65,3 +65,32 @@ def read_ts_csv(spark: SparkSession, path: str, sep: str = ",") -> DataFrame:
     else:
         raise ValueError("expected 2 or 3 CSV columns (t, m[, e])")
     return df.withColumn("idx", F.row_number().over(Window.orderBy("t")) - 1)
+
+
+def featurize_csv_series(
+    spark: SparkSession,
+    paths: dict[str, str],
+    features,
+    **kwargs,
+) -> DataFrame:
+    """cesium's featurize_ts_files equivalent: {series_name: csv_path} ->
+    one featureset row per series (reference featurize.py:293-361 —
+    per-path load + per-series featurization + assembly; here each file
+    becomes one group of a union DataFrame and the kernel runs once)."""
+    from pyspark.sql import functions as F
+
+    from ..kernel import featurize
+
+    parts = []
+    for name, path in sorted(paths.items()):
+        df = read_ts_csv(spark, path).withColumn("series", F.lit(name))
+        parts.append(df)
+    allrows = parts[0]
+    for p in parts[1:]:
+        allrows = allrows.unionByName(p)
+    return featurize(
+        allrows, features,
+        key_col="series", tiebreak_col="idx",
+        t="t", m="m", e="e", ts_col="t",
+        **kwargs,
+    )

@@ -84,3 +84,25 @@ def test_media_feature_extraction_stub(spark, media):
     # deterministic: same payload -> same features; different -> different
     np.testing.assert_array_equal(feats.loc[1, "features"], feats.loc[2, "features"])
     assert not np.array_equal(feats.loc[1, "features"], feats.loc[3, "features"])
+
+
+def test_featurize_csv_series_matches_golden(spark):
+    """cesium featurize_ts_files equivalent: golden .dat files through the
+    CSV-reader + Spark kernel reproduce expected_features.csv values."""
+    import os
+    import numpy as np
+    from cesium_spark.sources.transcripts import featurize_csv_series
+
+    d = os.path.join(os.path.dirname(__file__), "data")
+    paths = {n: os.path.join(d, f"{n}.dat") for n in ("257141", "245486", "247327")}
+    feats = ["amplitude", "std", "median", "stetson_j", "skew", "shapiro_wilk"]
+    got = featurize_csv_series(spark, paths, feats).toPandas().set_index("series")
+
+    names = open(os.path.join(d, "expected_features.csv")).readline().strip().split(",")
+    exp = np.loadtxt(os.path.join(d, "expected_features.csv"), delimiter=",", skiprows=1)
+    for row, name in enumerate(("257141", "245486", "247327")):
+        for f in feats:
+            np.testing.assert_allclose(
+                got.loc[name, f], exp[row, names.index(f)], atol=1.5e-6,
+                err_msg=f"{name}.{f}",
+            )
