@@ -28,7 +28,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..kernel import DEFAULT_ERROR_VALUE, SECONDS_PER_DAY, featurize, ts_micros
+from ..kernel import SECONDS_PER_DAY, featurize, ts_micros
 
 TIERS = {"1m": "1 minute", "1h": "1 hour", "1d": "1 day"}
 
