@@ -212,3 +212,49 @@ def test_run_rollup_units_and_resume(spark, transcripts, tmp_path):
     b = spark.read.parquet(f"{out2}/tier=1h").toPandas() \
         .sort_values(["conv_id", "window_start"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_retention_drops_only_committed_old_days(spark, tmp_path):
+    """Retention: raw days older than the horizon are dropped only when
+    every tier committed their rollup; time travel still sees them."""
+    import datetime as dt
+    from cesium_spark.operators.retention import apply_retention
+    from cesium_spark.sources.table import SnapshotTable
+    from cesium_spark.streaming.checkpoint import LineageLog
+    from cesium_spark.jobs import run_rollup
+
+    # 4 days of data for one conversation
+    rows = []
+    for d in range(4):
+        for i in range(10):
+            rows.append(("c", d * 10 + i, "user", "x" * (i + 1), "",
+                         pd.Timestamp("2025-02-01") + pd.Timedelta(days=d, minutes=i)))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]))
+
+    table = SnapshotTable(str(tmp_path / "raw"))
+    s0 = table.append(df)
+    inp = str(tmp_path / "flat")
+    df.write.mode("overwrite").parquet(inp)
+
+    out = str(tmp_path / "rollup")
+    # roll up ONLY days 1-2 (bucket_days=1 units); leave day 0 uncommitted
+    run_rollup(spark, inp, out, tiers=("1h",), features=["n_epochs", "mean"],
+               bucket_days=1, verbose=False)
+    log = LineageLog(str(tmp_path / "rollup/_lineage"))
+    import os
+    os.remove(os.path.join(out, "_lineage", "tier-1h-days-20250201.json"))
+
+    horizon = dt.datetime(2025, 2, 4)  # days 1-3 are "old"
+    rep = apply_retention(spark, table, log, ("1h",), horizon)
+    # day 2025-02-01 blocked (commit deleted), 02-02/02-03 dropped
+    assert rep["blocked_days"] == ["2025-02-01T00:00:00"]
+    assert rep["dropped_days"] == ["2025-02-02T00:00:00", "2025-02-03T00:00:00"]
+    assert rep["rows_after"] == 20  # day0 (blocked) + day3 (>= horizon... )
+
+    cur = table.read(spark).toPandas()
+    days = set(cur["ts"].dt.day)
+    assert days == {1, 4}  # blocked old day + in-horizon day survive
+    # time travel to the pre-retention snapshot still sees everything
+    old = table.read(spark, as_of=s0).toPandas()
+    assert len(old) == 40
