@@ -149,3 +149,43 @@ def test_attach_meta_features(spark, transcripts):
     joined = attach_meta_features(fs, meta).toPandas()
     assert {"first_role", "meta_n"} <= set(joined.columns)
     assert (joined["meta_n"] == joined["n_epochs"]).all()
+
+
+def test_custom_functions_through_spark(spark, transcripts):
+    """User-supplied feature callables (cesium custom_functions) evaluate
+    per group through the Spark kernel (forces the per-group path)."""
+    custom = {
+        "m_range": lambda t, m, e: np.max(m) - np.min(m),
+        "mean_minus_median": (lambda a, b: a - b, "mean", "median"),
+    }
+    out = featurize(transcripts, ["mean", "m_range", "mean_minus_median"],
+                    custom_functions=custom).toPandas().set_index("conv_id")
+    local = transcripts.toPandas()
+    for cid, g in local.groupby("conv_id"):
+        m = g["text"].str.len().to_numpy(dtype=float)
+        npt.assert_allclose(out.loc[cid, "m_range"], m.max() - m.min(), rtol=1e-12)
+        npt.assert_allclose(out.loc[cid, "mean_minus_median"],
+                            m.mean() - np.median(m), rtol=1e-12)
+
+
+def test_timestamp_ntz_input(spark, tmp_path):
+    """Driver parquet carries TIMESTAMP_NTZ; the kernel must produce the
+    same values as with TIMESTAMP input (regression guard for ts_micros)."""
+    pdf = pd.DataFrame({
+        "conv_id": ["a"] * 5, "turn_idx": range(5), "role": "user",
+        "text": ["x" * (i + 1) for i in range(5)], "tool": "",
+        "ts": pd.date_range("2025-01-01", periods=5, freq="min"),
+    })
+    tz_df = spark.createDataFrame(pdf)
+    p = str(tmp_path / "ntz")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    tz_df.select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+    ).write.mode("overwrite").parquet(p)
+    ntz_df = spark.read.parquet(p)
+    assert dict(ntz_df.dtypes)["ts"] == "timestamp_ntz"
+    feats = ["n_epochs", "mean", "total_time", "cads_avg"]
+    a = featurize(tz_df, feats).toPandas()
+    b = featurize(ntz_df, feats).toPandas()
+    pd.testing.assert_frame_equal(a, b)
