@@ -7,6 +7,11 @@ import math
 import numpy as np
 from hypothesis import given, settings, strategies as st
 
+# derandomize: the driver's gate runs `pytest -x`; exploration randomness
+# must not flake the round (new edge cases belong to local dev runs)
+settings.register_profile("ci", derandomize=True)
+settings.load_profile("ci")
+
 from cesium_spark.codec.gorilla import decode_block, encode_block
 from cesium_spark.features.fastpath import FAST_FEATS, segmented_features
 from cesium_spark.features.registry import compute_features
