@@ -273,6 +273,47 @@ def q_codec_roundtrip(spark, sf_dir):
     )
 
 
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style pricing summary: scan + filter pushdown + grouped
+    aggregation, pure JVM (relational breadth of the engine)."""
+    li = _ensure_conf(spark).read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r(F.sum("l_quantity")).alias("sum_qty"),
+            _r(F.sum("l_extendedprice")).alias("sum_base_price"),
+            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_price"),
+            _r(F.avg("l_quantity")).alias("avg_qty"),
+            _r(F.avg("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+    return out
+
+
+def q_region_revenue(spark, sf_dir):
+    """Broadcast-join star query: orders x customer x nation x region ->
+    revenue per region (small dims broadcast, fact scanned once)."""
+    s = _ensure_conf(spark)
+    orders = s.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = s.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = s.read.parquet(f"{sf_dir}/nation.parquet")
+    region = s.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            _r(F.sum("o_totalprice")).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
 # ------- weaker (rows-only) checks: non-SQL-expressible operators -------
 
 
@@ -359,6 +400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "locf_1h": q_locf_1h,
         "agg_merge": q_agg_merge,
         "sessionize_30m": q_sessionize_30m,
+        "pricing_summary": q_pricing_summary,
+        "region_revenue": q_region_revenue,
         "dedup_exact": q_dedup_exact,
         "doc_fingerprint": q_fingerprint,
         "text_stats": q_text_stats,
@@ -752,6 +795,29 @@ def oracle_sql() -> dict[str, str]:
           AND round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
                     / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
                        * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), {R}) >= 0.35
+    """
+
+    sql["pricing_summary"] = f"""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity) + {EPS}, {R}) AS sum_qty,
+               round(sum(l_extendedprice) + {EPS}, {R}) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)) + {EPS}, {R}) AS sum_disc_price,
+               round(avg(l_quantity) + {EPS}, {R}) AS avg_qty,
+               round(avg(l_discount) + {EPS}, {R}) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """
+
+    sql["region_revenue"] = f"""
+        SELECT r.r_name,
+               round(sum(o.o_totalprice) + {EPS}, {R}) AS revenue,
+               count(*) AS n_orders
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
     """
 
     return sql
