@@ -207,7 +207,15 @@ def q_lang_id(spark, sf_dir):
 
 
 def q_jaccard_5gram(spark, sf_dir):
-    out = ngram_jaccard_pairs(_docs(spark, sf_dir), k=5, threshold=0.35)
+    """Char-5-gram Jaccard pairs with the scale-guard shingle frequency
+    cap ACTIVE (max_shingle_freq=1000, mirrored in the oracle SQL): the
+    cap bounds the candidate join fan-out per shingle, which is what keeps
+    this operator sub-quadratic when one stopword-shingle appears in every
+    document. At sf0.01 (500 docs) the cap cannot bind, so the semantics
+    coincide with the exact uncapped Jaccard there."""
+    out = ngram_jaccard_pairs(
+        _docs(spark, sf_dir), k=5, threshold=0.35, max_shingle_freq=1000
+    )
     return out.select("id_a", "id_b", _r(F.col("jaccard")).alias("jaccard"))
 
 
@@ -342,7 +350,12 @@ def q_winnowing(spark, sf_dir):
 
 
 def q_simhash_near_dups(spark, sf_dir):
-    return simhash_pairs(_docs(spark, sf_dir), max_hamming=12, blocks=4)
+    """SimHash near-dup pairs at a SOUND (max_hamming, blocks) combination:
+    blocks=4 pigeonhole chunks are complete only for hamming < 4, so the
+    query asks for <= 3 (the previous <=12 silently under-reported).
+    Token hashes are md5-based so the DuckDB oracle recomputes the full
+    pair set from raw text and cross-checks rows+schema+hash."""
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=3, blocks=4)
 
 
 def q_ann_lsh(spark, sf_dir):
@@ -691,12 +704,19 @@ def oracle_sql() -> dict[str, str]:
         )
     """
 
+    # the frequency cap is part of the query semantics (see
+    # q_jaccard_5gram) and is mirrored here so Spark and DuckDB agree at
+    # any scale factor, not just where the cap happens not to bind
     sql["jaccard_5gram"] = f"""
         WITH {shingle_cte},
-        sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+        capped AS (
+          SELECT * FROM sh WHERE shingle NOT IN (
+            SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 1000)
+        ),
+        sz AS (SELECT id, count(*) AS sz FROM capped GROUP BY id),
         c AS (
           SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
-          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+          FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.id < b.id
           GROUP BY a.id, b.id
         )
         SELECT c.id_a, c.id_b,
@@ -719,6 +739,35 @@ def oracle_sql() -> dict[str, str]:
         SELECT a.id AS id_a, b.id AS id_b, count(*) AS matching_bands
         FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id
         GROUP BY a.id, b.id
+    """
+
+    # SimHash from raw text, bit-exact vs the Spark kernel: token hash =
+    # first 8 bytes of md5, so bit i of the 64-bit signature lives in hex
+    # nibble i//4 at in-nibble (MSB-first) position 3 - i%4. The oracle
+    # re-derives every per-bit sign and counts disagreeing bits per pair —
+    # an all-pairs check that is exactly what the pigeonhole-blocked Spark
+    # plan must reproduce for hamming <= 3 (blocks=4 is complete there).
+    _nib = "strpos('0123456789abcdef', substr(md5(tok), CAST(b.i // 4 + 1 AS INT), 1)) - 1"
+    sql["simhash_near_dups"] = f"""
+        WITH tok AS (
+          SELECT doc_id, u.tok AS tok, count(*) AS cnt
+          FROM documents, LATERAL unnest(string_split_regex(trim(text), '\\s+')) AS u(tok)
+          WHERE u.tok <> ''
+          GROUP BY doc_id, u.tok
+        ),
+        bits AS (
+          SELECT doc_id, b.i AS bit,
+                 CASE WHEN sum(cnt * (CASE WHEN (({_nib}) >> CAST(3 - (b.i % 4) AS INT)) % 2 = 1
+                                            THEN 1 ELSE -1 END)) > 0
+                      THEN 1 ELSE 0 END AS sgn
+          FROM tok, LATERAL unnest(generate_series(0, 63)) AS b(i)
+          GROUP BY doc_id, b.i
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(sum(CASE WHEN a.sgn <> b.sgn THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        FROM bits a JOIN bits b ON a.bit = b.bit AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING sum(CASE WHEN a.sgn <> b.sgn THEN 1 ELSE 0 END) <= 3
     """
 
     sql["knn_cosine"] = f"""

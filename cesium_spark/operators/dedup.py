@@ -11,8 +11,10 @@ All of these are shuffle-conscious:
     valid uniform min-hash, and (crucially) it is reproducible in ANY
     engine with an md5() function, which is how the DuckDB oracle checks
     us; band keys bucket-join candidates so the cross product never forms;
-  - SimHash: 64-bit signature via vectorized pandas UDF (token hashes from
-    blake2b, deterministic across runs/engines).
+  - SimHash: 64-bit signature via vectorized pandas UDF (token hashes =
+    first 8 bytes of md5, deterministic across runs and recomputable in
+    any engine with md5() — the DuckDB oracle rebuilds the exact bits
+    from hex nibbles).
 
 At 100 TB: every join here is on a short hash key; skew is bounded by the
 shingle frequency cap; nothing collects to the driver.
@@ -75,13 +77,20 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 5,
     threshold: float = 0.5,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = 1000,
 ) -> DataFrame:
     """Candidate pairs (id_a < id_b) with char-k-gram Jaccard >= threshold.
 
-    jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|), exact (integer ratio).
+    jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|), exact (integer ratio) over
+    the shingles that survive the frequency cap.
+
     max_shingle_freq drops shingles appearing in more than that many docs
-    (stopword-shingles produce quadratic candidates at scale).
+    BEFORE the self-join: one stopword-shingle present in every document
+    makes the candidate join quadratic in corpus size, so an unbounded
+    default is a scale hazard. The cap trades exactness for a hard bound
+    on join fan-out (worst case per surviving shingle: cap² pairs) — it
+    perturbs jaccard only through shingles so common they carry no
+    dedup signal. Pass None to force the exact, uncapped semantics.
     """
     sh = char_shingles(df, id_col, text_col, k)
     if max_shingle_freq is not None:
@@ -120,8 +129,13 @@ def minhash_signatures(
     is lexicographic) — the DuckDB oracle recomputes it verbatim."""
     sh = char_shingles(df, id_col, text_col, k)
     # hash each DISTINCT shingle once (the shingle vocabulary is far
-    # smaller than the (doc, shingle) relation), then join the small hash
-    # dim back — identical results, ~vocab/corpus fewer md5 evaluations
+    # smaller than the (doc, shingle) relation), then join the hash dim
+    # back — identical results, ~vocab/corpus fewer md5 evaluations.
+    # Deliberately NO broadcast hint: the vocabulary is distinct() over
+    # the whole corpus and does not fit in executor memory at 100 TB; a
+    # shuffle join on the shingle key is the scale-safe plan, and AQE
+    # still promotes it to a broadcast at runtime when the measured vocab
+    # is actually small.
     vocab = sh.select("shingle").distinct().select(
         "shingle",
         *[
@@ -129,7 +143,7 @@ def minhash_signatures(
             for i in range(num_hashes)
         ],
     )
-    joined = sh.join(vocab.hint("broadcast"), "shingle")
+    joined = sh.join(vocab, "shingle")
     return joined.groupBy("id").agg(
         *[F.min(f"h_{i}").alias(f"mh_{i}") for i in range(num_hashes)]
     )
@@ -173,18 +187,45 @@ def minhash_lsh_pairs(
 
 
 def _simhash_batch(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash per text over whitespace tokens; token hash =
-    first 8 bytes of blake2b (deterministic, salt-free)."""
-    out = np.zeros(len(texts), dtype=np.int64)
+    """64-bit SimHash per text over whitespace tokens; token hash = first
+    8 bytes of md5 (engine-portable: the DuckDB oracle re-derives the same
+    bits from md5 hex nibbles and cross-checks the pair set).
+
+    Vectorized per Arrow batch: each DISTINCT token in the batch is hashed
+    exactly once, then the per-row accumulation is a single scatter-add
+    over a (rows, 64) sign matrix — the Python loop touches distinct
+    (row, token) pairs only, never token occurrences, and no hashing
+    happens inside it."""
+    from collections import Counter
+
+    n = len(texts)
+    tok2id: dict[str, int] = {}
+    rows: list[int] = []
+    tids: list[int] = []
+    cnts: list[int] = []
     for row, text in enumerate(texts):
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in (text or "").split():
-            digest = hashlib.blake2b(tok.encode(), digest_size=8).digest()
-            bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8)).astype(np.int64)
-            acc += 2 * bits - 1
-        sig = int(np.packbits(acc > 0).view(">u8")[0])
-        out[row] = np.int64(sig - (1 << 64) if sig >= (1 << 63) else sig)
-    return pd.Series(out)
+        for tok, c in Counter((text or "").split()).items():
+            rows.append(row)
+            tids.append(tok2id.setdefault(tok, len(tok2id)))
+            cnts.append(c)
+    if not tok2id:
+        return pd.Series(np.zeros(n, dtype=np.int64))
+    digests = b"".join(hashlib.md5(t.encode()).digest()[:8] for t in tok2id)
+    # (vocab, 64) in {-1, +1}: unpackbits is MSB-first per byte, matching
+    # the hex-nibble bit order the oracle uses
+    signs = (
+        np.unpackbits(
+            np.frombuffer(digests, dtype=np.uint8).reshape(len(tok2id), 8), axis=1
+        ).astype(np.int64)
+        * 2
+        - 1
+    )
+    acc = np.zeros((n, 64), dtype=np.int64)
+    np.add.at(
+        acc, np.asarray(rows), np.asarray(cnts)[:, None] * signs[np.asarray(tids)]
+    )
+    packed = np.packbits(acc > 0, axis=1)  # (n, 8) big-endian bytes
+    return pd.Series(packed.view(">u8").ravel().astype(np.uint64).view(np.int64))
 
 
 def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -203,8 +244,22 @@ def simhash_pairs(
     """Near-dup pairs with Hamming(simhash) <= max_hamming via the
     pigeonhole block trick: split 64 bits into `blocks` chunks; any pair
     within distance < blocks shares at least one exact chunk — join on
-    (chunk_idx, chunk_value), verify distance with bit_count(xor)."""
+    (chunk_idx, chunk_value), verify distance with bit_count(xor).
+
+    Completeness requires blocks > max_hamming (with exactly max_hamming
+    differing bits spread one-per-chunk, no chunk matches); enforced here
+    because a silent recall hole is worse than an error. Larger blocks
+    widen recall but shrink chunk width (64/blocks bits), which inflates
+    chunk collisions — at corpus scale keep max_hamming small (<= 3 with
+    16-bit chunks) rather than pushing blocks up."""
     assert 64 % blocks == 0
+    if max_hamming >= blocks:
+        raise ValueError(
+            f"pigeonhole completeness requires blocks > max_hamming "
+            f"(got blocks={blocks}, max_hamming={max_hamming}): pairs at "
+            f"distance >= blocks need not share any chunk and would be "
+            f"silently dropped"
+        )
     width = 64 // blocks
     sig = simhash64(df, id_col, text_col)
     chunk_cols = [
@@ -227,7 +282,9 @@ def simhash_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("long")
+            .alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
