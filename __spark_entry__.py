@@ -243,20 +243,17 @@ def q_locf_1d(spark, sf_dir):
 
 
 def q_dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (cos >= 0.35, id_a < id_b; the threshold sits near the 99.95th pct of pairwise cosines so the pair set is non-trivial):
-    the embedding analogue of text near-dup detection."""
-    emb = _emb(spark, sf_dir)
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    from cesium_spark.operators.similarity import _cosine_expr
+    """Embedding-cosine near-duplicate pairs (cos >= 0.35, id_a < id_b; the
+    threshold sits near the 99.95th pct of pairwise cosines so the pair set
+    is non-trivial). Computed with the IVF-bounded list-pair join — exact
+    by the spherical triangle inequality, equi-joins only, no cartesian and
+    no corpus broadcast — so it must match the DuckDB all-pairs oracle
+    bit-for-bit at any scale factor."""
+    from cesium_spark.operators.similarity import embedding_near_dup_pairs
 
-    pairs = (
-        a.join(F.broadcast(b))
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(_cosine_expr("va", "vb"), R).alias("cosine"))
-        .filter(F.col("cosine") >= 0.35)
+    return embedding_near_dup_pairs(
+        _emb(spark, sf_dir), threshold=0.35, n_lists=16, round_digits=R
     )
-    return pairs
 
 
 def q_codec_roundtrip(spark, sf_dir):

@@ -18,7 +18,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["cosine_topk_bruteforce", "lsh_bucket_topk", "ivf_topk"]
+__all__ = [
+    "cosine_topk_bruteforce",
+    "lsh_bucket_topk",
+    "ivf_topk",
+    "embedding_near_dup_pairs",
+]
 
 
 def _cosine_expr(a: str, b: str):
@@ -75,13 +80,25 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     return rng.normal(size=(n_planes, dim))
 
 
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality from the data (first row). A wrong dim
+    would make zip_with null-pad, the dot aggregate NULL, and every
+    signature bit collapse to its otherwise() branch — i.e. all vectors
+    silently landing in one bucket — so failing loudly here is load-
+    bearing, not cosmetic."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None or row["d"] is None or row["d"] <= 0:
+        raise ValueError(f"cannot infer embedding dim from column {vec_col!r}")
+    return int(row["d"])
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int = 64,
+    dim: int | None = None,
     n_planes: int = 8,
     seed: int = 42,
     round_digits: int = 6,
@@ -92,7 +109,11 @@ def lsh_bucket_topk(
     At corpus scale N and B ~ 2^n_planes buckets the candidate set is
     ~N/B per query — the cross product never materializes. Recall is
     tunable via n_planes (fewer planes = bigger buckets = higher recall).
+    `dim` is inferred from the corpus when not given; passing a wrong dim
+    degenerates LSH to one bucket, so prefer the inferred default.
     """
+    if dim is None:
+        dim = _infer_dim(corpus, vec_col)
     planes = _hyperplanes(dim, n_planes, seed)
 
     def sig_expr(col: str):
@@ -228,4 +249,106 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    train_sample: int = 2048,
+    seed: int = 42,
+    round_digits: int = 6,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with round(cosine, round_digits) >= threshold,
+    via an EXACT IVF-bounded list-pair join — never a cartesian product.
+
+    Every vector is assigned to its nearest spherical-k-means centroid;
+    by the spherical triangle inequality, a qualifying pair (angle <=
+    theta_t = arccos(threshold)) can only live in list pair (la, lb) when
+
+        angle(c_la, c_lb) <= alpha_max(la) + alpha_max(lb) + theta_t
+
+    where alpha_max(l) is list l's largest member-to-centroid angle. The
+    admissible list pairs are enumerated driver-side (n_lists^2 is tiny,
+    and alpha_max is an O(n_lists) collect), broadcast, and the corpus
+    joins itself through them on the list key — equi-joins only, exact
+    cosine verification inside each admissible pair. No false negatives
+    by construction, so the result equals brute force bit-for-bit.
+
+    Scale behavior: pruning power = how much of the list-pair matrix the
+    bound rejects. Tight thresholds (real near-dup work, ~0.9+) and a
+    clustered corpus prune most pairs; a loose threshold on isotropic
+    data admits every list pair — the plan still avoids broadcasting the
+    corpus and shuffles only on the list key, but touches ~N^2 candidates
+    (no subquadratic scheme can separate 70-degree neighbors from the
+    90-degree bulk; that is inherent, not an implementation artifact).
+    Raise n_lists with corpus size (sqrt(N) is the usual rule) and rely
+    on AQE skew-join splitting for the n_lists-ary join key.
+    """
+    import pandas as pd
+
+    sample_rows = (
+        corpus.select(vec_col).limit(train_sample).toPandas()[vec_col].tolist()
+    )
+    cents = _kmeans_centroids(
+        np.asarray(sample_rows, dtype=np.float64), n_lists, seed
+    )
+    n_cents = len(cents)
+
+    def assign_fn(cols):
+        vs = np.asarray(cols.tolist(), dtype=np.float64)
+        vs = vs / np.linalg.norm(vs, axis=1, keepdims=True).clip(1e-12)
+        sims = vs @ cents.T
+        lid = sims.argmax(axis=1)
+        alpha = np.arccos(np.clip(sims[np.arange(len(vs)), lid], -1.0, 1.0))
+        return pd.DataFrame({"list_id": lid.astype(np.int32), "alpha": alpha})
+
+    assign_udf = F.pandas_udf(assign_fn, "struct<list_id:int, alpha:double>")
+    assigned = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        assign_udf(F.col(vec_col)).alias("asg"),
+    ).select("id", "v", F.col("asg.list_id").alias("list_id"),
+             F.col("asg.alpha").alias("alpha"))
+
+    # alpha_max per list: O(n_lists) rows to the driver, bounded by design
+    amax = {
+        r["list_id"]: r["am"]
+        for r in assigned.groupBy("list_id").agg(F.max("alpha").alias("am")).collect()
+    }
+    # rounding slack: round(cos, d) >= t admits cos >= t - 0.5*10^-d
+    theta_t = float(np.arccos(np.clip(threshold - 0.5 * 10.0 ** -round_digits, -1.0, 1.0)))
+    cang = np.arccos(np.clip(cents @ cents.T, -1.0, 1.0))
+    admissible = [
+        (int(la), int(lb))
+        for la in range(n_cents)
+        for lb in range(n_cents)
+        if la in amax and lb in amax
+        and cang[la, lb] <= amax[la] + amax[lb] + theta_t + 1e-9
+    ]
+    spark = corpus.sparkSession
+    pairs_df = spark.createDataFrame(admissible, "la int, lb int")
+
+    a = assigned.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("list_id").alias("la"),
+    )
+    b = assigned.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("list_id").alias("lb"),
+    )
+    # each unordered doc pair appears exactly once: via the ORDERED list
+    # pair (list(id_a), list(id_b)) with id_a < id_b — no distinct needed
+    return (
+        a.join(F.broadcast(pairs_df), "la")
+        .join(b, "lb")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(_cosine_expr("va", "vb"), round_digits).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
     )

@@ -1,0 +1,76 @@
+"""Similarity-operator tests: exactness of the IVF-bounded near-dup pair
+join, plan shape (no cartesian), and LSH dimension inference."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cesium_spark.operators.similarity import (
+    _cosine_expr,
+    _infer_dim,
+    embedding_near_dup_pairs,
+    lsh_bucket_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    """Clustered synthetic embeddings: 6 cluster centers, 30 vectors each,
+    plus isotropic noise vectors — near-dup structure with a known exact
+    answer from brute force."""
+    rng = np.random.RandomState(7)
+    rows = []
+    centers = rng.normal(size=(6, 16))
+    vid = 0
+    for c in centers:
+        for _ in range(30):
+            v = c + 0.15 * rng.normal(size=16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    for _ in range(60):
+        rows.append((vid, [float(x) for x in rng.normal(size=16)]))
+        vid += 1
+    return spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+
+def test_near_dup_pairs_exact_vs_bruteforce(spark, vectors):
+    """The centroid-bound list-pair join is exact by construction
+    (spherical triangle inequality): its pair set must equal the brute
+    force all-pairs result bit-for-bit, at any threshold."""
+    for threshold in (0.5, 0.9):
+        got = embedding_near_dup_pairs(
+            vectors, threshold=threshold, n_lists=8, seed=1
+        ).toPandas()
+        a = vectors.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+        b = vectors.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+        want = (
+            a.join(F.broadcast(b))
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", F.round(_cosine_expr("va", "vb"), 6).alias("cosine"))
+            .filter(F.col("cosine") >= threshold)
+        ).toPandas()
+        assert len(want) > 0  # non-trivial at these thresholds
+        got_set = set(map(tuple, got.to_numpy().tolist()))
+        want_set = set(map(tuple, want.to_numpy().tolist()))
+        assert got_set == want_set, f"threshold={threshold}"
+
+
+def test_near_dup_pairs_plan_has_no_cartesian(spark, vectors):
+    df = embedding_near_dup_pairs(vectors, threshold=0.9, n_lists=8, seed=1)
+    plan = df._jdf.queryExecution().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_lsh_dim_is_inferred_from_data(spark):
+    """ADVICE r1: a hardcoded dim=64 on non-64-dim embeddings null-padded
+    zip_with, collapsed every vector into bucket 0, and silently turned
+    LSH into a cross product. dim is now inferred from the corpus."""
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    assert _infer_dim(df, "embedding") == 16
+    out = lsh_bucket_topk(df, df.filter(F.col("vec_id") < 3), k=2, n_planes=4)
+    pdf = out.toPandas()
+    assert set(pdf.query_id.unique()) <= {0, 1, 2}
+    assert (pdf.cosine.abs() <= 1.0).all() and pdf.cosine.notna().all()
