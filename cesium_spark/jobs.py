@@ -88,6 +88,11 @@ def run_rollup(
                 "points_per_sec": round(rows_in / wall, 1) if wall > 0 else None,
                 "features": len(features),
                 "n_days": len(bucket),
+                # explicit per-day input fingerprint: retention re-validates
+                # each day's CURRENT row count against this before dropping
+                # it, so late rows appended after the commit block deletion
+                # (and a calendar gap day is never claimed covered)
+                "day_rows": {d.strftime("%Y%m%d"): day_rows[d] for d in bucket},
             }
             log.commit(unit, input_rows=rows_in, metrics=metrics)
             results.append({"unit": unit, "skipped": False, **metrics})

@@ -30,44 +30,46 @@ def droppable_days(
     ts_col: str = "ts",
 ) -> list[dt.datetime]:
     """Days strictly older than `horizon` whose rollup units are committed
-    for EVERY tier."""
-    days = [
-        r[0]
+    for EVERY tier AND whose committed per-day input fingerprint still
+    matches the raw table.
+
+    A unit covers a day only if its commit metrics record that exact day
+    key in ``day_rows`` (explicit membership — a calendar day that had no
+    rows at rollup time is never claimed covered by a spanning bucket)
+    with a row count equal to the day's CURRENT count in the raw table.
+    Late-arriving rows appended to an already-committed old day change
+    the current count, so the day stays blocked until the next rollup
+    recommits the unit with a fresh fingerprint — the module contract
+    ('never lose data that hasn't been rolled up') holds even when
+    retention runs before the rollup's own resume pass. Commits without
+    ``day_rows`` (pre-fingerprint lineage) conservatively never cover.
+    """
+    current = {
+        r["d"]: r["n"]
         for r in df.select(F.date_trunc("day", F.col(ts_col)).alias("d"))
-        .distinct().collect()
-    ]
-    committed_units = set(log.units())
+        .groupBy("d").agg(F.count("*").alias("n")).collect()
+    }
+    per_tier_day_rows: dict[str, list[dict]] = {}
+    for tier in tiers:
+        prefix = f"tier-{tier}-days-"
+        per_tier_day_rows[tier] = [
+            dr
+            for u in log.units()
+            if u.startswith(prefix)
+            and (entry := log.read(u)) is not None
+            and (dr := entry.get("metrics", {}).get("day_rows"))
+        ]
     out = []
-    for d in sorted(days):
+    for d in sorted(current):
         if d >= horizon:
             continue
         key = d.strftime("%Y%m%d")
-        # a day is covered by the bucket unit whose key is <= day within
-        # bucket range; conservative check: any unit for each tier whose
-        # recorded days include this day
-        ok = True
-        for tier in tiers:
-            covering = [
-                u for u in committed_units
-                if u.startswith(f"tier-{tier}-days-")
-                and _unit_covers(log, u, d)
-            ]
-            if not covering:
-                ok = False
-                break
-        if ok:
+        if all(
+            any(dr.get(key) == current[d] for dr in per_tier_day_rows[tier])
+            for tier in tiers
+        ):
             out.append(d)
     return out
-
-
-def _unit_covers(log: LineageLog, unit: str, day: dt.datetime) -> bool:
-    entry = log.read(unit)
-    if not entry:
-        return False
-    n_days = entry.get("metrics", {}).get("n_days", 1)
-    key = unit.rsplit("-", 1)[-1]
-    start = dt.datetime.strptime(key, "%Y%m%d")
-    return start <= day.replace(tzinfo=None) < start + dt.timedelta(days=n_days)
 
 
 def apply_retention(

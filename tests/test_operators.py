@@ -258,3 +258,84 @@ def test_retention_drops_only_committed_old_days(spark, tmp_path):
     # time travel to the pre-retention snapshot still sees everything
     old = table.read(spark, as_of=s0).toPandas()
     assert len(old) == 40
+
+
+def _retention_fixture_rows(days, per_day=10, start="2025-02-01"):
+    rows = []
+    for d in days:
+        for i in range(per_day):
+            rows.append(("c", d * per_day + i, "user", "x" * (i + 1), "",
+                         pd.Timestamp(start) + pd.Timedelta(days=d, minutes=i)))
+    return pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+
+
+def test_retention_blocks_late_rows_in_committed_day(spark, tmp_path):
+    """ADVICE r1 (high): rows appended to an already-committed old day
+    must BLOCK retention for that day — the committed per-day fingerprint
+    no longer matches the raw table, so dropping it would delete data
+    that was never rolled up. A fresh rollup recommit unblocks it."""
+    import datetime as dt
+    from cesium_spark.jobs import run_rollup
+    from cesium_spark.operators.retention import apply_retention
+    from cesium_spark.sources.table import SnapshotTable
+    from cesium_spark.streaming.checkpoint import LineageLog
+
+    df = spark.createDataFrame(_retention_fixture_rows([0, 1, 2]))
+    table = SnapshotTable(str(tmp_path / "raw"))
+    table.append(df)
+    inp = str(tmp_path / "flat")
+    df.write.mode("overwrite").parquet(inp)
+    out = str(tmp_path / "rollup")
+    run_rollup(spark, inp, out, tiers=("1h",), features=["n_epochs"],
+               bucket_days=3, verbose=False)
+    log = LineageLog(str(tmp_path / "rollup/_lineage"))
+
+    # late data lands in committed day 0 AFTER the rollup commit
+    late = spark.createDataFrame(_retention_fixture_rows([0], per_day=3))
+    table.append(late)
+
+    horizon = dt.datetime(2025, 2, 10)  # everything is "old"
+    rep = apply_retention(spark, table, log, ("1h",), horizon)
+    assert rep["blocked_days"] == ["2025-02-01T00:00:00"]
+    assert rep["dropped_days"] == ["2025-02-02T00:00:00", "2025-02-03T00:00:00"]
+    remaining = table.read(spark).toPandas()
+    assert len(remaining) == 13  # 10 committed + 3 late rows, none lost
+
+    # recommitting the unit against the current table unblocks the day
+    table.read(spark).write.mode("overwrite").parquet(inp)
+    run_rollup(spark, inp, out, tiers=("1h",), features=["n_epochs"],
+               bucket_days=3, resume=True, verbose=False)
+    rep2 = apply_retention(spark, table, log, ("1h",), horizon)
+    assert rep2["dropped_days"] == ["2025-02-01T00:00:00"]
+    assert table.read(spark).count() == 0
+
+
+def test_retention_never_claims_gap_days_covered(spark, tmp_path):
+    """ADVICE r1 (medium): a calendar day with no rows at rollup time
+    must not be claimed covered by a spanning day-bucket unit — late data
+    for the gap day would otherwise be dropped un-rolled-up."""
+    import datetime as dt
+    from cesium_spark.jobs import run_rollup
+    from cesium_spark.operators.retention import apply_retention
+    from cesium_spark.sources.table import SnapshotTable
+    from cesium_spark.streaming.checkpoint import LineageLog
+
+    df = spark.createDataFrame(_retention_fixture_rows([0, 2]))  # gap: day 1
+    table = SnapshotTable(str(tmp_path / "raw"))
+    table.append(df)
+    inp = str(tmp_path / "flat")
+    df.write.mode("overwrite").parquet(inp)
+    out = str(tmp_path / "rollup")
+    run_rollup(spark, inp, out, tiers=("1h",), features=["n_epochs"],
+               bucket_days=3, verbose=False)  # one unit spanning the gap
+    log = LineageLog(str(tmp_path / "rollup/_lineage"))
+
+    # data for the gap day arrives after the commit
+    table.append(spark.createDataFrame(_retention_fixture_rows([1], per_day=4)))
+
+    horizon = dt.datetime(2025, 2, 10)
+    rep = apply_retention(spark, table, log, ("1h",), horizon)
+    assert rep["blocked_days"] == ["2025-02-02T00:00:00"]
+    assert rep["dropped_days"] == ["2025-02-01T00:00:00", "2025-02-03T00:00:00"]
+    assert table.read(spark).count() == 4  # the gap-day rows survive
