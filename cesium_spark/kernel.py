@@ -55,6 +55,7 @@ def make_kernel(
     features: Sequence[str],
     key_cols: Sequence[str],
     custom_functions: Mapping[str, Callable] | None = None,
+    raise_exceptions: bool = False,
 ) -> Callable[[pd.DataFrame], pd.DataFrame]:
     """Build the applyInPandas function: one output row per group with the
     group keys followed by one float64 column per feature.
@@ -69,7 +70,10 @@ def make_kernel(
         t = pdf["t"].to_numpy(dtype=np.float64)
         m = pdf["m"].to_numpy(dtype=np.float64)
         e = pdf["e"].to_numpy(dtype=np.float64)
-        vals = compute_features(t, m, e, features, custom_functions=custom_functions)
+        vals = compute_features(
+            t, m, e, features, custom_functions=custom_functions,
+            raise_exceptions=raise_exceptions,
+        )
         row = {k: [pdf[k].iloc[0]] for k in key_cols}
         row.update({name: [vals[name]] for name in features})
         return pd.DataFrame(row)
@@ -117,6 +121,7 @@ def make_batch_kernel(
     features: Sequence[str],
     key_cols: Sequence[str],
     custom_functions: Mapping[str, Callable] | None = None,
+    raise_exceptions: bool = False,
 ) -> Callable:
     """Build the mapInPandas function: processes MANY groups per Arrow
     batch (Spark's grouped-map dispatch costs ~15 ms *per group*, which is
@@ -154,7 +159,9 @@ def make_batch_kernel(
                 out_feats[f] = np.empty(len(starts))
             for gi, (s, z) in enumerate(zip(starts, ends)):
                 vals = compute_features(
-                    t[s:z], m[s:z], e[s:z], slow, custom_functions=custom_functions
+                    t[s:z], m[s:z], e[s:z], slow,
+                    custom_functions=custom_functions,
+                    raise_exceptions=raise_exceptions,
                 )
                 for f in slow:
                     out_feats[f][gi] = vals[f]
@@ -171,11 +178,14 @@ def make_partition_kernel(
     features: Sequence[str],
     key_cols: Sequence[str],
     custom_functions: Mapping[str, Callable] | None = None,
+    raise_exceptions: bool = False,
 ) -> Callable:
     """mapInPandas function for hash-partitioned-but-unsorted input: the
     whole partition is concatenated once, stably sorted by (keys, t, _ord)
     in pandas, and evaluated through the same batched group kernel."""
-    batch_kernel = make_batch_kernel(features, key_cols, custom_functions)
+    batch_kernel = make_batch_kernel(
+        features, key_cols, custom_functions, raise_exceptions
+    )
     keys = list(key_cols)
 
     def _mapper(batches):
@@ -203,6 +213,7 @@ def featurize(
     custom_functions: Mapping[str, Callable] | None = None,
     strategy: str = "batched",
     num_partitions: int | None = None,
+    raise_exceptions: bool = False,
 ) -> DataFrame:
     """Featurize each (series [, tumbling window]) group of `df`.
 
@@ -217,6 +228,10 @@ def featurize(
     window : tumbling tier width, e.g. "1 minute"/"1 hour"/"1 day"; when
         set, output has a window_start timestamp column and groups are
         (key, window).
+    raise_exceptions : cesium's public failure policy
+        (/root/reference/cesium/featurize.py:76-95,156): a feature (most
+        relevantly a custom callable) that throws yields NaN for its
+        column by default; True re-raises inside the task instead.
     strategy : "batched" (default) shuffles once on the group key with a
         secondary sort and evaluates many groups per Arrow batch via
         mapInPandas — the scale path; "grouped" uses plain
@@ -258,7 +273,7 @@ def featurize(
     schema = StructType(out_fields)
 
     if strategy == "grouped":
-        kernel = make_kernel(features, key_cols, custom_functions)
+        kernel = make_kernel(features, key_cols, custom_functions, raise_exceptions)
         return narrow.groupBy(*key_cols).applyInPandas(kernel, schema=schema)
 
     npart = num_partitions or narrow.sparkSession.conf.get("spark.sql.shuffle.partitions")
@@ -268,14 +283,16 @@ def featurize(
         # partition once and sorts in pandas. Measured SLOWER than the JVM
         # secondary sort (object-dtype string keys sort poorly in pandas:
         # 23.0s vs 16.9s at 32 cores / 25M rows) — kept for reference.
-        mapper = make_partition_kernel(features, key_cols, custom_functions)
+        mapper = make_partition_kernel(
+            features, key_cols, custom_functions, raise_exceptions
+        )
         arranged = narrow.repartition(int(npart), *key_cols)
         return arranged.mapInPandas(mapper, schema=schema)
 
     # default "batched": one shuffle on the group key + JVM in-partition
     # secondary sort, then whole-batch numpy evaluation (no per-group
     # dispatch)
-    mapper = make_batch_kernel(features, key_cols, custom_functions)
+    mapper = make_batch_kernel(features, key_cols, custom_functions, raise_exceptions)
     arranged = narrow.repartition(int(npart), *key_cols).sortWithinPartitions(
         *key_cols, "t", "_ord"
     )

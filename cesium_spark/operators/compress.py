@@ -121,21 +121,31 @@ def decompress_blocks(
 
     def _mapper(batches):
         for pdf in batches:
-            keys_rep, ws_rep, ts_out, v_out = [], [], [], []
-            for row in pdf.itertuples(index=False):
-                ts, v = decode_block(row.block)
-                keys_rep.append(np.repeat(getattr(row, key_col), len(ts)))
-                ws_rep.append(np.repeat(row.window_start, len(ts)))
-                ts_out.append(ts)
-                v_out.append(v)
-            if not ts_out:
+            if not len(pdf):
                 continue
+            # decode every block of the batch into ONE preallocated pair
+            # of arrays (total size = sum of n_points, known up front);
+            # per-block Python is the decode call only — key/window
+            # replication is a single vectorized np.repeat over counts,
+            # no per-row tuple objects
+            counts = pdf["n_points"].to_numpy(dtype=np.int64)
+            total = int(counts.sum())
+            ts_all = np.empty(total, dtype=np.int64)
+            v_all = np.empty(total, dtype=np.float64)
+            off = 0
+            for blk, n in zip(pdf["block"].to_numpy(), counts):
+                ts, v = decode_block(blk)
+                ts_all[off: off + n] = ts
+                v_all[off: off + n] = v
+                off += n
             yield pd.DataFrame(
                 {
-                    key_col: np.concatenate(keys_rep),
-                    "window_start": np.concatenate(ws_rep),
-                    "ts": np.concatenate(ts_out).astype("datetime64[us]"),
-                    "value": np.concatenate(v_out),
+                    key_col: np.repeat(pdf[key_col].to_numpy(), counts),
+                    "window_start": np.repeat(
+                        pdf["window_start"].to_numpy(), counts
+                    ),
+                    "ts": ts_all.astype("datetime64[us]"),
+                    "value": v_all,
                 }
             )
 

@@ -100,21 +100,36 @@ def lsh_bucket_topk(
     vec_col: str = "embedding",
     dim: int | None = None,
     n_planes: int = 8,
+    n_probe_bits: int = 0,
     seed: int = 42,
     round_digits: int = 6,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane signature buckets candidates,
-    cosine evaluated only within the query's bucket.
+    cosine evaluated only within the buckets each query probes.
+
+    Multi-probe: each query probes every bucket within Hamming distance
+    n_probe_bits of its own signature (sum of C(n_planes, i) buckets) —
+    recall for a neighbor at angle theta is P(Binom(n_planes, theta/pi)
+    <= n_probe_bits), so probing 2-3 bits recovers most of the recall a
+    single-bucket lookup loses on far (~70 degree) neighbors while still
+    touching only a fraction of the corpus. The probe expansion happens
+    on the (small, broadcast) query side; corpus vectors keep exactly one
+    bucket, so each candidate pair is generated at most once.
 
     At corpus scale N and B ~ 2^n_planes buckets the candidate set is
-    ~N/B per query — the cross product never materializes. Recall is
-    tunable via n_planes (fewer planes = bigger buckets = higher recall).
+    ~N * probes/B per query — the cross product never materializes.
     `dim` is inferred from the corpus when not given; passing a wrong dim
     degenerates LSH to one bucket, so prefer the inferred default.
     """
+    from itertools import combinations
+
     if dim is None:
         dim = _infer_dim(corpus, vec_col)
     planes = _hyperplanes(dim, n_planes, seed)
+    masks = [0]
+    for nbits in range(1, n_probe_bits + 1):
+        for flip in combinations(range(n_planes), nbits):
+            masks.append(sum(1 << p for p in flip))
 
     def sig_expr(col: str):
         bits = []
@@ -137,7 +152,9 @@ def lsh_bucket_topk(
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-        sig_expr(vec_col).alias("bucket"),
+        F.explode(
+            F.array(*[sig_expr(vec_col).bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
@@ -198,12 +215,15 @@ def ivf_topk(
     assignment is one broadcast-centroid pass over the corpus, and the
     probe join touches ~n_probe/n_lists of the data per query. Recall is
     tunable via n_probe (n_probe = n_lists degenerates to brute force).
+    The training sample is id-ordered so centroid init (and therefore the
+    whole result) is deterministic across runs and partitionings.
     """
     import pandas as pd
     from pyspark.sql.types import IntegerType
 
     sample_rows = (
-        corpus.select(vec_col).limit(train_sample).toPandas()[vec_col].tolist()
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(train_sample)
+        .toPandas()[vec_col].tolist()
     )
     cents = _kmeans_centroids(np.asarray(sample_rows, dtype=np.float64), n_lists, seed)
 
@@ -290,8 +310,11 @@ def embedding_near_dup_pairs(
     """
     import pandas as pd
 
+    # id-ordered bounded sample: deterministic centroids (pruning quality
+    # depends on them; correctness of the pair set does not)
     sample_rows = (
-        corpus.select(vec_col).limit(train_sample).toPandas()[vec_col].tolist()
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(train_sample)
+        .toPandas()[vec_col].tolist()
     )
     cents = _kmeans_centroids(
         np.asarray(sample_rows, dtype=np.float64), n_lists, seed

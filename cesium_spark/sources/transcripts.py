@@ -94,3 +94,86 @@ def featurize_csv_series(
         t="t", m="m", e="e", ts_col="t",
         **kwargs,
     )
+
+
+def shorten_fname(file_path: str) -> str:
+    """Basename without directories or the final extension — the series
+    name key the reference uses to join header rows onto series files
+    (/root/reference/cesium/util.py:13-27)."""
+    import os
+
+    return os.path.splitext(os.path.basename(str(file_path)))[0]
+
+
+def read_headerfile(
+    spark: SparkSession,
+    path: str,
+    files_to_include: list[str] | None = None,
+) -> DataFrame:
+    """Parse a cesium header file (labels/targets + meta-features CSV,
+    reference parse_headerfile at
+    /root/reference/cesium/data_management.py:61-111) into a DataFrame
+    (name, label, <meta feature columns...>).
+
+    - ``filename`` column values are shortened to extension-less basenames
+      and become ``name`` (the join key for attach_meta_features);
+    - any of label/target/class/class_label normalizes to ``label``
+      (NULL when the header has no label column);
+    - every other column passes through as a meta feature;
+    - ``files_to_include`` subsets by (shortened) name and raises
+      ValueError when a requested series is missing, as the reference does;
+    - ragged/malformed rows raise ValueError (reference parity). The
+      malformed-row probe materializes the frame once; header files are
+      per-series dimension tables (one row per series), orders of
+      magnitude smaller than the point data they describe, and the result
+      is meant to be broadcast anyway.
+    """
+    try:
+        df = spark.read.csv(
+            path, header=True, comment="#", inferSchema=True, mode="FAILFAST"
+        )
+        ncols = len(df.columns)
+        df = df.cache()
+        n_rows = df.count()  # FAILFAST surfaces ragged rows here
+    except Exception as exc:  # noqa: BLE001 — reference raises ValueError
+        raise ValueError("Improperly formatted header file.") from exc
+    if ncols == 0:
+        raise ValueError("Improperly formatted header file.")
+
+    cols = list(df.columns)
+    if "filename" in cols:
+        base = F.element_at(F.split(F.col("filename").cast("string"), "/"), -1)
+        df = df.withColumn(
+            "name", F.regexp_replace(base, "\\.[^.]*$", "")
+        ).drop("filename")
+    else:
+        # no filename column: positional index like the reference's
+        # RangeIndex (header files are single CSVs, file order preserved)
+        df = df.withColumn(
+            "name",
+            (F.row_number().over(Window.orderBy(F.monotonically_increasing_id())) - 1)
+            .cast("string"),
+        )
+    label_src = next(
+        (c for c in ("label", "target", "class", "class_label") if c in df.columns),
+        None,
+    )
+    if label_src is not None:
+        df = df.withColumnRenamed(label_src, "label")
+    else:
+        df = df.withColumn("label", F.lit(None).cast("string"))
+    meta_cols = [
+        c for c in df.columns if c not in ("name", "label", "class")
+    ]
+    out = df.select("name", "label", *meta_cols)
+
+    if files_to_include:
+        wanted = [shorten_fname(f) for f in files_to_include]
+        out = out.filter(F.col("name").isin(wanted))
+        if out.count() != len(set(wanted)):
+            raise ValueError(
+                "Incomplete header file: make sure your header contains "
+                "an entry for each time series file, and that the file "
+                "names match the filename column."
+            )
+    return out

@@ -189,3 +189,32 @@ def test_timestamp_ntz_input(spark, tmp_path):
     a = featurize(tz_df, feats).toPandas()
     b = featurize(ntz_df, feats).toPandas()
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_raise_exceptions_failure_policy(spark):
+    """Reference parity for the public failure policy
+    (/root/reference/cesium/featurize.py:76-95 and
+    tests/test_featurize.py:301-321): a custom feature that throws yields
+    NaN columns by default and re-raises when raise_exceptions=True."""
+    import numpy as np
+    import pytest
+    from cesium_spark.datagen import generate_transcripts
+    from cesium_spark.kernel import featurize
+
+    df = generate_transcripts(spark, n_convs=3, seed=2)
+
+    def poisoned(t, m, e):
+        raise RuntimeError("boom")
+
+    out = featurize(
+        df, ["mean", "poisoned"], custom_functions={"poisoned": poisoned}
+    ).toPandas()
+    assert np.isnan(out["poisoned"]).all()
+    assert np.isfinite(out["mean"]).all()  # healthy columns unaffected
+
+    with pytest.raises(Exception, match="boom"):
+        featurize(
+            df, ["mean", "poisoned"],
+            custom_functions={"poisoned": poisoned},
+            raise_exceptions=True,
+        ).collect()

@@ -106,3 +106,60 @@ def test_featurize_csv_series_matches_golden(spark):
                 got.loc[name, f], exp[row, names.index(f)], atol=1.5e-6,
                 err_msg=f"{name}.{f}",
             )
+
+
+def test_read_headerfile_reference_parity(spark, tmp_path):
+    """Port of the reference's headerfile cases
+    (/root/reference/cesium/tests/test_data_management.py:41-70) against
+    the vendored asas_training_subset header."""
+    import os
+    import pytest
+    from cesium_spark.sources.transcripts import read_headerfile
+
+    path = os.path.join(
+        os.path.dirname(__file__), "data",
+        "asas_training_subset_classes_with_metadata.dat")
+
+    hdr = read_headerfile(spark, path).toPandas().set_index("name")
+    assert list(hdr.columns) == ["label", "meta1", "meta2", "meta3"]
+    assert hdr.loc["217801", "label"] == "Mira"
+    assert abs(hdr.loc["224635", "meta1"] - 0.330610932539) < 1e-12
+
+    # files_to_include subsets (and shortens paths/extensions)
+    sub = read_headerfile(
+        spark, path, files_to_include=["some/dir/217801.dat"]
+    ).toPandas()
+    assert list(sub["name"]) == ["217801"]
+    assert list(sub["label"]) == ["Mira"]
+
+    # missing requested series -> ValueError (reference parity)
+    with pytest.raises(ValueError, match="Incomplete header"):
+        read_headerfile(spark, path, files_to_include=["111111111"])
+
+    # ragged rows -> ValueError (reference parity)
+    bad = tmp_path / "bad.csv"
+    bad.write_text("test\n1,2\n3,4,5\n")
+    with pytest.raises(ValueError, match="Improperly formatted"):
+        read_headerfile(spark, str(bad))
+
+
+def test_headerfile_meta_join_onto_featureset(spark, tmp_path):
+    """read_headerfile output feeds attach_meta_features: labels + meta
+    columns land on the featureset via a broadcast join on the series
+    name (the reference's meta_features path, featurize.py:136-141)."""
+    import os
+    from cesium_spark.kernel import attach_meta_features, featurize
+    from cesium_spark.sources.transcripts import read_headerfile
+    from cesium_spark.datagen import generate_transcripts
+
+    hdrfile = tmp_path / "hdr.csv"
+    hdrfile.write_text(
+        "filename,target,meta1\nconv-0.dat,A,0.5\nconv-1.dat,B,0.25\n")
+    hdr = read_headerfile(spark, str(hdrfile)).withColumnRenamed("name", "conv_id")
+
+    df = generate_transcripts(spark, n_convs=2, seed=1)
+    fs = featurize(df, ["n_epochs", "mean"])
+    joined = attach_meta_features(fs, hdr, key_col="conv_id").toPandas()
+    joined = joined.set_index("conv_id")
+    assert joined.loc["conv-0", "label"] == "A"
+    assert joined.loc["conv-1", "meta1"] == 0.25
