@@ -124,6 +124,31 @@ def q_ts_close_to_median(spark, sf_dir):
     return _round_feats(_feat(spark, sf_dir, feats), feats)
 
 
+def q_ts_flux_ratios(spark, sf_dir):
+    """Flux percentile ratio block: quantile arithmetic over the
+    linearized flux 10^(-0.4 m) — bounded in [0,1], so engine-portable
+    at 6-digit rounding (the unbounded flux features percent_amplitude /
+    percent_difference_flux_percentile span ~1e130 here and are golden-
+    anchored in pytest instead)."""
+    feats = [f"flux_percentile_ratio_mid{r}" for r in (20, 35, 50, 65, 80)]
+    return _round_feats(_feat(spark, sf_dir, feats), feats)
+
+
+def q_ts_err_stats(spark, sf_dir):
+    feats = ["avg_err", "med_err", "std_err"]
+    e = F.lit(1e-4) * (F.lit(1) + F.col("event_id") % 10)
+    return _round_feats(_feat(spark, sf_dir, feats, e=e), feats)
+
+
+def q_ts_step_moments(spark, sf_dir):
+    """Higher cadence moments + the remaining double-to-single step
+    ratios (median/std over the same triple expression the avg variant
+    oracles)."""
+    feats = ["cads_skew", "cads_kurtosis",
+             "med_double_to_single_step", "std_double_to_single_step"]
+    return _round_feats(_feat(spark, sf_dir, feats), feats)
+
+
 def q_rollup_1h_sql(spark, sf_dir):
     out = rollup_sql(_events(spark, sf_dir), "1h", key_col="user_id", ts_col="ts", m="value")
     num = ["n_epochs", "mean", "minimum", "maximum", "amplitude", "std", "total_time", "avgt"]
@@ -446,6 +471,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_weighted": q_ts_weighted,
         "ts_percentiles": q_ts_percentiles,
         "ts_close_to_median": q_ts_close_to_median,
+        "ts_flux_ratios": q_ts_flux_ratios,
+        "ts_err_stats": q_ts_err_stats,
+        "ts_step_moments": q_ts_step_moments,
         "rollup_1h_sql": q_rollup_1h_sql,
         "rollup_1d_kernel": q_rollup_1d_kernel,
         "locf_1h": q_locf_1h,
@@ -596,6 +624,51 @@ def oracle_sql() -> dict[str, str]:
                  AS percent_close_to_median
         FROM events e JOIN st ON e.user_id = st.user_id
         GROUP BY e.user_id
+    """
+
+    sql["ts_flux_ratios"] = f"""
+        WITH f AS (SELECT user_id, pow(10.0, -0.4 * value) AS fl FROM events)
+        SELECT user_id,
+               round((quantile_cont(fl, 0.60) - quantile_cont(fl, 0.40))
+                     / (quantile_cont(fl, 0.95) - quantile_cont(fl, 0.05)) + {EPS}, {R}) AS flux_percentile_ratio_mid20,
+               round((quantile_cont(fl, 0.675) - quantile_cont(fl, 0.325))
+                     / (quantile_cont(fl, 0.95) - quantile_cont(fl, 0.05)) + {EPS}, {R}) AS flux_percentile_ratio_mid35,
+               round((quantile_cont(fl, 0.75) - quantile_cont(fl, 0.25))
+                     / (quantile_cont(fl, 0.95) - quantile_cont(fl, 0.05)) + {EPS}, {R}) AS flux_percentile_ratio_mid50,
+               round((quantile_cont(fl, 0.825) - quantile_cont(fl, 0.175))
+                     / (quantile_cont(fl, 0.95) - quantile_cont(fl, 0.05)) + {EPS}, {R}) AS flux_percentile_ratio_mid65,
+               round((quantile_cont(fl, 0.90) - quantile_cont(fl, 0.10))
+                     / (quantile_cont(fl, 0.95) - quantile_cont(fl, 0.05)) + {EPS}, {R}) AS flux_percentile_ratio_mid80
+        FROM f GROUP BY user_id
+    """
+
+    sql["ts_err_stats"] = f"""
+        WITH w AS (
+          SELECT user_id, 1e-4 * (1 + event_id % 10) AS e FROM events
+        )
+        SELECT user_id,
+               round(avg(e) + {EPS}, {R}) AS avg_err,
+               round(median(e) + {EPS}, {R}) AS med_err,
+               round(stddev_pop(e) + {EPS}, {R}) AS std_err
+        FROM w GROUP BY user_id
+    """
+
+    sql["ts_step_moments"] = f"""
+        {_CTE_DIFFS},
+        dd AS (
+          SELECT user_id, d,
+                 lead(d, 1) OVER (PARTITION BY user_id ORDER BY t) AS d1,
+                 lead(d, 2) OVER (PARTITION BY user_id ORDER BY t) AS d2
+          FROM t WHERE d IS NOT NULL
+        ),
+        mu AS (SELECT user_id, avg(d) AS m FROM dd GROUP BY user_id)
+        SELECT dd.user_id,
+               round(avg(pow(dd.d - mu.m, 3)) / pow(avg(pow(dd.d - mu.m, 2)), 1.5) + {EPS}, {R}) AS cads_skew,
+               round(avg(pow(dd.d - mu.m, 4)) / pow(avg(pow(dd.d - mu.m, 2)), 2) - 3.0 + {EPS}, {R}) AS cads_kurtosis,
+               round(median(CASE WHEN d2 IS NOT NULL THEN (d2 + dd.d) / (d1 - dd.d) END) + {EPS}, {R}) AS med_double_to_single_step,
+               round(stddev_pop(CASE WHEN d2 IS NOT NULL THEN (d2 + dd.d) / (d1 - dd.d) END) + {EPS}, {R}) AS std_double_to_single_step
+        FROM dd JOIN mu ON dd.user_id = mu.user_id
+        GROUP BY dd.user_id
     """
 
     sql["rollup_1h_sql"] = f"""
