@@ -163,3 +163,34 @@ def test_headerfile_meta_join_onto_featureset(spark, tmp_path):
     joined = joined.set_index("conv_id")
     assert joined.loc["conv-0", "label"] == "A"
     assert joined.loc["conv-1", "meta1"] == 0.25
+
+
+def test_featureset_npz_roundtrip(spark, tmp_path):
+    """cesium .npz interchange (reference featurize.py:417-497): a
+    Spark featureset written with save_featureset_npz loads back through
+    the reference's documented container layout (record array 'features'
+    transposed with (feature, channel) index fields, no pickling) and
+    back into Spark with values intact."""
+    import numpy as np
+    from cesium_spark.datagen import generate_transcripts
+    from cesium_spark.kernel import featurize
+    from cesium_spark.sources.featureset_io import (
+        featureset_from_npz,
+        load_featureset_npz,
+        save_featureset_npz,
+    )
+
+    df = generate_transcripts(spark, n_convs=4, seed=5)
+    feats = ["n_epochs", "mean", "std"]
+    fs = featurize(df, feats)
+    path = str(tmp_path / "fset.npz")
+    save_featureset_npz(fs, path, labels=["a", "b", "a", "b"])
+
+    pdf, extras = load_featureset_npz(path)
+    assert list(pdf.columns.get_level_values("feature")) == feats
+    assert list(extras["labels"]) == ["a", "b", "a", "b"]
+
+    orig = fs.toPandas().set_index("conv_id").sort_index()
+    back = featureset_from_npz(spark, path).toPandas().set_index("conv_id").sort_index()
+    assert list(back.columns) == feats
+    np.testing.assert_allclose(back.to_numpy(float), orig.to_numpy(float), rtol=1e-12)
