@@ -22,7 +22,10 @@ from pyspark.sql import functions as F
 from ..kernel import SECONDS_PER_DAY, ts_micros
 from .rollup_schema import STREAM_ROLLUP_COLUMNS
 
-__all__ = ["streaming_rollup", "start_file_stream"]
+__all__ = [
+    "streaming_rollup", "start_file_stream",
+    "streaming_sessionize", "start_session_stream",
+]
 
 
 def streaming_rollup(
@@ -79,6 +82,128 @@ def start_file_stream(
     agg = streaming_rollup(src, tier=tier, watermark=watermark, **kwargs)
     return (
         agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_sessionize(
+    stream_df: DataFrame,
+    gap_minutes: int = 30,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+):
+    """Custom stateful streaming operator via applyInPandasWithState:
+    gap-based sessionization whose open-session state survives micro-batch
+    boundaries (an event arriving in a later batch within the gap keeps
+    extending the same session).
+
+    Emits one row per CLOSED session (closed = a later event arrived more
+    than `gap_minutes` after it): (key, session_start, session_end,
+    n_events). The still-open trailing session stays in state and closes
+    when a sufficiently-late event arrives in a future batch; readers
+    needing end-of-stream flushes can send a per-key sentinel event past
+    the gap (standard practice for gap sessions without wall-clock
+    timeouts — availableNow replays are deterministic this way, which is
+    what the engine's resume story needs).
+
+    Per-group work is vectorized numpy (diff + flatnonzero over the
+    batch's sorted event times merged with the carried state) — the
+    Python boundary stays Arrow-batched, no per-row loop.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType, TimestampType,
+    )
+
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    out_schema = StructType([
+        StructField(key_col, StringType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+    ])
+    # open-session state: (first event us, last event us, event count)
+    state_schema = StructType([
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+    ])
+
+    def fn(key, pdfs, state):
+        ts_list = [pdf["ts_us"].to_numpy(dtype=np.int64) for pdf in pdfs]
+        ts = np.sort(np.concatenate(ts_list)) if ts_list else np.empty(0, np.int64)
+        if ts.size == 0:
+            return
+        if state.exists:
+            start_us, last_us, n_carry = state.get
+        else:
+            start_us, last_us, n_carry = int(ts[0]), None, 0
+
+        closed = []  # (start_us, end_us, n)
+        # session boundaries inside the batch, with the carried last event
+        # prepended so a cross-batch gap closes the carried session
+        seq = ts if last_us is None else np.concatenate(([last_us], ts))
+        breaks = np.flatnonzero(np.diff(seq) > gap_us)
+        seg_starts = np.concatenate(([0], breaks + 1))
+        seg_ends = np.concatenate((breaks, [len(seq) - 1]))
+        for i, (s, z) in enumerate(zip(seg_starts, seg_ends)):
+            n_seg = int(z - s + 1)
+            first = int(seq[s])
+            last = int(seq[z])
+            if i == 0 and last_us is not None:
+                # continuation of the carried session (seq[0] is the carry
+                # marker, not a new event)
+                n_seg = n_carry + n_seg - 1
+                first = start_us
+            if z == len(seq) - 1:
+                state.update((first, last, n_seg))  # trailing stays open
+            else:
+                closed.append((first, last, n_seg))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(closed),
+                    "session_start": pd.to_datetime(
+                        [c[0] for c in closed], unit="us"
+                    ),
+                    "session_end": pd.to_datetime(
+                        [c[1] for c in closed], unit="us"
+                    ),
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    narrow = stream_df.select(
+        F.col(key_col), ts_micros(F.col(ts_col)).alias("ts_us")
+    )
+    return narrow.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "NoTimeout"
+    )
+
+
+def start_session_stream(
+    spark,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema,
+    gap_minutes: int = 30,
+    max_files_per_trigger: int | None = None,
+    **kwargs,
+):
+    """File-source stateful sessionization job (availableNow trigger)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(input_dir)
+    sess = streaming_sessionize(src, gap_minutes=gap_minutes, **kwargs)
+    return (
+        sess.writeStream.outputMode("append")
         .format("parquet")
         .option("path", output_dir)
         .option("checkpointLocation", checkpoint_dir)

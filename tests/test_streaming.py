@@ -51,3 +51,45 @@ def test_streaming_rollup_matches_batch(spark, tmp_path):
     pd.testing.assert_frame_equal(
         got[want.columns], want, check_dtype=False, rtol=1e-9
     )
+
+
+def test_stateful_sessionize_state_survives_restart(spark, tmp_path):
+    """applyInPandasWithState sessionizer: the open-session state is
+    checkpointed — a session spanning two availableNow query runs (two
+    separate restarts over the same checkpoint) is emitted as ONE closed
+    session once a later event exceeds the gap."""
+    from cesium_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+    from cesium_spark.streaming.stream import start_session_stream
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    t0 = pd.Timestamp("2025-03-01 12:00:00")
+
+    def rows(*offsets_min):
+        return pd.DataFrame(
+            [("c", i, "user", "x", "", t0 + pd.Timedelta(minutes=o))
+             for i, o in enumerate(offsets_min)],
+            columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+        )
+
+    # run 1: two events 10 minutes apart -> session stays OPEN in state
+    spark.createDataFrame(rows(0, 10)).write.mode("overwrite").parquet(in_dir)
+    q = start_session_stream(
+        spark, in_dir, out_dir, ckpt, TRANSCRIPT_SCHEMA, gap_minutes=30)
+    q.awaitTermination(120)
+    assert not list((tmp_path / "out").glob("part-*.parquet")) or \
+        spark.read.parquet(out_dir).count() == 0
+
+    # run 2 (restart over the same checkpoint): +20min continues the
+    # carried session; +180min exceeds the gap and closes it
+    spark.createDataFrame(rows(20, 180)).write.mode("append").parquet(in_dir)
+    q = start_session_stream(
+        spark, in_dir, out_dir, ckpt, TRANSCRIPT_SCHEMA, gap_minutes=30)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir).toPandas()
+    assert len(got) == 1
+    s = got.iloc[0]
+    assert s["conv_id"] == "c"
+    assert s["session_start"] == t0
+    assert s["session_end"] == t0 + pd.Timedelta(minutes=20)
+    assert s["n_events"] == 3  # 2 from run 1 + 1 from run 2, one session
