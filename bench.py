@@ -116,6 +116,28 @@ def main():
     extras["sqlpath_trials_sec"] = trials
     extras["sqlpath_points_per_sec"] = round(n_turns / dt, 1)
 
+    # Gorilla block compression over the same transcripts (1h blocks):
+    # timed end-to-end plus the achieved compression ratio vs raw
+    # 16-byte (ts, value) points
+    from cesium_spark.operators.compress import compress_blocks
+
+    t0 = time.perf_counter()
+    totals = (
+        compress_blocks(tr, "1h", text_col="text")
+        .agg(
+            F.sum("raw_bytes").alias("raw"),
+            F.sum("block_bytes").alias("blk"),
+            F.sum("n_points").alias("pts"),
+        )
+        .collect()[0]
+    )
+    dt = time.perf_counter() - t0
+    # extras, not a headline timing: keeps the headline total comparable
+    # across rounds (this entry was added in round 2)
+    extras["gorilla_compress_1h_sec"] = round(dt, 3)
+    extras["gorilla_points_per_sec"] = round(totals["pts"] / dt, 1)
+    extras["gorilla_compression_ratio"] = round(totals["raw"] / totals["blk"], 2)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

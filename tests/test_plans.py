@@ -1,0 +1,84 @@
+"""Physical-plan regression guards: the plan properties PLANS.md claims
+are asserted here so a refactor that silently degrades the plan (extra
+shuffle, lost pushdown, per-row Python) fails CI, not a benchmark."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cesium_spark.datagen import generate_transcripts
+from cesium_spark.kernel import featurize
+from cesium_spark.operators.locf import locf_grid
+from cesium_spark.operators.rollup import rollup_sql
+
+
+@pytest.fixture(scope="module")
+def tiny(spark, tmp_path_factory):
+    """Parquet-backed input: plans must be judged against a real file
+    scan (datagen's own MapInPandas lineage would pollute the asserts)."""
+    path = str(tmp_path_factory.mktemp("plans") / "t.parquet")
+    generate_transcripts(spark, n_convs=6, seed=21).write.parquet(path)
+    return spark.read.parquet(path)
+
+
+def _plan(df):
+    return df._jdf.queryExecution().toString()
+
+
+def test_featurize_single_exchange(spark, tiny):
+    """The kernel path: exactly ONE hash-partitioning exchange (on the
+    group key), the secondary sort stays in-partition."""
+    out = featurize(tiny, ["n_epochs", "mean", "std"], window="1 hour")
+    plan = _plan(out)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "MapInPandas" in plan
+
+
+def test_rollup_sql_is_pure_jvm_with_partial_agg(spark, tiny):
+    """The fast lane: no Python anywhere, map-side partial aggregation
+    before the single exchange."""
+    plan = _plan(rollup_sql(tiny, "1h"))
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    # partial_ aggregate functions appear before the exchange
+    assert "partial_" in plan
+
+
+def test_locf_has_no_python(spark, tiny):
+    plan = _plan(locf_grid(tiny, "1h"))
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_horizon_filter_pushed_to_parquet_scan(spark, tiny, tmp_path):
+    """Tier-horizon predicates must reach the parquet scan as
+    PushedFilters — at 10^12 turns this is partition pruning, not a
+    post-scan filter."""
+    from cesium_spark.sources.transcripts import read_transcripts
+
+    path = str(tmp_path / "t")
+    tiny.write.mode("overwrite").parquet(path)
+    df = read_transcripts(
+        spark, path, horizon=("2025-01-01", "2025-01-02"))
+    plan = _plan(df.select("conv_id", "ts"))
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(ts" in plan and "LessThanOrEqual(ts" in plan
+    # column pruning: text/tool/role never leave the footer
+    read_schema = plan.split("ReadSchema:")[-1].splitlines()[0]
+    assert "text" not in read_schema and "conv_id" in read_schema
+
+
+def test_narrow_projection_before_kernel_shuffle(spark, tiny, tmp_path):
+    """The featurize shuffle carries only (key, t, m, e, _ord) — the text
+    column is consumed by length() at scan time and never shuffled."""
+    path = str(tmp_path / "t2")
+    tiny.write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    import re
+
+    out = featurize(df, ["mean"])
+    plan = _plan(out)
+    exchange_input = plan.split("Exchange hashpartitioning")[1].split("FileScan")[0]
+    # text may appear INSIDE length(text#N) (consumed at scan time) but
+    # must not be a bare output column of the pre-shuffle projection
+    assert re.search(r"Project \[[^\]]*\]", exchange_input)
+    assert not re.search(r"[,\[] ?text#\d+[,\]]", exchange_input)
+    assert "length(text" in exchange_input  # consumed into m, not carried
