@@ -28,17 +28,37 @@ from ..codec.gorilla import decode_block, encode_block
 from ..kernel import group_starts, iter_group_frames, ts_micros
 from .rollup import TIERS
 
-__all__ = ["compress_blocks", "decompress_blocks", "text_content_hash"]
+__all__ = [
+    "compress_blocks", "decompress_blocks", "text_content_hash",
+    "digest_chain_hash",
+]
 
 
 def text_content_hash(texts) -> str:
-    """Order-sensitive md5 over length-prefixed UTF-8 texts (length prefix
-    prevents concatenation ambiguity)."""
+    """Order-sensitive group digest: md5 over the concatenation of the
+    PER-TURN md5 hex digests in stable order (fixed 32-hex width, so no
+    concatenation ambiguity). Two properties the flat raw-bytes hash of
+    round 1 lacked:
+      - the raw text never has to cross the JVM->Arrow boundary for the
+        lineage hash — compress_blocks computes the per-turn md5s with
+        the JVM's codegen'd md5() and ships 32-hex strings (shipping the
+        full text cost ~2x the whole compress pass at 3.7M turns);
+      - the chain is engine-recomputable (md5 + string_agg exists in any
+        SQL engine), so downstream stages can verify per-turn equality,
+        not just whole-group equality.
+    """
     h = hashlib.md5()
     for t in texts:
-        b = (t or "").encode("utf-8")
-        h.update(len(b).to_bytes(4, "little"))
-        h.update(b)
+        h.update(hashlib.md5((t or "").encode("utf-8")).hexdigest().encode())
+    return h.hexdigest()
+
+
+def digest_chain_hash(turn_digests) -> str:
+    """text_content_hash when the per-turn md5 hex digests are already
+    available (the compress_blocks fast path: JVM computes them)."""
+    h = hashlib.md5()
+    for d in turn_digests:
+        h.update((d or "").encode())
     return h.hexdigest()
 
 
@@ -63,7 +83,11 @@ def compress_blocks(
         v_col.alias("v"),
     ]
     if text_col is not None:
-        cols.append(F.col(text_col).alias("_text"))
+        # per-turn md5 computed JVM-side: the lineage hash needs only the
+        # 32-hex digest chain in Python, never the raw text through Arrow
+        cols.append(
+            F.md5(F.coalesce(F.col(text_col), F.lit("")).cast("string")).alias("_text")
+        )
     narrow = df.select(*cols)
     keys = [key_col, "window_start"]
 
@@ -92,7 +116,7 @@ def compress_blocks(
                 raw_b.append((z - s) * 16)
                 blk_b.append(len(blk))
                 if texts is not None:
-                    hashes.append(text_content_hash(texts[s:z]))
+                    hashes.append(digest_chain_hash(texts[s:z]))
             out = {**rows, "n_points": n_pts, "block": blocks,
                    "raw_bytes": raw_b, "block_bytes": blk_b}
             if text_col is not None:
