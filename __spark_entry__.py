@@ -303,6 +303,31 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     )
 
 
+def q_text_lineage(spark, sf_dir):
+    """Per-group text-equality lineage digest, the cross-engine form of
+    compress_blocks' chain hash: md5 over the ordered concatenation of
+    per-document md5s within each (source, lang) group. The oracle
+    recomputes it with string_agg(md5(text) ORDER BY doc_id) — equal
+    hashes prove per-document byte equality AND stable ordering end to
+    end, which is exactly the per-turn-text invariant the rollup engine
+    carries through its stages."""
+    d = _docs(spark, sf_dir)
+    chain = F.md5(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("doc_id"), F.md5("text").alias("h")))
+                ),
+                lambda s: s["h"],
+            ),
+        )
+    )
+    return d.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"), chain.alias("chain_md5")
+    )
+
+
 def q_codec_roundtrip(spark, sf_dir):
     """Gorilla compress per (user, day) -> decompress -> re-aggregate.
     The oracle aggregates the raw table directly: equality proves the
@@ -516,6 +541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "locf_1d": q_locf_1d,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "codec_roundtrip": q_codec_roundtrip,
+        "text_lineage": q_text_lineage,
         "features_periodic": q_features_periodic,
         "doc_winnowing": q_winnowing,
         "simhash_near_dups": q_simhash_near_dups,
@@ -962,6 +988,12 @@ def oracle_sql() -> dict[str, str]:
           FROM s
         )
         SELECT query_id, rank, neighbor_id, cosine FROM r WHERE rank <= 3
+    """
+
+    sql["text_lineage"] = """
+        SELECT source, lang, count(*) AS n_docs,
+               md5(string_agg(md5(text), '' ORDER BY doc_id)) AS chain_md5
+        FROM documents GROUP BY source, lang
     """
 
     sql["codec_roundtrip"] = f"""
