@@ -208,28 +208,15 @@ def q_rollup_cascade_1d(spark, sf_dir):
 
 
 def q_sessionize_30m(spark, sf_dir):
-    from pyspark.sql.window import Window
+    from cesium_spark.operators.sessionize import session_stats
 
-    df = _events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    from cesium_spark.kernel import ts_micros
-
-    gap = ts_micros(F.col("ts")) - ts_micros(F.lag("ts").over(w))
-    marked = df.select(
-        "user_id", "ts", "event_id",
-        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0).alias("new_s"),
+    out = session_stats(
+        _events(spark, sf_dir), gap_minutes=30,
+        key_col="user_id", ts_col="ts", tiebreak_col="event_id",
     )
-    sess = marked.select(
-        "user_id", F.sum("new_s").over(
-            Window.partitionBy("user_id").orderBy("ts", "event_id")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        ).alias("session_id"),
-    )
-    per_sess = sess.groupBy("user_id", "session_id").agg(F.count("*").alias("sz"))
-    return per_sess.groupBy("user_id").agg(
-        F.count("*").alias("n_sessions"),
-        F.max("sz").alias("max_session_events"),
-        _r(F.avg("sz")).alias("avg_session_events"),
+    return out.select(
+        "user_id", "n_sessions", "max_session_events",
+        _r(F.col("avg_session_events")).alias("avg_session_events"),
     )
 
 

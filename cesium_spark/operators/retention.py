@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from ..sources.table import SnapshotTable
 from ..streaming.checkpoint import LineageLog
 
-__all__ = ["droppable_days", "apply_retention"]
+__all__ = ["droppable_days", "apply_retention", "current_day_rows"]
 
 
 def droppable_days(
@@ -28,6 +28,7 @@ def droppable_days(
     tiers,
     horizon: dt.datetime,
     ts_col: str = "ts",
+    day_rows: dict | None = None,
 ) -> list[dt.datetime]:
     """Days strictly older than `horizon` whose rollup units are committed
     for EVERY tier AND whose committed per-day input fingerprint still
@@ -44,11 +45,7 @@ def droppable_days(
     retention runs before the rollup's own resume pass. Commits without
     ``day_rows`` (pre-fingerprint lineage) conservatively never cover.
     """
-    current = {
-        r["d"]: r["n"]
-        for r in df.select(F.date_trunc("day", F.col(ts_col)).alias("d"))
-        .groupBy("d").agg(F.count("*").alias("n")).collect()
-    }
+    current = day_rows if day_rows is not None else current_day_rows(df, ts_col)
     per_tier_day_rows: dict[str, list[dict]] = {}
     for tier in tiers:
         prefix = f"tier-{tier}-days-"
@@ -72,6 +69,17 @@ def droppable_days(
     return out
 
 
+def current_day_rows(df: DataFrame, ts_col: str = "ts") -> dict:
+    """Current row count per day — ONE aggregation, O(#days) rows to the
+    driver; every count retention reports derives from this map (no
+    full-table count() actions)."""
+    return {
+        r["d"]: r["n"]
+        for r in df.select(F.date_trunc("day", F.col(ts_col)).alias("d"))
+        .groupBy("d").agg(F.count("*").alias("n")).collect()
+    }
+
+
 def apply_retention(
     spark: SparkSession,
     table: SnapshotTable,
@@ -85,20 +93,18 @@ def apply_retention(
     committed old days are retained (and reported) — rollup must catch up
     before retention can advance."""
     df = table.read(spark)
-    drop = droppable_days(df, log, tiers, horizon, ts_col)
     day_col = F.date_trunc("day", F.col(ts_col))
-    total = df.count()
+    day_rows = current_day_rows(df, ts_col)
+    drop = droppable_days(df, log, tiers, horizon, ts_col, day_rows=day_rows)
+    total = sum(day_rows.values())
     if drop:
         kept = df.filter(~day_col.isin(drop))
     else:
         kept = df
-    kept_n = kept.count()
-    blocked = [
-        r[0]
-        for r in df.filter(day_col < F.lit(horizon))
-        .select(day_col.alias("d")).distinct().collect()
-        if r[0] not in drop
-    ]
+    kept_n = total - sum(day_rows[d] for d in drop)
+    blocked = sorted(
+        d for d in day_rows if d < horizon and d not in set(drop)
+    )
     snapshot_id = table.overwrite(kept) if drop else table.current_snapshot_id()
     return {
         "dropped_days": [d.isoformat() for d in sorted(drop)],

@@ -93,3 +93,43 @@ def test_stateful_sessionize_state_survives_restart(spark, tmp_path):
     assert s["session_start"] == t0
     assert s["session_end"] == t0 + pd.Timedelta(minutes=20)
     assert s["n_events"] == 3  # 2 from run 1 + 1 from run 2, one session
+
+
+def test_streaming_sessions_match_batch(spark, tmp_path):
+    """Coherence: the stateful streaming sessionizer's closed sessions
+    equal the batch sessionize() result on the same data once a per-key
+    sentinel event (far past the gap) closes every real session."""
+    from cesium_spark.operators.sessionize import sessionize
+    from cesium_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+    from cesium_spark.streaming.stream import start_session_stream
+
+    df = generate_transcripts(spark, n_convs=6, seed=17, max_turns=800).cache()
+    sentinels = (
+        df.groupBy("conv_id").agg(F.max("ts").alias("mx"))
+        .select(
+            "conv_id", F.lit(10**9).alias("turn_idx"), F.lit("user").alias("role"),
+            F.lit("sentinel").alias("text"), F.lit("").alias("tool"),
+            (F.col("mx") + F.expr("INTERVAL 10 DAYS")).alias("ts"),
+        )
+    )
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    df.unionByName(sentinels).write.mode("overwrite").parquet(in_dir)
+
+    q = start_session_stream(
+        spark, in_dir, out_dir, ckpt, TRANSCRIPT_SCHEMA, gap_minutes=30)
+    q.awaitTermination(120)
+    got = (
+        spark.read.parquet(out_dir).toPandas()
+        .sort_values(["conv_id", "session_start"]).reset_index(drop=True)
+    )
+
+    want = (
+        sessionize(df, gap_minutes=30)
+        .groupBy("conv_id", "session_id")
+        .agg(F.min("ts").alias("session_start"), F.max("ts").alias("session_end"),
+             F.count("*").alias("n_events"))
+        .drop("session_id")
+        .toPandas()
+        .sort_values(["conv_id", "session_start"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
