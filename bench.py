@@ -67,13 +67,20 @@ def main():
     for tbl in ("events", "documents", "embeddings"):
         _force(spark.read.parquet(f"{SF_DIR}/{tbl}.parquet"))
 
+    # best-of-2 per headline query: BENCH/BASELINE.md's recorded numbers
+    # are best-of-N by protocol, and this VM shows up to 10x wall spread
+    # on identical plans (single-shot timings are a steal-time lottery —
+    # round 1's misread "regression" came from exactly that)
     verbose = os.environ.get("SPARK_GRAFT_BENCH_VERBOSE")
     for name in headline:
-        t0 = time.perf_counter()
-        _force(qfns[name](spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        trials = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _force(qfns[name](spark, SF_DIR))
+            trials.append(round(time.perf_counter() - t0, 3))
+        timings[name] = min(trials)
         if verbose:
-            print(f"# {name}: {timings[name]}s", file=sys.stderr)
+            print(f"# {name}: {trials}", file=sys.stderr)
 
     # transcript rollup throughput (the BASELINE.md metric): deterministic
     # synthetic transcripts written to parquet once (untimed), then the
@@ -121,17 +128,24 @@ def main():
     # 16-byte (ts, value) points
     from cesium_spark.operators.compress import compress_blocks
 
-    t0 = time.perf_counter()
-    totals = (
-        compress_blocks(tr, "1h", text_col="text")
-        .agg(
-            F.sum("raw_bytes").alias("raw"),
-            F.sum("block_bytes").alias("blk"),
-            F.sum("n_points").alias("pts"),
+    def _compress_pass():
+        return (
+            compress_blocks(tr, "1h", text_col="text")
+            .agg(
+                F.sum("raw_bytes").alias("raw"),
+                F.sum("block_bytes").alias("blk"),
+                F.sum("n_points").alias("pts"),
+            )
+            .collect()[0]
         )
-        .collect()[0]
-    )
-    dt = time.perf_counter() - t0
+
+    totals = None
+
+    def _run_compress():
+        nonlocal totals
+        totals = _compress_pass()
+
+    dt, _trials = _best_of(_run_compress, n=2)
     # extras, not a headline timing: keeps the headline total comparable
     # across rounds (this entry was added in round 2)
     extras["gorilla_compress_1h_sec"] = round(dt, 3)

@@ -67,3 +67,27 @@ def test_fastpath_matches_pergroup_any_layout(sizes, seed):
             assert both_nan or both_inf or np.isclose(
                 got, w, rtol=1e-8, atol=1e-10
             ), (gi, s, f, got, w, seed)
+
+
+@given(
+    gaps=st.lists(st.integers(min_value=1, max_value=120), min_size=1, max_size=30),
+)
+@settings(max_examples=20, deadline=None)
+def test_sessionize_counts_gaps(spark, gaps):
+    """Property: with gap threshold g, n_sessions == 1 + #(inter-event
+    gaps > g) for any positive gap sequence."""
+    import pandas as pd
+    from cesium_spark.operators.sessionize import session_stats
+
+    t0 = pd.Timestamp("2025-01-01")
+    ts, acc = [], 0
+    for g in gaps:
+        acc += g
+        ts.append(t0 + pd.Timedelta(minutes=acc))
+    rows = [("c", i, "u", "x", "", t) for i, t in enumerate([t0] + ts)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]))
+    out = session_stats(df, gap_minutes=30).toPandas()
+    expected = 1 + sum(1 for g in gaps if g > 30)
+    assert out.iloc[0]["n_sessions"] == expected
+    assert out.iloc[0]["max_session_events"] <= len(gaps) + 1
