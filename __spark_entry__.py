@@ -185,6 +185,30 @@ def q_agg_merge(spark, sf_dir):
     return fin.select("user_id", *[_r(F.col(c)).alias(c) for c in cols])
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join: every non-marker event picks up the most recent marker
+    value at-or-before its timestamp (per user). Spark side is the
+    union-window construction (one shuffle, no join node); the oracle is
+    DuckDB's native ASOF LEFT JOIN — engine-level agreement on the
+    classic time-series join."""
+    from cesium_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    right = ev.filter(F.col("event_id") % 37 == 0).select(
+        "user_id", "ts", F.col("value").alias("mark")
+    )
+    left = ev.filter(F.col("event_id") % 37 != 0).select(
+        "user_id", "event_id", "ts", "value"
+    )
+    out = asof_join(left, right, key_col="user_id", ts_col="ts",
+                    value_cols=["mark"])
+    return out.select(
+        "user_id", "event_id",
+        _r(F.col("value")).alias("value"),
+        _r(F.col("mark_asof")).alias("mark_asof"),
+    )
+
+
 def q_rollup_cascade_1d(spark, sf_dir):
     """Hierarchical continuous-aggregate cascade: raw -> 1m partial
     states -> merged to 1h -> merged to 1d -> finalized, never re-reading
@@ -513,6 +537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "locf_1h": q_locf_1h,
         "agg_merge": q_agg_merge,
         "rollup_cascade_1d": q_rollup_cascade_1d,
+        "asof_join": q_asof_join,
         "sessionize_30m": q_sessionize_30m,
         "pricing_summary": q_pricing_summary,
         "region_revenue": q_region_revenue,
@@ -779,6 +804,17 @@ def oracle_sql() -> dict[str, str]:
                round(any_value(lv.last_value) + {EPS}, {R}) AS last_value
         FROM events e JOIN lv ON e.user_id = lv.user_id
         GROUP BY e.user_id
+    """
+
+    sql["asof_join"] = f"""
+        SELECT l.user_id, l.event_id,
+               round(l.value + {EPS}, {R}) AS value,
+               round(r.mark + {EPS}, {R}) AS mark_asof
+        FROM (SELECT user_id, event_id, ts, value FROM events
+              WHERE event_id % 37 <> 0) l
+        ASOF LEFT JOIN (SELECT user_id, ts, value AS mark FROM events
+                        WHERE event_id % 37 = 0) r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
     """
 
     sql["rollup_cascade_1d"] = f"""

@@ -369,3 +369,45 @@ def test_rollup_states_validates_input(spark, transcripts):
     st = partial_states(transcripts, "1m")
     with pytest.raises(ValueError, match="unknown tier"):
         rollup_states(st, "7m")
+
+
+def test_asof_join_semantics(spark):
+    """As-of join: <= match semantics, per-key isolation, tolerance
+    nulling, and no-match-yet NULLs."""
+    from cesium_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("a", pd.Timestamp("2025-01-01 00:05").to_pydatetime(), 1),
+         ("a", pd.Timestamp("2025-01-01 00:10").to_pydatetime(), 2),
+         ("a", pd.Timestamp("2025-01-01 02:00").to_pydatetime(), 3),
+         ("b", pd.Timestamp("2025-01-01 00:07").to_pydatetime(), 4)],
+        "conv_id string, ts timestamp, n int")
+    right = spark.createDataFrame(
+        [("a", pd.Timestamp("2025-01-01 00:01").to_pydatetime(), 10.0),
+         ("a", pd.Timestamp("2025-01-01 00:10").to_pydatetime(), 20.0),  # exact tie -> matches
+         ("b", pd.Timestamp("2025-01-01 00:09").to_pydatetime(), 30.0)],  # after b's left row
+        "conv_id string, ts timestamp, mark double")
+
+    out = asof_join(left, right, key_col="conv_id", value_cols=["mark"]) \
+        .toPandas().set_index("n")["mark_asof"]
+    assert out[1] == 10.0          # most recent before 00:05
+    assert out[2] == 20.0          # exact-timestamp right row matches (<=)
+    assert out[3] == 20.0          # carried forward
+    assert pd.isna(out[4])         # b has no marker at-or-before 00:07
+
+    tol = asof_join(left, right, key_col="conv_id", value_cols=["mark"],
+                    tolerance_seconds=600).toPandas().set_index("n")["mark_asof"]
+    assert tol[2] == 20.0
+    assert pd.isna(tol[3])         # 110 min stale > 10 min tolerance
+
+
+def test_asof_join_plan_is_single_shuffle_no_join(spark):
+    from cesium_spark.operators.asof import asof_join
+    from cesium_spark.datagen import generate_transcripts
+
+    df = generate_transcripts(spark, n_convs=4, seed=3)
+    right = df.filter(F.col("turn_idx") % 10 == 0).select(
+        "conv_id", "ts", F.length("text").cast("double").alias("mark"))
+    plan = asof_join(df, right, value_cols=["mark"])._jdf.queryExecution().toString()
+    assert "Join" not in plan.split("== Physical Plan ==")[-1]
+    assert plan.split("== Physical Plan ==")[-1].count("Exchange hashpartitioning") == 1
