@@ -209,6 +209,56 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_range_join(spark, sf_dir):
+    """Range (interval containment) join via tier bucketing: every event
+    joined to the 2-hour marker intervals containing it, aggregated per
+    interval. The equi-join on (key, bucket) generates each qualifying
+    pair exactly once — no theta-join cartesian. Oracle: DuckDB plain
+    inequality join."""
+    from cesium_spark.operators.rangejoin import interval_join
+
+    ev = _events(spark, sf_dir)
+    intervals = ev.filter(F.col("event_id") % 101 == 0).select(
+        "user_id", F.col("event_id").alias("interval_id"),
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end"),
+    )
+    pts = ev.select("user_id", "ts", "value")
+    out = interval_join(pts, intervals, key_col="user_id")
+    return out.groupBy("user_id", "interval_id").agg(
+        F.count("*").alias("n_points"),
+        _r(F.sum("value")).alias("sum_value"),
+    )
+
+
+def q_sketch_accuracy(spark, sf_dir):
+    """Sketch family bridge (HLL++ distinct count, GK approximate
+    percentile): Spark's sketches are evaluated against the exact
+    answers and the query emits PASS booleans at honest error floors
+    plus the exact reference values — the oracle recomputes the exact
+    side, so a sketch drifting past its bound flips a hash-checked
+    value. (Sketch internals differ per engine by construction; the
+    accuracy contract is the portable statement.)"""
+    ev = _events(spark, sf_dir)
+    row = ev.agg(
+        F.countDistinct("value").alias("exact_d"),
+        F.approx_count_distinct("value", 0.02).alias("approx_d"),
+        F.percentile("value", F.lit(0.5)).alias("exact_p50"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("approx_p50"),
+    ).collect()[0]
+    rows = [
+        ("hll_distinct_relerr_lt_0.05",
+         abs(row["approx_d"] - row["exact_d"]) / row["exact_d"] < 0.05,
+         float(row["exact_d"])),
+        ("gk_p50_relerr_lt_0.01",
+         abs(row["approx_p50"] - row["exact_p50"]) / abs(row["exact_p50"]) < 0.01,
+         round(row["exact_p50"] + EPS, R)),
+    ]
+    return spark.createDataFrame(
+        rows, "sketch string, within_bound boolean, exact_reference double"
+    )
+
+
 def q_rollup_cascade_1d(spark, sf_dir):
     """Hierarchical continuous-aggregate cascade: raw -> 1m partial
     states -> merged to 1h -> merged to 1d -> finalized, never re-reading
@@ -538,6 +588,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_merge": q_agg_merge,
         "rollup_cascade_1d": q_rollup_cascade_1d,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "sketch_accuracy": q_sketch_accuracy,
         "sessionize_30m": q_sessionize_30m,
         "pricing_summary": q_pricing_summary,
         "region_revenue": q_region_revenue,
@@ -815,6 +867,27 @@ def oracle_sql() -> dict[str, str]:
         ASOF LEFT JOIN (SELECT user_id, ts, value AS mark FROM events
                         WHERE event_id % 37 = 0) r
           ON l.user_id = r.user_id AND l.ts >= r.ts
+    """
+
+    sql["range_join"] = f"""
+        SELECT p.user_id, i.event_id AS interval_id,
+               count(*) AS n_points,
+               round(sum(p.value) + {EPS}, {R}) AS sum_value
+        FROM events p
+        JOIN (SELECT user_id, event_id, ts AS s, ts + INTERVAL 2 HOUR AS e
+              FROM events WHERE event_id % 101 = 0) i
+          ON p.user_id = i.user_id AND p.ts >= i.s AND p.ts < i.e
+        GROUP BY p.user_id, i.event_id
+    """
+
+    sql["sketch_accuracy"] = f"""
+        SELECT 'gk_p50_relerr_lt_0.01' AS sketch, TRUE AS within_bound,
+               round(quantile_cont(value, 0.5) + {EPS}, {R}) AS exact_reference
+        FROM events
+        UNION ALL
+        SELECT 'hll_distinct_relerr_lt_0.05', TRUE,
+               CAST(count(DISTINCT value) AS DOUBLE)
+        FROM events
     """
 
     sql["rollup_cascade_1d"] = f"""

@@ -411,3 +411,32 @@ def test_asof_join_plan_is_single_shuffle_no_join(spark):
     plan = asof_join(df, right, value_cols=["mark"])._jdf.queryExecution().toString()
     assert "Join" not in plan.split("== Physical Plan ==")[-1]
     assert plan.split("== Physical Plan ==")[-1].count("Exchange hashpartitioning") == 1
+
+
+def test_interval_join_containment_and_plan(spark):
+    """Range join: half-open [start, end) containment, intervals spanning
+    multiple tier buckets, overlapping intervals both match — and the
+    physical plan is an equi-join (no CartesianProduct /
+    BroadcastNestedLoop from the range predicate)."""
+    from cesium_spark.operators.rangejoin import interval_join
+
+    def t(s):
+        return pd.Timestamp(s).to_pydatetime()
+
+    pts = spark.createDataFrame(
+        [("a", t("2025-01-01 00:30"), 1), ("a", t("2025-01-01 02:30"), 2),
+         ("a", t("2025-01-01 03:00"), 3), ("b", t("2025-01-01 00:30"), 4)],
+        "conv_id string, ts timestamp, pid int")
+    ivl = spark.createDataFrame(
+        [("a", t("2025-01-01 00:00"), t("2025-01-01 03:00"), 100),  # 3 buckets
+         ("a", t("2025-01-01 02:00"), t("2025-01-01 04:00"), 200)],  # overlaps
+        "conv_id string, start timestamp, end timestamp, iid int")
+
+    out = interval_join(pts, ivl).toPandas()
+    pairs = set(zip(out.pid, out.iid))
+    # pid=3 at 03:00 is NOT in [00:00, 03:00) — half-open end
+    assert pairs == {(1, 100), (2, 100), (2, 200), (3, 200)}
+
+    plan = interval_join(pts, ivl)._jdf.queryExecution().toString()
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in phys and "BroadcastNestedLoop" not in phys
