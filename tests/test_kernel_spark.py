@@ -218,3 +218,46 @@ def test_raise_exceptions_failure_policy(spark):
             custom_functions={"poisoned": poisoned},
             raise_exceptions=True,
         ).collect()
+
+
+def test_public_api_featurize_time_series(spark):
+    """cesium's top-level entry points (featurize.py:25-291) port
+    verbatim: single series, list of series, (p, n) multichannel, and
+    the Spark path equals the driver-side single-ts evaluation."""
+    import numpy as np
+    from cesium_spark.api import featurize_single_ts, featurize_time_series
+
+    rng = np.random.RandomState(4)
+    t = np.sort(rng.uniform(0, 10, 60))
+    m = rng.normal(10, 2, 60)
+    feats = ["n_epochs", "mean", "std", "amplitude", "median", "stetson_k"]
+
+    single = featurize_single_ts(t, m, features_to_use=feats)
+    fset = featurize_time_series(spark, t, m, features_to_use=feats)
+    assert list(fset.index) == ["0"]
+    for f in feats:
+        np.testing.assert_allclose(fset.loc["0", f], single[f], rtol=1e-12)
+
+    # list of series with names
+    t2, m2 = np.sort(rng.uniform(0, 5, 40)), rng.normal(0, 1, 40)
+    multi = featurize_time_series(
+        spark, [t, t2], [m, m2], features_to_use=feats, names=["x", "y"])
+    assert sorted(multi.index) == ["x", "y"]
+    np.testing.assert_allclose(multi.loc["x", "mean"], single["mean"], rtol=1e-12)
+
+    # (p, n) multichannel with shared 1-d t -> {feature}_{channel} columns
+    mm = np.vstack([m, m * 2])
+    wide = featurize_time_series(spark, t, mm, features_to_use=["mean", "std"])
+    assert set(wide.columns) == {"mean_0", "std_0", "mean_1", "std_1"}
+    np.testing.assert_allclose(wide.loc["0", "mean_1"], 2 * single["mean"], rtol=1e-12)
+
+    # reference default: raise_exceptions=True on the public surface
+    import pytest
+
+    def boom(t, m, e):
+        raise RuntimeError("kaput")
+
+    with pytest.raises(Exception, match="kaput"):
+        featurize_time_series(
+            spark, t, m, features_to_use=["boom"],
+            custom_functions={"boom": boom})
