@@ -185,6 +185,24 @@ def q_agg_merge(spark, sf_dir):
     return fin.select("user_id", *[_r(F.col(c)).alias(c) for c in cols])
 
 
+def q_ohlc_1h(spark, sf_dir):
+    """OHLC decimation per (user, hour): endpoint + extreme preserving
+    downsampling, pure JVM min_by/max_by over the composite (ts,
+    tiebreak) rank."""
+    from cesium_spark.operators.downsample import ohlc_downsample
+
+    out = ohlc_downsample(
+        _events(spark, sf_dir), "1h",
+        key_col="user_id", ts_col="ts", tiebreak_col="event_id", value="value",
+    )
+    return out.select(
+        "user_id", "window_start",
+        _r(F.col("open")).alias("open"), _r(F.col("high")).alias("high"),
+        _r(F.col("low")).alias("low"), _r(F.col("close")).alias("close"),
+        "n_points",
+    )
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join: every non-marker event picks up the most recent marker
     value at-or-before its timestamp (per user). Spark side is the
@@ -588,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_merge": q_agg_merge,
         "rollup_cascade_1d": q_rollup_cascade_1d,
         "asof_join": q_asof_join,
+        "ohlc_1h": q_ohlc_1h,
         "range_join": q_range_join,
         "sketch_accuracy": q_sketch_accuracy,
         "sessionize_30m": q_sessionize_30m,
@@ -856,6 +875,24 @@ def oracle_sql() -> dict[str, str]:
                round(any_value(lv.last_value) + {EPS}, {R}) AS last_value
         FROM events e JOIN lv ON e.user_id = lv.user_id
         GROUP BY e.user_id
+    """
+
+    sql["ohlc_1h"] = f"""
+        WITH o AS (
+          SELECT user_id, date_trunc('hour', ts) AS window_start, value,
+                 row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                    ORDER BY ts, event_id) AS ra,
+                 row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                    ORDER BY ts DESC, event_id DESC) AS rd
+          FROM events
+        )
+        SELECT user_id, window_start,
+               round(max(CASE WHEN ra = 1 THEN value END) + {EPS}, {R}) AS open,
+               round(max(value) + {EPS}, {R}) AS high,
+               round(min(value) + {EPS}, {R}) AS low,
+               round(max(CASE WHEN rd = 1 THEN value END) + {EPS}, {R}) AS close,
+               count(*) AS n_points
+        FROM o GROUP BY user_id, window_start
     """
 
     sql["asof_join"] = f"""

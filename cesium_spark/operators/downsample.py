@@ -1,0 +1,141 @@
+"""Downsampling operators beyond the tier rollups: OHLC decimation and
+largest-triangle-three-buckets (LTTB).
+
+- ohlc_downsample: per (series, tier window) emit open/high/low/close —
+  the classic decimation that preserves extremes and endpoints. Pure JVM
+  aggregation (max_by/min_by over the composite (ts, tiebreak) rank),
+  one shuffle, mergeable, DuckDB-oracle-checkable.
+- lttb_downsample: Steinarsson's largest-triangle-three-buckets (2013),
+  the standard perceptual downsampler for plotting. Selection is
+  inherently sequential across buckets (each bucket's pick depends on
+  the previous pick), so it runs as a per-series numpy loop over buckets
+  inside the batched kernel — O(n) per series, vectorized within each
+  bucket, Arrow-batched across series like every other kernel op.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..kernel import group_starts, iter_group_frames, ts_micros
+from .rollup import TIERS
+
+__all__ = ["ohlc_downsample", "lttb_downsample"]
+
+
+def ohlc_downsample(
+    df: DataFrame,
+    tier: str,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "turn_idx",
+    value: Column | str | None = None,
+) -> DataFrame:
+    v_col = F.col(value) if isinstance(value, str) else value
+    if v_col is None:
+        v_col = F.length(F.col("text")).cast("double")
+    rank = F.struct(F.col(ts_col), F.col(tiebreak_col).cast("long"))
+    bucket = F.window(F.col(ts_col), TIERS.get(tier, tier)).start
+    return (
+        df.select(
+            F.col(key_col), bucket.alias("window_start"),
+            v_col.alias("v"), rank.alias("r"),
+        )
+        .groupBy(key_col, "window_start")
+        .agg(
+            F.min_by("v", "r").alias("open"),
+            F.max("v").alias("high"),
+            F.min("v").alias("low"),
+            F.max_by("v", "r").alias("close"),
+            F.count("*").alias("n_points"),
+        )
+    )
+
+
+def lttb_downsample(
+    df: DataFrame,
+    n_out: int = 200,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "turn_idx",
+    value: Column | str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """At most n_out points per series, chosen by LTTB: first and last
+    always kept; each interior bucket keeps the point forming the
+    largest triangle with the previous kept point and the next bucket's
+    centroid. Output: (key, ts, value, kept_rank)."""
+    v_col = F.col(value) if isinstance(value, str) else value
+    if v_col is None:
+        v_col = F.length(F.col("text")).cast("double")
+    narrow = df.select(
+        F.col(key_col),
+        ts_micros(F.col(ts_col)).alias("ts_us"),
+        F.col(tiebreak_col).cast("long").alias("_ord"),
+        v_col.alias("v"),
+    )
+    key_field = narrow.schema[key_col]
+    out_schema = (
+        f"{key_field.name} {key_field.dataType.simpleString()}, "
+        "ts timestamp, value double, kept_rank int"
+    )
+
+    def _lttb(t: np.ndarray, v: np.ndarray, n: int) -> np.ndarray:
+        m = len(t)
+        if m <= n:
+            return np.arange(m)
+        # bucket boundaries over the interior points (Steinarsson 2013)
+        edges = np.linspace(1, m - 1, n - 1).astype(np.int64)
+        kept = np.empty(n, dtype=np.int64)
+        kept[0] = 0
+        a = 0
+        for i in range(n - 2):
+            lo, hi = edges[i], edges[i + 1]
+            if hi <= lo:
+                hi = lo + 1
+            nlo, nhi = edges[i + 1], (edges[i + 2] if i + 2 < n - 1 else m)
+            cx = t[nlo:nhi].mean() if nhi > nlo else t[-1]
+            cy = v[nlo:nhi].mean() if nhi > nlo else v[-1]
+            area = np.abs(
+                (t[a] - cx) * (v[lo:hi] - v[a]) - (t[a] - t[lo:hi]) * (cy - v[a])
+            )
+            a = lo + int(area.argmax())
+            kept[i + 1] = a
+        kept[n - 1] = m - 1
+        return kept
+
+    def _mapper(batches):
+        for body in iter_group_frames(batches, [key_col]):
+            starts = group_starts(body, [key_col])
+            ends = np.append(starts[1:], len(body))
+            ts_all = body["ts_us"].to_numpy(dtype=np.int64)
+            v_all = body["v"].to_numpy(dtype=np.float64)
+            keys = body[key_col].to_numpy()
+            out_k, out_t, out_v, out_r = [], [], [], []
+            for s, z in zip(starts, ends):
+                idx = _lttb(ts_all[s:z].astype(np.float64), v_all[s:z], n_out)
+                out_k.append(np.repeat(keys[s], len(idx)))
+                out_t.append(ts_all[s:z][idx])
+                out_v.append(v_all[s:z][idx])
+                out_r.append(np.arange(len(idx), dtype=np.int32))
+            if not out_k:
+                continue
+            yield pd.DataFrame(
+                {
+                    key_col: np.concatenate(out_k),
+                    "ts": np.concatenate(out_t).astype("datetime64[us]"),
+                    "value": np.concatenate(out_v),
+                    "kept_rank": np.concatenate(out_r),
+                }
+            )
+
+    npart = num_partitions or narrow.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"
+    )
+    arranged = narrow.repartition(int(npart), key_col).sortWithinPartitions(
+        key_col, "ts_us", "_ord"
+    )
+    return arranged.mapInPandas(_mapper, schema=out_schema)

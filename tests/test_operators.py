@@ -440,3 +440,43 @@ def test_interval_join_containment_and_plan(spark):
     plan = interval_join(pts, ivl)._jdf.queryExecution().toString()
     phys = plan.split("== Physical Plan ==")[-1]
     assert "CartesianProduct" not in phys and "BroadcastNestedLoop" not in phys
+
+
+def test_lttb_downsample_properties(spark, transcripts):
+    """LTTB: exact n_out points per long series, endpoints always kept,
+    output is a time-ordered subset of the input, short series pass
+    through untouched."""
+    from cesium_spark.operators.downsample import lttb_downsample
+
+    out = lttb_downsample(transcripts, n_out=50).toPandas()
+    raw = transcripts.toPandas()
+    for conv, g in out.groupby("conv_id"):
+        src = raw[raw.conv_id == conv].sort_values(["ts", "turn_idx"])
+        n_src = len(src)
+        g = g.sort_values("kept_rank")
+        assert len(g) == min(50, n_src)
+        assert g.iloc[0]["ts"] == src.iloc[0]["ts"]     # first kept
+        assert g.iloc[-1]["ts"] == src.iloc[-1]["ts"]   # last kept
+        assert g["ts"].is_monotonic_increasing
+        src_pts = set(zip(src["ts"], src["text"].str.len().astype(float)))
+        assert set(zip(g["ts"], g["value"])) <= src_pts  # subset, no invention
+
+
+def test_lttb_hand_example(spark):
+    """Tiny geometry check: with one interior bucket, LTTB must keep the
+    point with the largest triangle area against the endpoints."""
+    from cesium_spark.operators.downsample import lttb_downsample
+
+    def t(s):
+        return pd.Timestamp(s).to_pydatetime()
+
+    rows = [("c", i, "u", "x", "", t(f"2025-01-01 00:0{i}")) for i in range(5)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]))
+    # value = length(text) = 1 for all -> degenerate; use custom value col
+    vals = {0: 0.0, 1: 1.0, 2: 10.0, 3: 1.0, 4: 0.0}
+    df = df.withColumn("v", F.element_at(
+        F.create_map(*[F.lit(x) for kv in vals.items() for x in kv]),
+        F.col("turn_idx")))
+    out = lttb_downsample(df, n_out=3, value="v").toPandas().sort_values("kept_rank")
+    assert list(out["value"]) == [0.0, 10.0, 0.0]  # spike survives
