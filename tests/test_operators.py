@@ -480,3 +480,41 @@ def test_lttb_hand_example(spark):
         F.col("turn_idx")))
     out = lttb_downsample(df, n_out=3, value="v").toPandas().sort_values("kept_rank")
     assert list(out["value"]) == [0.0, 10.0, 0.0]  # spike survives
+
+
+def test_partition_invariance_of_new_operators(spark, transcripts):
+    """Round-2 operators must be partition-count invariant: as-of join,
+    OHLC, the state cascade, and LTTB produce identical results under
+    different shuffle layouts (catches accidental dependence on partition
+    or arrival order)."""
+    from cesium_spark.operators.aggstate import (
+        finalize_states, partial_states, rollup_states)
+    from cesium_spark.operators.asof import asof_join
+    from cesium_spark.operators.downsample import lttb_downsample, ohlc_downsample
+
+    right = transcripts.filter(F.col("turn_idx") % 25 == 0).select(
+        "conv_id", "ts", F.length("text").cast("double").alias("mark"))
+
+    def run():
+        a = asof_join(transcripts, right, value_cols=["mark"]) \
+            .toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        o = ohlc_downsample(transcripts, "1h") \
+            .toPandas().sort_values(["conv_id", "window_start"]).reset_index(drop=True)
+        c = finalize_states(
+            rollup_states(partial_states(transcripts, "1m"), "1h"),
+            ["conv_id", "window_start"],
+        ).toPandas().sort_values(["conv_id", "window_start"]).reset_index(drop=True)
+        d = lttb_downsample(transcripts, n_out=40, num_partitions=None) \
+            .toPandas().sort_values(["conv_id", "kept_rank"]).reset_index(drop=True)
+        return a, o, c, d
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        r3 = run()
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        r17 = run()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    for x, y in zip(r3, r17):
+        pd.testing.assert_frame_equal(x, y)
