@@ -21,7 +21,10 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-__all__ = ["save_featureset_npz", "load_featureset_npz", "featureset_from_npz"]
+__all__ = [
+    "save_featureset_npz", "load_featureset_npz", "featureset_from_npz",
+    "read_ts_npz", "featurize_npz_files",
+]
 
 
 def _to_unpickled_records(df: pd.DataFrame) -> np.ndarray:
@@ -89,3 +92,51 @@ def featureset_from_npz(spark, path: str, key_col: str = "conv_id"):
             pass  # non-numeric feature column stays as-is
     flat.insert(0, key_col, [str(i) for i in fset.index])
     return spark.createDataFrame(flat.reset_index(drop=True))
+
+
+def read_ts_npz(path: str) -> dict:
+    """Read one cesium ``TimeSeries.save()`` .npz file
+    (/root/reference/cesium/time_series.py:282-317 writes; :85-118 reads):
+    arrays time/measurement/error (or time0.., measurement0.. per
+    channel), scalar name/label, parallel meta_feat_names/values.
+    Returns {name, label, time, measurement, error, meta_features} with
+    per-channel lists for multichannel files."""
+    with np.load(path, allow_pickle=False) as z:
+        data = dict(z)
+    out: dict = {}
+    for key in ("time", "measurement", "error"):
+        if key in data:
+            out[key] = data[key]
+        else:
+            n_ch = sum(1 for c in data if c.startswith(key))
+            out[key] = [data[f"{key}{i}"] for i in range(n_ch)]
+    out["name"] = str(data["name"].item()) if "name" in data else None
+    out["label"] = data["label"].item() if "label" in data else None
+    names = [str(x) for x in data.get("meta_feat_names", [])]
+    vals = list(data.get("meta_feat_values", []))
+    out["meta_features"] = dict(zip(names, vals))
+    return out
+
+
+def featurize_npz_files(spark, paths, features_to_use, **kwargs) -> pd.DataFrame:
+    """cesium ``featurize_ts_files`` over TimeSeries .npz files
+    (/root/reference/cesium/featurize.py:293-361): load each series file
+    driver-side (they are per-series artifacts by construction) and
+    featurize the batch through the distributed kernel via the public
+    array API. Returns the pandas featureset indexed by series name."""
+    from ..api import featurize_time_series
+
+    series = [read_ts_npz(p) for p in paths]
+    names = [
+        s["name"] if s["name"] is not None else str(i)
+        for i, s in enumerate(series)
+    ]
+    return featurize_time_series(
+        spark,
+        [s["time"] for s in series],
+        [s["measurement"] for s in series],
+        [s["error"] for s in series],
+        features_to_use=features_to_use,
+        names=names,
+        **kwargs,
+    )

@@ -194,3 +194,41 @@ def test_featureset_npz_roundtrip(spark, tmp_path):
     back = featureset_from_npz(spark, path).toPandas().set_index("conv_id").sort_index()
     assert list(back.columns) == feats
     np.testing.assert_allclose(back.to_numpy(float), orig.to_numpy(float), rtol=1e-12)
+
+
+def test_ts_npz_reference_format_roundtrip(spark, tmp_path):
+    """cesium TimeSeries.save() files featurize directly: write the
+    reference's exact npz layout (time/measurement/error + name/label +
+    meta arrays), read with read_ts_npz, featurize via the kernel, and
+    match the driver-side single-ts evaluation."""
+    import numpy as np
+    from cesium_spark.api import featurize_single_ts
+    from cesium_spark.sources.featureset_io import (
+        featurize_npz_files, read_ts_npz)
+
+    rng = np.random.RandomState(8)
+    paths = []
+    singles = {}
+    for name in ("s1", "s2"):
+        t = np.sort(rng.uniform(0, 10, 50))
+        m = rng.normal(5, 1, 50)
+        e = rng.exponential(0.1, 50)
+        p = str(tmp_path / f"{name}.npz")
+        np.savez(p, time=t, measurement=m, error=e,
+                 meta_feat_names=["z"], meta_feat_values=[1.5],
+                 name=name, label="classA")
+        paths.append(p)
+        singles[name] = featurize_single_ts(
+            t, m, e, features_to_use=["mean", "std", "amplitude"])
+
+    ts = read_ts_npz(paths[0])
+    assert ts["name"] == "s1" and ts["label"] == "classA"
+    assert ts["meta_features"] == {"z": 1.5}
+
+    fset = featurize_npz_files(
+        spark, paths, features_to_use=["mean", "std", "amplitude"])
+    assert sorted(fset.index) == ["s1", "s2"]
+    for name in ("s1", "s2"):
+        for f in ("mean", "std", "amplitude"):
+            np.testing.assert_allclose(
+                fset.loc[name, f], singles[name][f], rtol=1e-12)
