@@ -212,8 +212,16 @@ def q_asof_join(spark, sf_dir):
     from cesium_spark.operators.asof import asof_join
 
     ev = _events(spark, sf_dir)
-    right = ev.filter(F.col("event_id") % 37 == 0).select(
-        "user_id", "ts", F.col("value").alias("mark")
+    # right side pre-aggregated to one row per (user, ts): DuckDB's ASOF
+    # leaves duplicate-ts ties unspecified, so the oracle comparison is
+    # only well-defined on a deduplicated mark stream (asof_join itself
+    # resolves such ties deterministically to the greatest value tuple —
+    # max(mark) here mirrors that, keeping both sides identical even if
+    # datagen ever emits duplicate marker timestamps)
+    right = (
+        ev.filter(F.col("event_id") % 37 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("mark"))
     )
     left = ev.filter(F.col("event_id") % 37 != 0).select(
         "user_id", "event_id", "ts", "value"
@@ -378,7 +386,7 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     from cesium_spark.operators.similarity import embedding_near_dup_pairs
 
     return embedding_near_dup_pairs(
-        _emb(spark, sf_dir), threshold=0.35, n_lists=16, round_digits=R
+        _emb(spark, sf_dir), threshold=0.35, round_digits=R
     )
 
 
@@ -574,6 +582,37 @@ def q_features_wide(spark, sf_dir):
     return _feat(spark, sf_dir, feats)
 
 
+def q_featureset_impute(spark, sf_dir):
+    """impute_featureset (reference featurize.py:364-414) over an engine
+    featureset: per-user (mean, std), with std knocked out for every 7th
+    user, imputed back with the per-column MEDIAN over the surviving
+    values (sklearn SimpleImputer semantics). The oracle re-derives the
+    identical fill with DuckDB's median over the same rounded inputs —
+    imputation is SQL-expressible, so the strategy sits under the full
+    rows+schema+hash gate."""
+    from cesium_spark.operators.impute import impute_featureset
+
+    ev = _events(spark, sf_dir)
+    fset = (
+        ev.groupBy("user_id")
+        .agg(
+            _r(F.avg("value")).alias("mean_v"),
+            _r(F.stddev_pop("value")).alias("std_v"),
+        )
+        .withColumn(
+            "std_v",
+            F.when(F.col("user_id") % 7 == 0, F.lit(None).cast("double"))
+            .otherwise(F.col("std_v")),
+        )
+    )
+    out = impute_featureset(fset, strategy="median", exclude_cols=("user_id",))
+    return out.select(
+        "user_id",
+        _r(F.col("mean_v")).alias("mean_v"),
+        _r(F.col("std_v")).alias("std_v"),
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -632,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_recall": q_ann_recall,
         "features_wide": q_features_wide,
+        "featureset_impute": q_featureset_impute,
     }
 
 
@@ -901,8 +941,8 @@ def oracle_sql() -> dict[str, str]:
                round(r.mark + {EPS}, {R}) AS mark_asof
         FROM (SELECT user_id, event_id, ts, value FROM events
               WHERE event_id % 37 <> 0) l
-        ASOF LEFT JOIN (SELECT user_id, ts, value AS mark FROM events
-                        WHERE event_id % 37 = 0) r
+        ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS mark FROM events
+                        WHERE event_id % 37 = 0 GROUP BY user_id, ts) r
           ON l.user_id = r.user_id AND l.ts >= r.ts
     """
 
@@ -1273,6 +1313,20 @@ def oracle_sql() -> dict[str, str]:
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         JOIN region r ON n.n_regionkey = r.r_regionkey
         GROUP BY r.r_name
+    """
+
+    sql["featureset_impute"] = f"""
+        WITH f AS (
+          SELECT user_id,
+                 round(avg(value) + {EPS}, {R}) AS mean_v,
+                 CASE WHEN user_id % 7 = 0 THEN NULL
+                      ELSE round(stddev_pop(value) + {EPS}, {R}) END AS std_v
+          FROM events GROUP BY user_id
+        )
+        SELECT user_id,
+               round(mean_v + {EPS}, {R}) AS mean_v,
+               round(coalesce(std_v, (SELECT median(std_v) FROM f)) + {EPS}, {R}) AS std_v
+        FROM f
     """
 
     return sql

@@ -25,8 +25,9 @@ import pandas as pd
 
 from .features.registry import compute_features
 from .kernel import DEFAULT_ERROR_VALUE, featurize
+from .operators.impute import impute_featureset  # noqa: F401  (public API)
 
-__all__ = ["featurize_single_ts", "featurize_time_series"]
+__all__ = ["featurize_single_ts", "featurize_time_series", "impute_featureset"]
 
 
 def featurize_single_ts(
@@ -53,9 +54,12 @@ def featurize_single_ts(
 
 def _as_series_list(x):
     """Normalize the reference's accepted shapes to a list of per-series
-    arrays (each (n,) or (p, n))."""
+    arrays (each (n,) or (p, n)). None entries pass through (a series
+    with no error arrays gets the DEFAULT_ERROR_VALUE fill downstream)."""
     if isinstance(x, (list, tuple)):
-        return [np.asarray(s, dtype=np.float64) for s in x]
+        return [
+            None if s is None else np.asarray(s, dtype=np.float64) for s in x
+        ]
     arr = np.asarray(x, dtype=np.float64)
     return [arr]
 
@@ -87,9 +91,11 @@ def featurize_time_series(
     n_channels = max(
         (m.shape[0] if m.ndim == 2 else 1) for m in m_list
     )
-    rows = []
+    # columnar assembly: one concat of per-series frames, never a
+    # per-point Python tuple loop (Arrow takes the whole block at once)
+    frames = []
     for name, t, m, e in zip(names, ts_list, m_list, e_list):
-        t2 = np.atleast_2d(t)
+        t2 = np.atleast_2d(np.asarray(t, dtype=np.float64))
         m2 = np.atleast_2d(m)
         if e is None:
             e2 = np.full_like(m2, DEFAULT_ERROR_VALUE)
@@ -100,17 +106,20 @@ def featurize_time_series(
             t2 = np.broadcast_to(t2, m2.shape)
         if e2.shape[0] == 1 and m2.shape[0] > 1:
             e2 = np.broadcast_to(e2, m2.shape)
-        for ch in range(m2.shape[0]):
-            for idx in range(m2.shape[1]):
-                rows.append(
-                    (name, ch, idx, float(t2[ch, idx]), float(m2[ch, idx]),
-                     float(e2[ch, idx]))
-                )
-    long = spark.createDataFrame(
-        pd.DataFrame(
-            rows, columns=["series", "channel", "idx", "t", "m", "e"]
+        p, n = m2.shape
+        frames.append(
+            pd.DataFrame(
+                {
+                    "series": np.repeat(np.array(name, dtype=object), p * n),
+                    "channel": np.repeat(np.arange(p, dtype=np.int64), n),
+                    "idx": np.tile(np.arange(n, dtype=np.int64), p),
+                    "t": t2.astype(np.float64, copy=False).ravel(),
+                    "m": m2.astype(np.float64, copy=False).ravel(),
+                    "e": e2.astype(np.float64, copy=False).ravel(),
+                }
+            )
         )
-    )
+    long = spark.createDataFrame(pd.concat(frames, ignore_index=True))
 
     def _one_channel(ch):
         part = long.filter(long["channel"] == ch)

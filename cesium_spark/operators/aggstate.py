@@ -62,7 +62,14 @@ def partial_states(
     ]
     keys = [key_col]
     if tier is not None:
-        sel.append(F.window(F.col(ts_col), TIERS[tier]).start.alias("window_start"))
+        # the tier rides along as column metadata so rollup_states can
+        # refuse a cascade to a non-coarser tier (mislabeled windows are
+        # silent data corruption otherwise)
+        sel.append(
+            F.window(F.col(ts_col), TIERS[tier]).start.alias(
+                "window_start", metadata={"tier": tier}
+            )
+        )
         keys = [key_col, "window_start"]
 
     w = 1.0 / (F.col("e") * F.col("e"))
@@ -120,6 +127,7 @@ def rollup_states(
     states: DataFrame,
     coarser_tier: str,
     key_col: str = "conv_id",
+    fine_tier: str | None = None,
 ) -> DataFrame:
     """Hierarchical continuous-aggregate cascade: fine-tier partial states
     re-windowed to a coarser tier and merged — the downsample path that
@@ -139,13 +147,28 @@ def rollup_states(
         raise ValueError("states must carry window_start (tiered partials)")
     if coarser_tier not in _TIER_SECONDS:
         raise ValueError(f"unknown tier {coarser_tier!r}")
+    # the input tier comes from window_start's column metadata (stamped by
+    # partial_states / a prior rollup_states) or the explicit fine_tier
+    # argument; rolling to a non-strictly-coarser tier would silently tag
+    # whole-day sums as hourly windows, so it raises
+    in_tier = fine_tier or states.schema[fine_ws].metadata.get("tier")
+    if in_tier is not None:
+        if in_tier not in _TIER_SECONDS:
+            raise ValueError(f"unknown input tier {in_tier!r}")
+        fine_s, coarse_s = _TIER_SECONDS[in_tier], _TIER_SECONDS[coarser_tier]
+        if coarse_s <= fine_s or coarse_s % fine_s != 0:
+            raise ValueError(
+                f"cannot roll {in_tier!r} states up to {coarser_tier!r}: "
+                f"target must be a strictly coarser multiple of the input "
+                f"tier (got {fine_s}s -> {coarse_s}s)"
+            )
     coarse = F.window(F.col(fine_ws), TIERS[coarser_tier]).start
     restated = states.withColumn("_cw", coarse).drop(fine_ws)
     merged = merge_states(
         restated.withColumnRenamed("_cw", "window_start"),
         [key_col, "window_start"],
     )
-    return merged
+    return merged.withMetadata("window_start", {"tier": coarser_tier})
 
 
 def finalize_states(states: DataFrame, keep_cols: list[str]) -> DataFrame:

@@ -38,7 +38,14 @@ def asof_join(
     """Left rows + ``{value_col}{suffix}`` columns from the latest right
     row at-or-before each left row's timestamp (per key). Right rows at
     the exact same timestamp DO match (<= semantics, like DuckDB's
-    ``ASOF JOIN ... ON l.ts >= r.ts``)."""
+    ``ASOF JOIN ... ON l.ts >= r.ts``).
+
+    Ties among right rows sharing the exact same (key, ts) resolve
+    deterministically to the GREATEST value tuple (lexicographic over
+    ``value_cols``) — without this the carried mark would depend on
+    physical row order and vary across partitionings. DuckDB's ASOF
+    leaves the same tie unspecified, so oracles comparing against it
+    should pre-aggregate the right side to one row per (key, ts)."""
     value_cols = value_cols or [
         c for c in right.columns if c not in (key_col, ts_col)
     ]
@@ -58,10 +65,17 @@ def asof_join(
         *[F.col(c).alias(f"_r_{c}") for c in value_cols],
     )
     # side 0 sorts before side 1 at equal ts -> a right row at exactly
-    # left.ts is visible to that left row (<= semantics)
+    # left.ts is visible to that left row (<= semantics). The trailing
+    # _r_* keys order right rows at an identical (key, ts) so last()
+    # deterministically carries the greatest value tuple; left rows have
+    # NULL there and are inert to it (their relative order never affects
+    # the carried right value).
     w = (
         Window.partitionBy(key_col)
-        .orderBy(ts_micros(F.col(ts_col)), "_side")
+        .orderBy(
+            ts_micros(F.col(ts_col)), "_side",
+            *[F.col(f"_r_{c}").asc_nulls_first() for c in value_cols],
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = l_tag.unionByName(r_tag).select(

@@ -101,7 +101,12 @@ def ngram_jaccard_pairs(
     sh = char_shingles(df, id_col, text_col, k)
     if max_shingle_freq is not None:
         hot = sh.groupBy("shingle").count().filter(F.col("count") > max_shingle_freq)
-        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+        # NO broadcast hint: the hot-shingle set is corpus-sized in the
+        # worst case (template-heavy corpora have 10^7+ shingles above any
+        # cap), so a forced broadcast is an OOM waiting for the wrong
+        # corpus. AQE picks broadcast vs shuffle from the measured size of
+        # `hot` at runtime — tiny in the common case, safe in the bad one.
+        sh = sh.join(hot.select("shingle"), "shingle", "left_anti")
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -200,10 +205,10 @@ def minhash_lsh_pairs(
     )
 
 
-def _simhash_batch(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash per text over whitespace tokens; token hash = first
-    8 bytes of md5 (engine-portable: the DuckDB oracle re-derives the same
-    bits from md5 hex nibbles and cross-checks the pair set).
+def _simhash_accumulate(token_lists) -> pd.Series:
+    """64-bit SimHash per token list; token hash = first 8 bytes of md5
+    (engine-portable: the DuckDB oracle re-derives the same bits from md5
+    hex nibbles and cross-checks the pair set).
 
     Vectorized per Arrow batch: each DISTINCT token in the batch is hashed
     exactly once, then the per-row accumulation is a single scatter-add
@@ -212,13 +217,13 @@ def _simhash_batch(texts: pd.Series) -> pd.Series:
     happens inside it."""
     from collections import Counter
 
-    n = len(texts)
+    n = len(token_lists)
     tok2id: dict[str, int] = {}
     tids: list[int] = []
     cnts: list[int] = []
     per_row: list[int] = []
-    for text in texts:
-        c = Counter((text or "").split())
+    for toks in token_lists:
+        c = Counter(toks if toks is not None else ())
         tids.extend(tok2id.setdefault(t, len(tok2id)) for t in c.keys())
         cnts.extend(c.values())
         per_row.append(len(c))
@@ -241,10 +246,28 @@ def _simhash_batch(texts: pd.Series) -> pd.Series:
     return pd.Series(packed.view(">u8").ravel().astype(np.uint64).view(np.int64))
 
 
+def _simhash_batch(texts: pd.Series) -> pd.Series:
+    """Text-input form of the batch kernel (tokenizes in Python) — kept as
+    the reference implementation the JVM-tokenized production path is
+    tested against."""
+    return _simhash_accumulate([(t or "").split() for t in texts])
+
+
+def _simhash_token_batch(token_arrays: pd.Series) -> pd.Series:
+    return _simhash_accumulate(token_arrays.tolist())
+
+
 def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, simhash) — vectorized Arrow-batched UDF, one pass, no shuffle."""
-    udf = F.pandas_udf(_simhash_batch, LongType())
-    return df.select(F.col(id_col).alias("id"), udf(F.col(text_col)).alias("simhash"))
+    """(id, simhash) — one pass, no shuffle. Tokenization (whitespace
+    split + empty-token drop) runs JVM-side so raw text never crosses the
+    Arrow boundary; the UDF receives token arrays only. Java's \\s matches
+    the oracle's regex class exactly (DuckDB string_split_regex '\\s+'),
+    so the signature is engine-portable by construction."""
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")
+    )
+    udf = F.pandas_udf(_simhash_token_batch, LongType())
+    return df.select(F.col(id_col).alias("id"), udf(toks).alias("simhash"))
 
 
 def simhash_pairs(

@@ -33,7 +33,9 @@ def interval_join(
 ) -> DataFrame:
     """Pairs (point row, interval row) where point.ts is in
     [start, end) and keys match. Output: all point columns + all interval
-    columns except the key (half-open end, the tier-window convention)."""
+    columns except the key (half-open end, the tier-window convention).
+    Degenerate intervals (end <= start) are empty under half-open
+    semantics and match no points."""
     step = _TIER_SECONDS[tier]
     p_bucket = F.date_trunc(
         {"1m": "minute", "1h": "hour", "1d": "day"}[tier], F.col(ts_col)
@@ -47,6 +49,12 @@ def interval_join(
         {"1m": "minute", "1h": "hour", "1d": "day"}[tier],
         F.col(end_col) - F.expr("INTERVAL 1 MICROSECOND"),
     )
+    # degenerate intervals (end <= start) contain no point under the
+    # half-open semantics — drop them up front, both because that is the
+    # correct result and because F.sequence(start, stop, +step) raises at
+    # runtime when stop < start (one empty interval row would otherwise
+    # crash the whole job)
+    intervals = intervals.filter(F.col(end_col) > F.col(start_col))
     ivl = intervals.select(
         F.col(key_col).alias("_k"),
         F.explode(

@@ -272,12 +272,22 @@ def ivf_topk(
     )
 
 
+def _default_n_lists(corpus_count: int) -> int:
+    """~sqrt(N) IVF lists (the standard rule): join parallelism and
+    per-list candidate mass both scale with the corpus. Floor 16 keeps
+    tiny corpora from degenerating to a handful of lists; cap 1024 bounds
+    the driver-side n_lists^2 admissible-pair enumeration at ~1M rows."""
+    import math
+
+    return min(1024, max(16, int(math.isqrt(max(corpus_count, 0)))))
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_lists: int = 16,
+    n_lists: int | None = None,
     train_sample: int = 2048,
     seed: int = 42,
     round_digits: int = 6,
@@ -305,15 +315,20 @@ def embedding_near_dup_pairs(
     corpus and shuffles only on the list key, but touches ~N^2 candidates
     (no subquadratic scheme can separate 70-degree neighbors from the
     90-degree bulk; that is inherent, not an implementation artifact).
-    Raise n_lists with corpus size (sqrt(N) is the usual rule) and rely
-    on AQE skew-join splitting for the n_lists-ary join key.
+    n_lists defaults to ~sqrt(corpus count) (floor 16, cap 1024 — the cap
+    bounds the driver-side n_lists^2 admissible-pair enumeration at ~1M
+    rows), so join parallelism grows with the corpus instead of pinning
+    the heaviest join in the stack to a constant partition count; AQE
+    skew-join splitting handles residual per-list imbalance.
     """
     import pandas as pd
 
+    if n_lists is None:
+        n_lists = _default_n_lists(corpus.count())
     # id-ordered bounded sample: deterministic centroids (pruning quality
     # depends on them; correctness of the pair set does not)
     sample_rows = (
-        corpus.select(id_col, vec_col).orderBy(id_col).limit(train_sample)
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(max(train_sample, 4 * n_lists))
         .toPandas()[vec_col].tolist()
     )
     cents = _kmeans_centroids(

@@ -131,11 +131,21 @@ def featurize_npz_files(spark, paths, features_to_use, **kwargs) -> pd.DataFrame
         s["name"] if s["name"] is not None else str(i)
         for i, s in enumerate(series)
     ]
+
+    def _err_or_none(e):
+        # a TimeSeries .npz with no error arrays reads back as [] / empty;
+        # pass None so featurize_time_series applies the reference's
+        # DEFAULT_ERROR_VALUE fill instead of choking on a (1, 0) array
+        if e is None or len(e) == 0:
+            return None
+        return e
+
+    errors = [_err_or_none(s["error"]) for s in series]
     return featurize_time_series(
         spark,
         [s["time"] for s in series],
         [s["measurement"] for s in series],
-        [s["error"] for s in series],
+        errors if any(e is not None for e in errors) else None,
         features_to_use=features_to_use,
         names=names,
         **kwargs,

@@ -95,6 +95,7 @@ def streaming_sessionize(
     gap_minutes: int = 30,
     key_col: str = "conv_id",
     ts_col: str = "ts",
+    watermark: str | None = None,
 ):
     """Custom stateful streaming operator via applyInPandasWithState:
     gap-based sessionization whose open-session state survives micro-batch
@@ -103,12 +104,26 @@ def streaming_sessionize(
 
     Emits one row per CLOSED session (closed = a later event arrived more
     than `gap_minutes` after it): (key, session_start, session_end,
-    n_events). The still-open trailing session stays in state and closes
-    when a sufficiently-late event arrives in a future batch; readers
-    needing end-of-stream flushes can send a per-key sentinel event past
-    the gap (standard practice for gap sessions without wall-clock
-    timeouts — availableNow replays are deterministic this way, which is
-    what the engine's resume story needs).
+    n_events).
+
+    Trailing-session closure — two modes:
+      - watermark=None (default): the open trailing session stays in
+        state indefinitely and closes only when a sufficiently-late event
+        arrives; readers needing end-of-stream flushes send a per-key
+        sentinel event past the gap. Deterministic under availableNow
+        replays, which the engine's resume story needs.
+      - watermark="2 hours" (any interval string): event-time timeout —
+        when the stream's watermark passes (session_end + gap), the open
+        session closes and its state is freed, bounding state for
+        inactive keys. Closure timing then depends on watermark advance
+        (i.e. on batch boundaries), the standard streaming trade.
+
+    Input assumption: per-key events may arrive out of order WITHIN a
+    micro-batch (each batch is sorted here), but an event older than the
+    carried session's last timestamp in a LATER batch merges into the
+    open session (session_start stays pinned; it never reopens closed
+    sessions). Use the watermark mode to bound how late such events can
+    be, or keep per-key delivery ordered.
 
     Per-group work is vectorized numpy (diff + flatnonzero over the
     batch's sorted event times merged with the carried state) — the
@@ -134,7 +149,24 @@ def streaming_sessionize(
         StructField("n", LongType()),
     ])
 
+    gap_ms = gap_us // 1000
+    use_timeout = watermark is not None
+
     def fn(key, pdfs, state):
+        if use_timeout and state.hasTimedOut:
+            # watermark passed (last event + gap): the open session is
+            # definitively closed — no in-watermark event can extend it
+            start_us, last_us, n_carry = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "session_start": pd.to_datetime([start_us], unit="us"),
+                    "session_end": pd.to_datetime([last_us], unit="us"),
+                    "n_events": [n_carry],
+                }
+            )
+            return
         ts_list = [pdf["ts_us"].to_numpy(dtype=np.int64) for pdf in pdfs]
         ts = np.sort(np.concatenate(ts_list)) if ts_list else np.empty(0, np.int64)
         if ts.size == 0:
@@ -162,6 +194,13 @@ def streaming_sessionize(
                 first = start_us
             if z == len(seq) - 1:
                 state.update((first, last, n_seg))  # trailing stays open
+                if use_timeout:
+                    # fire once the watermark passes last + gap (clamped
+                    # above the current watermark, which Spark requires)
+                    state.setTimeoutTimestamp(
+                        max(last // 1000 + gap_ms,
+                            state.getCurrentWatermarkMs() + 1)
+                    )
             else:
                 closed.append((first, last, n_seg))
         if closed:
@@ -178,11 +217,22 @@ def streaming_sessionize(
                 }
             )
 
-    narrow = stream_df.select(
-        F.col(key_col), ts_micros(F.col(ts_col)).alias("ts_us")
-    )
+    if use_timeout:
+        # the watermarked event-time column must survive into the stateful
+        # operator (Spark rejects EventTimeTimeout otherwise) — carry it
+        # alongside the ts_us the kernel actually reads
+        narrow = stream_df.withWatermark(ts_col, watermark).select(
+            F.col(key_col), F.col(ts_col),
+            ts_micros(F.col(ts_col)).alias("ts_us"),
+        )
+        timeout_conf = "EventTimeTimeout"
+    else:
+        narrow = stream_df.select(
+            F.col(key_col), ts_micros(F.col(ts_col)).alias("ts_us")
+        )
+        timeout_conf = "NoTimeout"
     return narrow.groupBy(key_col).applyInPandasWithState(
-        fn, out_schema, state_schema, "append", "NoTimeout"
+        fn, out_schema, state_schema, "append", timeout_conf
     )
 
 

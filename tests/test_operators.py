@@ -518,3 +518,66 @@ def test_partition_invariance_of_new_operators(spark, transcripts):
         spark.conf.set("spark.sql.shuffle.partitions", old)
     for x, y in zip(r3, r17):
         pd.testing.assert_frame_equal(x, y)
+
+
+def test_asof_join_right_dup_ts_tiebreak_deterministic(spark):
+    """ADVICE r2: right rows sharing the exact same (key, ts) must resolve
+    to the GREATEST value tuple regardless of physical row order /
+    partitioning — not whichever row the shuffle happened to order last."""
+    from cesium_spark.operators.asof import asof_join
+
+    def t(s):
+        return pd.Timestamp(s).to_pydatetime()
+
+    left = spark.createDataFrame(
+        [("a", t("2025-01-01 00:10"), 1), ("a", t("2025-01-01 00:20"), 2)],
+        "conv_id string, ts timestamp, n int")
+    for perm in ([5.0, 9.0, 7.0], [9.0, 7.0, 5.0], [7.0, 5.0, 9.0]):
+        right = spark.createDataFrame(
+            [("a", t("2025-01-01 00:10"), v) for v in perm],
+            "conv_id string, ts timestamp, mark double").repartition(3)
+        out = asof_join(left, right, key_col="conv_id", value_cols=["mark"]) \
+            .toPandas().set_index("n")["mark_asof"]
+        assert out[1] == 9.0 and out[2] == 9.0, perm
+
+
+def test_interval_join_degenerate_intervals_match_nothing(spark):
+    """ADVICE r2: end <= start intervals are empty under half-open
+    semantics; they must contribute zero pairs, not crash F.sequence."""
+    from cesium_spark.operators.rangejoin import interval_join
+
+    def t(s):
+        return pd.Timestamp(s).to_pydatetime()
+
+    pts = spark.createDataFrame(
+        [("a", t("2025-01-01 00:30"), 1)], "conv_id string, ts timestamp, pid int")
+    ivl = spark.createDataFrame(
+        [("a", t("2025-01-01 00:00"), t("2025-01-01 01:00"), 1),   # real
+         ("a", t("2025-01-01 00:30"), t("2025-01-01 00:30"), 2),   # empty
+         ("a", t("2025-01-01 02:00"), t("2025-01-01 01:00"), 3)],  # inverted
+        "conv_id string, start timestamp, end timestamp, iid int")
+    out = interval_join(pts, ivl).toPandas()
+    assert set(zip(out.pid, out.iid)) == {(1, 1)}
+
+
+def test_rollup_states_rejects_non_coarser_tier(spark, transcripts):
+    """ADVICE r2: rolling 1d states 'up' to 1h would tag whole-day sums as
+    hourly windows — the tier rides as window_start column metadata and a
+    non-strictly-coarser target raises."""
+    from cesium_spark.operators.aggstate import partial_states, rollup_states
+
+    st_1d = partial_states(transcripts, "1d")
+    with pytest.raises(ValueError, match="strictly coarser"):
+        rollup_states(st_1d, "1h")
+    st_1h = partial_states(transcripts, "1h")
+    with pytest.raises(ValueError, match="strictly coarser"):
+        rollup_states(st_1h, "1h")  # same tier is not coarser
+    # explicit fine_tier overrides/stands in when metadata is absent
+    stripped = st_1h.select(*st_1h.columns)  # select keeps metadata...
+    with pytest.raises(ValueError, match="strictly coarser"):
+        rollup_states(stripped, "1m", fine_tier="1h")
+    # the valid cascade still works and restamps the tier for chaining
+    rolled = rollup_states(st_1h, "1d")
+    assert rolled.schema["window_start"].metadata.get("tier") == "1d"
+    with pytest.raises(ValueError, match="strictly coarser"):
+        rollup_states(rolled, "1h")

@@ -232,3 +232,25 @@ def test_ts_npz_reference_format_roundtrip(spark, tmp_path):
         for f in ("mean", "std", "amplitude"):
             np.testing.assert_allclose(
                 fset.loc[name, f], singles[name][f], rtol=1e-12)
+
+
+def test_ts_npz_without_error_arrays_uses_default_fill(spark, tmp_path):
+    """ADVICE r2: a TimeSeries .npz with no error arrays must featurize
+    with cesium's DEFAULT_ERROR_VALUE fill (the reference's behavior),
+    not crash on a (1, 0) error array."""
+    import numpy as np
+    from cesium_spark.api import featurize_single_ts
+    from cesium_spark.sources.featureset_io import featurize_npz_files
+
+    rng = np.random.RandomState(11)
+    t = np.sort(rng.uniform(0, 10, 40))
+    m = rng.normal(5, 1, 40)
+    p = str(tmp_path / "noerr.npz")
+    np.savez(p, time=t, measurement=m, name="ne1")
+
+    fset = featurize_npz_files(
+        spark, [p], features_to_use=["mean", "std", "weighted_average"])
+    want = featurize_single_ts(
+        t, m, None, features_to_use=["mean", "std", "weighted_average"])
+    for f in ("mean", "std", "weighted_average"):
+        np.testing.assert_allclose(fset.loc["ne1", f], want[f], rtol=1e-12)

@@ -133,3 +133,47 @@ def test_streaming_sessions_match_batch(spark, tmp_path):
         .sort_values(["conv_id", "session_start"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_sessionize_event_time_timeout_closes_trailing_session(spark, tmp_path):
+    """VERDICT r2 item 10 / ADVICE r2: with a watermark, an open trailing
+    session closes via EventTimeTimeout once the watermark passes
+    (last event + gap) — no sentinel event needed, state is bounded."""
+    from cesium_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+    from cesium_spark.streaming.stream import start_session_stream
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    t0 = pd.Timestamp("2025-03-01 12:00:00")
+
+    def rows(items):
+        return pd.DataFrame(
+            [(k, i, "user", "x", "", t0 + pd.Timedelta(minutes=o))
+             for i, (k, o) in enumerate(items)],
+            columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+        )
+
+    # file 1: key a's short session + key b far in the future (advances
+    # the watermark well past a.last + gap)
+    spark.createDataFrame(rows([("a", 0), ("a", 5), ("b", 300)])) \
+        .coalesce(1).write.mode("overwrite").parquet(in_dir)
+    import time
+    time.sleep(1.1)  # distinct mtimes -> deterministic file order
+    # file 2: unrelated key; processing it fires a's timeout (watermark
+    # from batch 1 = t0+300m - 10m >> a.last + 30m gap)
+    spark.createDataFrame(rows([("c", 290)])) \
+        .coalesce(1).write.mode("append").parquet(in_dir)
+
+    q = start_session_stream(
+        spark, in_dir, out_dir, ckpt, TRANSCRIPT_SCHEMA,
+        gap_minutes=30, max_files_per_trigger=1, watermark="10 minutes")
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out_dir).toPandas()
+    a_rows = got[got.conv_id == "a"]
+    assert len(a_rows) == 1
+    s = a_rows.iloc[0]
+    assert s["session_start"] == t0
+    assert s["session_end"] == t0 + pd.Timedelta(minutes=5)
+    assert s["n_events"] == 2
+    # b and c stay open (watermark never passed their last + gap)
+    assert set(got.conv_id) == {"a"}
