@@ -582,6 +582,123 @@ def q_features_wide(spark, sf_dir):
     return _feat(spark, sf_dir, feats)
 
 
+# ------------------------------------------------- golden feature bridge
+#
+# VERDICT r2 top item: features_periodic / features_wide were rows-only in
+# the driver contract (their values are golden-anchored in pytest, but the
+# driver could not see a regression). Bridge pattern (same as ann_recall):
+# run the ENGINE (Spark kernel path) over the 3 vendored reference series,
+# compare each feature against the reference's own expected_features.csv
+# constants at the golden tolerance (1.5e-6, assert_array_almost_equal
+# decimal=6), and emit (series, feature, expected, ok). The oracle emits
+# the identical constants with ok=TRUE — any feature regression flips a
+# hash-checked boolean.
+
+_GOLDEN_DIR = "/root/repo/tests/data"
+_GOLDEN_SERIES = ("257141.dat", "245486.dat", "247327.dat")
+
+
+def _golden_expected():
+    import os
+
+    import numpy as np
+
+    series = []
+    for name in _GOLDEN_SERIES:
+        arr = np.loadtxt(os.path.join(_GOLDEN_DIR, name), delimiter=",")
+        order = np.argsort(arr[:, 0])  # reference sorts by time on load
+        series.append((name, arr[order, 0], arr[order, 1], arr[order, 2]))
+    with open(os.path.join(_GOLDEN_DIR, "expected_features.csv")) as f:
+        names = f.readline().strip().split(",")
+        expected = np.loadtxt(f, delimiter=",")
+    return series, names, expected
+
+
+def _golden_check_rows(feats):
+    """(series, feature, want_raw, want_rounded) — the rounded constant is
+    computed ONCE in Python and used verbatim on both engines, so no
+    engine rounding semantics are in play."""
+    import math
+
+    series, names, expected = _golden_expected()
+    rows = []
+    for i, (sname, _, _, _) in enumerate(series):
+        for fname in feats:
+            want = float(expected[i, names.index(fname)])
+            if not math.isfinite(want):
+                continue  # no golden anchor for this cell
+            rows.append((sname, fname, want, round(want + EPS, R)))
+    return series, rows
+
+
+def _q_golden_check(spark, feats):
+    import numpy as np
+    import pandas as pd
+
+    series, rows = _golden_check_rows(feats)
+    frames = [
+        pd.DataFrame(
+            {"series": sname, "idx": np.arange(len(t)), "t": t, "m": m, "e": e}
+        )
+        for sname, t, m, e in series
+    ]
+    long = _ensure_conf(spark).createDataFrame(pd.concat(frames, ignore_index=True))
+    fset = featurize(
+        long, list(feats), key_col="series", ts_col="t",
+        tiebreak_col="idx", t="t", m="m", e="e",
+    )
+    stack_expr = ", ".join(f"'{f}', `{f}`" for f in feats)
+    got = fset.select(
+        "series",
+        F.expr(f"stack({len(feats)}, {stack_expr}) AS (feature, got)"),
+    )
+    exp = spark.createDataFrame(
+        rows, "series string, feature string, want double, expected double"
+    )
+    return got.join(F.broadcast(exp), ["series", "feature"]).select(
+        "series", "feature", "expected",
+        (F.abs(F.col("got") - F.col("want")) < F.lit(1.5e-6)).alias("ok"),
+    )
+
+
+def _golden_oracle(feats) -> str:
+    _, rows = _golden_check_rows(feats)
+    vals = ",\n          ".join(
+        f"('{s}', '{f}', {wr!r}, TRUE)" for s, f, _, wr in rows
+    )
+    return (
+        "SELECT * FROM (VALUES\n          "
+        + vals
+        + "\n        ) AS t(series, feature, expected, ok)"
+    )
+
+
+def _wide_golden_feats():
+    from cesium_spark.features.registry import GENERAL_FEATS
+
+    return [f for f in GENERAL_FEATS if f != "period_fast"]
+
+
+def _periodic_golden_feats():
+    from cesium_spark.features.registry import LOMB_SCARGLE_FEATS
+
+    return list(LOMB_SCARGLE_FEATS)
+
+
+def q_features_wide_golden(spark, sf_dir):
+    """features_wide value bridge: the 25 golden-anchored general features
+    over the 3 reference series, engine values vs expected_features.csv at
+    the golden tolerance. Hash-checked via the constant/boolean schema."""
+    return _q_golden_check(spark, _wide_golden_feats())
+
+
+def q_features_periodic_golden(spark, sf_dir):
+    """features_periodic value bridge: all 47 Lomb-Scargle features over
+    the 3 reference series (full reference frequency grids), engine values
+    vs expected_features.csv at the golden tolerance."""
+    return _q_golden_check(spark, _periodic_golden_feats())
+
+
 def q_featureset_impute(spark, sf_dir):
     """impute_featureset (reference featurize.py:364-414) over an engine
     featureset: per-user (mean, std), with std knocked out for every 7th
@@ -672,6 +789,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "features_wide": q_features_wide,
         "featureset_impute": q_featureset_impute,
+        "features_wide_golden": q_features_wide_golden,
+        "features_periodic_golden": q_features_periodic_golden,
     }
 
 
@@ -1328,5 +1447,11 @@ def oracle_sql() -> dict[str, str]:
                round(coalesce(std_v, (SELECT median(std_v) FROM f)) + {EPS}, {R}) AS std_v
         FROM f
     """
+
+    # golden-bridge oracles: the vendored reference constants, emitted as
+    # literals (ok=TRUE) — the Spark side recomputes `ok` from live engine
+    # values, so a feature regression breaks the value hash
+    sql["features_wide_golden"] = _golden_oracle(_wide_golden_feats())
+    sql["features_periodic_golden"] = _golden_oracle(_periodic_golden_feats())
 
     return sql
