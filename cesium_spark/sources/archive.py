@@ -1,0 +1,117 @@
+"""Archive ingest: expand a tar/zip of per-series files into paths the
+batch ingest entry points consume (featurize_csv_series for .dat/.csv,
+featurize_npz_files for TimeSeries .npz).
+
+Reference parity: /root/reference/cesium/util.py:52-116
+(`extract_time_series`) — the reference's upload path accepts a single
+archive of one-file-per-series. This is a DRIVER-SIDE helper by design:
+archives are a hand-off format for small batches, not a cluster storage
+layout (a tar of 10^9 members is the wrong input for any engine — land
+the files on shared storage and read them with the distributed ingest
+paths instead, which is why nothing here touches Spark).
+
+Semantics matched to the reference:
+  - non-archive inputs pass through as a single-file list;
+  - members whose names start with '.' or '/' are skipped (path-escape
+    and hidden-file hygiene; tar extraction additionally applies the
+    stdlib 'data' filter);
+  - directories are dropped from the yielded list;
+  - `cleanup_archive` deletes the source archive after expansion,
+    `cleanup_files` deletes the extracted files when the context exits.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+import tarfile
+import tempfile
+import zipfile
+
+__all__ = ["extract_time_series", "remove_files", "featurize_archive"]
+
+
+def remove_files(paths) -> None:
+    """Delete the given path(s), ignoring ones that don't exist
+    (reference util.py:29-48)."""
+    if isinstance(paths, (str, os.PathLike)):
+        paths = [paths]
+    for p in paths:
+        try:
+            os.remove(p)
+        except FileNotFoundError:
+            pass
+
+
+@contextlib.contextmanager
+def extract_time_series(
+    data_path: str,
+    cleanup_archive: bool = True,
+    cleanup_files: bool = False,
+    extract_dir: str | None = None,
+):
+    """Yield the list of time-series file paths contained in `data_path`
+    (a tar, a zip, or a plain single-series file)."""
+    if extract_dir is None:
+        extract_dir = tempfile.mkdtemp()
+
+    def _keep(name: str) -> bool:
+        return not name.startswith((".", "/"))
+
+    is_archive = True
+    if tarfile.is_tarfile(data_path):
+        with tarfile.open(data_path) as tf:
+            members = [m for m in tf.getmembers() if _keep(m.name)]
+            tf.extractall(path=extract_dir, members=members, filter="data")
+            names = [m.name for m in members]
+    elif zipfile.is_zipfile(data_path):
+        with zipfile.ZipFile(data_path) as zf:
+            names = [n for n in zf.namelist() if _keep(n)]
+            zf.extractall(path=extract_dir, members=names)
+    else:
+        is_archive = False
+        names = []
+
+    if is_archive:
+        paths = [os.path.join(extract_dir, n) for n in names]
+        if cleanup_archive:
+            remove_files(data_path)
+    else:
+        paths = [data_path]
+
+    file_paths = [p for p in paths if not os.path.isdir(p)]
+    try:
+        yield file_paths
+    finally:
+        if cleanup_files:
+            remove_files(file_paths)
+
+
+def featurize_archive(spark, archive_path: str, features_to_use, **kwargs):
+    """One-call ingest of an archive (or single file) of per-series files:
+    .npz members route through featurize_npz_files, everything else
+    (.dat/.csv/.txt t,m[,e] rows) through featurize_csv_series with the
+    shortened filename as the series name. Returns a pandas featureset
+    indexed by series name (the cesium interchange shape). Members must
+    be all-npz or all-delimited — mixing formats in one archive raises."""
+    from .featureset_io import featurize_npz_files
+    from .transcripts import featurize_csv_series, shorten_fname
+
+    with extract_time_series(
+        archive_path, cleanup_archive=False, cleanup_files=True
+    ) as paths:
+        if not paths:
+            raise ValueError(f"archive {archive_path!r} contains no files")
+        npz = [p for p in paths if p.endswith(".npz")]
+        if npz and len(npz) != len(paths):
+            raise ValueError(
+                "archive mixes .npz and delimited series files; "
+                "split it by format"
+            )
+        if npz:
+            return featurize_npz_files(spark, npz, features_to_use, **kwargs)
+        fset = featurize_csv_series(
+            spark, {shorten_fname(p): p for p in paths}, features_to_use,
+            **kwargs,
+        )
+        return fset.toPandas().set_index("series").sort_index()

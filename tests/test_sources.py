@@ -1,6 +1,8 @@
 """Snapshot-table shim (append / dynamic overwrite / time travel), the
 reference-format CSV reader, and multimodal plumbing."""
 
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -254,3 +256,103 @@ def test_ts_npz_without_error_arrays_uses_default_fill(spark, tmp_path):
         t, m, None, features_to_use=["mean", "std", "weighted_average"])
     for f in ("mean", "std", "weighted_average"):
         np.testing.assert_allclose(fset.loc["ne1", f], want[f], rtol=1e-12)
+
+
+def test_extract_time_series_tar_zip_and_passthrough(tmp_path):
+    """Reference extract_time_series semantics (util.py:52-116): tar and
+    zip expand to member paths (hidden/absolute members skipped,
+    directories dropped), non-archives pass through, cleanup flags delete
+    what they claim to."""
+    import tarfile
+    import zipfile
+    from cesium_spark.sources.archive import extract_time_series, remove_files
+
+    d1 = tmp_path / "series1.dat"
+    d2 = tmp_path / "series2.dat"
+    d1.write_text("0.0,1.0\n1.0,2.0\n")
+    d2.write_text("0.0,3.0\n1.0,4.0\n")
+    hidden = tmp_path / ".hidden.dat"
+    hidden.write_text("0,0\n")
+
+    tar_p = str(tmp_path / "arch.tar.gz")
+    with tarfile.open(tar_p, "w:gz") as tf:
+        for p in (d1, d2, hidden):
+            tf.add(str(p), arcname=p.name)
+    with extract_time_series(tar_p, cleanup_archive=False) as paths:
+        names = sorted(os.path.basename(p) for p in paths)
+        assert names == ["series1.dat", "series2.dat"]  # hidden skipped
+        assert all(os.path.exists(p) for p in paths)
+    assert os.path.exists(tar_p)
+
+    zip_p = str(tmp_path / "arch.zip")
+    with zipfile.ZipFile(zip_p, "w") as zf:
+        zf.write(str(d1), arcname="series1.dat")
+    with extract_time_series(zip_p, cleanup_files=True) as paths:
+        assert len(paths) == 1 and os.path.exists(paths[0])
+        kept = paths[0]
+    assert not os.path.exists(kept)      # cleanup_files
+    assert not os.path.exists(zip_p)     # cleanup_archive default True
+
+    # non-archive passes through untouched
+    with extract_time_series(str(d1), cleanup_archive=True) as paths:
+        assert paths == [str(d1)]
+    assert os.path.exists(str(d1))  # passthrough never deletes the input
+
+    # remove_files: str, list, and missing-file tolerance (util.py:29-48)
+    f = tmp_path / "rm.me"
+    f.write_text("x")
+    remove_files(str(f))
+    assert not f.exists()
+    remove_files([str(f)])  # already gone: no raise
+
+
+def test_featurize_archive_csv_and_npz(spark, tmp_path):
+    """featurize_archive: a tar of .dat series featurizes to the same
+    values as the direct per-file path; an archive of TimeSeries .npz
+    routes through the npz reader; mixed formats raise."""
+    import tarfile
+    import zipfile
+    import numpy as np
+    from cesium_spark.api import featurize_single_ts
+    from cesium_spark.sources.archive import featurize_archive
+
+    rng = np.random.RandomState(13)
+    singles = {}
+    for name in ("arc_a", "arc_b"):
+        t = np.sort(rng.uniform(0, 10, 30))
+        m = rng.normal(5, 1, 30)
+        pd.DataFrame({"t": t, "m": m}).to_csv(
+            tmp_path / f"{name}.dat", index=False, header=False)
+        singles[name] = featurize_single_ts(
+            t, m, None, features_to_use=["mean", "amplitude"])
+    tar_p = str(tmp_path / "series.tar")
+    with tarfile.open(tar_p, "w") as tf:
+        for name in ("arc_a", "arc_b"):
+            tf.add(str(tmp_path / f"{name}.dat"), arcname=f"{name}.dat")
+
+    fset = featurize_archive(spark, tar_p, ["mean", "amplitude"])
+    assert list(fset.index) == ["arc_a", "arc_b"]
+    for name in ("arc_a", "arc_b"):
+        for f in ("mean", "amplitude"):
+            np.testing.assert_allclose(
+                fset.loc[name, f], singles[name][f], rtol=1e-12)
+
+    # npz archive
+    t = np.sort(rng.uniform(0, 10, 25))
+    m = rng.normal(2, 1, 25)
+    npz_p = str(tmp_path / "one.npz")
+    np.savez(npz_p, time=t, measurement=m, name="zser")
+    zip_p = str(tmp_path / "series_npz.zip")
+    with zipfile.ZipFile(zip_p, "w") as zf:
+        zf.write(npz_p, arcname="one.npz")
+    fset2 = featurize_archive(spark, zip_p, ["mean"])
+    want = featurize_single_ts(t, m, None, features_to_use=["mean"])
+    np.testing.assert_allclose(fset2.loc["zser", "mean"], want["mean"], rtol=1e-12)
+
+    # mixed formats raise
+    mixed_p = str(tmp_path / "mixed.zip")
+    with zipfile.ZipFile(mixed_p, "w") as zf:
+        zf.write(npz_p, arcname="one.npz")
+        zf.write(str(tmp_path / "arc_a.dat"), arcname="arc_a.dat")
+    with pytest.raises(ValueError, match="mixes"):
+        featurize_archive(spark, mixed_p, ["mean"])
