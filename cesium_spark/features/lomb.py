@@ -64,19 +64,48 @@ def _do_lomb(cn, sinx, cosx, wth):
     return 0.0
 
 
+def _do_lomb_batch(cn, S, C, wth):
+    """`_do_lomb` over a whole chunk of frequencies at once: S/C are
+    (B, n) rows of the rotation recurrence; every reduction becomes one
+    BLAS/numpy call for the chunk instead of ~10 tiny calls per
+    frequency. Accumulation order inside each reduction differs from the
+    scalar path only at the ~1e-15 pairwise-summation level (same class
+    of difference as the documented numpy-vs-C deltas, far inside the
+    golden 1e-6 tolerance); the branch structure (detm > 0) is identical."""
+    st0 = S @ wth.T  # (B, dord+1)
+    ct0 = C @ wth.T
+    st = np.einsum("ij,ij->i", st0, st0)
+    ct = np.einsum("ij,ij->i", ct0, ct0)
+    cst = np.einsum("ij,ij->i", st0, ct0)
+    cs = np.einsum("ij,ij->i", C, S) - cst
+    c2raw = np.einsum("ij,ij->i", C, C)
+    sh = S @ cn
+    ch = C @ cn
+    s2 = 1.0 - c2raw - st
+    c2 = c2raw - ct
+    detm = c2 * s2 - cs * cs
+    with np.errstate(divide="ignore", invalid="ignore"):
+        px = (c2 * sh * sh - 2.0 * cs * ch * sh + s2 * ch * ch) / detm
+    return np.where(detm > 0, px, 0.0)
+
+
 def _do_lomb_zoom(cn, sinx, cosx, sb, cb, ss, cs_, wth, freq_zoom, ifr_in):
     """Fine scan of `freq_zoom` sub-steps around the current frequency;
-    returns (sinx1, cosx1 positioned at the best sub-offset, ifr)."""
-    s1, c1 = sinx.copy(), cosx.copy()
-    _rotate(s1, c1, sb, cb)  # step back by df/2
-    pxmax = 0.0
-    ifr = ifr_in
-    for i in range(int(freq_zoom)):
-        px = _do_lomb(cn, s1, c1, wth)
-        if px > pxmax:
-            pxmax = px
-            ifr = i
-        _rotate(s1, c1, ss, cs_)
+    returns (sinx1, cosx1 positioned at the best sub-offset, ifr).
+    The sub-step scan is batched like the main grid (bit-equal recurrence
+    rows + one _do_lomb_batch); argmax-first-occurrence reproduces the
+    scalar strict-running-max selection."""
+    nz = int(freq_zoom)
+    S = np.empty((nz, len(sinx)))
+    C = np.empty((nz, len(sinx)))
+    S[0] = cb * sinx + sb * cosx  # step back by df/2 (same ops as _rotate)
+    C[0] = cb * cosx - sb * sinx
+    for i in range(nz - 1):
+        S[i + 1] = cs_ * S[i] + ss * C[i]
+        C[i + 1] = cs_ * C[i] - ss * S[i]
+    px = _do_lomb_batch(cn, S, C, wth)
+    k = int(np.argmax(px))
+    ifr = k if px[k] > 0.0 else ifr_in
     s1, c1 = sinx.copy(), cosx.copy()
     if ifr < freq_zoom / 2.0:
         _rotate(s1, c1, sb, cb)
@@ -121,27 +150,29 @@ def _optimize_px(p, V, eigs, lambda0, lambda0_range, chi0, tone_control, numt):
     s1w = (1.0 + (np.arange(n) % (n // 2))) ** 4
     M = (V / s1w[:, None]).T @ V  # M[i,j] = sum_k V[k,i]V[k,j]/s1_k
     start, stop = lambda0_range[0], lambda0_range[1]
-    lam = start
     dlambda = np.exp(np.log(stop / start) / niter)
-    px_max = 0.0
-    lambda_best = start
-    trace_best = 0.0
-    for _ in range(niter + 1):
-        eigs1 = eigs + numt * (lam - lambda0)
-        tr = 1.0 - 2.0 * n / numt + float(np.sum(2.0 * lam / eigs1))
-        v = p / eigs1
-        s1 = float(p @ v)
-        s2 = float(p @ (v / eigs1))
-        s3 = float(v @ M @ v)
-        px = chi0 - (chi0 - s1 - s2 * numt * lam) * (1.0 + tcn * (s2 / s3)) * tr0 / tr
-        if px > px_max and tr > 0:
-            px_max = px
-            lambda_best = lam
-            trace_best = tr
-        lam *= dlambda
+    # the sequential lam *= dlambda product, reproduced bit-for-bit by
+    # cumprod (same left-to-right multiply chain); the whole 51-step
+    # lambda scan is then batched into a handful of array ops
+    lams = np.cumprod(np.concatenate(([start], np.full(niter, dlambda))))
+    eigs1 = eigs[None, :] + numt * (lams[:, None] - lambda0)  # (51, n)
+    tr = 1.0 - 2.0 * n / numt + np.sum(2.0 * lams[:, None] / eigs1, axis=1)
+    v = p[None, :] / eigs1
+    s1 = v @ p
+    s2 = (v / eigs1) @ p
+    s3 = np.einsum("ij,ij->i", v @ M, v)
+    px = chi0 - (chi0 - s1 - s2 * numt * lams) * (1.0 + tcn * (s2 / s3)) * tr0 / tr
+    # scalar loop semantics: first strict running max among tr > 0
+    valid = tr > 0
+    if not valid.any():
+        return 0.0, start, 0.0
+    masked = np.where(valid, px, -np.inf)
+    k = int(np.argmax(masked))  # first occurrence == strict running max
+    if masked[k] <= 0.0:
+        return 0.0, start, 0.0
     # C bug reproduced: the outer 3-round loop's counter is clobbered by an
     # inner loop, so exactly one round executes; start/stop updates are dead.
-    return px_max, lambda_best, trace_best
+    return float(px[k]), float(lams[k]), float(tr[k])
 
 
 def _refine_psd(nharm, detrend_order, sinx, cosx, wth, cn, lambda0,
@@ -246,6 +277,16 @@ def fit_lomb_scargle(time, signal, error, f0, df, numf, nharm=8, psdmin=6.0,
     npar = 2 * nharm
 
     # ---- grid scan (C lomb_scargle driver) ----
+    #
+    # Vectorized across the frequency axis: rotation rows for a CHUNK of
+    # grid frequencies are generated by the exact same elementwise
+    # recurrence as the scalar _rotate (row b+1 = c0*row_b + s0*row_b —
+    # bitwise-identical sin/cos states), then the chunk's raw LS powers
+    # come from one batched _do_lomb_batch call. The stateful tail
+    # (psd0max tracking, zoom + GCV refine above psdmin, the persistent
+    # `ifr`) runs sequentially over the chunk exactly as the C driver
+    # does — refines are rare (psd > psdmin), so the batch path carries
+    # the bulk of the 10^5-point grid at BLAS speed.
     psd = np.zeros(numf)
     ifr = int(freq_zoom) // 2
     ifreq = ifr
@@ -254,28 +295,65 @@ def fit_lomb_scargle(time, signal, error, f0, df, numf, nharm=8, psdmin=6.0,
     jmax = 0
     sinx2, cosx2 = sinx.copy(), cosx.copy()
     lam_final = lambda0
-    for j in range(numf):
-        psd[j] = _do_lomb(cn, sinx, cosx, wth)
-        if psd[j] > psd0max and psdmax == 0.0:
-            psd0max = psd[j]
-            sinx2, cosx2 = sinx.copy(), cosx.copy()
-            jmax = j
-        if psd[j] > psdmin:
-            s1_, c1_, ifr = _do_lomb_zoom(
-                cn, sinx, cosx, sinx_back, cosx_back, sinx_small, cosx_small,
-                wth, freq_zoom, ifr,
-            )
-            px, _lam, _tr, _, _, _, _ = _refine_psd(
-                nharm, detrend_order, s1_, c1_, wth, cn, float(lambda0),
-                lambda0_range, chi0, tone_control, ntime, False,
-            )
-            psd[j] = px
-            if px > psdmax:
-                sinx2, cosx2 = s1_.copy(), c1_.copy()
-                psdmax = px
-                ifreq = ifr
+    chunk = 512
+    j0 = 0
+    # complex rotation state: Z = cosx + i*sinx, step = one complex
+    # multiply per grid frequency. numpy's complex product computes
+    # real = c*c0 - s*s0, imag = c*s0 + s*c0 — the exact elementwise
+    # formulas of the scalar _rotate (addition/multiplication are
+    # commutative in IEEE floats), so every row is BIT-EQUAL to the
+    # sequential rotation chain while costing one ufunc dispatch instead
+    # of ~10 small ones.
+    rot = cosx_step + 1j * sinx_step
+    Z = np.empty((chunk + 1, ntime), dtype=np.complex128)
+    while j0 < numf:
+        B = min(chunk, numf - j0)
+        Z[0] = cosx + 1j * sinx
+        for b in range(B):
+            np.multiply(Z[b], rot, out=Z[b + 1])
+        # strided views into Z — matmul/einsum consume them directly
+        # (measured faster than materializing contiguous copies)
+        S = Z.imag
+        C = Z.real
+        px_raw = _do_lomb_batch(cn, S[:B], C[:B], wth)
+        psd[j0:j0 + B] = px_raw
+        # candidate pruning: the scalar loop only ACTS at indices that
+        # either beat the running raw max (psd0max chain, while no refine
+        # has fired) or exceed psdmin (zoom+refine); everything else is a
+        # no-op compare. The candidate set below is a superset of those
+        # indices, and the loop body re-evaluates the exact conditions, so
+        # semantics (including the sequential ifr / psdmax interplay) are
+        # unchanged — but the Python loop now touches dozens of indices
+        # per 512-wide chunk instead of all of them.
+        hot = px_raw > psdmin
+        if psdmax == 0.0:
+            running = np.maximum.accumulate(px_raw)
+            cand = (px_raw >= running) & (px_raw > psd0max) | hot
+        else:
+            cand = hot
+        for b in np.flatnonzero(cand):
+            j = j0 + b
+            if psd[j] > psd0max and psdmax == 0.0:
+                psd0max = psd[j]
+                sinx2, cosx2 = S[b].copy(), C[b].copy()
                 jmax = j
-        _rotate(sinx, cosx, sinx_step, cosx_step)
+            if psd[j] > psdmin:
+                s1_, c1_, ifr = _do_lomb_zoom(
+                    cn, S[b], C[b], sinx_back, cosx_back, sinx_small,
+                    cosx_small, wth, freq_zoom, ifr,
+                )
+                px, _lam, _tr, _, _, _, _ = _refine_psd(
+                    nharm, detrend_order, s1_, c1_, wth, cn, float(lambda0),
+                    lambda0_range, chi0, tone_control, ntime, False,
+                )
+                psd[j] = px
+                if px > psdmax:
+                    sinx2, cosx2 = s1_.copy(), c1_.copy()
+                    psdmax = px
+                    ifreq = ifr
+                    jmax = j
+        sinx, cosx = S[B].copy(), C[B].copy()
+        j0 += B
 
     px, lam_final, trace, soln, hat_hat, hat_matr, hat0 = _refine_psd(
         nharm, detrend_order, sinx2, cosx2, wth, cn, float(lambda0),
@@ -321,8 +399,8 @@ def fit_lomb_scargle(time, signal, error, f0, df, numf, nharm=8, psdmin=6.0,
     npars = (1.0 - tr_val) * ntime / 2.0
     out["nu"] = ntime - npars
     out["npars"] = npars
-    out["freqs_vector"] = np.asarray(
-        [f0 + df * k + (ifreq / freq_zoom - 0.5) * df for k in range(len(psd))]
+    out["freqs_vector"] = (
+        f0 + df * np.arange(len(psd)) + (ifreq / freq_zoom - 0.5) * df
     )
     out["psd_vector"] = psd
 
