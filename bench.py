@@ -152,6 +152,32 @@ def main():
     extras["gorilla_points_per_sec"] = round(totals["pts"] / dt, 1)
     extras["gorilla_compression_ratio"] = round(totals["raw"] / totals["blk"], 2)
 
+    # periodic featureset (Lomb-Scargle grids through the kernel UDF):
+    # the heaviest per-series math in the engine — tracked as an extra
+    # since round 3 (the vectorized frequency scan) so regressions in the
+    # LS hot path are visible per-round; not a headline timing to keep
+    # the headline total comparable with rounds 1-2
+    n_series = qfns["features_periodic"](spark, SF_DIR).count()
+    dt, trials = _best_of(
+        lambda: _force(qfns["features_periodic"](spark, SF_DIR)), n=2
+    )
+    extras["features_periodic_sec"] = round(dt, 3)
+    extras["features_periodic_trials_sec"] = trials
+    extras["features_periodic_ms_per_series"] = round(1000.0 * dt / n_series, 2)
+
+    # minhash production fast path: identical single-shuffle plan to the
+    # md5-based headline query (which stays md5 for DuckDB oracle
+    # portability), with JVM-native xxhash64 doing the hashing — the
+    # number a production corpus-dedup run would see
+    from cesium_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    dt, trials = _best_of(
+        lambda: _force(minhash_lsh_pairs(docs, hash_fn="xxhash64")), n=2
+    )
+    extras["minhash_lsh_xxhash64_sec"] = round(dt, 3)
+    extras["minhash_lsh_xxhash64_trials_sec"] = trials
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

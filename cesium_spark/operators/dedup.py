@@ -134,10 +134,13 @@ def minhash_signatures(
     text_col: str = "text",
     k: int = 5,
     num_hashes: int = 16,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """MinHash signature columns mh_0..mh_{H-1}: mh_i = min over shingles
     of md5(i || '|' || shingle). Engine-portable by construction (md5 hex
     is lexicographic) — the DuckDB oracle recomputes it verbatim.
+    hash_fn="xxhash64" swaps in the JVM-native hash (same soundness,
+    ~10x cheaper, not cross-engine reproducible — see below).
 
     Plan: ONE shuffle total. The digests are computed directly on the
     (doc, shingle) relation map-side and reduced by partial min, so the
@@ -158,14 +161,29 @@ def minhash_signatures(
         into the same band (measured per-band collision 0.0094 vs 0.0002
         at sf0.01). Independent digests keep per-band luck independent."""
     sh = char_shingles(df, id_col, text_col, k, distinct=False)
-    return sh.groupBy("id").agg(
-        *[
+    if hash_fn == "md5":
+        cols = [
             F.min(
                 F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))
             ).alias(f"mh_{i}")
             for i in range(num_hashes)
         ]
-    )
+    elif hash_fn == "xxhash64":
+        # production fast path: xxhash64 is a JVM-native codegen'd 64-bit
+        # hash, ~an order of magnitude cheaper than md5 per call. The
+        # seed column makes the num_hashes functions independent (xxhash
+        # mixes all arguments). min() over int64 is a uniform min-hash
+        # exactly like min() over md5 hex. NOT cross-engine reproducible
+        # (DuckDB has no compatible xxhash64), so the DuckDB-oracled
+        # driver query keeps md5; pipelines that only need self-
+        # consistent signatures should prefer this.
+        cols = [
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r} (md5 | xxhash64)")
+    return sh.groupBy("id").agg(*cols)
 
 
 def minhash_lsh_pairs(
@@ -175,22 +193,29 @@ def minhash_lsh_pairs(
     k: int = 5,
     num_hashes: int = 16,
     bands: int = 4,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing at least one band digest.
 
     Bands of r = num_hashes/bands rows; band key = md5(concat of the
-    band's minhashes). Join is on (band_idx, band_key) — candidates only,
-    never a cross product. Returns distinct (id_a < id_b) pairs with the
-    number of matching bands.
+    band's minhashes) (or xxhash64 over them on the fast path). Join is
+    on (band_idx, band_key) — candidates only, never a cross product.
+    Returns distinct (id_a < id_b) pairs with the number of matching
+    bands.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    sig = minhash_signatures(df, id_col, text_col, k, num_hashes, hash_fn)
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"mh_{b * r + i}") for i in range(r)]
+        key = (
+            F.md5(F.concat(*parts)).cast("string")
+            if hash_fn == "md5"
+            else F.xxhash64(*parts).cast("string")
+        )
         band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat(*parts)).alias("key")).alias(f"b{b}")
+            F.struct(F.lit(b).alias("band"), key.alias("key")).alias(f"b{b}")
         )
     bands_df = sig.select("id", F.explode(F.array(*band_cols)).alias("bk")).select(
         "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")

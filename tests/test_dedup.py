@@ -163,3 +163,34 @@ def test_simhash_jvm_tokenization_matches_python_split(spark):
     got = simhash64(docs).toPandas().sort_values("id")["simhash"].to_numpy()
     want = _simhash_batch(pd.Series(texts)).to_numpy()
     assert (got == want).all()
+
+
+def test_minhash_xxhash64_fast_path_equivalent_candidates(spark):
+    """hash_fn='xxhash64' (JVM-native production path) must behave like
+    an independent uniform min-hash family: exact duplicates share every
+    band, near-dups surface the same way as under md5, and the plan keeps
+    the single-shuffle no-broadcast shape."""
+    from cesium_spark.operators.dedup import minhash_lsh_pairs
+
+    dup = "a long enough duplicated document body for shingling"
+    docs = _docs_df(
+        spark,
+        [(i, f"unique text number {i:05d} padding padding") for i in range(20)]
+        + [(100, dup), (101, dup)],
+    )
+    for hash_fn in ("md5", "xxhash64"):
+        pairs = minhash_lsh_pairs(docs, hash_fn=hash_fn).toPandas()
+        exact = pairs[(pairs.id_a == 100) & (pairs.id_b == 101)]
+        assert len(exact) == 1 and exact.matching_bands.iloc[0] == 4, hash_fn
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = minhash_lsh_pairs(docs, hash_fn="xxhash64")._jdf \
+            .queryExecution().toString()
+        assert "BroadcastExchange" not in plan.split("== Physical Plan ==")[-1]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    with pytest.raises(ValueError, match="hash_fn"):
+        minhash_lsh_pairs(docs, hash_fn="sha999").toPandas()
