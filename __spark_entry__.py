@@ -582,6 +582,24 @@ def q_features_wide(spark, sf_dir):
     return _feat(spark, sf_dir, feats)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Dedup survivorship: transitive near-dup CLUSTERS over the capped
+    jaccard pair graph (same pair semantics as `jaccard_5gram`), every
+    document labeled with its component's min doc id and a keeper flag.
+    Spark side is iterative min-label propagation (one join + one groupBy
+    per round, lineage checkpointed); the oracle re-derives the exact
+    transitive closure with a DuckDB recursive CTE — engine-level
+    agreement on reachability, not just on pairs."""
+    from cesium_spark.operators.dedup import ngram_jaccard_pairs
+    from cesium_spark.operators.graph import dedup_clusters
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(
+        docs, k=5, threshold=0.35, max_shingle_freq=1000
+    )
+    return dedup_clusters(docs, pairs)
+
+
 # ------------------------------------------------- golden feature bridge
 #
 # VERDICT r2 top item: features_periodic / features_wide were rows-only in
@@ -791,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "featureset_impute": q_featureset_impute,
         "features_wide_golden": q_features_wide_golden,
         "features_periodic_golden": q_features_periodic_golden,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -1446,6 +1465,43 @@ def oracle_sql() -> dict[str, str]:
                round(mean_v + {EPS}, {R}) AS mean_v,
                round(coalesce(std_v, (SELECT median(std_v) FROM f)) + {EPS}, {R}) AS std_v
         FROM f
+    """
+
+    # transitive near-dup clusters: the pair CTE is the jaccard_5gram
+    # derivation verbatim; reachability is an exact recursive closure
+    # (fine at oracle scale — the driver checks at sf0.01), and the
+    # component label = least(self, min reachable)
+    sql["dedup_clusters"] = f"""
+        WITH RECURSIVE {shingle_cte},
+        capped AS (
+          SELECT * FROM sh WHERE shingle NOT IN (
+            SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 1000)
+        ),
+        sz AS (SELECT id, count(*) AS sz FROM capped GROUP BY id),
+        c AS (
+          SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+          FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.id < b.id
+          GROUP BY a.id, b.id
+        ),
+        pairs AS (
+          SELECT c.id_a, c.id_b
+          FROM c JOIN sz za ON c.id_a = za.id JOIN sz zb ON c.id_b = zb.id
+          WHERE common / (za.sz + zb.sz - common) >= 0.35
+        ),
+        sym AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs
+        ),
+        reach(n, m) AS (
+          SELECT a, b FROM sym
+          UNION
+          SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a
+        ),
+        lab AS (SELECT n, least(n, min(m)) AS lbl FROM reach GROUP BY n)
+        SELECT d.doc_id,
+               coalesce(l.lbl, d.doc_id) AS cluster_id,
+               coalesce(l.lbl, d.doc_id) = d.doc_id AS is_keeper
+        FROM documents d LEFT JOIN lab l ON d.doc_id = l.n
     """
 
     # golden-bridge oracles: the vendored reference constants, emitted as

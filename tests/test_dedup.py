@@ -194,3 +194,34 @@ def test_minhash_xxhash64_fast_path_equivalent_candidates(spark):
 
     with pytest.raises(ValueError, match="hash_fn"):
         minhash_lsh_pairs(docs, hash_fn="sha999").toPandas()
+
+
+def test_connected_components_and_dedup_clusters(spark):
+    """Transitive cluster semantics: pairs (1,2), (2,3) collapse 1-2-3
+    even without a direct (1,3) pair; label = min id of the component;
+    singletons keep their own id; non-convergence raises."""
+    from cesium_spark.operators.graph import connected_components, dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a int, id_b int")
+    cc = connected_components(pairs).toPandas().set_index("node")["component"]
+    assert cc.to_dict() == {
+        1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+
+    docs = spark.createDataFrame(
+        [(i, "") for i in (1, 2, 3, 10, 11, 20, 21, 22, 23, 99)],
+        "doc_id int, text string")
+    out = dedup_clusters(docs, pairs).toPandas().set_index("doc_id")
+    assert out.loc[99, "cluster_id"] == 99 and bool(out.loc[99, "is_keeper"])
+    assert out.loc[23, "cluster_id"] == 20 and not bool(out.loc[23, "is_keeper"])
+    assert sorted(out[out.is_keeper].index) == [1, 10, 20, 99]
+
+    # a 40-node chain has diameter 39 > max_iter=3 -> loud failure
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a int, id_b int")
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(chain, max_iter=3)
+    # ... and converges with enough rounds (all nodes -> label 0)
+    cc2 = connected_components(chain, max_iter=45).toPandas()
+    assert (cc2.component == 0).all()
