@@ -582,6 +582,26 @@ def q_features_wide(spark, sf_dir):
     return _feat(spark, sf_dir, feats)
 
 
+def q_token_topk(spark, sf_dir):
+    """Corpus vocabulary heavy-hitters: top 50 tokens by exact count,
+    lexicographic tiebreak. One map-side-combined aggregation + global
+    top-k — the exact groupBy is the 100 TB plan for batch vocab counts
+    (sketches only pay off when state must stay bounded per-executor)."""
+    from cesium_spark.operators.text import token_topk
+
+    return token_topk(_docs(spark, sf_dir), k=50)
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 tf-idf terms (smoothed sklearn idf), ranked on
+    the ROUNDED score with lexicographic tiebreak so both engines order
+    identically. Three narrow aggregations, no UDFs, the fat (doc, token)
+    relation is only aggregated."""
+    from cesium_spark.operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), k=3, round_digits=R)
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Dedup survivorship: transitive near-dup CLUSTERS over the capped
     jaccard pair graph (same pair semantics as `jaccard_5gram`), every
@@ -810,6 +830,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "features_wide_golden": q_features_wide_golden,
         "features_periodic_golden": q_features_periodic_golden,
         "dedup_clusters": q_dedup_clusters,
+        "token_topk": q_token_topk,
+        "tfidf_top_terms": q_tfidf_top_terms,
     }
 
 
@@ -1465,6 +1487,44 @@ def oracle_sql() -> dict[str, str]:
                round(mean_v + {EPS}, {R}) AS mean_v,
                round(coalesce(std_v, (SELECT median(std_v) FROM f)) + {EPS}, {R}) AS std_v
         FROM f
+    """
+
+    sql["token_topk"] = """
+        WITH tok AS (
+          SELECT u.tok AS token
+          FROM documents,
+               LATERAL unnest(string_split_regex(lower(text), '\\s+')) AS u(tok)
+          WHERE u.tok <> ''
+        ),
+        cnt AS (SELECT token, count(*) AS n FROM tok GROUP BY token)
+        SELECT rank, token, n FROM (
+          SELECT row_number() OVER (ORDER BY n DESC, token ASC) AS rank,
+                 token, n
+          FROM cnt
+        ) WHERE rank <= 50
+    """
+
+    sql["tfidf_top_terms"] = f"""
+        WITH tok AS (
+          SELECT doc_id, u.tok AS token
+          FROM documents,
+               LATERAL unnest(string_split_regex(lower(text), '\\s+')) AS u(tok)
+          WHERE u.tok <> ''
+        ),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+        dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        nn AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+        s AS (
+          SELECT tf.doc_id, tf.token,
+                 round(tf.tf * (ln((nn.nd + 1) / (dfq.df + 1.0)) + 1.0), {R}) AS tfidf
+          FROM tf JOIN dfq USING (token) CROSS JOIN nn
+        )
+        SELECT doc_id, rank, token, tfidf FROM (
+          SELECT doc_id, token, tfidf,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, token ASC) AS rank
+          FROM s
+        ) WHERE rank <= 3
     """
 
     # transitive near-dup clusters: the pair CTE is the jaccard_5gram

@@ -11,7 +11,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["text_stats", "quality_score", "lang_id", "fingerprint"]
+__all__ = [
+    "text_stats", "quality_score", "lang_id", "fingerprint",
+    "token_topk", "tfidf_top_terms",
+]
 
 # Small per-language stopword vocabularies for the n-gram voting heuristic.
 LANG_STOPWORDS = {
@@ -141,3 +144,75 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     modulo case/whitespace."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " ")
     return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+
+
+def _tokens(text_col: str):
+    """Lowercased whitespace tokens, empties dropped — JVM codegen, and
+    the \\s+ class matches DuckDB's string_split_regex exactly."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+    )
+
+
+def token_topk(
+    df: DataFrame, k: int = 50, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-wide top-k tokens by occurrence count (rank, token, count),
+    ties broken lexicographically — the vocabulary/heavy-hitters pass of
+    a training-data pipeline. Plan: explode -> ONE hash aggregation
+    (map-side combined, shuffle carries one row per distinct token per
+    partition) -> global top-k. At 100 TB the exact groupBy IS the right
+    tool: token vocabularies are millions of rows, trivially shuffleable;
+    sketches only pay off when per-key state must stay bounded
+    per-executor (streaming), not for a batch count."""
+    from pyspark.sql.window import Window
+
+    counts = (
+        df.select(F.explode(_tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", "token", "n")
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document top-k terms by tf-idf (doc_id, rank, token, tfidf):
+    tf = raw occurrence count in the document, idf = ln((N+1)/(df+1)) + 1
+    (the smoothed sklearn form — never zero, no division by zero on
+    unseen terms). Ranking ties break lexicographically so the result is
+    deterministic across engines and partitionings.
+
+    Plan: one explode + (doc, token) count, one token-level document-
+    frequency aggregation, N as a broadcast scalar — three narrow
+    aggregations, no UDFs. The (doc, token) relation is the fat one and
+    is only ever aggregated, never self-joined."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("token"))
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = df.select(id_col).distinct().count()  # scalar, one job
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
+    scored = tf.join(dfreq, "token").select(
+        id_col, "token",
+        F.round(F.col("tf") * idf, round_digits).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "token", "tfidf")
+    )

@@ -581,3 +581,27 @@ def test_rollup_states_rejects_non_coarser_tier(spark, transcripts):
     assert rolled.schema["window_start"].metadata.get("tier") == "1d"
     with pytest.raises(ValueError, match="strictly coarser"):
         rollup_states(rolled, "1h")
+
+
+def test_token_topk_and_tfidf_hand_example(spark):
+    """Hand-checkable corpus: counts, ranks, and the smoothed-idf scores
+    (tf * (ln((N+1)/(df+1)) + 1)) come out exactly."""
+    from cesium_spark.operators.text import tfidf_top_terms, token_topk
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "apple  ")],
+        "doc_id int, text string")
+    top = token_topk(docs, k=10).toPandas()
+    assert list(top.token) == ["apple", "banana", "cherry"]
+    assert list(top.n) == [3, 2, 1]
+    assert list(top["rank"]) == [1, 2, 3]
+
+    out = tfidf_top_terms(docs, k=2).toPandas()
+    n = 3
+    def idf(df_): return np.log((n + 1) / (df_ + 1.0)) + 1.0
+    d1 = out[out.doc_id == 1].set_index("token")
+    assert round(2 * idf(2), 6) == d1.loc["apple", "tfidf"]   # tf=2, df=2
+    assert round(1 * idf(2), 6) == d1.loc["banana", "tfidf"]  # tf=1, df=2
+    # doc 2: banana and cherry — cherry (df=1) outscores banana (df=2)
+    d2 = out[out.doc_id == 2]
+    assert list(d2.sort_values("rank").token) == ["cherry", "banana"]
