@@ -172,10 +172,14 @@ def token_topk(
         .groupBy("token")
         .agg(F.count("*").alias("n"))
     )
+    # orderBy().limit(k) compiles to TakeOrderedAndProject — per-partition
+    # heaps + a k-row merge, never a single-partition sort of the whole
+    # vocabulary (a global row_number() window would pull every distinct
+    # token into one task). The rank window then runs on k rows only.
+    top = counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)
     w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
     return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        top.withColumn("rank", F.row_number().over(w))
         .select("rank", "token", "n")
     )
 

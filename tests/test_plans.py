@@ -82,3 +82,16 @@ def test_narrow_projection_before_kernel_shuffle(spark, tiny, tmp_path):
     assert re.search(r"Project \[[^\]]*\]", exchange_input)
     assert not re.search(r"[,\[] ?text#\d+[,\]]", exchange_input)
     assert "length(text" in exchange_input  # consumed into m, not carried
+
+
+def test_token_topk_plan_is_distributed_topk(spark):
+    """The global top-k must compile to TakeOrderedAndProject (per-
+    partition heaps + k-row merge) — a global row_number() window would
+    sort the whole vocabulary in one task, which dies at corpus scale."""
+    from cesium_spark.operators.text import token_topk
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta tok{i}") for i in range(30)], "doc_id int, text string")
+    plan = token_topk(docs, k=5)._jdf.queryExecution().toString()
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "TakeOrderedAndProject" in phys
