@@ -602,6 +602,20 @@ def q_tfidf_top_terms(spark, sf_dir):
     return tfidf_top_terms(_docs(spark, sf_dir), k=3, round_digits=R)
 
 
+def q_embedding_clusters(spark, sf_dir):
+    """Embedding-space dedup survivorship: the same transitive-cluster
+    labeling as `dedup_clusters`, over the exact cosine near-dup pair
+    graph (cos >= 0.35). The pair generation is the IVF-bounded exact
+    join; the component labeling is min-label propagation; the oracle is
+    an all-pairs cosine CTE + recursive transitive closure."""
+    from cesium_spark.operators.graph import dedup_clusters
+    from cesium_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _emb(spark, sf_dir)
+    pairs = embedding_near_dup_pairs(emb, threshold=0.35, round_digits=R)
+    return dedup_clusters(emb, pairs, id_col="vec_id")
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Dedup survivorship: transitive near-dup CLUSTERS over the capped
     jaccard pair graph (same pair semantics as `jaccard_5gram`), every
@@ -832,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "token_topk": q_token_topk,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "embedding_clusters": q_embedding_clusters,
     }
 
 
@@ -1562,6 +1577,31 @@ def oracle_sql() -> dict[str, str]:
                coalesce(l.lbl, d.doc_id) AS cluster_id,
                coalesce(l.lbl, d.doc_id) = d.doc_id AS is_keeper
         FROM documents d LEFT JOIN lab l ON d.doc_id = l.n
+    """
+
+    sql["embedding_clusters"] = f"""
+        WITH RECURSIVE pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM embeddings a, embeddings b
+          WHERE a.vec_id < b.vec_id
+            AND round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), {R}) >= 0.35
+        ),
+        sym AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs
+        ),
+        reach(n, m) AS (
+          SELECT a, b FROM sym
+          UNION
+          SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a
+        ),
+        lab AS (SELECT n, least(n, min(m)) AS lbl FROM reach GROUP BY n)
+        SELECT e.vec_id,
+               coalesce(l.lbl, e.vec_id) AS cluster_id,
+               coalesce(l.lbl, e.vec_id) = e.vec_id AS is_keeper
+        FROM embeddings e LEFT JOIN lab l ON e.vec_id = l.n
     """
 
     # golden-bridge oracles: the vendored reference constants, emitted as

@@ -91,3 +91,37 @@ def test_sessionize_counts_gaps(spark, gaps):
     expected = 1 + sum(1 for g in gaps if g > 30)
     assert out.iloc[0]["n_sessions"] == expected
     assert out.iloc[0]["max_session_events"] <= len(gaps) + 1
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1, max_size=40,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_connected_components_matches_union_find(spark, edges):
+    """Property: the Spark min-label propagation equals a driver-side
+    union-find on any random edge list (self-loops and duplicates
+    included)."""
+    from cesium_spark.operators.graph import connected_components
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(edges, "id_a int, id_b int")
+    got = connected_components(df, max_iter=80).toPandas() \
+        .set_index("node")["component"].to_dict()
+    assert got == want
