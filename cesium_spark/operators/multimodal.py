@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video payloads as opaque
 binary columns with typed metadata, processed by Arrow-batched UDFs.
 
-The decode step itself is STUBBED (no image/audio libraries ship in this
-container): `register_decoder` installs the real decoder in a deployment
-that has one; the default deterministic fake derives pseudo-features from
-the payload bytes so the Spark-side plumbing — schema, partitioning, UDF
-signatures, batch shapes — is real and tested end-to-end.
+Decoding: WAV/PCM audio and uncompressed BMP images decode FOR REAL via
+the pure-numpy codecs in operators/media_codecs.py (header parse +
+numpy — no codec library needed). Compressed formats (JPEG/PNG/MP3/...)
+require a codec library that does not ship in this container:
+`register_decoder` installs the real one in such a deployment, and
+until then those types get deterministic digest-derived pseudo-features
+so the Spark-side plumbing — schema, partitioning, UDF signatures,
+batch shapes — stays real and tested end-to-end.
 
 Design for 100 TB: payloads never leave the executor as Python objects;
 mapInPandas streams Arrow batches, metadata-only operations (routing,
@@ -41,12 +44,23 @@ def register_decoder(fn: Callable[[bytes, str], np.ndarray]) -> None:
 
 
 def _fake_decode(payload: bytes, media_type: str) -> np.ndarray:
-    """Deterministic stand-in: 8 floats derived from the blake2b digest.
-    Real deployments replace this via register_decoder (the container has
-    no image/audio codecs)."""
+    """Deterministic stand-in for codec-requiring formats: 8 floats
+    derived from the blake2b digest. Real deployments replace this via
+    register_decoder (the container has no JPEG/PNG/MP3 codecs)."""
     d = hashlib.blake2b(payload or b"", digest_size=32).digest()
     u = np.frombuffer(d, dtype=np.uint32).astype(np.float64)
     return (u / np.float64(2**32)).astype(np.float32)
+
+
+def _default_decode(payload: bytes, media_type: str) -> np.ndarray:
+    """WAV/BMP decode for real (pure numpy); digest pseudo-features for
+    formats that need an external codec."""
+    from .media_codecs import numpy_media_decoder
+
+    try:
+        return numpy_media_decoder(payload, media_type)
+    except ValueError:
+        return _fake_decode(payload, media_type)
 
 
 def media_schema() -> str:
@@ -81,8 +95,8 @@ def extract_features(
     type_col: str = "media_type",
 ) -> DataFrame:
     """payload -> fixed-dim float feature vector via Arrow-batched
-    mapInPandas (decoder stub; see module docstring)."""
-    decoder = _DECODER or _fake_decode
+    mapInPandas (WAV/BMP decode for real; see module docstring)."""
+    decoder = _DECODER or _default_decode
     out_schema = f"{id_col} long, features array<float>"
 
     def _mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
