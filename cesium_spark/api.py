@@ -52,16 +52,35 @@ def featurize_single_ts(
     )
 
 
-def _as_series_list(x):
-    """Normalize the reference's accepted shapes to a list of per-series
-    arrays (each (n,) or (p, n)). None entries pass through (a series
-    with no error arrays gets the DEFAULT_ERROR_VALUE fill downstream)."""
-    if isinstance(x, (list, tuple)):
-        return [
-            None if s is None else np.asarray(s, dtype=np.float64) for s in x
-        ]
-    arr = np.asarray(x, dtype=np.float64)
-    return [arr]
+DEFAULT_MAX_TIME = 1.0  # reference time_series.py:9 (default-time span)
+
+
+def _is_single_series(values) -> bool:
+    """Reference shape rules (featurize.py:262-266): a 1-d array / list
+    of scalars is one single-channel series; a 2-d ndarray is one
+    multichannel series; any other list/tuple is a LIST of series."""
+    if isinstance(values, np.ndarray):
+        return values.ndim <= 2
+    first = values[0]
+    return not isinstance(first, (list, tuple, np.ndarray))
+
+
+def _channel_arrays(x):
+    """One series entry -> list of per-channel 1-d float arrays.
+    Accepts (n,) array / list of scalars, (p, n) array, or a list of
+    per-channel arrays (possibly RAGGED — different n per channel, the
+    reference's 'list of lists' form). None passes through."""
+    if x is None:
+        return None
+    if isinstance(x, np.ndarray) and x.ndim == 2:
+        return [np.asarray(x[i], dtype=np.float64) for i in range(x.shape[0])]
+    if (
+        isinstance(x, (list, tuple))
+        and len(x)
+        and isinstance(x[0], (list, tuple, np.ndarray))
+    ):
+        return [np.asarray(c, dtype=np.float64) for c in x]
+    return [np.asarray(x, dtype=np.float64)]
 
 
 def featurize_time_series(
@@ -70,55 +89,76 @@ def featurize_time_series(
     values,
     errors=None,
     features_to_use=(),
+    meta_features=None,
     names=None,
     custom_functions=None,
     raise_exceptions: bool = True,
 ) -> pd.DataFrame:
     features = list(features_to_use)
-    ts_list = _as_series_list(times)
-    m_list = _as_series_list(values)
-    e_list = (
-        [None] * len(ts_list) if errors is None else _as_series_list(errors)
-    )
-    if not (len(ts_list) == len(m_list) == len(e_list)):
-        raise ValueError("times/values/errors series counts differ")
+    if _is_single_series(values):
+        values = [values]
+        times = None if times is None else [times]
+        errors = None if errors is None else [errors]
+    n_series = len(values)
+    if times is not None and len(times) != n_series:
+        raise ValueError("times/values series counts differ")
+    if errors is not None and len(errors) != n_series:
+        raise ValueError("errors/values series counts differ")
     names = (
         [str(n) for n in names]
         if names is not None
-        else [str(i) for i in range(len(ts_list))]
+        else [str(i) for i in range(n_series)]
     )
 
-    n_channels = max(
-        (m.shape[0] if m.ndim == 2 else 1) for m in m_list
-    )
-    # columnar assembly: one concat of per-series frames, never a
+    # columnar assembly: one concat of per-channel frames, never a
     # per-point Python tuple loop (Arrow takes the whole block at once)
     frames = []
-    for name, t, m, e in zip(names, ts_list, m_list, e_list):
-        t2 = np.atleast_2d(np.asarray(t, dtype=np.float64))
-        m2 = np.atleast_2d(m)
-        if e is None:
-            e2 = np.full_like(m2, DEFAULT_ERROR_VALUE)
-        else:
-            e2 = np.atleast_2d(np.asarray(e, dtype=np.float64))
+    n_channels = 1
+    for si in range(n_series):
+        m_ch = _channel_arrays(values[si])
+        t_ch = _channel_arrays(None if times is None else times[si])
+        e_ch = _channel_arrays(None if errors is None else errors[si])
+        p = len(m_ch)
+        n_channels = max(n_channels, p)
         # cesium broadcasts shared 1-d t/e across channels
-        if t2.shape[0] == 1 and m2.shape[0] > 1:
-            t2 = np.broadcast_to(t2, m2.shape)
-        if e2.shape[0] == 1 and m2.shape[0] > 1:
-            e2 = np.broadcast_to(e2, m2.shape)
-        p, n = m2.shape
-        frames.append(
-            pd.DataFrame(
-                {
-                    "series": np.repeat(np.array(name, dtype=object), p * n),
-                    "channel": np.repeat(np.arange(p, dtype=np.int64), n),
-                    "idx": np.tile(np.arange(n, dtype=np.int64), p),
-                    "t": t2.astype(np.float64, copy=False).ravel(),
-                    "m": m2.astype(np.float64, copy=False).ravel(),
-                    "e": e2.astype(np.float64, copy=False).ravel(),
-                }
+        if t_ch is not None and len(t_ch) == 1 and p > 1:
+            t_ch = t_ch * p
+        if e_ch is not None and len(e_ch) == 1 and p > 1:
+            e_ch = e_ch * p
+        for ch in range(p):
+            mv = m_ch[ch]
+            n = len(mv)
+            # reference defaults (featurize.py:236-260 / time_series.py):
+            # missing times -> linspace(0, DEFAULT_MAX_TIME) per channel,
+            # missing errors -> DEFAULT_ERROR_VALUE fill
+            tv = (
+                np.linspace(0.0, DEFAULT_MAX_TIME, n)
+                if t_ch is None
+                else t_ch[ch]
             )
-        )
+            ev = (
+                np.full(n, DEFAULT_ERROR_VALUE)
+                if e_ch is None
+                else e_ch[ch]
+            )
+            if len(tv) != n or len(ev) != n:
+                raise ValueError(
+                    f"series {names[si]} channel {ch}: t/m/e lengths differ"
+                )
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "series": np.repeat(
+                            np.array(names[si], dtype=object), n
+                        ),
+                        "channel": np.full(n, ch, dtype=np.int64),
+                        "idx": np.arange(n, dtype=np.int64),
+                        "t": tv.astype(np.float64, copy=False),
+                        "m": mv.astype(np.float64, copy=False),
+                        "e": ev.astype(np.float64, copy=False),
+                    }
+                )
+            )
     long = spark.createDataFrame(pd.concat(frames, ignore_index=True))
 
     def _one_channel(ch):
@@ -140,4 +180,19 @@ def featurize_time_series(
             part.columns = [f"{c}_{ch}" for c in part.columns]
             merged = part if merged is None else merged.join(part, how="outer")
         out = merged
+
+    # meta_features (reference featurize.py:271-274): dict/Series
+    # broadcast to every series, DataFrame one row per series
+    # (positional), attached as plain columns of the featureset
+    if meta_features is not None and len(meta_features):
+        if isinstance(meta_features, pd.Series):
+            meta_features = meta_features.to_dict()
+        if isinstance(meta_features, dict):
+            meta = pd.DataFrame(meta_features, index=names)
+        else:
+            if len(meta_features) != n_series:
+                raise ValueError("meta_features rows != number of series")
+            meta = meta_features.copy()
+            meta.index = names
+        out = out.join(meta)
     return out.sort_index()
