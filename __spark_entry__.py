@@ -616,6 +616,40 @@ def q_embedding_clusters(spark, sf_dir):
     return dedup_clusters(emb, pairs, id_col="vec_id")
 
 
+def q_clean_corpus(spark, sf_dir):
+    """End-to-end corpus cleaning decision — the composition a training-
+    data pipeline actually runs: every document gets a keep/drop verdict
+    with the FIRST failing filter as the reason (near_dup -> lang ->
+    low_quality -> ok). Near-dup survivorship comes from the transitive
+    jaccard clusters (min-id keeper), language from the stopword-voting
+    guess, quality from the heuristic score at threshold 0.5. Each
+    component is independently oracled elsewhere; this query gates their
+    COMPOSITION (join plumbing + precedence logic) the same way."""
+    from cesium_spark.operators.dedup import ngram_jaccard_pairs
+    from cesium_spark.operators.graph import dedup_clusters
+    from cesium_spark.operators.text import lang_id, quality_score
+
+    docs = _docs(spark, sf_dir)
+    clusters = dedup_clusters(
+        docs, ngram_jaccard_pairs(docs, k=5, threshold=0.35, max_shingle_freq=1000)
+    )
+    joined = (
+        docs.select("doc_id")
+        .join(quality_score(docs), "doc_id")
+        .join(lang_id(docs), "doc_id")
+        .join(clusters.select("doc_id", "is_keeper"), "doc_id")
+    )
+    reason = (
+        F.when(~F.col("is_keeper"), F.lit("near_dup"))
+        .when(F.col("lang_guess") != "en", F.lit("lang"))
+        .when(F.col("quality") < 0.5, F.lit("low_quality"))
+        .otherwise(F.lit("ok"))
+    )
+    return joined.withColumn("reason", reason).select(
+        "doc_id", "reason", (F.col("reason") == "ok").alias("keep")
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Dedup survivorship: transitive near-dup CLUSTERS over the capped
     jaccard pair graph (same pair semantics as `jaccard_5gram`), every
@@ -847,6 +881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_topk": q_token_topk,
         "tfidf_top_terms": q_tfidf_top_terms,
         "embedding_clusters": q_embedding_clusters,
+        "clean_corpus": q_clean_corpus,
     }
 
 
@@ -1602,6 +1637,64 @@ def oracle_sql() -> dict[str, str]:
                coalesce(l.lbl, e.vec_id) AS cluster_id,
                coalesce(l.lbl, e.vec_id) = e.vec_id AS is_keeper
         FROM embeddings e LEFT JOIN lab l ON e.vec_id = l.n
+    """
+
+    # clean-corpus composition: jaccard cluster closure + quality formula
+    # + language guess, with the same first-failing-filter precedence
+    sql["clean_corpus"] = f"""
+        WITH RECURSIVE {shingle_cte},
+        capped AS (
+          SELECT * FROM sh WHERE shingle NOT IN (
+            SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 1000)
+        ),
+        sz AS (SELECT id, count(*) AS sz FROM capped GROUP BY id),
+        c AS (
+          SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+          FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.id < b.id
+          GROUP BY a.id, b.id
+        ),
+        pairs AS (
+          SELECT c.id_a, c.id_b
+          FROM c JOIN sz za ON c.id_a = za.id JOIN sz zb ON c.id_b = zb.id
+          WHERE common / (za.sz + zb.sz - common) >= 0.35
+        ),
+        sym AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs
+        ),
+        reach(n, m) AS (
+          SELECT a, b FROM sym
+          UNION
+          SELECT r.n, s2.b FROM reach r JOIN sym s2 ON r.m = s2.a
+        ),
+        lab AS (SELECT n, least(n, min(m)) AS lbl FROM reach GROUP BY n),
+        qs AS (
+          SELECT doc_id,
+                 round(least(n_tokens / 100.0, 1.0) * 0.4
+                       + least(stopword_ratio * 4.0, 1.0) * 0.4
+                       + greatest(0.2 - punct_ratio * 2.0, 0.0), {R}) AS quality
+          FROM (
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                   round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / length(text) + {EPS}, {R}) AS punct_ratio,
+                   round(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|for)\\b'))
+                         / len(string_split_regex(trim(text), '\\s+')), {R}) AS stopword_ratio
+            FROM documents
+          )
+        ),
+        lg AS (SELECT doc_id, {guess} AS lang_guess FROM documents),
+        verdict AS (
+          SELECT d.doc_id,
+                 CASE WHEN coalesce(l.lbl, d.doc_id) <> d.doc_id THEN 'near_dup'
+                      WHEN lg.lang_guess <> 'en' THEN 'lang'
+                      WHEN qs.quality < 0.5 THEN 'low_quality'
+                      ELSE 'ok' END AS reason
+          FROM documents d
+          LEFT JOIN lab l ON d.doc_id = l.n
+          JOIN qs ON d.doc_id = qs.doc_id
+          JOIN lg ON d.doc_id = lg.doc_id
+        )
+        SELECT doc_id, reason, reason = 'ok' AS keep FROM verdict
     """
 
     # golden-bridge oracles: the vendored reference constants, emitted as
