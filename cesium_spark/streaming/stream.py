@@ -25,6 +25,7 @@ from .rollup_schema import STREAM_ROLLUP_COLUMNS
 __all__ = [
     "streaming_rollup", "start_file_stream",
     "streaming_sessionize", "start_session_stream",
+    "streaming_exact_dedup",
 ]
 
 
@@ -87,6 +88,30 @@ def start_file_stream(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def streaming_exact_dedup(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """First-seen exact dedup over a document stream: each distinct text
+    digest is emitted once (its first arrival); re-arrivals within the
+    watermark horizon are dropped.
+
+    State discipline: the digest (32-byte md5, never the text) is the
+    dedup key, and `dropDuplicatesWithinWatermark` lets Spark evict a
+    digest's state once the watermark passes its event time — bounded
+    state at any stream length, the standard streaming-dedup contract
+    (a duplicate arriving LATER than the watermark horizon after its
+    first copy is treated as new; choose the horizon to cover the
+    expected duplication window)."""
+    return (
+        stream_df.withColumn("text_md5", F.md5(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["text_md5"])
     )
 
 

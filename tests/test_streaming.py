@@ -177,3 +177,42 @@ def test_sessionize_event_time_timeout_closes_trailing_session(spark, tmp_path):
     assert s["n_events"] == 2
     # b and c stay open (watermark never passed their last + gap)
     assert set(got.conv_id) == {"a"}
+
+
+def test_streaming_exact_dedup_first_seen(spark, tmp_path):
+    """Duplicates arriving in LATER micro-batches (within the watermark)
+    are dropped; distinct texts all survive exactly once."""
+    from cesium_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+    from cesium_spark.streaming.stream import streaming_exact_dedup
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    t0 = pd.Timestamp("2025-03-01 12:00:00")
+
+    def rows(items):
+        return pd.DataFrame(
+            [("c", i, "user", txt, "", t0 + pd.Timedelta(minutes=o))
+             for i, (txt, o) in enumerate(items)],
+            columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+
+    import time
+    spark.createDataFrame(rows([("alpha", 0), ("beta", 1), ("alpha", 2)]),
+                          TRANSCRIPT_SCHEMA) \
+        .coalesce(1).write.mode("overwrite").parquet(in_dir)
+    time.sleep(1.1)
+    spark.createDataFrame(rows([("beta", 10), ("gamma", 11)]), TRANSCRIPT_SCHEMA) \
+        .coalesce(1).write.mode("append").parquet(in_dir)
+
+    src = spark.readStream.schema(TRANSCRIPT_SCHEMA) \
+        .option("maxFilesPerTrigger", 1).parquet(in_dir)
+    q = (
+        streaming_exact_dedup(src, watermark="2 hours")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out_dir).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out_dir).toPandas()
+    assert sorted(got.text) == ["alpha", "beta", "gamma"]
+    # the FIRST arrival is the survivor
+    assert got.set_index("text").loc["beta", "ts"] == t0 + pd.Timedelta(minutes=1)
