@@ -32,12 +32,39 @@ __all__ = ["featurize_single_ts", "featurize_time_series", "impute_featureset"]
 
 def featurize_single_ts(
     t,
-    m,
+    m=None,
     e=None,
     features_to_use=(),
     custom_functions=None,
     raise_exceptions: bool = True,
 ) -> dict:
+    """One in-memory series -> {feature: value}. Accepts either raw
+    (t, m[, e]) arrays or a TimeSeries object as the first argument
+    (the reference's featurize_single_ts shape, featurize.py:25-99);
+    multichannel TimeSeries return flat ``{feature}_{channel}`` keys
+    (the engine's flattening of cesium's (feature, channel) index)."""
+    from .time_series import TimeSeries
+
+    if isinstance(t, TimeSeries):
+        ts = t
+        features_to_use = list(features_to_use or m or ())
+        out: dict = {}
+        chans = list(ts.channels())
+        for ch, (tc, mc, ec) in enumerate(chans):
+            vals = compute_features(
+                np.asarray(tc, dtype=np.float64),
+                np.asarray(mc, dtype=np.float64),
+                np.asarray(ec, dtype=np.float64),
+                list(features_to_use),
+                custom_functions=custom_functions,
+                raise_exceptions=raise_exceptions,
+            )
+            if len(chans) == 1:
+                out.update(vals)
+            else:
+                out.update({f"{k}_{ch}": v for k, v in vals.items()})
+        out.update(ts.meta_features)
+        return out
     t = np.asarray(t, dtype=np.float64)
     m = np.asarray(m, dtype=np.float64)
     e = (
