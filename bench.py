@@ -157,7 +157,12 @@ def main():
     # since round 3 (the vectorized frequency scan) so regressions in the
     # LS hot path are visible per-round; not a headline timing to keep
     # the headline total comparable with rounds 1-2
-    n_series = qfns["features_periodic"](spark, SF_DIR).count()
+    # series count from a cheap distinct on the source table — counting
+    # the query output would run the whole LS computation a third time
+    n_series = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("user_id").distinct().count()
+    )
     dt, trials = _best_of(
         lambda: _force(qfns["features_periodic"](spark, SF_DIR)), n=2
     )

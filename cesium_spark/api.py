@@ -79,7 +79,7 @@ def featurize_single_ts(
     )
 
 
-DEFAULT_MAX_TIME = 1.0  # reference time_series.py:9 (default-time span)
+from .time_series import DEFAULT_MAX_TIME  # noqa: E402  (single source)
 
 
 def _is_single_series(values) -> bool:
@@ -147,6 +147,12 @@ def featurize_time_series(
         e_ch = _channel_arrays(None if errors is None else errors[si])
         p = len(m_ch)
         n_channels = max(n_channels, p)
+        for label, x_ch in (("times", t_ch), ("errors", e_ch)):
+            if x_ch is not None and len(x_ch) not in (1, p):
+                raise ValueError(
+                    f"series {names[si]}: {label} has {len(x_ch)} channels "
+                    f"but values has {p} (must match or be shared 1-d)"
+                )
         # cesium broadcasts shared 1-d t/e across channels
         if t_ch is not None and len(t_ch) == 1 and p > 1:
             t_ch = t_ch * p

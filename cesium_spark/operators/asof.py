@@ -42,62 +42,67 @@ def asof_join(
 
     Ties among right rows sharing the exact same (key, ts) resolve
     deterministically to the GREATEST value tuple (lexicographic over
-    ``value_cols``) — without this the carried mark would depend on
-    physical row order and vary across partitionings. DuckDB's ASOF
-    leaves the same tie unspecified, so oracles comparing against it
-    should pre-aggregate the right side to one row per (key, ts)."""
+    ``value_cols``, NULLs first) — without this the carried mark would
+    depend on physical row order and vary across partitionings. The
+    carried result is always one WHOLE right row (the winning row's
+    NULLs carry as NULLs; columns are never stitched from different
+    rows). DuckDB's ASOF leaves the same tie unspecified, so oracles
+    comparing against it should pre-aggregate the right side to one row
+    per (key, ts)."""
     value_cols = value_cols or [
         c for c in right.columns if c not in (key_col, ts_col)
     ]
+    # the right row rides as ONE struct (match ts + value columns): the
+    # carried result is therefore always a WHOLE right row — per-column
+    # carries could stitch together columns from different tied rows
+    # when some values are NULL, which is not a row that ever existed
+    r_row = F.struct(
+        ts_micros(F.col(ts_col)).alias("_ts_us"),
+        *[F.col(c).alias(c) for c in value_cols],
+    )
+    l_struct = F.struct(*[F.col(c) for c in left.columns])
+    l_type = left.select(l_struct.alias("s")).schema["s"].dataType
+    r_type = right.select(r_row.alias("s")).schema["s"].dataType
     l_tag = left.select(
         F.col(key_col),
         F.col(ts_col),
         F.lit(1).alias("_side"),
-        F.struct(*[F.col(c) for c in left.columns]).alias("_left"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
-          for c in value_cols],
+        l_struct.alias("_left"),
+        F.lit(None).cast(r_type).alias("_r"),
     )
     r_tag = right.select(
         F.col(key_col),
         F.col(ts_col),
         F.lit(0).alias("_side"),
-        F.lit(None).cast(l_tag.schema["_left"].dataType).alias("_left"),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None).cast(l_type).alias("_left"),
+        r_row.alias("_r"),
     )
     # side 0 sorts before side 1 at equal ts -> a right row at exactly
     # left.ts is visible to that left row (<= semantics). The trailing
-    # _r_* keys order right rows at an identical (key, ts) so last()
-    # deterministically carries the greatest value tuple; left rows have
-    # NULL there and are inert to it (their relative order never affects
-    # the carried right value).
+    # _r struct key orders right rows at an identical (key, ts) so
+    # last() deterministically carries the GREATEST value tuple
+    # (lexicographic over value_cols); left rows are NULL there and
+    # inert to it.
     w = (
         Window.partitionBy(key_col)
         .orderBy(
-            ts_micros(F.col(ts_col)), "_side",
-            *[F.col(f"_r_{c}").asc_nulls_first() for c in value_cols],
+            ts_micros(F.col(ts_col)), "_side", F.col("_r").asc_nulls_first()
         )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = l_tag.unionByName(r_tag).select(
         "*",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_c_{c}")
-            for c in value_cols
-        ],
-        F.last(
-            F.when(F.col("_side") == 0, ts_micros(F.col(ts_col))),
-            ignorenulls=True,
-        ).over(w).alias("_match_us"),
+        F.last("_r", ignorenulls=True).over(w).alias("_c"),
     )
-    out_vals = []
     stale = (
         None
         if tolerance_seconds is None
-        else (ts_micros(F.col(ts_col)) - F.col("_match_us"))
+        else (ts_micros(F.col(ts_col)) - F.col("_c._ts_us"))
         > int(tolerance_seconds * 1e6)
     )
+    out_vals = []
     for c in value_cols:
-        v = F.col(f"_c_{c}")
+        v = F.col(f"_c.{c}")
         if stale is not None:
             v = F.when(stale, F.lit(None)).otherwise(v)
         out_vals.append(v.alias(f"{c}{suffix}"))

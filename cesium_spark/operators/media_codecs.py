@@ -57,6 +57,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         cid, sz = struct.unpack("<4sI", payload[pos:pos + 8])
         body = payload[pos + 8:pos + 8 + sz]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             data = body
@@ -66,6 +68,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     audio_format, ch, rate, _br, _ba, bits = fmt
     if audio_format != 1:
         raise ValueError(f"only PCM supported (audio_format={audio_format})")
+    if ch <= 0 or rate <= 0:
+        raise ValueError(f"invalid fmt chunk (channels={ch}, rate={rate})")
     if bits == 16:
         raw = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
     elif bits == 8:
@@ -131,6 +135,8 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
     top_down = h < 0
     h = abs(h)
+    if w <= 0 or h == 0:
+        raise ValueError(f"invalid BMP dimensions ({w}x{h})")
     row_len = (w * 3 + 3) & ~3
     rows = np.frombuffer(
         payload, dtype=np.uint8, count=h * row_len, offset=offset

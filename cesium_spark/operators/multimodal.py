@@ -54,12 +54,17 @@ def _fake_decode(payload: bytes, media_type: str) -> np.ndarray:
 
 def _default_decode(payload: bytes, media_type: str) -> np.ndarray:
     """WAV/BMP decode for real (pure numpy); digest pseudo-features for
-    formats that need an external codec."""
+    formats that need an external codec AND for corrupt payloads — one
+    malformed blob in a 100 TB batch must degrade to pseudo-features,
+    never fail the whole task (arbitrary bytes can raise struct.error
+    and friends from deep inside the header parse, hence the broad
+    except; the codecs validate and raise ValueError for the common
+    corruptions, the rest is hostile-input noise)."""
     from .media_codecs import numpy_media_decoder
 
     try:
         return numpy_media_decoder(payload, media_type)
-    except ValueError:
+    except Exception:
         return _fake_decode(payload, media_type)
 
 

@@ -323,14 +323,24 @@ def embedding_near_dup_pairs(
     """
     import pandas as pd
 
-    if n_lists is None:
-        n_lists = _default_n_lists(corpus.count())
     # id-ordered bounded sample: deterministic centroids (pruning quality
-    # depends on them; correctness of the pair set does not)
+    # depends on them; correctness of the pair set does not). Fetched
+    # BEFORE the list count is settled: when the sample comes back short
+    # of its limit, it IS the whole corpus, so the auto n_lists needs no
+    # separate count() job (an extra full evaluation of a derived input)
+    sample_limit = max(train_sample, 4096, 4 * (n_lists or 0))
     sample_rows = (
-        corpus.select(id_col, vec_col).orderBy(id_col).limit(max(train_sample, 4 * n_lists))
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_limit)
         .toPandas()[vec_col].tolist()
     )
+    if n_lists is None:
+        n = (
+            len(sample_rows)
+            if len(sample_rows) < sample_limit
+            else corpus.count()
+        )
+        n_lists = _default_n_lists(n)
+    sample_rows = sample_rows[: max(train_sample, 4 * n_lists)]
     cents = _kmeans_centroids(
         np.asarray(sample_rows, dtype=np.float64), n_lists, seed
     )

@@ -98,20 +98,29 @@ def featurize_archive(spark, archive_path: str, features_to_use, **kwargs):
     from .transcripts import featurize_csv_series, shorten_fname
 
     with extract_time_series(
-        archive_path, cleanup_archive=False, cleanup_files=True
+        archive_path, cleanup_archive=False, cleanup_files=False
     ) as paths:
         if not paths:
             raise ValueError(f"archive {archive_path!r} contains no files")
-        npz = [p for p in paths if p.endswith(".npz")]
-        if npz and len(npz) != len(paths):
-            raise ValueError(
-                "archive mixes .npz and delimited series files; "
-                "split it by format"
+        # the single-file passthrough yields the INPUT path itself —
+        # deleting it would destroy the user's data, so temp cleanup only
+        # ever touches actually-extracted members
+        extracted = [p for p in paths if p != archive_path]
+        try:
+            npz = [p for p in paths if p.endswith(".npz")]
+            if npz and len(npz) != len(paths):
+                raise ValueError(
+                    "archive mixes .npz and delimited series files; "
+                    "split it by format"
+                )
+            if npz:
+                return featurize_npz_files(
+                    spark, npz, features_to_use, **kwargs
+                )
+            fset = featurize_csv_series(
+                spark, {shorten_fname(p): p for p in paths},
+                features_to_use, **kwargs,
             )
-        if npz:
-            return featurize_npz_files(spark, npz, features_to_use, **kwargs)
-        fset = featurize_csv_series(
-            spark, {shorten_fname(p): p for p in paths}, features_to_use,
-            **kwargs,
-        )
-        return fset.toPandas().set_index("series").sort_index()
+            return fset.toPandas().set_index("series").sort_index()
+        finally:
+            remove_files(extracted)

@@ -112,6 +112,7 @@ def streaming_exact_dedup(
         stream_df.withColumn("text_md5", F.md5(F.col(text_col)))
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["text_md5"])
+        .drop("text_md5")  # internal dedup key, not part of the contract
     )
 
 

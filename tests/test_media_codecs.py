@@ -79,3 +79,34 @@ def test_extract_features_decodes_real_media(spark):
     assert abs(out[1][0] - 1.0) < 1e-6 and out[1][7] == 1.0   # real WAV decode
     assert out[2][0] == 2 and out[2][7] == 2.0                 # real BMP decode
     assert len(out[3]) == 8 and all(0 <= v <= 1 for v in out[3])  # digest fallback
+
+
+def test_corrupt_payloads_degrade_not_crash(spark):
+    """Review finding: malformed blobs raised struct.error /
+    ZeroDivisionError past the fallback and killed the whole job. Every
+    corrupt payload must degrade to digest pseudo-features."""
+    import struct
+    from cesium_spark.operators.multimodal import _default_decode, extract_features
+
+    truncated_fmt = b"RIFF" + struct.pack("<I", 20) + b"WAVE" + \
+        struct.pack("<4sI", b"fmt ", 4) + b"\x01\x00\x02\x00"
+    zero_ch = b"RIFF" + struct.pack("<I", 36) + b"WAVE" + struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, 0, 8000, 0, 0, 16) + \
+        struct.pack("<4sI", b"data", 0)
+    zero_h_bmp = encode_bmp(np.zeros((1, 4, 3), dtype=np.uint8))
+    zero_h_bmp = zero_h_bmp[:22] + struct.pack("<i", 0) + zero_h_bmp[26:]
+
+    bad = [
+        (1, "audio/wav", truncated_fmt), (2, "audio/wav", zero_ch),
+        (3, "image/bmp", zero_h_bmp), (4, "audio/wav", b"\x00" * 3),
+    ]
+    for _, mt, payload in bad:
+        out = _default_decode(payload, mt)
+        assert out.shape == (8,) and np.isfinite(out).all()
+
+    df = spark.createDataFrame(
+        [(i, mt, bytearray(p), None, None, None) for i, mt, p in bad],
+        "media_id long, media_type string, payload binary, "
+        "width int, height int, duration_ms int")
+    rows = extract_features(df).collect()
+    assert len(rows) == 4 and all(len(r["features"]) == 8 for r in rows)

@@ -605,3 +605,37 @@ def test_token_topk_and_tfidf_hand_example(spark):
     # doc 2: banana and cherry — cherry (df=1) outscores banana (df=2)
     d2 = out[out.doc_id == 2]
     assert list(d2.sort_values("rank").token) == ["cherry", "banana"]
+
+
+def test_asof_join_carries_whole_right_row_on_ties(spark):
+    """Review finding: per-column last(ignorenulls) could stitch columns
+    from DIFFERENT tied right rows when values are NULL. The carry must
+    be one whole right row — the greatest value tuple, NULLs included."""
+    from cesium_spark.operators.asof import asof_join
+
+    def t(s):
+        return pd.Timestamp(s).to_pydatetime()
+
+    left = spark.createDataFrame(
+        [("a", t("2025-01-01 00:10"), 1)], "conv_id string, ts timestamp, n int")
+    right = spark.createDataFrame(
+        [("a", t("2025-01-01 00:10"), 9.0, None),
+         ("a", t("2025-01-01 00:10"), 5.0, 7.0)],
+        "conv_id string, ts timestamp, mark double, aux double")
+    out = asof_join(left, right, key_col="conv_id",
+                    value_cols=["mark", "aux"]).toPandas().iloc[0]
+    # greatest tuple is (9.0, NULL) — aux must NOT be stitched from the
+    # (5.0, 7.0) row
+    assert out["mark_asof"] == 9.0 and pd.isna(out["aux_asof"])
+
+
+def test_featurize_time_series_channel_count_mismatch_raises(spark):
+    """Review finding: 2 time channels against 3 value channels hit a
+    raw IndexError; it must be the contract's ValueError."""
+    from cesium_spark.api import featurize_time_series
+
+    rng = np.random.RandomState(0)
+    m = [rng.normal(size=10) for _ in range(3)]
+    t = [np.sort(rng.uniform(0, 1, 10)) for _ in range(2)]
+    with pytest.raises(ValueError, match="channels"):
+        featurize_time_series(spark, [t], [m], None, ["mean"])

@@ -356,3 +356,21 @@ def test_featurize_archive_csv_and_npz(spark, tmp_path):
         zf.write(str(tmp_path / "arc_a.dat"), arcname="arc_a.dat")
     with pytest.raises(ValueError, match="mixes"):
         featurize_archive(spark, mixed_p, ["mean"])
+
+
+def test_featurize_archive_single_file_passthrough_keeps_input(spark, tmp_path):
+    """Review finding: the single-file passthrough path yielded the INPUT
+    path into the temp-cleanup list — featurizing a bare .dat deleted the
+    user's file. The input must survive."""
+    import numpy as np
+    from cesium_spark.sources.archive import featurize_archive
+
+    rng = np.random.RandomState(3)
+    t = np.sort(rng.uniform(0, 10, 20))
+    m = rng.normal(5, 1, 20)
+    p = tmp_path / "bare_series.dat"
+    pd.DataFrame({"t": t, "m": m}).to_csv(p, index=False, header=False)
+
+    fset = featurize_archive(spark, str(p), ["mean"])
+    assert list(fset.index) == ["bare_series"]
+    assert p.exists()  # the user's input file is untouched
