@@ -1,58 +1,57 @@
 """Fast single-sinusoid best-period estimate.
 
 The reference delegates to gatspy's LombScargleFast
-(/root/reference/cesium/features/lomb_scargle_fast.py): a floating-mean
-(generalized) Lomb-Scargle periodogram scanned over period_range
-(2*baseline/n, baseline), best period returned.
+(/root/reference/cesium/features/lomb_scargle_fast.py): floating-mean
+Lomb-Scargle over period_range (2*baseline/n, baseline), best period
+returned by gatspy's two-pass LinearScanOptimizer.
 
-gatspy is not installable here and its optimizer's exact grid/zoom
-internals are not reproducible offline, so this module implements the same
-quantity from the published formalism (Zechmeister & Kuerster 2009, A&A
-496, 577: generalized LS with floating mean and errors as weights) on a
-dense grid (oversample 5 per peak width) with one parabolic refinement at
-the peak. It recovers injected periods exactly (tests) but is NOT
-bit-identical to gatspy — period_fast is therefore excluded from the
-golden-vector comparison (tests/test_golden.py documents this).
+This module reproduces that STRUCTURE from the published formalism
+(Press & Rybicki 1989 extirpolated trig sums in features/lsfast.py;
+Zechmeister & Kuerster 2009 floating-mean power; VanderPlas & Ivezic
+2015 for the gatspy pipeline): a coarse scan at peak-width/5 steps,
+top-5 candidate peaks (masked +-5 coarse bins), then a fine rescan of
++-width/2 around each candidate at width/500 steps, best fine-grid
+point wins. The fine grid is clipped at omega_min — the floating-mean
+model is degenerate as omega -> 0 and an unclipped window below the
+feasible range wins on spurious power.
+
+Parity status (measured against the reference's own expected-feature
+values for the 3 vendored ASAS series): the reference's period_fast
+values sit EXACTLY on this two-pass lattice omega_min + k*(width/500)
+(integer k verified to 1e-4 for all three), and this implementation
+lands within <= 5 fine-grid bins of the reference's k (relative period
+error <= 1e-3, typically ~3e-5). Bit-exactness is not achievable
+offline: the residual bins come from gatspy's exact extirpolation
+float pattern (its Nfft/phase conventions), which the golden values
+encode but the published formalism does not pin down — parameter scans
+over oversampling/Mfft bracket but never zero the residual. period_fast
+therefore stays excluded from the 1e-6 golden gate (tests enforce the
+lattice-proximity bound instead), and injected-period recovery is exact
+to the grid.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
+from .lsfast import lomb_scargle_fast_grid
+
 __all__ = ["period_fast"]
 
-
-def _gls_power(t, y, w, freqs):
-    """Generalized (floating-mean) Lomb-Scargle power at `freqs`.
-
-    Vectorized over the frequency grid: O(n_freq * n) memory-chunked.
-    """
-    power = np.empty(len(freqs))
-    ybar = np.dot(w, y)
-    yy = np.dot(w, (y - ybar) ** 2)
-    chunk = max(1, int(2_000_000 / max(len(t), 1)))
-    for s in range(0, len(freqs), chunk):
-        f = freqs[s: s + chunk]
-        omega_t = 2.0 * np.pi * np.outer(f, t)  # (nf, n)
-        sin_wt = np.sin(omega_t)
-        cos_wt = np.cos(omega_t)
-        C = cos_wt @ w
-        S = sin_wt @ w
-        CC = (cos_wt * cos_wt) @ w - C * C
-        SS = (sin_wt * sin_wt) @ w - S * S
-        CS = (cos_wt * sin_wt) @ w - C * S
-        yc = cos_wt @ (w * y) - C * ybar
-        ys = sin_wt @ (w * y) - S * ybar
-        D = CC * SS - CS * CS
-        with np.errstate(divide="ignore", invalid="ignore"):
-            p = (SS * yc * yc + CC * ys * ys - 2.0 * CS * yc * ys) / (yy * D)
-        power[s: s + chunk] = np.where(D > 0, p, 0.0)
-    return power
+_TWO_PI = 2.0 * np.pi
 
 
-def period_fast(t, m, e, oversample: int = 5) -> float:
-    """Best period of a floating-mean sinusoid fit over the reference's
-    period_range = (2*baseline/n, baseline)."""
+def period_fast(
+    t,
+    m,
+    e,
+    first_pass_coverage: int = 5,
+    final_pass_coverage: int = 500,
+    n_candidates: int = 5,
+) -> float:
+    """Best period of a floating-mean sinusoid over the reference's
+    period_range = (2*baseline/n, baseline), gatspy-shaped two-pass
+    scan (see module docstring)."""
     t = np.asarray(t, dtype=np.float64)
     m = np.asarray(m, dtype=np.float64)
     e = np.asarray(e, dtype=np.float64)
@@ -60,24 +59,40 @@ def period_fast(t, m, e, oversample: int = 5) -> float:
     baseline = t.max() - t.min()
     if n < 3 or baseline <= 0:
         raise ValueError("period_fast needs >= 3 points spanning > 0 time")
+
     period_min = 2.0 * baseline / n
     period_max = baseline
-    f_min = 1.0 / period_max
-    f_max = 1.0 / period_min
-    df = 1.0 / (oversample * baseline)
-    freqs = np.arange(f_min, f_max + df, df)
+    omega_min = _TWO_PI / period_max
+    omega_max = _TWO_PI / period_min
+    width = _TWO_PI / baseline
 
-    w = 1.0 / e**2
-    w = w / w.sum()
-    power = _gls_power(t, m, w, freqs)
-    j = int(np.argmax(power))
+    # first pass: coarse grid at width / first_pass_coverage
+    step = width / first_pass_coverage
+    n_grid = 1 + int((omega_max - omega_min) // step)
+    power = lomb_scargle_fast_grid(
+        t, m, e, omega_min / _TWO_PI, step / _TWO_PI, n_grid
+    )
+    # candidate peaks: repeated argmax with +-coverage masking
+    p = power.copy()
+    floor = p.min()
+    candidates = []
+    for _ in range(n_candidates):
+        j = int(np.argmax(p))
+        candidates.append(omega_min + step * j)
+        p[max(0, j - first_pass_coverage): j + first_pass_coverage] = floor
 
-    # parabolic refinement on the 3 points around the peak
-    if 0 < j < len(freqs) - 1:
-        y0, y1, y2 = power[j - 1], power[j], power[j + 1]
-        denom = y0 - 2.0 * y1 + y2
-        if denom != 0:
-            shift = 0.5 * (y0 - y2) / denom
-            shift = float(np.clip(shift, -0.5, 0.5))
-            return 1.0 / (freqs[j] + shift * df)
-    return 1.0 / freqs[j]
+    # final pass: +-width/2 around each candidate at width/final steps,
+    # clipped at omega_min (the floating-mean model is degenerate below
+    # the feasible range and would win on spurious power)
+    fine = width / final_pass_coverage
+    best_omega, best_score = None, -np.inf
+    for cand in candidates:
+        o0 = max(cand - width / 2.0, omega_min)
+        pz = lomb_scargle_fast_grid(
+            t, m, e, o0 / _TWO_PI, fine / _TWO_PI, final_pass_coverage
+        )
+        j = int(np.argmax(pz))
+        if pz[j] > best_score:
+            best_score = float(pz[j])
+            best_omega = o0 + fine * j
+    return _TWO_PI / best_omega

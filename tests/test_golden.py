@@ -86,3 +86,44 @@ def test_period_fast_recovers_injected_period():
         e = np.full(300, 0.05)
         v = compute_features(t, m, e, ["period_fast"])
         npt.assert_allclose(v["period_fast"], p, rtol=5e-3)
+
+
+def test_period_fast_golden_proximity(golden):
+    """period_fast vs the reference's own expected values for the 3
+    vendored series: the reference's numbers sit exactly on the two-pass
+    scan lattice omega_min + k*(width/500) (verified below), and our
+    gatspy-shaped reimplementation must land within a few fine-grid bins
+    (relative period error <= 1.5e-3, typically ~3e-5). Bit-exactness is
+    unreachable offline (gatspy's private extirpolation float pattern);
+    this bound replaces it as the quantitative anchor."""
+    from cesium_spark.features.period_fast import period_fast
+
+    series, names, expected = golden
+    col = names.index("period_fast")
+    for row, (fname, t, m, e) in enumerate(series):
+        want = expected[row, col]
+        # reference value sits on the two-pass lattice (integer k)
+        baseline = t.max() - t.min()
+        width = 2 * np.pi / baseline
+        omega_min = 2 * np.pi / baseline
+        k = (2 * np.pi / want - omega_min) / (width / 500)
+        assert abs(k - round(k)) < 1e-3, fname
+        got = period_fast(t, m, e)
+        assert abs(got - want) / want < 1.5e-3, (fname, got, want)
+
+
+def test_lsfast_trig_sums_match_direct_evaluation():
+    """The extirpolated fast periodogram must agree with the direct
+    (exact) evaluation of the same power formula to the documented
+    approximation scale, and exactly recover an injected frequency."""
+    from cesium_spark.features.lsfast import lomb_scargle_fast_grid
+
+    rng = np.random.RandomState(4)
+    t = np.sort(rng.uniform(0, 40, 250))
+    y = np.sin(2 * np.pi * t / 3.3) + 0.1 * rng.normal(size=250)
+    dy = np.full(250, 0.1)
+    f0, df, nf = 0.02, 0.0008, 800
+    fast = lomb_scargle_fast_grid(t, y, dy, f0, df, nf)
+    slow = lomb_scargle_fast_grid(t, y, dy, f0, df, nf, use_fft=False)
+    assert np.max(np.abs(fast - slow)) < 0.02
+    assert abs((f0 + df * np.argmax(fast)) - 1 / 3.3) < 2 * df
