@@ -639,3 +639,42 @@ def test_featurize_time_series_channel_count_mismatch_raises(spark):
     t = [np.sort(rng.uniform(0, 1, 10)) for _ in range(2)]
     with pytest.raises(ValueError, match="channels"):
         featurize_time_series(spark, [t], [m], None, ["mean"])
+
+
+def test_clean_corpus_job_end_to_end(spark, tmp_path):
+    """spark-submit corpus-cleaning job: near-dup clusters keep one
+    survivor, the off-language and low-quality docs drop, the kept
+    parquet + JSON report agree."""
+    import json
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from jobs.clean_corpus_job import main
+
+    good = ("the quick brown fox jumps over the lazy dog and that is fine "
+            "for the test of this corpus cleaning pipeline today ") * 3
+    other = ("this second document is about the spark engine and the rollup "
+             "tiers that keep the data small for training runs in the lab ") * 3
+    rows = [
+        (1, good + "unique tail one"),
+        (2, good + "unique tail one"),          # near-dup of 1 -> dropped
+        (3, "der hund und die katze das ist nicht ein test zu hause " * 5),  # de
+        # English (stopword-heavy) but short + punct-laden -> low quality
+        (4, "the, of. and! is? that; for: in."),
+        (5, other),                              # distinct English, good quality
+    ]
+    in_dir = str(tmp_path / "docs")
+    out_dir = str(tmp_path / "out")
+    spark.createDataFrame(rows, "doc_id int, text string").write.parquet(in_dir)
+
+    report = main([
+        "--input", in_dir, "--output", out_dir,
+        "--min-quality", "0.5", "--write-verdicts",
+    ])
+    kept = spark.read.parquet(out_dir + "/kept").toPandas()
+    verd = spark.read.parquet(out_dir + "/verdicts").toPandas().set_index("doc_id")
+    assert sorted(kept.doc_id) == [1, 5]
+    assert verd.loc[2, "reason"] == "near_dup"
+    assert verd.loc[3, "reason"] == "lang"
+    assert verd.loc[4, "reason"] == "low_quality"
+    assert report["kept"] == 2 and report["input_docs"] == 5
+    assert report["dropped_near_dup"] == 1
