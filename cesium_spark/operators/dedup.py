@@ -35,7 +35,9 @@ __all__ = [
     "char_shingles",
     "ngram_jaccard_pairs",
     "minhash_signatures",
+    "minhash_band_rows",
     "minhash_lsh_pairs",
+    "incremental_minhash_pairs",
     "simhash64",
     "simhash_pairs",
 ]
@@ -186,6 +188,87 @@ def minhash_signatures(
     return sh.groupBy("id").agg(*cols)
 
 
+def minhash_band_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """(id, band, key) LSH band rows — the persistable dedup INDEX.
+    Written once per corpus/batch, this relation is what incremental
+    ingestion joins new batches against (incremental_minhash_pairs);
+    minhash_lsh_pairs is its self-join."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, k, num_hashes, hash_fn)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{b * r + i}") for i in range(r)]
+        key = (
+            F.md5(F.concat(*parts)).cast("string")
+            if hash_fn == "md5"
+            else F.xxhash64(*parts).cast("string")
+        )
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), key.alias("key")).alias(f"b{b}")
+        )
+    return sig.select("id", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
+def incremental_minhash_pairs(
+    index: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    hash_fn: str = "md5",
+):
+    """Near-dup candidate pairs TOUCHING a new batch, against a persisted
+    band index — the continuous-ingestion dedup path.
+
+    Returns (pairs, new_rows): `pairs` are (id_a < id_b, matching_bands)
+    where at least one side is new (new-vs-indexed plus new-vs-new,
+    identical to what the full self-join would emit for those pairs —
+    tested); `new_rows` are the new batch's band rows for the caller to
+    append to the index (e.g. a snapshot-table append).
+
+    Scale: the new batch is shingled/hashed once; the only join is
+    new-bands against (index ∪ new-bands) on the band key. The full
+    corpus is never re-paired — per-batch cost is O(new * bands) index
+    probes instead of O(corpus^2) candidate regeneration, which is the
+    difference between a nightly dedup and one that keeps up with
+    ingestion."""
+    new_rows = minhash_band_rows(
+        new_docs, id_col, text_col, k, num_hashes, bands, hash_fn
+    )
+    all_rows = index.select("id", "band", "key").withColumn(
+        "_new", F.lit(False)
+    ).unionByName(new_rows.withColumn("_new", F.lit(True)))
+    a = new_rows.alias("a")
+    b = all_rows.alias("b")
+    pairs = (
+        a.join(b, ["band", "key"])
+        # each unordered pair exactly once: new-vs-old always qualifies
+        # (old side never re-probes), new-vs-new only in id order
+        .filter((~F.col("b._new")) | (F.col("a.id") < F.col("b.id")))
+        .filter(F.col("a.id") != F.col("b.id"))
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("matching_bands"))
+    )
+    return pairs, new_rows
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -203,22 +286,8 @@ def minhash_lsh_pairs(
     Returns distinct (id_a < id_b) pairs with the number of matching
     bands.
     """
-    assert num_hashes % bands == 0
-    r = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, k, num_hashes, hash_fn)
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"mh_{b * r + i}") for i in range(r)]
-        key = (
-            F.md5(F.concat(*parts)).cast("string")
-            if hash_fn == "md5"
-            else F.xxhash64(*parts).cast("string")
-        )
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), key.alias("key")).alias(f"b{b}")
-        )
-    bands_df = sig.select("id", F.explode(F.array(*band_cols)).alias("bk")).select(
-        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    bands_df = minhash_band_rows(
+        df, id_col, text_col, k, num_hashes, bands, hash_fn
     )
     a = bands_df.alias("a")
     b_ = bands_df.alias("b")

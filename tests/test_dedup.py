@@ -225,3 +225,37 @@ def test_connected_components_and_dedup_clusters(spark):
     # ... and converges with enough rounds (all nodes -> label 0)
     cc2 = connected_components(chain, max_iter=45).toPandas()
     assert (cc2.component == 0).all()
+
+
+def test_incremental_minhash_pairs_match_full_selfjoin(spark):
+    """The incremental path (new batch vs persisted band index) must
+    emit EXACTLY the pairs the full self-join would emit among pairs
+    touching the new batch — same ids, same matching_bands counts."""
+    from cesium_spark.operators.dedup import (
+        incremental_minhash_pairs, minhash_band_rows, minhash_lsh_pairs)
+
+    dup = "an exactly duplicated long document body used for banding"
+    old_rows = [(i, f"old document number {i:04d} content padding") for i in range(15)]
+    old_rows += [(100, dup), (101, "another shared body across batches here")]
+    new_rows_docs = [(200, dup),                      # dups an OLD doc
+                     (201, "another shared body across batches here"),
+                     (202, "fresh text nobody else has written before"),
+                     (203, dup)]                      # dups old AND new
+    old = spark.createDataFrame(old_rows, "doc_id int, text string")
+    new = spark.createDataFrame(new_rows_docs, "doc_id int, text string")
+
+    index = minhash_band_rows(old)
+    pairs, new_band_rows = incremental_minhash_pairs(index, new)
+    got = pairs.toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    full = minhash_lsh_pairs(old.unionByName(new)).toPandas()
+    new_ids = {200, 201, 202, 203}
+    want = full[[a in new_ids or b in new_ids
+                 for a, b in zip(full.id_a, full.id_b)]] \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # the returned band rows extend the index for the next batch
+    assert set(new_band_rows.toPandas().id) == new_ids
+    assert (100, 200) in set(zip(got.id_a, got.id_b))  # old-new dup found
+    assert (200, 203) in set(zip(got.id_a, got.id_b))  # new-new dup found
