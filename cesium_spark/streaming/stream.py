@@ -23,7 +23,7 @@ from ..kernel import SECONDS_PER_DAY, ts_micros
 from .rollup_schema import STREAM_ROLLUP_COLUMNS
 
 __all__ = [
-    "streaming_rollup", "start_file_stream",
+    "streaming_rollup", "streaming_partial_states", "start_file_stream",
     "streaming_sessionize", "start_session_stream",
     "streaming_exact_dedup",
 ]
@@ -62,6 +62,71 @@ def streaming_rollup(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
             *STREAM_ROLLUP_COLUMNS,
+        )
+    )
+
+
+def streaming_partial_states(
+    stream_df: DataFrame,
+    tier: str = "1 minute",
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "turn_idx",
+    m=None,
+    e=None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming MERGEABLE STATE rows (operators/aggstate.STATE_COLS
+    schema) per (series, tier window) — the streaming head of the
+    continuous-aggregate cascade: the finest tier materializes from the
+    stream, and the coarser tiers roll up from these states batch-side
+    (rollup_states) without ever touching raw rows again. Every
+    aggregate here is algebraic (sums / extrema / max_by), so Spark's
+    streaming state store IS the partial-state algebra."""
+    from ..kernel import DEFAULT_ERROR_VALUE
+    from ..operators.aggstate import STATE_COLS
+    from ..operators.rollup import TIERS
+
+    m_col = F.col(m) if isinstance(m, str) else m
+    if m_col is None:
+        m_col = F.length(F.col("text")).cast("double")
+    e_col = F.col(e) if isinstance(e, str) else e
+    if e_col is None:
+        e_col = F.lit(DEFAULT_ERROR_VALUE).cast("double")
+    t_days = ts_micros(F.col(ts_col)).cast("double") / F.lit(SECONDS_PER_DAY * 1e6)
+    window = TIERS.get(tier, tier)
+
+    w = 1.0 / (e_col * e_col)
+    rank = F.struct(
+        ts_micros(F.col(ts_col)).alias("us"),
+        F.col(tiebreak_col).cast("long").alias("idx"),
+    )
+    mv = m_col
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col), F.window(F.col(ts_col), window).alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(mv).alias("s1"),
+            F.sum(F.pow(mv, 2)).alias("s2"),
+            F.sum(F.pow(mv, 3)).alias("s3"),
+            F.sum(F.pow(mv, 4)).alias("s4"),
+            F.min(mv).alias("vmin"),
+            F.max(mv).alias("vmax"),
+            F.sum(w).alias("w_sum"),
+            F.sum(w * mv).alias("wx_sum"),
+            F.sum(w * mv * mv).alias("wx2_sum"),
+            F.min(t_days).alias("t_min"),
+            F.max(t_days).alias("t_max"),
+            F.sum(t_days).alias("t_sum"),
+            F.max(ts_micros(F.col(ts_col))).alias("last_rank_us"),
+            F.max_by(F.col(tiebreak_col).cast("long"), rank).alias("last_rank_idx"),
+            F.max_by(mv, rank).alias("last_value"),
+        )
+        .select(
+            F.col(key_col),
+            F.col("w.start").alias("window_start"),
+            *[F.col(c) for c in STATE_COLS],
         )
     )
 

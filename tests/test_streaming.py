@@ -216,3 +216,51 @@ def test_streaming_exact_dedup_first_seen(spark, tmp_path):
     assert sorted(got.text) == ["alpha", "beta", "gamma"]
     # the FIRST arrival is the survivor
     assert got.set_index("text").loc["beta", "ts"] == t0 + pd.Timedelta(minutes=1)
+
+
+def test_streaming_states_feed_batch_cascade(spark, tmp_path):
+    """The streaming head of the continuous-aggregate cascade: 1m partial
+    STATES materialized by Structured Streaming, then rolled to 1h by the
+    BATCH cascade (rollup_states) — finalized features must equal the
+    all-batch path exactly (same sums, same extrema, same last-value
+    rank), proving raw rows never need a second read."""
+    from cesium_spark.datagen import generate_transcripts
+    from cesium_spark.operators.aggstate import (
+        finalize_states, partial_states, rollup_states)
+    from cesium_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+    from cesium_spark.streaming.stream import streaming_partial_states
+
+    df = generate_transcripts(spark, n_convs=4, seed=23).cache()
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    # sentinel events far past the data advance the watermark so APPEND
+    # mode finalizes every real window before the availableNow stream
+    # ends (their own windows are filtered out below)
+    global_max = df.agg(F.max("ts")).first()[0]
+    cutoff = global_max + pd.Timedelta(days=5)
+    sentinels = (
+        df.select("conv_id").distinct()
+        .select("conv_id", F.lit(10**9).alias("turn_idx"),
+                F.lit("user").alias("role"), F.lit("s").alias("text"),
+                F.lit("").alias("tool"),
+                F.lit(global_max + pd.Timedelta(days=10)).alias("ts"))
+    )
+    df.unionByName(sentinels).write.mode("overwrite").parquet(in_dir)
+
+    src = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(in_dir)
+    q = (
+        streaming_partial_states(src, tier="1m")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out_dir).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+
+    streamed_1m = spark.read.parquet(out_dir).filter(F.col("window_start") < F.lit(cutoff))
+    got = finalize_states(
+        rollup_states(streamed_1m, "1h", fine_tier="1m"),
+        ["conv_id", "window_start"],
+    ).toPandas().sort_values(["conv_id", "window_start"]).reset_index(drop=True)
+    want = finalize_states(
+        partial_states(df, "1h"), ["conv_id", "window_start"]
+    ).toPandas().sort_values(["conv_id", "window_start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, rtol=1e-12, atol=1e-12)
