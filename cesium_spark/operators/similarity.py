@@ -22,6 +22,9 @@ __all__ = [
     "cosine_topk_bruteforce",
     "lsh_bucket_topk",
     "ivf_topk",
+    "build_ivf_index",
+    "extend_ivf_index",
+    "ivf_query",
     "embedding_near_dup_pairs",
 ]
 
@@ -218,6 +221,30 @@ def ivf_topk(
     The training sample is id-ordered so centroid init (and therefore the
     whole result) is deterministic across runs and partitionings.
     """
+    index, cents = build_ivf_index(
+        corpus, id_col=id_col, vec_col=vec_col, n_lists=n_lists,
+        train_sample=train_sample, seed=seed,
+    )
+    return ivf_query(
+        index, cents, queries, k=k, id_col=id_col, vec_col=vec_col,
+        n_probe=n_probe, round_digits=round_digits,
+    )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    train_sample: int = 2048,
+    seed: int = 42,
+):
+    """(index DataFrame, centroids ndarray): the persistable halves of an
+    IVF index. The index relation (id, vector, list_id) is written once
+    (ideally partitioned/bucketed by list_id); the centroids are a tiny
+    (n_lists, dim) array the caller stores alongside (np.save / a 1-row
+    table) and broadcasts at query time. New vectors append via
+    extend_ivf_index without touching existing rows."""
     import pandas as pd
     from pyspark.sql.types import IntegerType
 
@@ -226,6 +253,22 @@ def ivf_topk(
         .toPandas()[vec_col].tolist()
     )
     cents = _kmeans_centroids(np.asarray(sample_rows, dtype=np.float64), n_lists, seed)
+    return extend_ivf_index(corpus, cents, id_col, vec_col), cents
+
+
+def extend_ivf_index(
+    vectors: DataFrame,
+    cents: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign (new) vectors to the existing centroids -> index rows
+    (id, vector, list_id) to append. One broadcast-centroid Arrow pass;
+    the incremental-ingestion path for the vector index (assignments are
+    centroid-relative, so appends never invalidate existing rows —
+    re-train centroids only when drift degrades recall)."""
+    import pandas as pd
+    from pyspark.sql.types import IntegerType
 
     def assign_fn(cols):
         vs = np.asarray(cols.tolist(), dtype=np.float64)
@@ -233,6 +276,27 @@ def ivf_topk(
         return pd.Series((vs @ cents.T).argmax(axis=1).astype(np.int32))
 
     assign_udf = F.pandas_udf(assign_fn, IntegerType())
+    return vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        assign_udf(F.col(vec_col)).alias("list_id"),
+    )
+
+
+def ivf_query(
+    index: DataFrame,
+    cents: np.ndarray,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-k over a persisted IVF index: queries probe their n_probe
+    nearest lists (broadcast side), cosine evaluated only within probed
+    lists."""
+    import pandas as pd
 
     def probe_fn(cols):
         vs = np.asarray(cols.tolist(), dtype=np.float64)
@@ -243,18 +307,13 @@ def ivf_topk(
 
     probe_udf = F.pandas_udf(probe_fn, "array<int>")
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        assign_udf(F.col(vec_col)).alias("list_id"),
-    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         F.explode(probe_udf(F.col(vec_col))).alias("list_id"),
     )
     scored = (
-        c.join(F.broadcast(q), "list_id")
+        index.join(F.broadcast(q), "list_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",

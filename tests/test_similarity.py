@@ -134,3 +134,35 @@ def test_near_dup_pairs_exact_with_many_lists(spark):
     assert len(want) > 50
     assert set(map(tuple, got.to_numpy().tolist())) == \
         set(map(tuple, want.to_numpy().tolist()))
+
+
+def test_ivf_index_persist_and_incremental_append(spark, vectors, tmp_path):
+    """The persisted-index path must equal the one-shot ivf_topk exactly,
+    survive a parquet round-trip, and extend with a new batch: queries
+    against (old index + appended rows) equal a fresh assignment of the
+    full corpus against the SAME centroids."""
+    from cesium_spark.operators.similarity import (
+        build_ivf_index, extend_ivf_index, ivf_query, ivf_topk)
+
+    queries = vectors.filter(F.col("vec_id") < 5)
+    direct = ivf_topk(vectors, queries, k=3, n_lists=8, n_probe=4).toPandas()
+
+    index, cents = build_ivf_index(vectors, n_lists=8)
+    p = str(tmp_path / "ivf_index")
+    index.write.mode("overwrite").parquet(p)
+    via_index = ivf_query(
+        spark.read.parquet(p), cents, queries, k=3, n_probe=4).toPandas()
+    pd_sort = lambda d: d.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(pd_sort(via_index), pd_sort(direct))
+
+    # incremental append: split corpus, index old, extend with new
+    old = vectors.filter(F.col("vec_id") % 3 != 0)
+    new = vectors.filter(F.col("vec_id") % 3 == 0)
+    idx_old, cents2 = build_ivf_index(old, n_lists=8)
+    combined = idx_old.unionByName(extend_ivf_index(new, cents2))
+    got = ivf_query(combined, cents2, queries, k=3, n_probe=4).toPandas()
+    want = ivf_query(
+        extend_ivf_index(vectors, cents2), cents2, queries, k=3, n_probe=4
+    ).toPandas()
+    pd.testing.assert_frame_equal(pd_sort(got), pd_sort(want))
