@@ -74,12 +74,12 @@ def period_fast(
     )
     # candidate peaks: repeated argmax with +-coverage masking
     p = power.copy()
-    floor = p.min()
+    floor = np.nanmin(p) if np.isfinite(p).any() else 0.0
     candidates = []
     for _ in range(n_candidates):
         j = int(np.argmax(p))
         candidates.append(omega_min + step * j)
-        p[max(0, j - first_pass_coverage): j + first_pass_coverage] = floor
+        p[max(0, j - first_pass_coverage): j + first_pass_coverage + 1] = floor
 
     # final pass: +-width/2 around each candidate at width/final steps,
     # clipped at omega_min (the floating-mean model is degenerate below
@@ -87,7 +87,10 @@ def period_fast(
     fine = width / final_pass_coverage
     best_omega, best_score = None, -np.inf
     for cand in candidates:
-        o0 = max(cand - width / 2.0, omega_min)
+        # window clipped to the feasible range on BOTH ends: below
+        # omega_min the floating-mean model is degenerate, above
+        # omega_max the contract's period_range is violated
+        o0 = max(omega_min, min(cand - width / 2.0, omega_max - width))
         pz = lomb_scargle_fast_grid(
             t, m, e, o0 / _TWO_PI, fine / _TWO_PI, final_pass_coverage
         )
@@ -95,4 +98,9 @@ def period_fast(
         if pz[j] > best_score:
             best_score = float(pz[j])
             best_omega = o0 + fine * j
+    if best_omega is None or not np.isfinite(best_score):
+        # zero-variance input: power is NaN everywhere (YY = 0); the
+        # period of a constant series is undefined -> NaN, matching the
+        # registry's NaN-on-error surface instead of a TypeError
+        return float("nan")
     return _TWO_PI / best_omega

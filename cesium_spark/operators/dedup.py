@@ -248,9 +248,18 @@ def incremental_minhash_pairs(
     new_rows = minhash_band_rows(
         new_docs, id_col, text_col, k, num_hashes, bands, hash_fn
     )
-    all_rows = index.select("id", "band", "key").withColumn(
-        "_new", F.lit(False)
-    ).unionByName(new_rows.withColumn("_new", F.lit(True)))
+    # replay safety: a batch retry re-ingests ids the index already has;
+    # keeping both copies would double-count matching_bands and bloat
+    # the index on every retry. The new batch's version WINS (re-ingest
+    # = replace): stale index rows for re-ingested ids are excluded
+    # here, and callers appending `new_rows` should delete-then-append
+    # (or snapshot-overwrite) those ids the same way.
+    fresh_index = index.select("id", "band", "key").join(
+        new_rows.select("id").distinct(), "id", "left_anti"
+    )
+    all_rows = fresh_index.withColumn("_new", F.lit(False)).unionByName(
+        new_rows.withColumn("_new", F.lit(True))
+    )
     a = new_rows.alias("a")
     b = all_rows.alias("b")
     pairs = (

@@ -245,9 +245,6 @@ def build_ivf_index(
     (n_lists, dim) array the caller stores alongside (np.save / a 1-row
     table) and broadcasts at query time. New vectors append via
     extend_ivf_index without touching existing rows."""
-    import pandas as pd
-    from pyspark.sql.types import IntegerType
-
     sample_rows = (
         corpus.select(id_col, vec_col).orderBy(id_col).limit(train_sample)
         .toPandas()[vec_col].tolist()

@@ -125,7 +125,13 @@ def streaming_partial_states(
         )
         .select(
             F.col(key_col),
-            F.col("w.start").alias("window_start"),
+            # tier metadata rides along exactly like batch partial_states
+            # stamps it, so rollup_states' coarser-tier validation guards
+            # the streaming cascade too (when tier is a known key)
+            F.col("w.start").alias(
+                "window_start",
+                metadata={"tier": tier} if tier in TIERS else {},
+            ),
             *[F.col(c) for c in STATE_COLS],
         )
     )

@@ -72,6 +72,10 @@ def main(argv=None):
         .select(args.id_col, "reason", (F.col("reason") == "ok").alias("keep"))
     )
 
+    # the verdict feeds three consumers (kept semi-join, verdict write,
+    # report counts) — persist so the text-stats/lang/cluster lineage
+    # runs once, not three times
+    verdict = verdict.persist()
     kept = docs.join(
         verdict.filter("keep").select(args.id_col), args.id_col, "left_semi"
     )
@@ -85,8 +89,9 @@ def main(argv=None):
         r["reason"]: r["n"]
         for r in verdict.groupBy("reason").agg(F.count("*").alias("n")).collect()
     }
+    verdict.unpersist()
     report = {
-        "input_docs": docs.count(),
+        "input_docs": sum(counts.values()),  # one row per input doc
         "kept": counts.get("ok", 0),
         "dropped_near_dup": counts.get("near_dup", 0),
         "dropped_lang": counts.get("lang", 0),

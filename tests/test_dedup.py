@@ -259,3 +259,27 @@ def test_incremental_minhash_pairs_match_full_selfjoin(spark):
     assert set(new_band_rows.toPandas().id) == new_ids
     assert (100, 200) in set(zip(got.id_a, got.id_b))  # old-new dup found
     assert (200, 203) in set(zip(got.id_a, got.id_b))  # new-new dup found
+
+
+def test_incremental_minhash_batch_replay_is_idempotent(spark):
+    """Review finding: re-ingesting an already-indexed id (batch retry)
+    double-counted matching_bands. The new batch's rows replace the
+    stale index rows, so counts match the clean full self-join."""
+    from cesium_spark.operators.dedup import (
+        incremental_minhash_pairs, minhash_band_rows, minhash_lsh_pairs)
+
+    dup = "the same long duplicated body shared by five and nine exactly"
+    docs = spark.createDataFrame(
+        [(5, dup), (7, "some other text entirely different")],
+        "doc_id int, text string")
+    new = spark.createDataFrame(
+        [(5, dup), (9, dup)], "doc_id int, text string")  # 5 replayed
+
+    index = minhash_band_rows(docs)
+    pairs, _ = incremental_minhash_pairs(index, new)
+    got = pairs.toPandas().set_index(["id_a", "id_b"])["matching_bands"]
+    full = minhash_lsh_pairs(
+        spark.createDataFrame([(5, dup), (7, "some other text entirely different"), (9, dup)],
+                              "doc_id int, text string")
+    ).toPandas().set_index(["id_a", "id_b"])["matching_bands"]
+    assert got.loc[(5, 9)] == full.loc[(5, 9)] == 4  # not 8

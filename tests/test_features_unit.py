@@ -240,3 +240,14 @@ def test_segmented_all_singletons():
     assert np.isnan(res["max_slope"]).all()
     npt.assert_allclose(res["mean"], m)
     npt.assert_allclose(res["n_epochs"], 1.0)
+
+
+def test_period_fast_constant_series_returns_nan():
+    """Review finding: zero-variance input (YY=0 -> all-NaN power) must
+    surface as NaN like the registry's error policy, not a TypeError."""
+    import numpy as np
+    from cesium_spark.features.period_fast import period_fast
+
+    t = np.linspace(0, 10, 50)
+    out = period_fast(t, np.full(50, 3.0), np.full(50, 0.1))
+    assert np.isnan(out)
