@@ -678,3 +678,47 @@ def test_clean_corpus_job_end_to_end(spark, tmp_path):
     assert verd.loc[4, "reason"] == "low_quality"
     assert report["kept"] == 2 and report["input_docs"] == 5
     assert report["dropped_near_dup"] == 1
+
+
+def test_partition_invariance_of_round3_operators(spark):
+    """Round-3 operators must produce identical results at different
+    shuffle-partition counts (connected components, tfidf ranking,
+    token top-k, impute fills)."""
+    from cesium_spark.api import impute_featureset
+    from cesium_spark.operators.graph import dedup_clusters
+    from cesium_spark.operators.text import tfidf_top_terms, token_topk
+
+    rng = np.random.RandomState(7)
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.choice(list("abcdefgh"), size=12)))
+         for i in range(60)],
+        "doc_id int, text string").cache()
+    pairs = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in rng.randint(0, 60, size=(30, 2))
+         if a != b],
+        "id_a int, id_b int").cache()
+    fset = spark.createDataFrame(
+        [(str(i), float(i % 9) if i % 5 else None) for i in range(40)],
+        "name string, v double").cache()
+
+    def run():
+        return (
+            dedup_clusters(docs, pairs).toPandas()
+            .sort_values("doc_id").reset_index(drop=True),
+            tfidf_top_terms(docs, k=2).toPandas()
+            .sort_values(["doc_id", "rank"]).reset_index(drop=True),
+            token_topk(docs, k=5).toPandas().reset_index(drop=True),
+            impute_featureset(fset, strategy="median").toPandas()
+            .sort_values("name").reset_index(drop=True),
+        )
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        r3 = run()
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        r17 = run()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    for x, y in zip(r3, r17):
+        pd.testing.assert_frame_equal(x, y)

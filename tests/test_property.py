@@ -125,3 +125,45 @@ def test_connected_components_matches_union_find(spark, edges):
     got = connected_components(df, max_iter=80).toPandas() \
         .set_index("node")["component"].to_dict()
     assert got == want
+
+
+@given(
+    st.lists(st.integers(0, 2000), min_size=1, max_size=60),
+    st.lists(st.integers(0, 2000), min_size=1, max_size=25),
+)
+@settings(max_examples=10, deadline=None)
+def test_asof_join_matches_pandas_merge_asof(spark, left_off, right_off):
+    """Property: asof_join == pandas.merge_asof (backward,
+    allow_exact_matches) on random timestamp sets, including duplicate
+    left timestamps; right side deduplicated per ts (the documented
+    tie-free comparison surface)."""
+    import pandas as pd
+    from cesium_spark.operators.asof import asof_join
+
+    t0 = pd.Timestamp("2025-01-01")
+    lpdf = pd.DataFrame({
+        "conv_id": "k",
+        "ts": [t0 + pd.Timedelta(seconds=o) for o in left_off],
+        "n": range(len(left_off)),
+    })
+    rpdf = (
+        pd.DataFrame({
+            "conv_id": "k",
+            "ts": [t0 + pd.Timedelta(seconds=o) for o in right_off],
+            "mark": [float(o % 7) for o in right_off],
+        })
+        .groupby(["conv_id", "ts"], as_index=False)["mark"].max()
+    )
+    got = (
+        asof_join(spark.createDataFrame(lpdf), spark.createDataFrame(rpdf),
+                  key_col="conv_id", value_cols=["mark"])
+        .toPandas().sort_values("n").reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        lpdf.sort_values("ts", kind="stable"), rpdf.sort_values("ts"),
+        on="ts", by="conv_id", direction="backward",
+        allow_exact_matches=True,
+    ).sort_values("n").reset_index(drop=True)
+    np.testing.assert_array_equal(
+        got["mark_asof"].to_numpy(), want["mark"].to_numpy()
+    )
