@@ -173,6 +173,24 @@ def q_locf_1h(spark, sf_dir):
     )
 
 
+def q_interp_1h(spark, sf_dir):
+    """Linear-interpolation gap fill on the dense 1h grid (TimescaleDB
+    interpolate() counterpart of locf_1h): gap slots blend the previous
+    and next observed window values time-weighted; leading/trailing
+    slots stay NULL (no extrapolation). Values rounded for the
+    cross-engine hash."""
+    from cesium_spark.operators.locf import interpolate_grid
+
+    out = interpolate_grid(
+        _events(spark, sf_dir), "1h",
+        key_col="user_id", ts_col="ts", tiebreak_col="event_id", value="value",
+    )
+    return out.select(
+        "user_id", "grid_ts", _r(F.col("interp_value")).alias("interp_value"),
+        "filled",
+    )
+
+
 def q_agg_merge(spark, sf_dir):
     st = partial_states(
         _events(spark, sf_dir), "1h",
@@ -882,6 +900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "embedding_clusters": q_embedding_clusters,
         "clean_corpus": q_clean_corpus,
+        "interp_1h": q_interp_1h,
     }
 
 
@@ -1101,6 +1120,49 @@ def oracle_sql() -> dict[str, str]:
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value,
                b.window_last IS NULL AS filled
         FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.grid_ts = b.grid_ts
+    """
+
+    sql["interp_1h"] = f"""
+        WITH b AS (
+          SELECT user_id, grid_ts, window_last FROM (
+            SELECT user_id, date_trunc('hour', ts) AS grid_ts,
+                   value AS window_last,
+                   row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events) WHERE rn = 1
+        ),
+        span AS (
+          SELECT user_id, min(grid_ts) AS g0, max(grid_ts) AS g1 FROM b GROUP BY user_id
+        ),
+        grid AS (
+          SELECT user_id, unnest(generate_series(g0, g1, INTERVAL 1 HOUR)) AS grid_ts
+          FROM span
+        ),
+        j AS (
+          SELECT g.user_id, g.grid_ts, b.window_last,
+                 last_value(b.window_last IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.grid_ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                 last_value(CASE WHEN b.window_last IS NOT NULL
+                                 THEN epoch_us(g.grid_ts) END IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.grid_ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+                 first_value(b.window_last IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.grid_ts
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                 first_value(CASE WHEN b.window_last IS NOT NULL
+                                  THEN epoch_us(g.grid_ts) END IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.grid_ts
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+          FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.grid_ts = b.grid_ts
+        )
+        SELECT user_id, grid_ts,
+               round(CASE WHEN window_last IS NOT NULL THEN window_last
+                          WHEN pv IS NOT NULL AND nv IS NOT NULL
+                          THEN pv + (nv - pv) * (epoch_us(grid_ts) - pt) / (nt - pt)
+                     END + {EPS}, {R}) AS interp_value,
+               window_last IS NULL AS filled
+        FROM j
     """
 
     sql["agg_merge"] = f"""

@@ -22,11 +22,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..kernel import ts_micros
 from .rollup import TIERS
 
 _TIER_SECONDS = {"1m": 60, "1h": 3600, "1d": 86400}
 
-__all__ = ["locf_grid"]
+__all__ = ["locf_grid", "interpolate_grid"]
 
 
 def locf_grid(
@@ -90,4 +91,93 @@ def locf_grid(
             F.last("window_last", ignorenulls=True).over(w).alias("locf_value"),
             F.col("window_last").isNull().alias("filled"),
         )
+    )
+
+
+def interpolate_grid(
+    df: DataFrame,
+    tier: str,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "turn_idx",
+    value: Column | str | None = None,
+    horizon: tuple[str, str] | None = None,
+) -> DataFrame:
+    """Dense per-series grid at `tier` with LINEAR interpolation across
+    gaps (TimescaleDB's ``interpolate()`` counterpart to LOCF).
+
+    Output: (key, grid_ts, interp_value, filled). Observed windows keep
+    their last-observation value; gap slots between two observed windows
+    get the time-weighted linear blend; slots before the first / after
+    the last observation are NULL (extrapolation is a modeling choice,
+    not a gap-fill).
+
+    Same physical shape as locf_grid: one JVM aggregation, one grid
+    explode, then two frame-bounded window carries (previous observed
+    value/ts and next observed value/ts) — one shuffle on the series
+    key, no UDFs, no joins beyond the grid alignment."""
+    step = _TIER_SECONDS[tier]
+    v_col = F.col(value) if isinstance(value, str) else value
+    if v_col is None:
+        v_col = F.length(F.col("text")).cast("double")
+    if horizon is not None:
+        df = df.filter(F.col(ts_col).between(*horizon))
+
+    rank = F.struct(F.col(ts_col), F.col(tiebreak_col).cast("long"))
+    bucket = F.window(F.col(ts_col), TIERS[tier]).start
+    per_window = (
+        df.select(
+            F.col(key_col), bucket.alias("grid_ts"),
+            v_col.alias("v"), rank.alias("r"),
+        )
+        .groupBy(key_col, "grid_ts")
+        .agg(F.max_by("v", "r").alias("window_last"))
+    )
+    spans = per_window.groupBy(key_col).agg(
+        F.min("grid_ts").alias("g0"), F.max("grid_ts").alias("g1")
+    )
+    grid = spans.select(
+        key_col,
+        F.explode(
+            F.sequence("g0", "g1", F.expr(f"INTERVAL {step} SECONDS"))
+        ).alias("grid_ts"),
+    )
+
+    back = (
+        Window.partitionBy(key_col)
+        .orderBy("grid_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy(key_col)
+        .orderBy("grid_ts")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_us = F.when(
+        F.col("window_last").isNotNull(), ts_micros(F.col("grid_ts"))
+    )
+    joined = grid.join(per_window, [key_col, "grid_ts"], "left").select(
+        key_col,
+        "grid_ts",
+        "window_last",
+        F.last("window_last", ignorenulls=True).over(back).alias("_pv"),
+        F.last(obs_us, ignorenulls=True).over(back).alias("_pt"),
+        F.first("window_last", ignorenulls=True).over(fwd).alias("_nv"),
+        F.first(obs_us, ignorenulls=True).over(fwd).alias("_nt"),
+    )
+    frac = (ts_micros(F.col("grid_ts")) - F.col("_pt")) / (
+        F.col("_nt") - F.col("_pt")
+    )
+    interp = (
+        F.when(F.col("window_last").isNotNull(), F.col("window_last"))
+        .when(
+            F.col("_pv").isNotNull() & F.col("_nv").isNotNull(),
+            F.col("_pv") + (F.col("_nv") - F.col("_pv")) * frac,
+        )
+    )
+    return joined.select(
+        key_col,
+        "grid_ts",
+        interp.alias("interp_value"),
+        F.col("window_last").isNull().alias("filled"),
     )

@@ -722,3 +722,23 @@ def test_partition_invariance_of_round3_operators(spark):
         spark.conf.set("spark.sql.shuffle.partitions", old)
     for x, y in zip(r3, r17):
         pd.testing.assert_frame_equal(x, y)
+
+
+def test_interpolate_grid_hand_example(spark):
+    """Linear gap-fill: a 3-hour gap between values 10 and 40 yields
+    20, 30 at the interior slots; leading/trailing stay NULL-free here
+    (observed ends), and filled flags mark the gap slots."""
+    from cesium_spark.operators.locf import interpolate_grid
+
+    def t(s):
+        return pd.Timestamp(s).to_pydatetime()
+
+    df = spark.createDataFrame(
+        [("a", t("2025-01-01 00:10"), 0, 10.0),
+         ("a", t("2025-01-01 03:20"), 1, 40.0),
+         ("a", t("2025-01-01 04:15"), 2, 50.0)],
+        "conv_id string, ts timestamp, turn_idx int, value double")
+    out = interpolate_grid(df, "1h", value="value").toPandas() \
+        .sort_values("grid_ts").reset_index(drop=True)
+    assert list(out.interp_value) == [10.0, 20.0, 30.0, 40.0, 50.0]
+    assert list(out.filled) == [False, True, True, False, False]
