@@ -1157,9 +1157,12 @@ def oracle_sql() -> dict[str, str]:
           FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.grid_ts = b.grid_ts
         )
         SELECT user_id, grid_ts,
+               -- symmetric lerp with the IDENTICAL float association as
+               -- the Spark side (pv*(nt-t) + nv*(t-pt)) / (nt-pt)
                round(CASE WHEN window_last IS NOT NULL THEN window_last
                           WHEN pv IS NOT NULL AND nv IS NOT NULL
-                          THEN pv + (nv - pv) * (epoch_us(grid_ts) - pt) / (nt - pt)
+                          THEN (pv * (nt - epoch_us(grid_ts))
+                                + nv * (epoch_us(grid_ts) - pt)) / (nt - pt)
                      END + {EPS}, {R}) AS interp_value,
                window_last IS NULL AS filled
         FROM j

@@ -686,6 +686,7 @@ def test_partition_invariance_of_round3_operators(spark):
     token top-k, impute fills)."""
     from cesium_spark.api import impute_featureset
     from cesium_spark.operators.graph import dedup_clusters
+    from cesium_spark.operators.locf import interpolate_grid
     from cesium_spark.operators.text import tfidf_top_terms, token_topk
 
     rng = np.random.RandomState(7)
@@ -700,6 +701,11 @@ def test_partition_invariance_of_round3_operators(spark):
     fset = spark.createDataFrame(
         [(str(i), float(i % 9) if i % 5 else None) for i in range(40)],
         "name string, v double").cache()
+    t0 = pd.Timestamp("2025-01-01")
+    ev = spark.createDataFrame(
+        [(f"c{i % 5}", (t0 + pd.Timedelta(minutes=int(x))).to_pydatetime(), int(i), float(i % 13))
+         for i, x in enumerate(rng.randint(0, 60 * 48, size=200))],
+        "conv_id string, ts timestamp, turn_idx int, value double").cache()
 
     def run():
         return (
@@ -710,6 +716,8 @@ def test_partition_invariance_of_round3_operators(spark):
             token_topk(docs, k=5).toPandas().reset_index(drop=True),
             impute_featureset(fset, strategy="median").toPandas()
             .sort_values("name").reset_index(drop=True),
+            interpolate_grid(ev, "1h", value="value").toPandas()
+            .sort_values(["conv_id", "grid_ts"]).reset_index(drop=True),
         )
 
     old = spark.conf.get("spark.sql.shuffle.partitions")
