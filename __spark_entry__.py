@@ -176,9 +176,10 @@ def q_locf_1h(spark, sf_dir):
 def q_interp_1h(spark, sf_dir):
     """Linear-interpolation gap fill on the dense 1h grid (TimescaleDB
     interpolate() counterpart of locf_1h): gap slots blend the previous
-    and next observed window values time-weighted; leading/trailing
-    slots stay NULL (no extrapolation). Values rounded for the
-    cross-engine hash."""
+    and next observed window values time-weighted; the grid spans each
+    series' observed range (no extrapolation). Values rounded for the
+    cross-engine hash, with the lerp association identical on both
+    engines."""
     from cesium_spark.operators.locf import interpolate_grid
 
     out = interpolate_grid(
