@@ -283,3 +283,20 @@ def test_incremental_minhash_batch_replay_is_idempotent(spark):
                               "doc_id int, text string")
     ).toPandas().set_index(["id_a", "id_b"])["matching_bands"]
     assert got.loc[(5, 9)] == full.loc[(5, 9)] == 4  # not 8
+
+
+def test_connected_components_hot_template_cluster(spark):
+    """The realistic 100 TB dedup shape: one template duplicated
+    thousands of times = a giant star-ish component. Min-label
+    propagation must converge in a couple of rounds (diameter 2), not
+    O(cluster size), and label everything with the hub's min id."""
+    from cesium_spark.operators.graph import connected_components
+
+    hub_edges = [(0, i) for i in range(1, 2000)]
+    chain_tail = [(2000 + i, 2001 + i) for i in range(5)]  # small side component
+    pairs = spark.createDataFrame(hub_edges + chain_tail, "id_a int, id_b int")
+    cc = connected_components(pairs, max_iter=10).toPandas()  # star needs 2; the chain tail (diameter 6) dominates
+    star = cc[cc.node < 2000]
+    assert (star.component == 0).all() and len(star) == 2000
+    tail = cc[cc.node >= 2000]
+    assert (tail.component == 2000).all() and len(tail) == 6
