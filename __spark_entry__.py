@@ -192,6 +192,23 @@ def q_interp_1h(spark, sf_dir):
     )
 
 
+def q_twa_1h(spark, sf_dir):
+    """Time-weighted average per 1h window (TimescaleDB time_weight
+    LOCF counterpart): observations weighted by hold duration, not by
+    event count — the right mean for state-like measurements under
+    irregular sampling. Zero-span windows degenerate to the last value
+    under the deterministic rank."""
+    from cesium_spark.operators.timeweight import time_weighted_avg
+
+    out = time_weighted_avg(
+        _events(spark, sf_dir), "1h",
+        key_col="user_id", ts_col="ts", tiebreak_col="event_id", value="value",
+    )
+    return out.select(
+        "user_id", "window_start", _r(F.col("twa")).alias("twa"), "n_points"
+    )
+
+
 def q_agg_merge(spark, sf_dir):
     st = partial_states(
         _events(spark, sf_dir), "1h",
@@ -902,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_clusters": q_embedding_clusters,
         "clean_corpus": q_clean_corpus,
         "interp_1h": q_interp_1h,
+        "twa_1h": q_twa_1h,
     }
 
 
@@ -1167,6 +1185,37 @@ def oracle_sql() -> dict[str, str]:
                      END + {EPS}, {R}) AS interp_value,
                window_last IS NULL AS filled
         FROM j
+    """
+
+    sql["twa_1h"] = f"""
+        WITH h AS (
+          SELECT user_id, date_trunc('hour', ts) AS window_start,
+                 value AS v, epoch_us(ts) AS t_us, event_id,
+                 lead(epoch_us(ts)) OVER (
+                   PARTITION BY user_id, date_trunc('hour', ts)
+                   ORDER BY ts, event_id) - epoch_us(ts) AS hold_us
+          FROM events
+        ),
+        lastv AS (
+          SELECT user_id, window_start, v AS last_v FROM (
+            SELECT user_id, window_start, v,
+                   row_number() OVER (PARTITION BY user_id, window_start
+                                      ORDER BY t_us DESC, event_id DESC) AS rn
+            FROM h) WHERE rn = 1
+        ),
+        a AS (
+          SELECT user_id, window_start,
+                 sum(v * hold_us) AS wsum,
+                 max(t_us) - min(t_us) AS span,
+                 count(*) AS n_points
+          FROM h GROUP BY user_id, window_start
+        )
+        SELECT a.user_id, a.window_start,
+               round(CASE WHEN span > 0 THEN wsum / span ELSE last_v END
+                     + {EPS}, {R}) AS twa,
+               n_points
+        FROM a JOIN lastv ON a.user_id = lastv.user_id
+                         AND a.window_start = lastv.window_start
     """
 
     sql["agg_merge"] = f"""

@@ -750,3 +750,28 @@ def test_interpolate_grid_hand_example(spark):
         .sort_values("grid_ts").reset_index(drop=True)
     assert list(out.interp_value) == [10.0, 20.0, 30.0, 40.0, 50.0]
     assert list(out.filled) == [False, True, True, False, False]
+
+
+def test_time_weighted_avg_hand_example(spark):
+    """TWA: value 10 held 30 min then 40 held 10 min inside one hour ->
+    (10*30 + 40*10 + last-hold-zero)/40 = 17.5; single-point window
+    degenerates to its value; count-weighted avg would say 25."""
+    from cesium_spark.operators.timeweight import time_weighted_avg
+
+    def t(s):
+        return pd.Timestamp(s).to_pydatetime()
+
+    df = spark.createDataFrame(
+        [("a", t("2025-01-01 00:00"), 0, 10.0),
+         ("a", t("2025-01-01 00:30"), 1, 40.0),
+         ("a", t("2025-01-01 00:40"), 2, 40.0),
+         ("a", t("2025-01-01 02:05"), 3, 7.0)],   # lone point in 02:00
+        "conv_id string, ts timestamp, turn_idx int, value double")
+    out = time_weighted_avg(df, "1h", value="value").toPandas() \
+        .set_index("window_start")
+    w0 = out.loc[pd.Timestamp("2025-01-01 00:00")]
+    # integral: 10*(30m) + 40*(10m) over span 40m
+    assert abs(w0["twa"] - (10 * 30 + 40 * 10) / 40) < 1e-9
+    assert w0["n_points"] == 3
+    w2 = out.loc[pd.Timestamp("2025-01-01 02:00")]
+    assert w2["twa"] == 7.0 and w2["n_points"] == 1
