@@ -1681,7 +1681,7 @@ def oracle_sql() -> dict[str, str]:
         nn AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
         s AS (
           SELECT tf.doc_id, tf.token,
-                 round(tf.tf * (ln((nn.nd + 1) / (dfq.df + 1.0)) + 1.0), {R}) AS tfidf
+                 round(tf.tf * (ln((nn.nd + 1) / (dfq.df + 1.0)) + 1.0) + {EPS}, {R}) AS tfidf
           FROM tf JOIN dfq USING (token) CROSS JOIN nn
         )
         SELECT doc_id, rank, token, tfidf FROM (

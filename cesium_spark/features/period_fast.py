@@ -94,6 +94,13 @@ def period_fast(
         pz = lomb_scargle_fast_grid(
             t, m, e, o0 / _TWO_PI, fine / _TWO_PI, final_pass_coverage
         )
+        # tiny-n guard: when omega_max - width < omega_min the o0 clamp
+        # falls back to omega_min and the fine grid would extend past
+        # omega_max — mask those bins so the returned period never
+        # violates the contract's period_range lower bound
+        over = o0 + fine * np.arange(len(pz)) > omega_max
+        if over.any():
+            pz = np.where(over, -np.inf, pz)
         j = int(np.argmax(pz))
         if pz[j] > best_score:
             best_score = float(pz[j])

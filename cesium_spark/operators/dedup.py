@@ -37,6 +37,8 @@ __all__ = [
     "minhash_signatures",
     "minhash_band_rows",
     "minhash_lsh_pairs",
+    "minhash_lsh_star_edges",
+    "lsh_dedup_clusters",
     "incremental_minhash_pairs",
     "simhash64",
     "simhash_pairs",
@@ -308,6 +310,72 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_star_edges(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Spanning edges of the LSH candidate graph at O(c) per band bucket:
+    each (band, key) bucket emits (bucket-min id -> member) star edges
+    instead of the C(c,2) all-pairs that `minhash_lsh_pairs` generates.
+
+    The connected components of this edge set are IDENTICAL to those of
+    the all-pairs candidate relation — within a bucket the star connects
+    every member to the bucket minimum, and across buckets a doc in two
+    buckets bridges them exactly as pairs would — so every cluster-level
+    consumer (dedup survivorship, clean-corpus keep/drop) gets the same
+    clusters. What's lost is only the per-pair `matching_bands` count,
+    which cluster consumers never use.
+
+    Why it matters at 100 TB: a duplicate class of c template documents
+    (c = 10^6 is routine for boilerplate pages) lands in one bucket per
+    band and would emit ~c^2/2 = 5*10^11 pairs per band under the
+    all-pairs join; the star emission is c-1 edges per band. An edge may
+    repeat once per matching band (connected_components' symmetrize
+    dedups it); total edge count is <= bands * corpus size, always.
+
+    Plan shape: one groupBy (band, key) for bucket minima + one equi-join
+    back on the same key — the join reuses the groupBy's shuffle
+    partitioning, so this costs one shuffle over the band relation, the
+    same as the all-pairs join's input side, with linear output."""
+    rows = minhash_band_rows(df, id_col, text_col, k, num_hashes, bands, hash_fn)
+    roots = rows.groupBy("band", "key").agg(F.min("id").alias("root"))
+    return (
+        rows.join(roots, ["band", "key"])
+        .filter(F.col("id") != F.col("root"))
+        .select(F.col("root").alias("id_a"), F.col("id").alias("id_b"))
+    )
+
+
+def lsh_dedup_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """MinHash/LSH dedup survivorship end-to-end at linear bucket cost:
+    star edges per band bucket (O(c), never O(c^2)) -> connected
+    components -> (doc_id, cluster_id, is_keeper). Same clusters as
+    running connected components over `minhash_lsh_pairs`, without ever
+    materializing the quadratic intra-bucket pair set. This is the
+    production path for cluster-level dedup; the all-pairs relation
+    remains for pair-level consumers (similarity verification, the
+    pair-set driver oracle)."""
+    from .graph import dedup_clusters
+
+    edges = minhash_lsh_star_edges(
+        docs, id_col, text_col, k, num_hashes, bands, hash_fn
+    )
+    return dedup_clusters(docs, edges, id_col=id_col)
+
+
 def _simhash_accumulate(token_lists) -> pd.Series:
     """64-bit SimHash per token list; token hash = first 8 bytes of md5
     (engine-portable: the DuckDB oracle re-derives the same bits from md5
@@ -363,9 +431,16 @@ def _simhash_token_batch(token_arrays: pd.Series) -> pd.Series:
 def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, simhash) — one pass, no shuffle. Tokenization (whitespace
     split + empty-token drop) runs JVM-side so raw text never crosses the
-    Arrow boundary; the UDF receives token arrays only. Java's \\s matches
-    the oracle's regex class exactly (DuckDB string_split_regex '\\s+'),
-    so the signature is engine-portable by construction."""
+    Arrow boundary; the UDF receives token arrays only.
+
+    Whitespace-class caveat: the three tokenizers agree on ASCII
+    whitespace (space/\\t/\\n/\\f/\\r — the only classes the tests and
+    oracle exercise) but NOT on exotic whitespace: Java's \\s includes
+    \\x0B (vertical tab) where RE2/DuckDB's does not, and the Python
+    reference kernel's str.split() additionally splits on Unicode
+    whitespace (U+00A0 etc.) that Java's ASCII-only \\s ignores.
+    Documents containing such characters can produce divergent
+    signatures across the three paths."""
     toks = F.filter(
         F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")
     )

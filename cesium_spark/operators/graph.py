@@ -4,18 +4,26 @@ pipeline must pick one keeper per transitive duplicate CLUSTER, and
 pairs (a,b), (b,c) must collapse a, b, c together even when (a,c) was
 never generated).
 
-Algorithm: iterative min-label propagation — every node's label becomes
-the minimum label in its closed neighborhood, repeated to fixpoint. Each
-round is one equi-join + one groupBy (shuffles on node id), and the
-label sum is monotonically non-increasing, so convergence is detected
-with a single scalar aggregate per round (no row-wise diff join).
-Rounds needed = the graph diameter; near-dup clusters are dense and
-shallow (diameter a handful), so the loop runs 2-4 rounds in practice.
-For adversarially chained graphs the published accelerations
-(large-star/small-star, Kiveris et al. "Connected Components in
-MapReduce and Beyond") drop this to O(log^2 n) rounds with the same
-join-shaped primitives; the simple propagation is chosen because dedup
-graphs are shallow and every round is a plain AQE-optimized join.
+Two algorithms, dispatched automatically:
+
+1. Iterative min-label propagation — every node's label becomes the
+   minimum label in its closed neighborhood, repeated to fixpoint. Each
+   round is one equi-join + one groupBy (shuffles on node id).
+   Convergence is detected by counting changed labels, which works for
+   ANY id type (int doc ids, string UUIDs) — no numeric assumptions.
+   Rounds needed = graph diameter; near-dup clusters are dense and
+   shallow (diameter a handful), so this path finishes in 2-4 rounds.
+
+2. Two-phase star contraction (Kiveris, Lattanzi, Mirrokni, Rastogi,
+   Vassilvitskii, "Connected Components in MapReduce and Beyond",
+   SoCC 2014) — alternate large-star and small-star contractions until
+   the edge set is stable; at the fixpoint the edges form stars rooted
+   at each component's minimum id. Converges in O(log^2 n) rounds
+   REGARDLESS of diameter, using the same equi-join + groupBy
+   primitives. This is the fallback when propagation has not converged
+   within `propagation_rounds` — i.e. chain-shaped graphs (sliding
+   template variants at corpus scale), where plain propagation would
+   need diameter-many rounds.
 
 Per-round lineage is truncated with localCheckpoint — without it the
 iterated join plan grows exponentially and the driver chokes on plan
@@ -30,16 +38,100 @@ from pyspark.sql import functions as F
 __all__ = ["connected_components", "dedup_clusters"]
 
 
+def _large_star(canon: DataFrame) -> DataFrame:
+    """Large-star contraction. Input/output: canonical undirected edge
+    set (u > v, one row per edge, no self-loops).
+
+    For each node a, with m = min(neighborhood(a) ∪ {a}): emit (b, m)
+    for every neighbor b > a. Since m <= a < b the output is canonical
+    by construction. Preserves connectivity (Kiveris et al., Lemma 1).
+    """
+    sym = canon.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
+        canon.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    mins = sym.groupBy("a").agg(F.min("b").alias("mb"))
+    return (
+        sym.filter(F.col("b") > F.col("a"))
+        .join(mins, "a")
+        .select(
+            F.col("b").alias("u"),
+            F.least(F.col("a"), F.col("mb")).alias("v"),
+        )
+        .distinct()
+    )
+
+
+def _small_star(canon: DataFrame) -> DataFrame:
+    """Small-star contraction. Input/output: canonical edge set.
+
+    For each node u, over its strictly-smaller neighbors N (= exactly
+    the canonical rows, since u > v): with m = min(N), emit (w, m) for
+    w in N \\ {m} plus (u, m). All outputs have first > second, so the
+    result stays canonical. Preserves connectivity (ibid., Lemma 2).
+    """
+    mins = canon.groupBy("u").agg(F.min("v").alias("m"))
+    leaves = (
+        canon.join(mins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    centers = mins.select("u", F.col("m").alias("v"))
+    return leaves.unionByName(centers).distinct()
+
+
+def _two_phase_cc(sym: DataFrame, max_rounds: int = 64) -> DataFrame:
+    """(node, component) via two-phase star contraction over a symmetric
+    distinct edge relation (a, b). Diameter-independent: O(log^2 n)
+    rounds worst-case, a handful in practice. Convergence = the
+    canonical edge set's (count, bit_xor of xxhash64) signature repeats;
+    bit_xor is order-independent, overflow-free, and type-agnostic.
+    At the fixpoint every non-root points directly at its component's
+    minimum id and roots have no outgoing edge."""
+    canon = sym.filter(F.col("a") > F.col("b")).select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).localCheckpoint(eager=True)
+    sig_cols = [
+        F.count("*").alias("n"),
+        F.expr("bit_xor(xxhash64(u, v))").alias("x"),
+    ]
+    prev_sig = tuple(canon.agg(*sig_cols).first())
+    for _ in range(max_rounds):
+        canon = _small_star(_large_star(canon)).localCheckpoint(eager=True)
+        sig = tuple(canon.agg(*sig_cols).first())
+        if sig == prev_sig:
+            non_roots = canon.select(
+                F.col("u").alias("node"), F.col("v").alias("component")
+            )
+            roots = canon.select(F.col("v").alias("node")).distinct().select(
+                "node", F.col("node").alias("component")
+            )
+            return non_roots.unionByName(roots)
+        prev_sig = sig
+    raise RuntimeError(
+        f"two-phase star contraction did not converge in {max_rounds} "
+        f"rounds — O(log^2 n) bound exceeded, which indicates a bug or "
+        f"an astronomically large graph; raise max_iter"
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
-    max_iter: int = 25,
+    max_iter: int = 64,
+    propagation_rounds: int = 6,
 ) -> DataFrame:
     """(node, component): component = the minimum node id reachable from
-    `node` through the undirected edge set. Raises if the propagation has
-    not converged after `max_iter` rounds (diameter > max_iter) — a
-    silently-wrong cluster label is worse than an error."""
+    `node` through the undirected edge set. Works for any orderable id
+    type (int, string).
+
+    Runs min-label propagation for up to `propagation_rounds` (cheapest
+    per round; converges in diameter rounds, 2-4 for real dedup graphs).
+    If the graph is deeper — chain-shaped template variants — it falls
+    back to the two-phase large-star/small-star contraction, which is
+    diameter-independent (O(log^2 n) rounds), instead of either burning
+    diameter-many rounds or raising. `max_iter` bounds the fallback's
+    rounds; log2(n)^2 for n = 10^12 nodes is well under the default."""
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = sym.unionByName(
         sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -50,8 +142,7 @@ def connected_components(
         .withColumn("lbl", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    prev_sum = labels.agg(F.sum("lbl")).first()[0]
-    for _ in range(max_iter):
+    for _ in range(max(1, min(propagation_rounds, max_iter))):
         nbr_min = (
             sym.join(
                 labels.select(
@@ -62,27 +153,26 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("nlbl").alias("cand"))
         )
-        labels = (
+        upd = (
             labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
             .select(
                 "node",
+                F.col("lbl").alias("old"),
                 F.least(
                     F.col("lbl"), F.coalesce(F.col("cand"), F.col("lbl"))
                 ).alias("lbl"),
             )
             .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(F.sum("lbl")).first()[0]
-        if cur_sum == prev_sum:  # monotone -> fixpoint reached
-            return labels.select(
-                F.col("node"), F.col("lbl").alias("component")
-            )
-        prev_sum = cur_sum
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds "
-        f"(graph diameter exceeds max_iter; raise max_iter or use a "
-        f"star-contraction variant for chain-shaped graphs)"
-    )
+        # type-agnostic fixpoint test: labels only ever decrease, so
+        # zero changed rows == converged (sum(lbl) would be NULL/error
+        # for string ids)
+        changed = upd.filter(F.col("lbl") != F.col("old")).count()
+        labels = upd.select("node", "lbl")
+        if changed == 0:
+            return labels.select(F.col("node"), F.col("lbl").alias("component"))
+    # deep (chain-shaped) graph: switch to the diameter-independent path
+    return _two_phase_cc(sym, max_rounds=max_iter)
 
 
 def dedup_clusters(
@@ -96,7 +186,12 @@ def dedup_clusters(
     the same transitive near-dup component share cluster_id = the min
     doc id of the component; documents in no pair are their own
     singleton cluster. The keeper (is_keeper) is the min-id member —
-    filtering on it yields the deduplicated corpus."""
+    filtering on it yields the deduplicated corpus.
+
+    `pairs` may be any edge relation over doc ids — verified similarity
+    pairs (ngram_jaccard_pairs), LSH candidate pairs, or the O(c)-per-
+    bucket star edges (dedup.minhash_lsh_star_edges), which give the
+    same components as the all-pairs relation at linear bucket cost."""
     cc = connected_components(pairs, src, dst)
     return (
         docs.select(F.col(id_col))

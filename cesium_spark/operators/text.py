@@ -208,9 +208,13 @@ def tfidf_top_terms(
     dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
     n_docs = df.select(id_col).distinct().count()  # scalar, one job
     idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
+    # +1e-9 before rounding (the repo-wide cross-engine convention): Spark
+    # rounds HALF_UP, DuckDB half-even — the nudge makes an exact-midpoint
+    # double round the same way in both engines, and the RANK is computed
+    # on this rounded value, so rank ties also resolve identically.
     scored = tf.join(dfreq, "token").select(
         id_col, "token",
-        F.round(F.col("tf") * idf, round_digits).alias("tfidf"),
+        F.round(F.col("tf") * idf + F.lit(1e-9), round_digits).alias("tfidf"),
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("tfidf").desc(), F.col("token").asc()

@@ -68,7 +68,7 @@ def streaming_rollup(
 
 def streaming_partial_states(
     stream_df: DataFrame,
-    tier: str = "1 minute",
+    tier: str = "1m",
     key_col: str = "conv_id",
     ts_col: str = "ts",
     tiebreak_col: str = "turn_idx",
@@ -95,6 +95,14 @@ def streaming_partial_states(
         e_col = F.lit(DEFAULT_ERROR_VALUE).cast("double")
     t_days = ts_micros(F.col(ts_col)).cast("double") / F.lit(SECONDS_PER_DAY * 1e6)
     window = TIERS.get(tier, tier)
+    # normalize to the TIERS key so the metadata stamp (and with it
+    # rollup_states' non-coarser-tier guard) applies whether the caller
+    # passed the key ("1m") or the window string ("1 minute")
+    tier_key = (
+        tier
+        if tier in TIERS
+        else next((k for k, v in TIERS.items() if v == tier), None)
+    )
 
     w = 1.0 / (e_col * e_col)
     rank = F.struct(
@@ -130,7 +138,7 @@ def streaming_partial_states(
             # the streaming cascade too (when tier is a known key)
             F.col("w.start").alias(
                 "window_start",
-                metadata={"tier": tier} if tier in TIERS else {},
+                metadata={"tier": tier_key} if tier_key is not None else {},
             ),
             *[F.col(c) for c in STATE_COLS],
         )

@@ -217,14 +217,17 @@ def test_connected_components_and_dedup_clusters(spark):
     assert out.loc[23, "cluster_id"] == 20 and not bool(out.loc[23, "is_keeper"])
     assert sorted(out[out.is_keeper].index) == [1, 10, 20, 99]
 
-    # a 40-node chain has diameter 39 > max_iter=3 -> loud failure
+    # a 40-node chain has diameter 39 > propagation_rounds -> the
+    # two-phase star-contraction fallback takes over (r3 VERDICT: raise
+    # replaced with the Kiveris et al. contraction) and still labels
+    # every node with the component min
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(40)], "id_a int, id_b int")
-    with pytest.raises(RuntimeError, match="converge"):
-        connected_components(chain, max_iter=3)
-    # ... and converges with enough rounds (all nodes -> label 0)
-    cc2 = connected_components(chain, max_iter=45).toPandas()
-    assert (cc2.component == 0).all()
+    cc2 = connected_components(chain, propagation_rounds=2).toPandas()
+    assert len(cc2) == 41 and (cc2.component == 0).all()
+    # ... and plain propagation still converges on its own given rounds
+    cc3 = connected_components(chain, propagation_rounds=45).toPandas()
+    assert len(cc3) == 41 and (cc3.component == 0).all()
 
 
 def test_incremental_minhash_pairs_match_full_selfjoin(spark):
@@ -300,3 +303,90 @@ def test_connected_components_hot_template_cluster(spark):
     assert (star.component == 0).all() and len(star) == 2000
     tail = cc[cc.node >= 2000]
     assert (tail.component == 2000).all() and len(tail) == 6
+
+
+def test_connected_components_deep_chain_star_fallback(spark):
+    """r3 VERDICT item 2: a chain of diameter >= 10^4 (sliding template
+    variants at corpus scale) must converge via the diameter-independent
+    two-phase large-star/small-star contraction — plain propagation
+    would need 10^4 rounds. Also checks the second component survives
+    contraction with its own min label."""
+    from cesium_spark.operators.graph import connected_components
+
+    n = 10_001  # diameter 10^4
+    chain = [(i, i + 1) for i in range(1, n)]
+    side = [(500_000, 500_001), (500_001, 500_002)]
+    pairs = spark.createDataFrame(chain + side, "id_a int, id_b int")
+    cc = connected_components(pairs, propagation_rounds=3).toPandas()
+    main = cc[cc.node < 500_000]
+    assert len(main) == n and (main.component == 1).all()
+    sidec = cc[cc.node >= 500_000]
+    assert len(sidec) == 3 and (sidec.component == 500_000).all()
+
+
+def test_connected_components_string_ids(spark):
+    """ADVICE r3: convergence detection must be type-agnostic. With
+    string doc ids (UUID-style) the old sum('lbl') signal was NULL ==
+    NULL after round one and returned wrong labels for any diameter > 1
+    graph. A depth-3 string chain must fully collapse."""
+    from cesium_spark.operators.graph import connected_components, dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [("doc-a", "doc-b"), ("doc-b", "doc-c"), ("doc-c", "doc-d"),
+         ("zzz-1", "zzz-2")],
+        "id_a string, id_b string")
+    cc = connected_components(pairs).toPandas().set_index("node")["component"]
+    assert cc.to_dict() == {
+        "doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a",
+        "doc-d": "doc-a", "zzz-1": "zzz-1", "zzz-2": "zzz-1"}
+
+    # and through the star fallback too (propagation_rounds=1 forces it)
+    cc2 = connected_components(pairs, propagation_rounds=1).toPandas() \
+        .set_index("node")["component"]
+    assert cc2.to_dict() == cc.to_dict()
+
+    docs = spark.createDataFrame(
+        [(i,) for i in ("doc-a", "doc-b", "doc-c", "doc-d", "zzz-1",
+                        "zzz-2", "lonely")],
+        "doc_id string")
+    out = dedup_clusters(docs, pairs).toPandas().set_index("doc_id")
+    assert out.loc["doc-d", "cluster_id"] == "doc-a"
+    assert bool(out.loc["lonely", "is_keeper"])
+    assert sorted(out[out.is_keeper].index) == ["doc-a", "lonely", "zzz-1"]
+
+
+def test_minhash_lsh_star_edges_same_clusters_linear_emission(spark):
+    """r3 VERDICT item 1 (the last 100 TB scale-killer): a duplicate
+    class of c documents emits O(c^2) intra-bucket pairs under the
+    all-pairs join but only O(c) star edges per band — and the
+    connected components (hence the dedup survivorship decision) are
+    IDENTICAL either way."""
+    from cesium_spark.operators.dedup import (
+        lsh_dedup_clusters, minhash_lsh_pairs, minhash_lsh_star_edges)
+    from cesium_spark.operators.graph import dedup_clusters
+
+    template = ("identical boilerplate page body repeated across the "
+                "whole duplicate class of this synthetic corpus")
+    c = 10_000
+    rows = [(i, template) for i in range(c)]
+    rows += [(c + i, f"genuinely unique document number {i} with its own "
+                     f"content and wording variation {i * 37}") for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+
+    edges = minhash_lsh_star_edges(docs, bands=4)
+    n_edges = edges.count()
+    # linear, not quadratic: <= bands * (c - 1) + noise, vs ~c^2/2 = 5e7
+    assert n_edges <= 4 * (c + 50)
+    clusters = dedup_clusters(docs, edges).toPandas()
+    dup_class = clusters[clusters.doc_id < c]
+    assert (dup_class.cluster_id == 0).all() and len(dup_class) == c
+    assert int(dup_class.is_keeper.sum()) == 1  # doc 0 survives
+
+    # cluster equivalence vs the all-pairs relation, on a corpus small
+    # enough to materialize the quadratic set
+    small = spark.createDataFrame(rows[:200] + rows[c:], "doc_id int, text string")
+    via_star = lsh_dedup_clusters(small).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    via_pairs = dedup_clusters(small, minhash_lsh_pairs(small)).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(via_star, via_pairs)
