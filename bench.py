@@ -45,13 +45,26 @@ def main():
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
 
     qfns = entry.queries()
+    # the dedup headline is the PRODUCTION plan (JVM-native xxhash64
+    # minhashes — r3 VERDICT item 3): the md5 variant exists only so the
+    # DuckDB oracle can recompute signatures, and timing the oracle tax
+    # as the headline hid the engine's actual corpus-dedup cost (2.5 s
+    # vs 13.4 s at sf0.1). md5 stays tracked in extras.
+    from cesium_spark.operators.dedup import minhash_lsh_pairs
+
+    def _minhash_production(spark_, sf_dir_):
+        docs_ = spark_.read.parquet(f"{sf_dir_}/documents.parquet")
+        return minhash_lsh_pairs(docs_, hash_fn="xxhash64")
+
+    qfns = dict(qfns)
+    qfns["minhash_lsh_xxhash64"] = _minhash_production
     headline = [
         "features_wide",      # full 70-feature kernel per series
         "rollup_1h_sql",      # JVM-only tier rollup
         "rollup_1d_kernel",   # kernel tier rollup
         "locf_1h",            # gap-fill grid
         "agg_merge",          # continuous-aggregate merge path
-        "minhash_lsh",        # dedup LSH
+        "minhash_lsh_xxhash64",  # dedup LSH, production hash path
         "knn_cosine",         # brute-force ANN baseline
         "text_stats",         # text analysis
         "sessionize_30m",     # windowed sessionization
@@ -170,18 +183,27 @@ def main():
     extras["features_periodic_trials_sec"] = trials
     extras["features_periodic_ms_per_series"] = round(1000.0 * dt / n_series, 2)
 
-    # minhash production fast path: identical single-shuffle plan to the
-    # md5-based headline query (which stays md5 for DuckDB oracle
-    # portability), with JVM-native xxhash64 doing the hashing — the
-    # number a production corpus-dedup run would see
-    from cesium_spark.operators.dedup import minhash_lsh_pairs
-
+    # md5 oracle-pinned minhash path (was the headline through r3): same
+    # single-shuffle plan as the xxhash64 headline, with the md5 hashing
+    # the DuckDB oracle requires — tracked so the oracle tax stays
+    # visible and comparable with rounds 1-3
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     dt, trials = _best_of(
-        lambda: _force(minhash_lsh_pairs(docs, hash_fn="xxhash64")), n=2
+        lambda: _force(qfns["minhash_lsh"](spark, SF_DIR)), n=2
     )
-    extras["minhash_lsh_xxhash64_sec"] = round(dt, 3)
-    extras["minhash_lsh_xxhash64_trials_sec"] = trials
+    extras["minhash_lsh_md5_oracle_sec"] = round(dt, 3)
+    extras["minhash_lsh_md5_oracle_trials_sec"] = trials
+
+    # star-edge cluster survivorship (r4: the O(c)-per-bucket production
+    # cluster path) end-to-end on the xxhash64 signatures: band rows ->
+    # star edges -> connected components -> keeper flags
+    from cesium_spark.operators.dedup import lsh_dedup_clusters
+
+    dt, trials = _best_of(
+        lambda: _force(lsh_dedup_clusters(docs, hash_fn="xxhash64")), n=2
+    )
+    extras["lsh_star_clusters_sec"] = round(dt, 3)
+    extras["lsh_star_clusters_trials_sec"] = trials
 
     total = round(sum(timings.values()), 3)
     print(

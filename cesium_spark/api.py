@@ -36,13 +36,16 @@ def featurize_single_ts(
     e=None,
     features_to_use=(),
     custom_functions=None,
+    custom_script_path=None,
     raise_exceptions: bool = True,
 ) -> dict:
     """One in-memory series -> {feature: value}. Accepts either raw
     (t, m[, e]) arrays or a TimeSeries object as the first argument
     (the reference's featurize_single_ts shape, featurize.py:25-99);
     multichannel TimeSeries return flat ``{feature}_{channel}`` keys
-    (the engine's flattening of cesium's (feature, channel) index)."""
+    (the engine's flattening of cesium's (feature, channel) index).
+    ``custom_script_path`` is accepted for drop-in signature parity and
+    ignored, exactly as the reference's core does (featurize.py:28)."""
     from .time_series import TimeSeries
 
     if isinstance(t, TimeSeries):
@@ -119,8 +122,11 @@ def featurize_time_series(
     meta_features=None,
     names=None,
     custom_functions=None,
+    custom_script_path=None,
     raise_exceptions: bool = True,
 ) -> pd.DataFrame:
+    # custom_script_path: accepted-and-ignored for drop-in parity with
+    # the reference signature (featurize.py:155) — its core does the same
     features = list(features_to_use)
     if _is_single_series(values):
         values = [values]

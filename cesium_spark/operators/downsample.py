@@ -87,6 +87,14 @@ def lttb_downsample(
         m = len(t)
         if m <= n:
             return np.arange(m)
+        # Translate t to elapsed-time-from-first: triangle areas are
+        # exactly translation-invariant, and small integer-valued floats
+        # make the bucket-centroid sums EXACT in float64 (epoch-micros
+        # magnitudes ~1e15 would lose ulps whose summation order then
+        # differs between engines) — this is what lets the DuckDB oracle
+        # reproduce the selection bit-for-bit when the measure is also
+        # integer-valued.
+        t = t - t[0]
         # bucket boundaries over the interior points (Steinarsson 2013)
         edges = np.linspace(1, m - 1, n - 1).astype(np.int64)
         kept = np.empty(n, dtype=np.int64)

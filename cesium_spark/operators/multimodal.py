@@ -1,14 +1,15 @@
 """Multimodal column plumbing: image/audio/video payloads as opaque
 binary columns with typed metadata, processed by Arrow-batched UDFs.
 
-Decoding: WAV/PCM audio and uncompressed BMP images decode FOR REAL via
-the pure-numpy codecs in operators/media_codecs.py (header parse +
-numpy — no codec library needed). Compressed formats (JPEG/PNG/MP3/...)
-require a codec library that does not ship in this container:
-`register_decoder` installs the real one in such a deployment, and
-until then those types get deterministic digest-derived pseudo-features
-so the Spark-side plumbing — schema, partitioning, UDF signatures,
-batch shapes — stays real and tested end-to-end.
+Decoding: WAV/PCM audio, uncompressed BMP, and PNG images decode FOR
+REAL via the pure-numpy codecs in operators/media_codecs.py (header
+parse + numpy; PNG rides stdlib zlib — no codec library needed).
+Entropy-coded formats (JPEG/MP3/...) require a codec library that does
+not ship in this container: `register_decoder` installs the real one in
+such a deployment, and until then those types get deterministic
+digest-derived pseudo-features so the Spark-side plumbing — schema,
+partitioning, UDF signatures, batch shapes — stays real and tested
+end-to-end.
 
 Design for 100 TB: payloads never leave the executor as Python objects;
 mapInPandas streams Arrow batches, metadata-only operations (routing,
@@ -46,15 +47,15 @@ def register_decoder(fn: Callable[[bytes, str], np.ndarray]) -> None:
 def _fake_decode(payload: bytes, media_type: str) -> np.ndarray:
     """Deterministic stand-in for codec-requiring formats: 8 floats
     derived from the blake2b digest. Real deployments replace this via
-    register_decoder (the container has no JPEG/PNG/MP3 codecs)."""
+    register_decoder (the container has no JPEG/MP3 codecs)."""
     d = hashlib.blake2b(payload or b"", digest_size=32).digest()
     u = np.frombuffer(d, dtype=np.uint32).astype(np.float64)
     return (u / np.float64(2**32)).astype(np.float32)
 
 
 def _default_decode(payload: bytes, media_type: str) -> np.ndarray:
-    """WAV/BMP decode for real (pure numpy); digest pseudo-features for
-    formats that need an external codec AND for corrupt payloads — one
+    """WAV/BMP/PNG decode for real (pure numpy); digest pseudo-features
+    for formats that need an external codec AND for corrupt payloads — one
     malformed blob in a 100 TB batch must degrade to pseudo-features,
     never fail the whole task (arbitrary bytes can raise struct.error
     and friends from deep inside the header parse, hence the broad
@@ -100,7 +101,7 @@ def extract_features(
     type_col: str = "media_type",
 ) -> DataFrame:
     """payload -> fixed-dim float feature vector via Arrow-batched
-    mapInPandas (WAV/BMP decode for real; see module docstring)."""
+    mapInPandas (WAV/BMP/PNG decode for real; see module docstring)."""
     decoder = _DECODER or _default_decode
     out_schema = f"{id_col} long, features array<float>"
 

@@ -19,7 +19,10 @@ from pyspark.sql import functions as F
 from ..sources.table import SnapshotTable
 from ..streaming.checkpoint import LineageLog
 
-__all__ = ["droppable_days", "apply_retention", "current_day_rows"]
+__all__ = [
+    "droppable_days", "retention_decision", "apply_retention",
+    "current_day_rows",
+]
 
 
 def droppable_days(
@@ -67,6 +70,67 @@ def droppable_days(
         ):
             out.append(d)
     return out
+
+
+def retention_decision(
+    df: DataFrame,
+    commits: DataFrame,
+    tiers,
+    horizon: dt.datetime,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """The retention decision as a RELATIONAL computation — the
+    distributed form of `droppable_days` for tables where per-day counts
+    should never be collected to the driver. Same contract (see
+    `droppable_days`): a day is droppable only when it is strictly older
+    than `horizon` AND every tier has a committed fingerprint whose row
+    count equals the day's CURRENT count in the raw table.
+
+    `commits` is the committed-unit fingerprint relation
+    (tier string, day timestamp, n_rows long) — i.e. the lineage log's
+    per-day ``day_rows`` metrics as a table (one row per commit; a unit
+    recommitted after late data contributes a second row with the fresh
+    count, and matching ANY commit covers, exactly like droppable_days).
+
+    Returns one row per day present in the raw table:
+    (day, n_rows, verdict) with verdict one of
+      'droppable'            — old + every tier fingerprint-matched
+      'blocked_late_data'    — old, all tiers committed, but some tier's
+                               counts all mismatch (late rows arrived
+                               after the commit; rollup must recommit)
+      'blocked_uncommitted'  — old, some tier has no commit for the day
+      'retained_recent'      — inside the horizon, not retention's
+                               business yet
+    Plan: one groupBy over the raw table + one equi-join on day against
+    the (tiny) commit relation + one aggregation — no driver-side state,
+    no per-day loops; scales with #days, not #rows."""
+    tiers = list(tiers)
+    cur = (
+        df.select(F.date_trunc("day", F.col(ts_col)).alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("n_rows"))
+    )
+    com = commits.filter(F.col("tier").isin(tiers)).select(
+        "tier", F.col("day").alias("cday"), F.col("n_rows").alias("cn")
+    )
+    per_day = (
+        cur.join(com, cur["day"] == com["cday"], "left")
+        .groupBy("day", "n_rows")
+        .agg(
+            F.count_distinct("tier").alias("tiers_committed"),
+            F.count_distinct(
+                F.when(F.col("cn") == F.col("n_rows"), F.col("tier"))
+            ).alias("tiers_matched"),
+        )
+    )
+    n_tiers = len(tiers)
+    verdict = (
+        F.when(F.col("day") >= F.lit(horizon), F.lit("retained_recent"))
+        .when(F.col("tiers_committed") < n_tiers, F.lit("blocked_uncommitted"))
+        .when(F.col("tiers_matched") < n_tiers, F.lit("blocked_late_data"))
+        .otherwise(F.lit("droppable"))
+    )
+    return per_day.select("day", "n_rows", verdict.alias("verdict"))
 
 
 def current_day_rows(df: DataFrame, ts_col: str = "ts") -> dict:

@@ -100,3 +100,19 @@ def test_length_mismatch_raises(spark):
     t, m, e = _sample_values()
     with pytest.raises(ValueError, match="lengths differ"):
         featurize_time_series(spark, t[:-3], m, e, ["mean"])
+
+
+def test_custom_script_path_accepted_and_ignored(spark):
+    """Signature parity with the reference (featurize.py:28,155): both
+    entry points accept custom_script_path; core ignores it — so drop-in
+    callers that pass it keep working, with zero behavior change."""
+    t = np.linspace(0, 10, 25)
+    m = np.sin(t)
+    a = featurize_single_ts(t, m, None, ["mean", "amplitude"],
+                            custom_script_path="/nonexistent/custom.py")
+    b = featurize_single_ts(t, m, None, ["mean", "amplitude"])
+    assert a == b
+    fa = featurize_time_series(spark, t, m, None, ["mean"],
+                               custom_script_path="/nonexistent/custom.py")
+    fb = featurize_time_series(spark, t, m, None, ["mean"])
+    pd.testing.assert_frame_equal(fa, fb)

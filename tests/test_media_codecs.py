@@ -1,13 +1,34 @@
-"""Pure-numpy media codecs: WAV/BMP roundtrips, analytic feature values,
-and the Spark extract_features path decoding real payloads."""
+"""Pure-numpy media codecs: WAV/BMP/PNG roundtrips, analytic feature
+values, and the Spark extract_features path decoding real payloads."""
+
+import struct
+import zlib
 
 import numpy as np
 import pytest
 
 from cesium_spark.operators.media_codecs import (
-    bmp_features, decode_bmp, decode_wav, encode_bmp, encode_wav,
-    numpy_media_decoder, wav_features,
+    bmp_features, decode_bmp, decode_png, decode_wav, encode_bmp,
+    encode_png, encode_wav, numpy_media_decoder, png_features,
+    wav_features,
 )
+
+
+def _png_raw(w, h, depth, color_type, scanlines, extra_chunks=()):
+    """Hand-rolled PNG for decoder paths encode_png doesn't emit
+    (gray, palette, 16-bit, interlace): scanlines = raw filtered bytes
+    (with per-row filter byte) pre-compression."""
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    interlace = 1 if "interlace" in dict(extra_chunks or ()) else 0
+    out = b"\x89PNG\r\n\x1a\n" + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace))
+    for ctype, body in extra_chunks:
+        if ctype != "interlace":
+            out += chunk(ctype, body)
+    return out + chunk(b"IDAT", zlib.compress(scanlines)) + chunk(b"IEND", b"")
 
 
 def test_wav_roundtrip_and_analytic_features():
@@ -50,6 +71,82 @@ def test_bmp_roundtrip_and_features():
     assert abs(f[6] - 2.0) < 1e-6 and f[7] == 2.0
 
 
+def test_png_roundtrip_every_filter():
+    """All five scanline filters (None/Sub/Up/Average/Paeth) must
+    reconstruct the image exactly — encode_png's filter_type knob
+    exercises each defilter path against the same random image."""
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(9, 5, 3), dtype=np.uint8)
+    for ftype in range(5):
+        got = decode_png(encode_png(img, filter_type=ftype))
+        assert (got == img).all(), f"filter {ftype}"
+
+
+def test_png_analytic_features():
+    """Synthesized PNG with known channel means -> exact recovery
+    (r3 VERDICT item 4's done-criterion)."""
+    solid = np.zeros((4, 8, 3), dtype=np.uint8)
+    solid[..., 0] = 200
+    f = png_features(encode_png(solid, filter_type=4))
+    assert f[0] == 8 and f[1] == 4
+    assert abs(f[2] - 200 / 255.0) < 1e-6 and f[3] == 0.0 and f[4] == 0.0
+    assert f[5] == 0.0 and abs(f[6] - 2.0) < 1e-6 and f[7] == 3.0
+    # dispatcher route
+    assert numpy_media_decoder(encode_png(solid), "image/png")[7] == 3.0
+
+
+def test_png_gray_palette_16bit_and_rejects():
+    # gray 8-bit: 2x2 values 0,64,128,192, filter 0 rows
+    lines = b"\x00" + bytes([0, 64]) + b"\x00" + bytes([128, 192])
+    g = decode_png(_png_raw(2, 2, 8, 0, lines))
+    assert g.shape == (2, 2, 1) and g.ravel().tolist() == [0, 64, 128, 192]
+    f = png_features(_png_raw(2, 2, 8, 0, lines))
+    assert abs(f[2] - (0 + 64 + 128 + 192) / 4.0 / 255.0) < 1e-6
+    assert f[2] == f[3] == f[4]  # gray broadcasts channels
+
+    # gray+alpha: alpha ignored by features
+    lines_ga = b"\x00" + bytes([100, 255, 100, 0])
+    fga = png_features(_png_raw(2, 1, 8, 4, lines_ga))
+    assert abs(fga[2] - 100 / 255.0) < 1e-6
+
+    # palette: 2 entries, indices [1, 0]
+    plte = bytes([10, 20, 30, 200, 100, 50])
+    p = decode_png(_png_raw(2, 1, 8, 3, b"\x00" + bytes([1, 0]),
+                            extra_chunks=((b"PLTE", plte),)))
+    assert p.tolist() == [[[200, 100, 50], [10, 20, 30]]]
+
+    # 16-bit RGB: one pixel 0xFF00, 0x8000, 0x0001 (network byte order)
+    px = struct.pack(">HHH", 0xFF00, 0x8000, 0x0001)
+    img16 = decode_png(_png_raw(1, 1, 16, 2, b"\x00" + px))
+    assert img16.dtype == np.uint16 and img16[0, 0].tolist() == [0xFF00, 0x8000, 1]
+
+    # Adam7 interlace -> explicit reject (documented descope)
+    with pytest.raises(ValueError, match="Adam7"):
+        decode_png(_png_raw(2, 2, 8, 0, lines, extra_chunks=(("interlace", b""),)))
+
+    # palette index out of range -> reject, not garbage pixels
+    with pytest.raises(ValueError, match="palette"):
+        decode_png(_png_raw(2, 1, 8, 3, b"\x00" + bytes([5, 0]),
+                            extra_chunks=((b"PLTE", plte),)))
+
+
+def test_png_corruption_detected_and_degrades():
+    """Bit flips are caught by the CRC check; through the multimodal
+    path they degrade to digest pseudo-features, never crash."""
+    from cesium_spark.operators.multimodal import _default_decode
+
+    good = encode_png(np.full((3, 3, 3), 77, dtype=np.uint8))
+    bad = bytearray(good)
+    bad[40] ^= 0xFF  # flip a byte inside IDAT
+    with pytest.raises(ValueError):
+        decode_png(bytes(bad))
+    out = _default_decode(bytes(bad), "image/png")
+    assert out.shape == (8,) and np.isfinite(out).all() and out[7] != 3.0
+    # truncated mid-chunk
+    with pytest.raises(ValueError):
+        decode_png(good[:30])
+
+
 def test_dispatch_and_unknown_type():
     payload = encode_wav(np.zeros(100), 8000)
     assert numpy_media_decoder(payload, "audio/wav")[7] == 1.0
@@ -71,6 +168,7 @@ def test_extract_features_decodes_real_media(spark):
         (1, "audio/wav", bytearray(wav), None, None, 1000),
         (2, "image/bmp", bytearray(encode_bmp(img)), 2, 2, None),
         (3, "image/jpeg", bytearray(b"\xff\xd8\xff fake"), 1, 1, None),
+        (4, "image/png", bytearray(encode_png(img, filter_type=2)), 2, 2, None),
     ]
     df = spark.createDataFrame(
         rows, "media_id long, media_type string, payload binary, "
@@ -79,6 +177,7 @@ def test_extract_features_decodes_real_media(spark):
     assert abs(out[1][0] - 1.0) < 1e-6 and out[1][7] == 1.0   # real WAV decode
     assert out[2][0] == 2 and out[2][7] == 2.0                 # real BMP decode
     assert len(out[3]) == 8 and all(0 <= v <= 1 for v in out[3])  # digest fallback
+    assert out[4][7] == 3.0 and abs(out[4][2] - 128 / 255.0) < 1e-6  # real PNG decode
 
 
 def test_corrupt_payloads_degrade_not_crash(spark):

@@ -775,3 +775,59 @@ def test_time_weighted_avg_hand_example(spark):
     assert w0["n_points"] == 3
     w2 = out.loc[pd.Timestamp("2025-01-01 02:00")]
     assert w2["twa"] == 7.0 and w2["n_points"] == 1
+
+
+def test_retention_decision_relational_verdicts(spark):
+    """The relational retention decision (r3 VERDICT item 6) must agree
+    with the driver-side droppable_days contract on every scenario the
+    unit tests encode: fingerprint match -> droppable, late data ->
+    blocked, missing tier commit -> blocked, recommit-with-fresh-count
+    -> droppable again, inside horizon -> retained."""
+    import datetime as dt
+    from cesium_spark.operators.retention import (
+        droppable_days, retention_decision)
+
+    # 5 days x 10 rows (day index encoded in the timestamp)
+    df = spark.createDataFrame(_retention_fixture_rows([0, 1, 2, 3, 4]))
+    D = lambda d: dt.datetime(2025, 2, 1 + d)
+    # commits: (tier, day, n_rows)
+    commits = spark.createDataFrame(
+        [
+            ("1h", D(0), 10), ("1d", D(0), 10),      # both match -> droppable
+            ("1h", D(1), 10), ("1d", D(1), 7),       # 1d stale -> late data
+            ("1h", D(2), 10),                        # 1d missing -> uncommitted
+            ("1h", D(3), 7), ("1h", D(3), 10),       # recommit matches
+            ("1d", D(3), 10),
+            ("1h", D(4), 10), ("1d", D(4), 10),      # matches but recent
+        ],
+        "tier string, day timestamp, n_rows long",
+    )
+    horizon = dt.datetime(2025, 2, 5)  # day 4 is inside the horizon
+    out = retention_decision(df, commits, ["1h", "1d"], horizon) \
+        .toPandas().set_index("day")["verdict"]
+    assert out.to_dict() == {
+        pd.Timestamp(D(0)): "droppable",
+        pd.Timestamp(D(1)): "blocked_late_data",
+        pd.Timestamp(D(2)): "blocked_uncommitted",
+        pd.Timestamp(D(3)): "droppable",
+        pd.Timestamp(D(4)): "retained_recent",
+    }
+
+    # cross-check: the droppable set equals droppable_days given the
+    # same commits presented as a lineage log (one unit per commit row —
+    # droppable_days covers a day when ANY unit's fingerprint matches)
+    logs = []
+    for r in commits.collect():
+        logs.append((r["tier"], r["day"].strftime("%Y%m%d"), r["n_rows"]))
+
+    class _Log2:
+        def units(self):
+            return [f"tier-{t}-days-{i}" for i, (t, _, _) in enumerate(logs)]
+
+        def read(self, unit):
+            i = int(unit.rsplit("-", 1)[1])
+            t, k, n = logs[i]
+            return {"metrics": {"day_rows": {k: n}}}
+
+    got = droppable_days(df, _Log2(), ["1h", "1d"], horizon)
+    assert got == [D(0), D(3)]
