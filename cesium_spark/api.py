@@ -35,8 +35,8 @@ def featurize_single_ts(
     m=None,
     e=None,
     features_to_use=(),
-    custom_functions=None,
     custom_script_path=None,
+    custom_functions=None,
     raise_exceptions: bool = True,
 ) -> dict:
     """One in-memory series -> {feature: value}. Accepts either raw
@@ -45,11 +45,24 @@ def featurize_single_ts(
     multichannel TimeSeries return flat ``{feature}_{channel}`` keys
     (the engine's flattening of cesium's (feature, channel) index).
     ``custom_script_path`` is accepted for drop-in signature parity and
-    ignored, exactly as the reference's core does (featurize.py:28)."""
+    ignored, exactly as the reference's core does (featurize.py:28); it
+    is ordered BEFORE custom_functions to match the reference, and the
+    TimeSeries branch additionally accepts the reference's fully
+    positional call shape ``(ts, features, script_path, funcs)`` —
+    there the 2nd/3rd/4th positions land on m/e/features_to_use and are
+    re-bound to features/script-path/custom-functions."""
     from .time_series import TimeSeries
 
     if isinstance(t, TimeSeries):
         ts = t
+        # reference fully-positional shape (ts, features, script_path,
+        # funcs): the 4th positional lands here as features_to_use — a
+        # dict (the custom_functions contract) never names features, so
+        # re-bind it; the 3rd positional (script path) lands on `e`,
+        # which this branch ignores exactly like the reference core
+        if custom_functions is None and isinstance(features_to_use, dict):
+            custom_functions = features_to_use
+            features_to_use = ()
         features_to_use = list(features_to_use or m or ())
         out: dict = {}
         chans = list(ts.channels())
@@ -121,12 +134,13 @@ def featurize_time_series(
     features_to_use=(),
     meta_features=None,
     names=None,
-    custom_functions=None,
     custom_script_path=None,
+    custom_functions=None,
     raise_exceptions: bool = True,
 ) -> pd.DataFrame:
     # custom_script_path: accepted-and-ignored for drop-in parity with
-    # the reference signature (featurize.py:155) — its core does the same
+    # the reference signature (featurize.py:155, same parameter ORDER —
+    # positional callers bind identically) — its core does the same
     features = list(features_to_use)
     if _is_single_series(values):
         values = [values]

@@ -338,14 +338,18 @@ def minhash_lsh_star_edges(
     repeat once per matching band (connected_components' symmetrize
     dedups it); total edge count is <= bands * corpus size, always.
 
-    Plan shape: one groupBy (band, key) for bucket minima + one equi-join
-    back on the same key — the join reuses the groupBy's shuffle
-    partitioning, so this costs one shuffle over the band relation, the
-    same as the all-pairs join's input side, with linear output."""
+    Plan shape: ONE pass over the band relation — a whole-partition
+    window min on (band, key) instead of a groupBy + self-join, so the
+    expensive upstream (shingle explode + minhash digests over the
+    corpus) is computed exactly once and shuffled exactly once. (The
+    groupBy+join formulation computes that subtree twice: the aggregate
+    below the groupBy's exchange defeats ReuseExchange.)"""
+    from pyspark.sql.window import Window
+
     rows = minhash_band_rows(df, id_col, text_col, k, num_hashes, bands, hash_fn)
-    roots = rows.groupBy("band", "key").agg(F.min("id").alias("root"))
+    root = F.min("id").over(Window.partitionBy("band", "key"))
     return (
-        rows.join(roots, ["band", "key"])
+        rows.withColumn("root", root)
         .filter(F.col("id") != F.col("root"))
         .select(F.col("root").alias("id_a"), F.col("id").alias("id_b"))
     )

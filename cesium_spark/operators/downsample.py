@@ -93,7 +93,11 @@ def lttb_downsample(
         # magnitudes ~1e15 would lose ulps whose summation order then
         # differs between engines) — this is what lets the DuckDB oracle
         # reproduce the selection bit-for-bit when the measure is also
-        # integer-valued.
+        # integer-valued. Precondition for that bit-stability (NOT for
+        # operator correctness, which holds for any floats): a bucket's
+        # sum of elapsed micros must stay under 2^53 — i.e. bucket_size
+        # * series_span < ~104 years of points; beyond it the selection
+        # is still valid LTTB, just not oracle-bit-stable.
         t = t - t[0]
         # bucket boundaries over the interior points (Steinarsson 2013)
         edges = np.linspace(1, m - 1, n - 1).astype(np.int64)

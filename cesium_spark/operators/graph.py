@@ -87,6 +87,7 @@ def _two_phase_cc(sym: DataFrame, max_rounds: int = 64) -> DataFrame:
     bit_xor is order-independent, overflow-free, and type-agnostic.
     At the fixpoint every non-root points directly at its component's
     minimum id and roots have no outgoing edge."""
+    nodes = sym.select(F.col("a").alias("node")).distinct()
     canon = sym.filter(F.col("a") > F.col("b")).select(
         F.col("a").alias("u"), F.col("b").alias("v")
     ).localCheckpoint(eager=True)
@@ -99,13 +100,20 @@ def _two_phase_cc(sym: DataFrame, max_rounds: int = 64) -> DataFrame:
         canon = _small_star(_large_star(canon)).localCheckpoint(eager=True)
         sig = tuple(canon.agg(*sig_cols).first())
         if sig == prev_sig:
-            non_roots = canon.select(
-                F.col("u").alias("node"), F.col("v").alias("component")
+            # anchor on the full node universe: nodes whose only edges
+            # were self-loops (dropped by the canon filter) must still
+            # come back as their own singleton component, matching the
+            # propagation path's output exactly
+            lbl = canon.select(
+                F.col("u").alias("node"), F.col("v").alias("cmp")
             )
-            roots = canon.select(F.col("v").alias("node")).distinct().select(
-                "node", F.col("node").alias("component")
+            return (
+                nodes.join(lbl, "node", "left")
+                .select(
+                    "node",
+                    F.coalesce(F.col("cmp"), F.col("node")).alias("component"),
+                )
             )
-            return non_roots.unionByName(roots)
         prev_sig = sig
     raise RuntimeError(
         f"two-phase star contraction did not converge in {max_rounds} "
@@ -142,7 +150,11 @@ def connected_components(
         .withColumn("lbl", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max(1, min(propagation_rounds, max_iter))):
+    # +1: convergence is detected by a zero-changed round AFTER the
+    # diameter-many update rounds, so a graph of diameter exactly
+    # propagation_rounds still finishes here instead of discarding the
+    # work and re-solving in the contraction fallback
+    for _ in range(max(1, min(propagation_rounds, max_iter)) + 1):
         nbr_min = (
             sym.join(
                 labels.select(

@@ -280,9 +280,17 @@ def decode_png(payload: bytes) -> np.ndarray:
     ch = _PNG_CHANNELS[color_type]
     bpp = ch * (depth // 8)
     stride = w * bpp
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    if len(raw) != h * (1 + stride):
+    expected = h * (1 + stride)
+    # cap the inflate at the size the header promises (+1 to detect
+    # overruns): a tiny IHDR with a deep-ratio IDAT must not be allowed
+    # to materialize gigabytes before the length check — one hostile
+    # blob OOM-killing an executor violates the multimodal pipeline's
+    # degrade-don't-crash contract
+    dec = zlib.decompressobj()
+    data = dec.decompress(b"".join(idat), expected + 1)
+    if dec.unconsumed_tail or len(data) != expected:
         raise ValueError("PNG pixel data length mismatch")
+    raw = np.frombuffer(data, dtype=np.uint8)
     recon = _png_defilter(raw, h, stride, bpp)
     if depth == 16:
         img = recon.reshape(h, w, ch, 2).astype(np.uint16)

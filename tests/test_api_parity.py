@@ -116,3 +116,22 @@ def test_custom_script_path_accepted_and_ignored(spark):
                                custom_script_path="/nonexistent/custom.py")
     fb = featurize_time_series(spark, t, m, None, ["mean"])
     pd.testing.assert_frame_equal(fa, fb)
+
+
+def test_reference_positional_call_shape_timeseries(spark):
+    """Review finding (r4): the reference's fully positional call
+    featurize_single_ts(ts, features, custom_script_path, custom_funcs)
+    must bind correctly through our (t, m, e, features_to_use, ...)
+    parameter list — the funcs dict landing on features_to_use is
+    re-bound, and the script path (3rd position) is ignored."""
+    from cesium_spark.time_series import TimeSeries
+
+    t = np.linspace(0, 10, 30)
+    m = np.sin(t)
+    ts = TimeSeries(t, m)
+    funcs = {"double_mean": lambda t_, m_, e_: 2.0 * np.mean(m_)}
+    got = featurize_single_ts(ts, ["mean", "double_mean"],
+                              "/nonexistent/custom.py", funcs)
+    want = featurize_single_ts(
+        ts, ["mean", "double_mean"], custom_functions=funcs)
+    assert got == want and abs(got["double_mean"] - 2 * np.mean(m)) < 1e-12

@@ -390,3 +390,33 @@ def test_minhash_lsh_star_edges_same_clusters_linear_emission(spark):
     via_pairs = dedup_clusters(small, minhash_lsh_pairs(small)).toPandas() \
         .sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(via_star, via_pairs)
+
+
+def test_minhash_star_edges_single_pass_plan(spark):
+    """Review finding (r4): the star-edge path must compute the minhash
+    band relation ONCE — a window min over (band, key), no self-join
+    whose aggregate side would defeat ReuseExchange and re-run the
+    shingle+digest scan."""
+    from cesium_spark.operators.dedup import minhash_lsh_star_edges
+
+    docs = spark.createDataFrame(
+        [(i, f"document body number {i % 3} shared") for i in range(30)],
+        "doc_id int, text string")
+    edges = minhash_lsh_star_edges(docs)
+    plan = edges._jdf.queryExecution().toString()
+    assert "Join" not in plan          # window-min formulation, no self-join
+    assert plan.count("Window") >= 1
+
+
+def test_connected_components_self_loops_both_paths(spark):
+    """Review finding (r4): a node whose only edge is a self-loop must
+    come back as its own singleton component from BOTH algorithm paths
+    (the contraction's canonical filter used to drop it)."""
+    from cesium_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(7, 7), (1, 2), (2, 3), (3, 4), (4, 5)], "id_a int, id_b int")
+    for rounds in (8, 1):  # propagation-converged vs star-fallback
+        cc = connected_components(pairs, propagation_rounds=rounds) \
+            .toPandas().set_index("node")["component"].to_dict()
+        assert cc == {7: 7, 1: 1, 2: 1, 3: 1, 4: 1, 5: 1}, rounds

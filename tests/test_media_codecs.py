@@ -209,3 +209,17 @@ def test_corrupt_payloads_degrade_not_crash(spark):
         "width int, height int, duration_ms int")
     rows = extract_features(df).collect()
     assert len(rows) == 4 and all(len(r["features"]) == 8 for r in rows)
+
+
+def test_png_decompression_bomb_rejected():
+    """Review finding (r4): a tiny IHDR with a huge-ratio IDAT must be
+    rejected at the declared size (+1 probe byte), not inflated fully —
+    one hostile blob must never OOM an executor."""
+    # 2x2 gray PNG header, IDAT that inflates to ~64 MB of zeros
+    bomb_raw = b"\x00" * (64 * 1024 * 1024)
+    payload = _png_raw(2, 2, 8, 0, bomb_raw)
+    with pytest.raises(ValueError, match="length mismatch"):
+        decode_png(payload)
+    from cesium_spark.operators.multimodal import _default_decode
+    out = _default_decode(payload, "image/png")
+    assert out.shape == (8,) and out[7] != 3.0  # degraded, not decoded
