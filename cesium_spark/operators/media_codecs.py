@@ -1,12 +1,14 @@
 """Pure-numpy media codecs: real decoders for the formats honestly
-decodable offline — RIFF/WAVE PCM audio, uncompressed 24-bit BMP, and
-PNG (whose compression is stdlib zlib; this module owns the chunk walk
-and the five scanline filters). No external codec library involved.
+decodable offline — RIFF/WAVE PCM audio, uncompressed 24-bit BMP, PNG
+(stdlib zlib; this module owns the chunk walk and the five scanline
+filters), and baseline JPEG (operators/jpeg_codec.py — from-scratch
+T.81 Huffman + DCT). No external codec library involved.
 
 These upgrade the multimodal pipeline's decode step from a stub to a
-real implementation where that is possible without codecs; entropy-
-coded formats (JPEG/MP3/H.264) still require a codec library and keep
-the documented `register_decoder` swap-in path.
+real implementation where that is possible without codecs; the
+remaining formats (MP3/H.264, progressive or subsampled JPEG) still
+require a codec library and keep the documented `register_decoder`
+swap-in path.
 
 Everything decodes per Arrow batch inside mapInPandas — numpy owns the
 byte crunching, blobs never become driver-side Python objects.
@@ -394,4 +396,8 @@ def numpy_media_decoder(payload: bytes, media_type: str) -> np.ndarray:
         return bmp_features(payload)
     if mt in ("image/png", "png"):
         return png_features(payload)
+    if mt in ("image/jpeg", "image/jpg", "jpeg", "jpg"):
+        from .jpeg_codec import jpeg_features
+
+        return jpeg_features(payload)
     raise ValueError(f"no pure-numpy decoder for media_type={media_type!r}")

@@ -1,15 +1,16 @@
 """Multimodal column plumbing: image/audio/video payloads as opaque
 binary columns with typed metadata, processed by Arrow-batched UDFs.
 
-Decoding: WAV/PCM audio, uncompressed BMP, and PNG images decode FOR
-REAL via the pure-numpy codecs in operators/media_codecs.py (header
-parse + numpy; PNG rides stdlib zlib — no codec library needed).
-Entropy-coded formats (JPEG/MP3/...) require a codec library that does
-not ship in this container: `register_decoder` installs the real one in
-such a deployment, and until then those types get deterministic
-digest-derived pseudo-features so the Spark-side plumbing — schema,
-partitioning, UDF signatures, batch shapes — stays real and tested
-end-to-end.
+Decoding: WAV/PCM audio, uncompressed BMP, PNG, and baseline JPEG
+decode FOR REAL via the pure-numpy codecs in operators/media_codecs.py
+and operators/jpeg_codec.py (header parse + numpy; PNG rides stdlib
+zlib; JPEG is a from-scratch T.81 baseline Huffman+DCT). The remaining
+formats (MP3/H.264, progressive/subsampled JPEG) require a codec
+library that does not ship in this container: `register_decoder`
+installs the real one in such a deployment, and until then those types
+get deterministic digest-derived pseudo-features so the Spark-side
+plumbing — schema, partitioning, UDF signatures, batch shapes — stays
+real and tested end-to-end.
 
 Design for 100 TB: payloads never leave the executor as Python objects;
 mapInPandas streams Arrow batches, metadata-only operations (routing,
@@ -47,15 +48,15 @@ def register_decoder(fn: Callable[[bytes, str], np.ndarray]) -> None:
 def _fake_decode(payload: bytes, media_type: str) -> np.ndarray:
     """Deterministic stand-in for codec-requiring formats: 8 floats
     derived from the blake2b digest. Real deployments replace this via
-    register_decoder (the container has no JPEG/MP3 codecs)."""
+    register_decoder (the container has no MP3/video codecs)."""
     d = hashlib.blake2b(payload or b"", digest_size=32).digest()
     u = np.frombuffer(d, dtype=np.uint32).astype(np.float64)
     return (u / np.float64(2**32)).astype(np.float32)
 
 
 def _default_decode(payload: bytes, media_type: str) -> np.ndarray:
-    """WAV/BMP/PNG decode for real (pure numpy); digest pseudo-features
-    for formats that need an external codec AND for corrupt payloads — one
+    """WAV/BMP/PNG/JPEG decode for real (pure numpy); digest pseudo-
+    features for formats that need an external codec AND for corrupt payloads — one
     malformed blob in a 100 TB batch must degrade to pseudo-features,
     never fail the whole task (arbitrary bytes can raise struct.error
     and friends from deep inside the header parse, hence the broad

@@ -151,9 +151,64 @@ def test_dispatch_and_unknown_type():
     payload = encode_wav(np.zeros(100), 8000)
     assert numpy_media_decoder(payload, "audio/wav")[7] == 1.0
     with pytest.raises(ValueError, match="no pure-numpy decoder"):
-        numpy_media_decoder(b"\xff\xd8\xff", "image/jpeg")
+        numpy_media_decoder(b"ID3\x04 fake mp3", "audio/mpeg")
     with pytest.raises(ValueError, match="RIFF"):
         decode_wav(b"not a wav")
+
+
+def test_jpeg_roundtrip_and_features():
+    """Baseline JPEG from scratch (T.81): solid blocks recover exactly
+    (DC-only), smooth gradients within quantization error at q95,
+    grayscale single-component path, and the dispatcher route."""
+    from cesium_spark.operators.jpeg_codec import (
+        decode_jpeg, encode_jpeg, jpeg_features)
+
+    solid = np.zeros((16, 24, 3), np.uint8)
+    solid[...] = (200, 100, 50)
+    assert (decode_jpeg(encode_jpeg(solid, 90)) == solid).all()
+    f = jpeg_features(encode_jpeg(solid))
+    assert f[0] == 24 and f[1] == 16 and f[7] == 4.0
+    assert abs(f[2] - 200 / 255.0) < 2 / 255.0 and f[5] < 1e-3
+
+    grad = np.stack(
+        [np.linspace(0, 255, 41)[None, :].repeat(33, 0),
+         np.linspace(0, 255, 33)[:, None].repeat(41, 1),
+         np.full((33, 41), 128.0)], -1).astype(np.uint8)  # non-multiple-of-8 dims
+    err = np.abs(decode_jpeg(encode_jpeg(grad, 95)).astype(int) - grad.astype(int))
+    assert err.max() <= 6 and err.mean() < 1.5
+
+    gray = np.linspace(0, 255, 400).reshape(20, 20).astype(np.uint8)
+    dg = decode_jpeg(encode_jpeg(gray, 95))
+    assert dg.shape == (20, 20, 1)
+    assert np.abs(dg[..., 0].astype(int) - gray.astype(int)).max() <= 3
+
+    assert numpy_media_decoder(encode_jpeg(solid), "image/jpeg")[7] == 4.0
+
+    # restart markers (DRI + RSTn every 2 MCUs, DC predictors reset)
+    rst = encode_jpeg(grad, 95, restart_interval=2)
+    assert b"\xff\xdd" in rst  # DRI present
+    err_rst = np.abs(decode_jpeg(rst).astype(int) - grad.astype(int))
+    assert err_rst.max() <= 6
+
+
+def test_jpeg_rejects_and_degrades():
+    """Truncation / progressive markers / garbage raise ValueError and
+    degrade to pseudo-features through the multimodal path."""
+    from cesium_spark.operators.jpeg_codec import decode_jpeg, encode_jpeg
+    from cesium_spark.operators.multimodal import _default_decode
+
+    good = encode_jpeg(np.full((10, 10, 3), 99, np.uint8))
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:40])               # truncated mid-segment
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xc2" + good[4:])  # SOF2 progressive
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg at all")
+    out = _default_decode(good[:40], "image/jpeg")
+    assert out.shape == (8,) and out[7] != 4.0  # degraded, not decoded
+    # and an intact payload through the same multimodal entry decodes
+    ok = _default_decode(good, "image/jpeg")
+    assert ok[7] == 4.0
 
 
 def test_extract_features_decodes_real_media(spark):
