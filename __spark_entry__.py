@@ -718,6 +718,19 @@ def q_lsh_clusters(spark, sf_dir):
     return lsh_dedup_clusters(_docs(spark, sf_dir), k=5, num_hashes=16, bands=4)
 
 
+def q_dup_spans(spark, sf_dir):
+    """Span-level duplication profile (Lee et al. 2022 substring-dedup
+    measurement): per document, the fraction of 8-token sliding windows
+    whose exact token sequence occurs at least twice corpus-wide —
+    catches boilerplate/quotation duplication that document-level
+    near-dup misses. All hashing/windowing is JVM-side; the oracle
+    re-derives the same windows with list_slice over the ordered token
+    list and the same md5 keys."""
+    from cesium_spark.operators.dedup import duplicate_token_spans
+
+    return duplicate_token_spans(_docs(spark, sf_dir), k=8, round_digits=R)
+
+
 def q_retention_days(spark, sf_dir):
     """The retention DECISION (operators/retention.py contract: drop a
     day's raw rows only when every tier's committed rollup fingerprint
@@ -989,6 +1002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_clusters": q_lsh_clusters,
         "downsample_lttb": q_downsample_lttb,
         "retention_days": q_retention_days,
+        "dup_spans": q_dup_spans,
         "token_topk": q_token_topk,
         "tfidf_top_terms": q_tfidf_top_terms,
         "embedding_clusters": q_embedding_clusters,
@@ -1540,6 +1554,37 @@ def oracle_sql() -> dict[str, str]:
                coalesce(l.lbl, d.doc_id) AS cluster_id,
                coalesce(l.lbl, d.doc_id) = d.doc_id AS is_keeper
         FROM documents d LEFT JOIN lab l ON d.doc_id = l.n
+    """
+
+    # span-level duplication: identical tokenization (\s+ on trimmed
+    # text, empties dropped), identical 8-token windows (list_slice over
+    # the ordered token list == Spark's slice), identical md5 keys
+    sql["dup_spans"] = f"""
+        WITH tl AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\\s+'),
+                             t -> t <> '') AS toks
+          FROM documents
+        ),
+        spans AS (
+          SELECT doc_id,
+                 md5(array_to_string(list_slice(toks, g.j, g.j + 7), ' ')) AS key
+          FROM tl, LATERAL unnest(
+            generate_series(1, greatest(len(toks) - 7, 0))) AS g(j)
+        ),
+        cnt AS (SELECT key, count(*) AS c FROM spans GROUP BY key),
+        per AS (
+          SELECT s.doc_id, count(*) AS n_spans,
+                 sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS dup_spans
+          FROM spans s JOIN cnt USING (key) GROUP BY s.doc_id
+        )
+        SELECT t.doc_id,
+               CAST(len(t.toks) AS BIGINT) AS n_tokens,
+               CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+               CAST(coalesce(p.dup_spans, 0) AS BIGINT) AS dup_spans,
+               round(CASE WHEN coalesce(p.n_spans, 0) = 0 THEN 0.0
+                          ELSE p.dup_spans / p.n_spans END + {EPS}, {R}) AS dup_frac
+        FROM tl t LEFT JOIN per p USING (doc_id)
     """
 
     # retention decision: current per-day counts vs the simulated commit

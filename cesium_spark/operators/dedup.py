@@ -39,6 +39,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "minhash_lsh_star_edges",
     "lsh_dedup_clusters",
+    "duplicate_token_spans",
     "incremental_minhash_pairs",
     "simhash64",
     "simhash_pairs",
@@ -378,6 +379,84 @@ def lsh_dedup_clusters(
         docs, id_col, text_col, k, num_hashes, bands, hash_fn
     )
     return dedup_clusters(docs, edges, id_col=id_col)
+
+
+def duplicate_token_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    hash_fn: str = "md5",
+    min_count: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Span-level duplication profile per document: how much of each
+    document consists of k-token windows that appear elsewhere in the
+    corpus (or again in the same document). This is the measurement
+    behind substring-level training-data dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"):
+    document-level near-dup misses boilerplate headers/footers and
+    quoted passages, which show up here as a high dup_frac.
+
+    Returns (id, n_tokens, n_spans, dup_spans, dup_frac): n_spans =
+    max(n_tokens - k + 1, 0) sliding windows; dup_spans = windows whose
+    exact token sequence occurs >= min_count times corpus-wide;
+    dup_frac = dup_spans / n_spans (0.0 for short docs), rounded with
+    the repo's +EPS cross-engine convention.
+
+    Plan: tokenization + windowing + hashing are pure JVM expressions
+    (split / slice / concat_ws / md5-or-xxhash64); one groupBy on the
+    span hash counts occurrences, one join back on the hash marks
+    duplicated windows, one per-doc aggregation. Everything shuffles on
+    32-char (or 8-byte) hashes, never on text. Hot spans (corpus-wide
+    boilerplate) are AGGREGATED before the join, so a span occurring
+    10^6 times contributes one row to the count relation — no quadratic
+    fan-out anywhere. hash_fn="xxhash64" is the production path (JVM
+    codegen); md5 is the DuckDB-oracle-portable default."""
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+    )
+    base = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    nwin = F.greatest(F.size("toks") - F.lit(k - 1), F.lit(0))
+    # guard: sequence(1, 0) would generate a DESCENDING [1, 0] sequence
+    wins = F.when(nwin >= 1, F.sequence(F.lit(1), nwin)).otherwise(
+        F.array().cast("array<int>")
+    )
+    span_txt = F.concat_ws(" ", F.slice(F.col("toks"), F.col("i"), k))
+    if hash_fn == "md5":
+        key = F.md5(span_txt)
+    elif hash_fn == "xxhash64":
+        key = F.xxhash64(span_txt)
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r} (md5 | xxhash64)")
+    spans = base.select("id", F.explode(wins).alias("i"), "toks").select(
+        "id", key.alias("key")
+    )
+    cnt = spans.groupBy("key").agg(F.count("*").alias("c"))
+    per = (
+        spans.join(cnt, "key")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("c") >= min_count, 1).otherwise(0)).alias(
+                "dup_spans"
+            ),
+        )
+    )
+    frac = F.when(
+        F.coalesce(F.col("n_spans"), F.lit(0)) == 0, F.lit(0.0)
+    ).otherwise(F.col("dup_spans") / F.col("n_spans"))
+    return (
+        base.select("id", F.size("toks").cast("long").alias("n_tokens"))
+        .join(per, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce(F.col("dup_spans"), F.lit(0)).cast("long").alias("dup_spans"),
+            F.round(frac + F.lit(1e-9), round_digits).alias("dup_frac"),
+        )
+    )
 
 
 def _simhash_accumulate(token_lists) -> pd.Series:

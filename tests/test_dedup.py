@@ -420,3 +420,37 @@ def test_connected_components_self_loops_both_paths(spark):
         cc = connected_components(pairs, propagation_rounds=rounds) \
             .toPandas().set_index("node")["component"].to_dict()
         assert cc == {7: 7, 1: 1, 2: 1, 3: 1, 4: 1, 5: 1}, rounds
+
+
+def test_duplicate_token_spans_analytic(spark):
+    """Span-level duplication (Lee et al. substring-dedup measurement):
+    shared boilerplate shows up as duplicated windows, unique text does
+    not, short docs get zeros, and within-doc repetition counts."""
+    from cesium_spark.operators.dedup import duplicate_token_spans
+
+    boiler = "subscribe to our newsletter for updates and exclusive offers today"  # 10 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma delta epsilon zeta eta theta {boiler}"),
+            (2, f"one two three four five six seven eight nine {boiler}"),
+            (3, "completely unique text with no duplicated spans here at all ok"),
+            (4, "short doc"),                                   # < k tokens
+            (5, ("repeat me " * 8).strip()),                    # within-doc repetition
+        ],
+        "doc_id int, text string",
+    )
+    out = duplicate_token_spans(docs, k=8).toPandas().set_index("doc_id")
+    # doc 1: 18 tokens -> 11 windows; the boilerplate's 10 tokens yield
+    # 3 windows fully inside it, shared with doc 2 (whose prefix differs)
+    assert out.loc[1, "n_tokens"] == 18 and out.loc[1, "n_spans"] == 11
+    assert out.loc[1, "dup_spans"] == 3 and out.loc[2, "dup_spans"] == 3
+    assert abs(out.loc[1, "dup_frac"] - round(3 / 11 + 1e-9, 6)) < 1e-12
+    assert out.loc[3, "dup_spans"] == 0
+    assert out.loc[4, "n_spans"] == 0 and out.loc[4, "dup_frac"] == 0.0
+    # doc 5: "repeat me"*8 = 16 tokens -> 9 windows, all identical
+    assert out.loc[5, "n_spans"] == 9 and out.loc[5, "dup_spans"] == 9
+
+    # production hash path: same counts
+    out2 = duplicate_token_spans(docs, k=8, hash_fn="xxhash64") \
+        .toPandas().set_index("doc_id")
+    assert (out2["dup_spans"] == out["dup_spans"]).all()
