@@ -344,7 +344,17 @@ def minhash_lsh_star_edges(
     expensive upstream (shingle explode + minhash digests over the
     corpus) is computed exactly once and shuffled exactly once. (The
     groupBy+join formulation computes that subtree twice: the aggregate
-    below the groupBy's exchange defeats ReuseExchange.)"""
+    below the groupBy's exchange defeats ReuseExchange.)
+
+    Skew bound of the window formulation: a (band, key) bucket's rows
+    land in one window task — at ~50 B/row a 10^7-member duplicate
+    class is ~500 MB in that task (spillable sort, fine); classes
+    beyond that should persist() the band rows and run the
+    groupBy+join variant instead, which absorbs any skew via partial
+    aggregation + AQE skew-join at the cost of caching the relation.
+    (Compare duplicate_token_spans, which faces unbounded span
+    hotness — corpus-wide boilerplate — and therefore uses the
+    groupBy+join shape by design.)"""
     from pyspark.sql.window import Window
 
     rows = minhash_band_rows(df, id_col, text_col, k, num_hashes, bands, hash_fn)
@@ -411,8 +421,14 @@ def duplicate_token_spans(
     32-char (or 8-byte) hashes, never on text. Hot spans (corpus-wide
     boilerplate) are AGGREGATED before the join, so a span occurring
     10^6 times contributes one row to the count relation — no quadratic
-    fan-out anywhere. hash_fn="xxhash64" is the production path (JVM
-    codegen); md5 is the DuckDB-oracle-portable default."""
+    fan-out anywhere. The groupBy+join shape (rather than a window
+    count) is deliberate: span hotness is UNBOUNDED (a boilerplate line
+    can appear in every document), and partial aggregation + AQE
+    skew-join absorb that where a window would concentrate the hot
+    span's rows in one task; the price is that the span relation is
+    computed twice (it reads only (id, text) and the scan is pruned to
+    those columns — plan-tested). hash_fn="xxhash64" is the production
+    path (JVM codegen); md5 is the DuckDB-oracle-portable default."""
     toks = F.filter(
         F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
     )

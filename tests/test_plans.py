@@ -135,3 +135,44 @@ def test_bucketed_join_and_agg_have_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS tr_b")
         spark.sql("DROP TABLE IF EXISTS meta_b")
+
+
+def test_dup_spans_plan_pruned_and_skew_safe(spark, tmp_path):
+    """duplicate_token_spans: parquet scan pruned to (id, text) only,
+    and the hot-span count is a groupBy (partial agg absorbs unbounded
+    span hotness) rather than a window that would concentrate a
+    boilerplate span's rows in one task."""
+    from cesium_spark.operators.dedup import duplicate_token_spans
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"some text body number {i}", "extra", 1.5) for i in range(10)],
+        "doc_id long, text string, unused_col string, unused_num double",
+    ).write.parquet(p)
+    out = duplicate_token_spans(spark.read.parquet(p))
+    plan = out._jdf.queryExecution().toString()
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "unused_col" not in phys and "unused_num" not in phys
+    assert "HashAggregate" in phys
+    # the count side is an aggregate, not a window over the span key
+    assert "windowspecdefinition(key" not in phys.lower()
+
+
+def test_lttb_single_exchange(spark, tmp_path):
+    """lttb_downsample: one repartition on the series key feeds the
+    in-partition sort + mapInPandas — no extra shuffles."""
+    from cesium_spark.operators.downsample import lttb_downsample
+
+    p = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(60)],
+        "event_id long, user_id long, value double",
+    ).selectExpr("event_id", "user_id", "value",
+                 "timestamp '2024-01-01' + make_interval(0,0,0,0,0,0,event_id) AS ts") \
+        .write.parquet(p)
+    out = lttb_downsample(
+        spark.read.parquet(p), n_out=5, key_col="user_id",
+        tiebreak_col="event_id", value="value")
+    phys = out._jdf.queryExecution().toString().split("== Physical Plan ==")[-1]
+    assert phys.count("Exchange") == 1
+    assert "MapInPandas" in phys
