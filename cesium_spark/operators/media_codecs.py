@@ -24,6 +24,8 @@ __all__ = [
     "encode_wav", "decode_wav", "wav_features",
     "encode_bmp", "decode_bmp", "bmp_features",
     "encode_png", "decode_png", "png_features",
+    "encode_bmp_video", "decode_bmp_video", "bmp_video_frame_count",
+    "decode_image", "resize_rgb",
     "numpy_media_decoder",
 ]
 
@@ -382,6 +384,89 @@ def png_features(payload: bytes) -> np.ndarray:
          lum.std(), w / float(h), 3.0],
         dtype=np.float32,
     )
+
+
+# ------------------------------------------------- BMP-sequence "video"
+#
+# A deliberately simple frame container — magic + frame count + length-
+# prefixed BMP frames — so the frame-sampling pipeline (multimodal.
+# sample_frames) has a REAL decodable video path end-to-end. Entropy-
+# coded video (H.264/VP9/...) stays behind register_decoder like every
+# other codec-requiring format.
+
+_BMPSEQ_MAGIC = b"BMPSEQ0\x00"
+
+
+def encode_bmp_video(frames) -> bytes:
+    """List of (h, w, 3) uint8 RGB frames -> BMP-sequence container."""
+    frames = list(frames)
+    out = [_BMPSEQ_MAGIC, struct.pack("<I", len(frames))]
+    for f in frames:
+        b = encode_bmp(f)
+        out.append(struct.pack("<I", len(b)))
+        out.append(b)
+    return b"".join(out)
+
+
+def decode_bmp_video(payload: bytes, indices=None):
+    """BMP-sequence container -> list of (frame_idx, (h, w, 3) RGB).
+    `indices` restricts decoding to those frame numbers (out-of-range
+    ones are ignored) — sampling decodes ONLY the requested frames."""
+    if payload[: len(_BMPSEQ_MAGIC)] != _BMPSEQ_MAGIC:
+        raise ValueError("not a BMP-sequence payload")
+    (count,) = struct.unpack("<I", payload[8:12])
+    want = None if indices is None else set(int(i) for i in indices)
+    pos = 12
+    out = []
+    for i in range(count):
+        if pos + 4 > len(payload):
+            raise ValueError("truncated BMP-sequence")
+        (ln,) = struct.unpack("<I", payload[pos:pos + 4])
+        body = payload[pos + 4:pos + 4 + ln]
+        if len(body) != ln:
+            raise ValueError("truncated BMP-sequence frame")
+        if want is None or i in want:
+            out.append((i, decode_bmp(body)))
+        pos += 4 + ln
+    return out
+
+
+def bmp_video_frame_count(payload: bytes) -> int:
+    if payload[: len(_BMPSEQ_MAGIC)] != _BMPSEQ_MAGIC:
+        raise ValueError("not a BMP-sequence payload")
+    return struct.unpack("<I", payload[8:12])[0]
+
+
+def decode_image(payload: bytes, media_type: str) -> np.ndarray:
+    """Any decodable IMAGE payload -> (h, w, 3) uint8 RGB (gray
+    broadcast to 3 channels); raises for non-image/undecodable types."""
+    mt = (media_type or "").lower()
+    if mt in ("image/bmp", "bmp"):
+        return decode_bmp(payload)
+    if mt in ("image/png", "png"):
+        img = decode_png(payload)
+        if img.dtype == np.uint16:
+            img = (img >> 8).astype(np.uint8)
+        if img.shape[2] == 1:
+            return np.repeat(img, 3, axis=2)
+        if img.shape[2] == 2:  # gray + alpha
+            return np.repeat(img[..., :1], 3, axis=2)
+        return img[..., :3]
+    if mt in ("image/jpeg", "image/jpg", "jpeg", "jpg"):
+        from .jpeg_codec import decode_jpeg
+
+        img = decode_jpeg(payload)
+        return np.repeat(img, 3, axis=2) if img.shape[2] == 1 else img
+    raise ValueError(f"no pure-numpy image decoder for media_type={media_type!r}")
+
+
+def resize_rgb(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize of (h, w, 3) uint8 — pure index
+    sampling, exact for integer up/downscale factors."""
+    h, w = img.shape[:2]
+    rows = (np.arange(height) * h // height).astype(np.int64)
+    cols = (np.arange(width) * w // width).astype(np.int64)
+    return img[rows][:, cols]
 
 
 def numpy_media_decoder(payload: bytes, media_type: str) -> np.ndarray:

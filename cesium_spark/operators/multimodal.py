@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "media_schema", "attach_media_metadata", "dedup_media_exact",
     "extract_features", "register_decoder",
+    "resize_images", "sample_frames", "register_video_decoder",
 ]
 
 MEDIA_FEATURE_DIM = 8
@@ -113,5 +114,113 @@ def extract_features(
                 for p, t in zip(pdf[payload_col], pdf[type_col])
             ]
             yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
+
+    return df.select(id_col, payload_col, type_col).mapInPandas(_mapper, out_schema)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    type_col: str = "media_type",
+) -> DataFrame:
+    """Decode (real pure-numpy codecs: BMP/PNG/JPEG) -> nearest-neighbor
+    resize -> lossless PNG re-encode, Arrow-batched via mapInPandas.
+    Undecodable payloads pass through UNCHANGED with resized=false —
+    one hostile blob must never fail the batch. Output:
+    (id, media_type, payload, width, height, resized); resized rows
+    carry media_type='image/png'.
+
+    100 TB shape: blobs stay inside the executor (Arrow batches), the
+    output is written straight back out — no driver involvement, no
+    shuffle (narrow map-only plan)."""
+    from .media_codecs import decode_image, encode_png, resize_rgb
+
+    out_schema = (
+        f"{id_col} long, media_type string, payload binary, "
+        "width int, height int, resized boolean"
+    )
+
+    def _mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p, t in zip(pdf[id_col], pdf[payload_col], pdf[type_col]):
+                try:
+                    img = resize_rgb(decode_image(bytes(p), t), width, height)
+                    rows.append((mid, "image/png", bytearray(encode_png(img)),
+                                 width, height, True))
+                except Exception:
+                    rows.append((mid, t, p, None, None, False))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "media_type", "payload", "width", "height",
+                         "resized"],
+            )
+
+    return df.select(id_col, payload_col, type_col).mapInPandas(_mapper, out_schema)
+
+
+_VIDEO_DECODER: Callable[[bytes, list], list] | None = None
+
+
+def register_video_decoder(fn: Callable[[bytes, list], list]) -> None:
+    """Install a real video decoder: fn(payload, frame_indices) ->
+    [(frame_idx, (h, w, 3) uint8 RGB), ...]. Until registered, only the
+    BMP-sequence container decodes (media_codecs.decode_bmp_video);
+    entropy-coded video (H.264/VP9) is skipped with sampled=false."""
+    global _VIDEO_DECODER
+    _VIDEO_DECODER = fn
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int = 10,
+    max_frames: int = 8,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    type_col: str = "media_type",
+) -> DataFrame:
+    """Frame sampling for video columns: one OUTPUT ROW per sampled
+    frame (id, frame_idx, media_type='image/png', payload) — frames
+    0, every_n, 2*every_n, ... capped at max_frames, re-encoded as
+    lossless PNG. The BMP-sequence container decodes for real (and only
+    the REQUESTED frames are decoded — the sampler never materializes
+    the whole clip); real video codecs plug in via
+    register_video_decoder. Undecodable payloads emit a single row with
+    frame_idx = -1 and a NULL payload so downstream joins can count
+    skips without a second pass.
+
+    100 TB shape: map-only (mapInPandas), no shuffle; the fan-out is
+    bounded by max_frames per input row."""
+    from .media_codecs import bmp_video_frame_count, decode_bmp_video, encode_png
+
+    out_schema = (
+        f"{id_col} long, frame_idx int, media_type string, payload binary"
+    )
+
+    def _decode(p: bytes, t: str):
+        if _VIDEO_DECODER is not None:
+            n_idx = [i * every_n for i in range(max_frames)]
+            return _VIDEO_DECODER(p, n_idx)
+        n = bmp_video_frame_count(p)  # raises for foreign containers
+        idx = [i for i in range(0, n, every_n)][:max_frames]
+        return decode_bmp_video(p, indices=idx)
+
+    def _mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p, t in zip(pdf[id_col], pdf[payload_col], pdf[type_col]):
+                try:
+                    for fi, img in _decode(bytes(p), t):
+                        rows.append(
+                            (mid, fi, "image/png", bytearray(encode_png(img)))
+                        )
+                except Exception:
+                    rows.append((mid, -1, t, None))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "frame_idx", "media_type", "payload"]
+            )
 
     return df.select(id_col, payload_col, type_col).mapInPandas(_mapper, out_schema)

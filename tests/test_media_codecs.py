@@ -278,3 +278,68 @@ def test_png_decompression_bomb_rejected():
     from cesium_spark.operators.multimodal import _default_decode
     out = _default_decode(payload, "image/png")
     assert out.shape == (8,) and out[7] != 3.0  # degraded, not decoded
+
+
+def test_resize_images_spark_path(spark):
+    """resize_images: real decode -> nearest-neighbor -> lossless PNG
+    re-encode for BMP/PNG/JPEG inputs; garbage passes through with
+    resized=false. The resized PNG decodes back to the exact
+    nearest-neighbor result (PNG is lossless; JPEG source compared
+    within its quantization error)."""
+    from cesium_spark.operators.media_codecs import decode_png, resize_rgb
+    from cesium_spark.operators.jpeg_codec import encode_jpeg
+    from cesium_spark.operators.multimodal import resize_images
+
+    rng = np.random.RandomState(21)
+    img = rng.randint(0, 256, (16, 12, 3), np.uint8)
+    rows = [
+        (1, "image/bmp", bytearray(encode_bmp(img)), None, None, None),
+        (2, "image/png", bytearray(encode_png(img)), None, None, None),
+        (3, "image/jpeg", bytearray(encode_jpeg(img, 95)), None, None, None),
+        (4, "image/jpeg", bytearray(b"garbage bytes"), None, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, media_type string, payload binary, "
+              "width int, height int, duration_ms int")
+    out = {r["media_id"]: r for r in resize_images(df, 6, 8).collect()}
+    want = resize_rgb(img, 6, 8)
+    got_bmp = decode_png(bytes(out[1]["payload"]))
+    assert out[1]["resized"] and (got_bmp == want).all()
+    assert (decode_png(bytes(out[2]["payload"])) == want).all()
+    got_jpg = decode_png(bytes(out[3]["payload"])).astype(int)
+    assert out[3]["media_type"] == "image/png"
+    assert np.abs(got_jpg - want.astype(int)).max() <= 24  # jpeg source error
+    assert not out[4]["resized"] and bytes(out[4]["payload"]) == b"garbage bytes"
+
+
+def test_sample_frames_spark_path(spark):
+    """sample_frames: one row per sampled frame (0, every_n, ...,
+    capped), frames decode back to the exact source frames; only the
+    requested frames are decoded; undecodable video emits the single
+    (-1, NULL) skip row."""
+    from cesium_spark.operators.media_codecs import (
+        decode_bmp_video, decode_png, encode_bmp_video)
+    from cesium_spark.operators.multimodal import sample_frames
+
+    frames = [np.full((4, 6, 3), 10 * i, np.uint8) for i in range(7)]
+    vid = encode_bmp_video(frames)
+    df = spark.createDataFrame(
+        [(1, "video/x-bmp-seq", bytearray(vid), None, None, None),
+         (2, "video/mp4", bytearray(b"\x00\x00\x00 ftypisom fake"), None, None, None)],
+        "media_id long, media_type string, payload binary, "
+        "width int, height int, duration_ms int")
+    rows = sample_frames(df, every_n=2, max_frames=3).collect()
+    mine = sorted([r for r in rows if r["media_id"] == 1],
+                  key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in mine] == [0, 2, 4]
+    for r in mine:
+        img = decode_png(bytes(r["payload"]))
+        assert (img == frames[r["frame_idx"]]).all()
+    skip = [r for r in rows if r["media_id"] == 2]
+    assert len(skip) == 1 and skip[0]["frame_idx"] == -1
+    assert skip[0]["payload"] is None
+
+    # selective decode: indices= only materializes the requested frames
+    got = decode_bmp_video(vid, indices=[1, 5])
+    assert [i for i, _ in got] == [1, 5]
+    assert (got[1][1] == frames[5]).all()
