@@ -1556,9 +1556,12 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d LEFT JOIN lab l ON d.doc_id = l.n
     """
 
-    # span-level duplication: identical tokenization (\s+ on trimmed
-    # text, empties dropped), identical 8-token windows (list_slice over
-    # the ordered token list == Spark's slice), identical md5 keys
+    # span-level duplication: matching tokenization (\s+ on trimmed
+    # text, empties dropped — Java and RE2 \s agree on the ASCII
+    # whitespace this data contains; see the simhash caveat for the
+    # exotic-whitespace divergence), identical 8-token windows
+    # (list_slice over the ordered token list == Spark's slice),
+    # identical md5 keys
     sql["dup_spans"] = f"""
         WITH tl AS (
           SELECT doc_id,

@@ -143,7 +143,11 @@ def _parse_dat(path: str):
     TimeSeries default pads (linspace times, DEFAULT_ERROR_VALUE)."""
     from .time_series import TimeSeries
 
-    arr = np.atleast_2d(np.genfromtxt(path, delimiter=","))
+    # ndmin=2 keeps orientation unambiguous: a single-COLUMN file loads
+    # as (n, 1) and a single-ROW file as (1, k) — np.atleast_2d on a 1-d
+    # result would turn a measurement-only column into a (1, n) row
+    # vector and misparse it (review finding)
+    arr = np.loadtxt(path, delimiter=",", ndmin=2)
     if arr.shape[1] == 1:
         ts = TimeSeries(None, arr[:, 0])
     elif arr.shape[1] == 2:
@@ -287,6 +291,11 @@ def fetch_asas_training(data_dir=None, transport=None, md5sums=ASAS_MD5SUMS) -> 
         archive=archive_path,
         header=header_path,
     )
+    # the npz is the cache-hit existence gate, so it must be written
+    # LAST: a crash between the two writes must leave a cache MISS
+    # (re-fetch), never a hit that dies on the missing header pickle
+    pd.to_pickle({"classes": classes, "metadata": metadata},
+                 os.path.join(data_dir, "asas_header.pkl"))
     _cache_save(
         cache,
         times=times,
@@ -295,6 +304,4 @@ def fetch_asas_training(data_dir=None, transport=None, md5sums=ASAS_MD5SUMS) -> 
         archive=[archive_path],
         header=[header_path],
     )
-    pd.to_pickle({"classes": classes, "metadata": metadata},
-                 os.path.join(data_dir, "asas_header.pkl"))
     return data

@@ -428,7 +428,14 @@ def duplicate_token_spans(
     span's rows in one task; the price is that the span relation is
     computed twice (it reads only (id, text) and the scan is pruned to
     those columns — plan-tested). hash_fn="xxhash64" is the production
-    path (JVM codegen); md5 is the DuckDB-oracle-portable default."""
+    path (JVM codegen); md5 is the DuckDB-oracle-portable default.
+
+    NULL text rows come back as (id, NULL, 0, 0, 0.0) — matching the
+    SQL oracle's NULL n_tokens rather than legacy Spark's size()=-1.
+    Whitespace caveat (same as simhash64): Java's \\s and RE2's \\s
+    agree on ASCII whitespace — the classes the oracle exercises — but
+    diverge on exotica like \\x0B, so such documents can produce
+    different span keys across engines."""
     toks = F.filter(
         F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
     )
@@ -462,8 +469,13 @@ def duplicate_token_spans(
     frac = F.when(
         F.coalesce(F.col("n_spans"), F.lit(0)) == 0, F.lit(0.0)
     ).otherwise(F.col("dup_spans") / F.col("n_spans"))
+    # NULL-safe token count: legacy (ANSI-off) Spark returns size()=-1
+    # for NULL arrays — guard so NULL text yields NULL, like the oracle
+    n_tokens = F.when(
+        F.col("toks").isNull(), F.lit(None).cast("long")
+    ).otherwise(F.size("toks").cast("long"))
     return (
-        base.select("id", F.size("toks").cast("long").alias("n_tokens"))
+        base.select("id", n_tokens.alias("n_tokens"))
         .join(per, "id", "left")
         .select(
             F.col("id").alias(id_col),

@@ -456,15 +456,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
 
 def jpeg_features(payload: bytes) -> np.ndarray:
-    """8 deterministic image features (same layout as bmp/png_features):
-    [width, height, mean_r, mean_g, mean_b, std_luminance, aspect, 4.0
-    (jpeg marker)]; grayscale broadcasts its single channel."""
+    """8 deterministic image features (layout: media_codecs.
+    image_feature_vec; marker 4.0); grayscale broadcasts its single
+    channel."""
+    from .media_codecs import image_feature_vec
+
     img = decode_jpeg(payload).astype(np.float64) / 255.0
-    h, w, ch = img.shape
-    rgb = np.repeat(img, 3, axis=2) if ch == 1 else img
-    lum = 0.2126 * rgb[..., 0] + 0.7152 * rgb[..., 1] + 0.0722 * rgb[..., 2]
-    return np.array(
-        [w, h, rgb[..., 0].mean(), rgb[..., 1].mean(), rgb[..., 2].mean(),
-         lum.std(), w / float(h), 4.0],
-        dtype=np.float32,
-    )
+    rgb = np.repeat(img, 3, axis=2) if img.shape[2] == 1 else img
+    return image_feature_vec(rgb, 4.0)

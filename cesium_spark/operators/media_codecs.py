@@ -151,18 +151,27 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return img if top_down else img[::-1]
 
 
-def bmp_features(payload: bytes) -> np.ndarray:
-    """8 deterministic image features from a BMP payload:
-    [width, height, mean_r, mean_g, mean_b, std_luminance, aspect, 2.0
-    (bmp marker)] — channel means/std normalized to [0, 1]."""
-    img = decode_bmp(payload).astype(np.float64) / 255.0
-    h, w, _ = img.shape
-    lum = 0.2126 * img[..., 0] + 0.7152 * img[..., 1] + 0.0722 * img[..., 2]
+def image_feature_vec(rgb01: np.ndarray, marker: float) -> np.ndarray:
+    """THE image feature block, shared by every image codec:
+    [width, height, mean_r, mean_g, mean_b, std_luminance (BT.709),
+    aspect, format marker] over a (h, w, 3) float array in [0, 1].
+    One definition so the bmp/png/jpeg feature vectors can never
+    drift apart."""
+    h, w = rgb01.shape[:2]
+    lum = (
+        0.2126 * rgb01[..., 0] + 0.7152 * rgb01[..., 1] + 0.0722 * rgb01[..., 2]
+    )
     return np.array(
-        [w, h, img[..., 0].mean(), img[..., 1].mean(), img[..., 2].mean(),
-         lum.std(), w / float(h), 2.0],
+        [w, h, rgb01[..., 0].mean(), rgb01[..., 1].mean(),
+         rgb01[..., 2].mean(), lum.std(), w / float(h), marker],
         dtype=np.float32,
     )
+
+
+def bmp_features(payload: bytes) -> np.ndarray:
+    """8 deterministic image features from a BMP payload (layout: see
+    image_feature_vec; marker 2.0)."""
+    return image_feature_vec(decode_bmp(payload).astype(np.float64) / 255.0, 2.0)
 
 
 # ------------------------------------------------------------------ PNG
@@ -366,24 +375,17 @@ def encode_png(rgb: np.ndarray, filter_type: int = 0) -> bytes:
 
 
 def png_features(payload: bytes) -> np.ndarray:
-    """8 deterministic image features from a PNG payload (same layout as
-    bmp_features): [width, height, mean_r, mean_g, mean_b,
-    std_luminance, aspect, 3.0 (png marker)]. Gray images broadcast the
-    gray channel; alpha is ignored for the channel means."""
+    """8 deterministic image features from a PNG payload (layout: see
+    image_feature_vec; marker 3.0). Gray images broadcast the gray
+    channel; alpha is ignored for the channel means."""
     img = decode_png(payload)
     scale = 65535.0 if img.dtype == np.uint16 else 255.0
     x = img.astype(np.float64) / scale
-    h, w, ch = x.shape
-    if ch <= 2:  # gray / gray+alpha
+    if x.shape[2] <= 2:  # gray / gray+alpha
         rgb = np.repeat(x[..., :1], 3, axis=2)
     else:
         rgb = x[..., :3]
-    lum = 0.2126 * rgb[..., 0] + 0.7152 * rgb[..., 1] + 0.0722 * rgb[..., 2]
-    return np.array(
-        [w, h, rgb[..., 0].mean(), rgb[..., 1].mean(), rgb[..., 2].mean(),
-         lum.std(), w / float(h), 3.0],
-        dtype=np.float32,
-    )
+    return image_feature_vec(rgb, 3.0)
 
 
 # ------------------------------------------------- BMP-sequence "video"
@@ -414,6 +416,8 @@ def decode_bmp_video(payload: bytes, indices=None):
     ones are ignored) — sampling decodes ONLY the requested frames."""
     if payload[: len(_BMPSEQ_MAGIC)] != _BMPSEQ_MAGIC:
         raise ValueError("not a BMP-sequence payload")
+    if len(payload) < 12:
+        raise ValueError("truncated BMP-sequence header")
     (count,) = struct.unpack("<I", payload[8:12])
     want = None if indices is None else set(int(i) for i in indices)
     pos = 12
@@ -434,6 +438,8 @@ def decode_bmp_video(payload: bytes, indices=None):
 def bmp_video_frame_count(payload: bytes) -> int:
     if payload[: len(_BMPSEQ_MAGIC)] != _BMPSEQ_MAGIC:
         raise ValueError("not a BMP-sequence payload")
+    if len(payload) < 12:
+        raise ValueError("truncated BMP-sequence header")
     return struct.unpack("<I", payload[8:12])[0]
 
 

@@ -133,3 +133,34 @@ def test_fetch_asas_training_end_to_end_and_cache(tmp_path):
     np.testing.assert_allclose(d2["measurements"][2], d["measurements"][2])
     assert d2["classes"].equals(d["classes"])
     assert d2["metadata"].equals(d["metadata"])
+
+
+def test_asas_single_column_series_and_cache_order(tmp_path):
+    """Review findings (r4): a measurement-only (1-column) .dat file
+    must get the linspace time pad instead of misparsing as a row
+    vector; and the npz cache gate is written LAST so a crash between
+    the two cache files re-fetches instead of dying on the pkl."""
+    import hashlib
+
+    m_only = "\n".join(f"{v:.3f}" for v in (5.0, 6.0, 7.5, 8.0)).encode()
+    payloads = {
+        "asas_training_set.tar.gz": _targz_of({"solo.dat": m_only}),
+        "asas_training_set_classes_with_metadata.dat":
+            b"filename,class\nsolo.dat,X",
+    }
+    sums = {"asas_training_set.tar.gz":
+            hashlib.md5(payloads["asas_training_set.tar.gz"]).hexdigest()}
+    d = fetch_asas_training(str(tmp_path), transport=_transport_for(payloads),
+                            md5sums=sums)
+    assert len(d["times"][0]) == 4 and len(d["measurements"][0]) == 4
+    np.testing.assert_allclose(d["measurements"][0], [5.0, 6.0, 7.5, 8.0])
+    # linspace pad spans the TimeSeries default range
+    assert d["times"][0][0] == 0.0 and d["times"][0][-1] > 0
+
+    # simulate the crash-between-writes: killing the pkl but not the
+    # npz must NOT happen by construction — the npz is written last, so
+    # deleting the NPZ alone (the gate) forces a clean re-fetch
+    os.remove(str(tmp_path / "asas_training.npz"))
+    d2 = fetch_asas_training(str(tmp_path), transport=_transport_for(payloads),
+                             md5sums=sums)
+    np.testing.assert_allclose(d2["measurements"][0], d["measurements"][0])

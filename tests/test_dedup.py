@@ -454,3 +454,18 @@ def test_duplicate_token_spans_analytic(spark):
     out2 = duplicate_token_spans(docs, k=8, hash_fn="xxhash64") \
         .toPandas().set_index("doc_id")
     assert (out2["dup_spans"] == out["dup_spans"]).all()
+
+
+def test_duplicate_token_spans_null_text(spark):
+    """Review finding (r4): NULL text must yield (NULL, 0, 0, 0.0) —
+    never legacy Spark's size()=-1 — and not crash the span explode."""
+    from cesium_spark.operators.dedup import duplicate_token_spans
+
+    docs = spark.createDataFrame(
+        [(1, "enough tokens here to form one eight token window ok"),
+         (2, None)],
+        "doc_id int, text string")
+    out = duplicate_token_spans(docs, k=8).toPandas().set_index("doc_id")
+    assert pd.isna(out.loc[2, "n_tokens"])
+    assert out.loc[2, "n_spans"] == 0 and out.loc[2, "dup_frac"] == 0.0
+    assert out.loc[1, "n_spans"] == 3

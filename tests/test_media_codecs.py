@@ -343,3 +343,15 @@ def test_sample_frames_spark_path(spark):
     got = decode_bmp_video(vid, indices=[1, 5])
     assert [i for i, _ in got] == [1, 5]
     assert (got[1][1] == frames[5]).all()
+
+
+def test_bmpseq_truncation_is_valueerror():
+    """Review finding (r4): BMPSEQ payloads truncated before the frame
+    count must raise the codec module's documented ValueError, not
+    struct.error."""
+    from cesium_spark.operators.media_codecs import (
+        bmp_video_frame_count, decode_bmp_video)
+
+    for fn in (bmp_video_frame_count, decode_bmp_video):
+        with pytest.raises(ValueError, match="truncated"):
+            fn(b"BMPSEQ0\x00\x01")
