@@ -1,10 +1,11 @@
 """Baseline JPEG codec in pure numpy + stdlib — no codec library.
 
 Scope (documented, enforced): baseline sequential DCT (SOF0), 8-bit
-samples, 4:4:4 (no chroma subsampling) or single-component grayscale,
-restart markers supported. Progressive (SOF2), subsampled, arithmetic-
-coded, and 12-bit streams raise ValueError, which the multimodal
-pipeline turns into the digest pseudo-feature fallback.
+samples, sampling factors 1-2 per axis — 4:4:4, 4:2:0 (the layout
+nearly every camera/web JPEG uses), 4:2:2/4:4:0 and single-component
+grayscale — with restart markers. Progressive (SOF2), arithmetic-coded,
+12-bit, and exotic-sampling streams raise ValueError, which the
+multimodal pipeline turns into the digest pseudo-feature fallback.
 
 Everything here is from the public ITU-T T.81 spec: the FDCT/IDCT are
 the orthonormal 8x8 DCT-II as matrix products (A.3.3), entropy coding
@@ -173,18 +174,33 @@ def _encode_block(zz, prev_dc, dc_tab, ac_tab, w):
     return int(zz[0])
 
 
-def encode_jpeg(rgb: np.ndarray, quality: int = 90, restart_interval: int = 0) -> bytes:
+def _edge_pad(c: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    h, w = c.shape
+    p = np.empty((ph, pw))
+    p[:h, :w] = c
+    p[h:, :w] = c[h - 1:h, :]  # edge replicate
+    p[:, w:] = p[:, w - 1:w]
+    return p
+
+
+def encode_jpeg(
+    rgb: np.ndarray,
+    quality: int = 90,
+    restart_interval: int = 0,
+    subsampling: str = "444",
+) -> bytes:
     """(h, w, 3) uint8 RGB or (h, w) uint8 gray -> baseline JFIF bytes
-    (4:4:4, standard Annex K tables at the given IJG quality).
-    restart_interval > 0 emits a DRI segment and RSTn markers every that
-    many MCUs (DC predictors reset) — the stream shape long scans use
-    for error resilience, and the decoder's restart path's test
-    vector."""
+    (standard Annex K tables at the given IJG quality).
+    subsampling: "444" (no chroma subsampling), "420" (2x2 box-averaged
+    chroma, the layout nearly every camera/web JPEG uses), or "422"
+    (horizontal-only). restart_interval > 0 emits a DRI segment and
+    RSTn markers every that many MCUs (DC predictors reset)."""
     img = np.asarray(rgb, dtype=np.uint8)
     gray = img.ndim == 2
     h, w = img.shape[:2]
     if gray:
         comps = [img.astype(np.float64)]
+        hv = [(1, 1)]
     else:
         x = img.astype(np.float64)
         r, g, b = x[..., 0], x[..., 1], x[..., 2]
@@ -193,25 +209,39 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 90, restart_interval: int = 0) -
             -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
             0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
         ]
+        hv = {
+            "444": [(1, 1), (1, 1), (1, 1)],
+            "420": [(2, 2), (1, 1), (1, 1)],
+            "422": [(2, 1), (1, 1), (1, 1)],
+        }[subsampling]
     qts = [_scale_qt(_QT_LUMA, quality), _scale_qt(_QT_CHROMA, quality)]
     dc_specs, ac_specs = [_DC_LUMA, _DC_CHROMA], [_AC_LUMA, _AC_CHROMA]
     dc_tabs = [_huff_codes(*s) for s in dc_specs]
     ac_tabs = [_huff_codes(*s) for s in ac_specs]
 
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    hmax = max(hh for hh, _ in hv)
+    vmax = max(vv for _, vv in hv)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
     planes = []
-    for c in comps:
-        p = np.empty((ph, pw))
-        p[:h, :w] = c
-        p[h:, :w] = c[-1:, :]  # edge replicate
-        p[:, w:] = p[:, w - 1: w]
-        planes.append(p)
+    for ci, c in enumerate(comps):
+        hi, vi = hv[ci]
+        if (hi, vi) != (hmax, vmax):
+            # box-average downsample by the sampling ratio over the
+            # edge-padded full-res plane (exact reshape means)
+            fy, fx = vmax // vi, hmax // hi
+            full = _edge_pad(c, mcuy * 8 * vmax, mcux * 8 * hmax)
+            c = full.reshape(
+                full.shape[0] // fy, fy, full.shape[1] // fx, fx
+            ).mean(axis=(1, 3))
+            planes.append(c)
+        else:
+            planes.append(_edge_pad(c, mcuy * 8 * vi, mcux * 8 * hi))
 
     wtr = _BitWriter()
     prev_dc = [0] * len(comps)
     mcu = 0
-    for by in range(ph // 8):
-        for bx in range(pw // 8):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 wtr.flush()
                 wtr.out += bytes(
@@ -220,14 +250,19 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 90, restart_interval: int = 0) -
                 prev_dc = [0] * len(comps)
             mcu += 1
             for ci, p in enumerate(planes):
+                hi, vi = hv[ci]
                 ti = 0 if ci == 0 else 1
-                blk = p[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] - 128.0
-                f = _C @ blk @ _C.T
-                q = np.round(f / qts[ti]).astype(np.int32)
-                zz = q[_ZZ_ROWS, _ZZ_COLS]
-                prev_dc[ci] = _encode_block(
-                    zz, prev_dc[ci], dc_tabs[ti], ac_tabs[ti], wtr
-                )
+                for v in range(vi):
+                    for hh in range(hi):
+                        y0 = (my * vi + v) * 8
+                        x0 = (mx * hi + hh) * 8
+                        blk = p[y0:y0 + 8, x0:x0 + 8] - 128.0
+                        f = _C @ blk @ _C.T
+                        q = np.round(f / qts[ti]).astype(np.int32)
+                        zz = q[_ZZ_ROWS, _ZZ_COLS]
+                        prev_dc[ci] = _encode_block(
+                            zz, prev_dc[ci], dc_tabs[ti], ac_tabs[ti], wtr
+                        )
     wtr.flush()
 
     def seg(marker, body):
@@ -241,7 +276,8 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 90, restart_interval: int = 0) -
             int(qts[ti][r, c]) for r, c in ZIGZAG))
     sof = struct.pack(">BHHB", 8, h, w, nf)
     for ci in range(nf):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+        hi, vi = hv[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
     out += seg(0xFFC0, sof)
     for ti in range(min(nf, 2)):
         for cls, spec in ((0, dc_specs[ti]), (1, ac_specs[ti])):
@@ -328,8 +364,9 @@ def _extend(v, s):
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline JFIF bytes -> (h, w, 3) uint8 RGB (or (h, w, 1) gray).
-    Supports SOF0, 8-bit, no subsampling, restart markers; rejects
-    progressive/subsampled/arithmetic streams with ValueError."""
+    Supports SOF0, 8-bit, sampling factors 1-2 per axis (4:4:4 / 4:2:0 /
+    4:2:2 / 4:4:0; subsampled chroma upsampled nearest), restart
+    markers; rejects progressive/arithmetic streams with ValueError."""
     d = payload
     if len(d) < 4 or d[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
@@ -375,10 +412,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 raise ValueError("only 8-bit baseline JPEG supported")
             comps = []
             for ci in range(nf):
-                cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]
-                if hv != 0x11:
-                    raise ValueError("chroma subsampling not supported")
-                comps.append((cid, tq))
+                cid, hvb, tq = body[6 + 3 * ci:9 + 3 * ci]
+                hi, vi = hvb >> 4, hvb & 0xF
+                if hi not in (1, 2) or vi not in (1, 2):
+                    raise ValueError(
+                        f"unsupported JPEG sampling factors {hi}x{vi}"
+                    )
+                comps.append((cid, tq, hi, vi))
             sof = (h, w, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -399,13 +439,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         raise ValueError(f"invalid JPEG dimensions {w}x{h}")
     comp_tabs = {cid: (td, ta) for cid, td, ta in scan}
 
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    planes = [np.zeros((ph, pw)) for _ in comps]
+    hmax = max(hi for _, _, hi, _ in comps)
+    vmax = max(vi for _, _, _, vi in comps)
+    for _, _, hi, vi in comps:
+        if hmax % hi or vmax % vi:
+            raise ValueError("non-integer JPEG sampling ratio")
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    planes = [
+        np.zeros((mcuy * 8 * vi, mcux * 8 * hi)) for _, _, hi, vi in comps
+    ]
     rd = _BitReader(d, pos)
     prev_dc = [0] * len(comps)
     mcu = 0
-    for by in range(ph // 8):
-        for bx in range(pw // 8):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 # expect an RSTn here: drain bits to the marker
                 try:
@@ -415,36 +462,48 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     rd.skip_restart()
                     prev_dc = [0] * len(comps)
             mcu += 1
-            for ci, (cid, tq) in enumerate(comps):
+            for ci, (cid, tq, hi, vi) in enumerate(comps):
                 td, ta = comp_tabs[cid]
-                try:
-                    s = _read_huff(rd, dc_tabs[td])
-                    diff = _extend(rd.bits(s), s) if s else 0
-                    prev_dc[ci] += diff
-                    zz = np.zeros(64, dtype=np.int32)
-                    zz[0] = prev_dc[ci]
-                    k = 1
-                    while k < 64:
-                        rs = _read_huff(rd, ac_tabs[ta])
-                        r, s = rs >> 4, rs & 0xF
-                        if rs == 0x00:  # EOB
-                            break
-                        if rs == 0xF0:  # ZRL
-                            k += 16
-                            continue
-                        k += r
-                        if k > 63:
-                            raise ValueError("AC run past block end")
-                        zz[k] = _extend(rd.bits(s), s)
-                        k += 1
-                except _Restart:
-                    raise ValueError("unexpected restart marker")
-                blk = np.zeros((8, 8), dtype=np.float64)
-                blk[_ZZ_ROWS, _ZZ_COLS] = zz * qts[tq][_ZZ_ROWS, _ZZ_COLS]
-                planes[ci][by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = (
-                    _C.T @ blk @ _C + 128.0
-                )
-    planes = [p[:h, :w] for p in planes]
+                for v in range(vi):
+                    for hh in range(hi):
+                        try:
+                            s = _read_huff(rd, dc_tabs[td])
+                            diff = _extend(rd.bits(s), s) if s else 0
+                            prev_dc[ci] += diff
+                            zz = np.zeros(64, dtype=np.int32)
+                            zz[0] = prev_dc[ci]
+                            k = 1
+                            while k < 64:
+                                rs = _read_huff(rd, ac_tabs[ta])
+                                r, s = rs >> 4, rs & 0xF
+                                if rs == 0x00:  # EOB
+                                    break
+                                if rs == 0xF0:  # ZRL
+                                    k += 16
+                                    continue
+                                k += r
+                                if k > 63:
+                                    raise ValueError("AC run past block end")
+                                zz[k] = _extend(rd.bits(s), s)
+                                k += 1
+                        except _Restart:
+                            raise ValueError("unexpected restart marker")
+                        blk = np.zeros((8, 8), dtype=np.float64)
+                        blk[_ZZ_ROWS, _ZZ_COLS] = (
+                            zz * qts[tq][_ZZ_ROWS, _ZZ_COLS]
+                        )
+                        y0 = (my * vi + v) * 8
+                        x0 = (mx * hi + hh) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = (
+                            _C.T @ blk @ _C + 128.0
+                        )
+    # upsample subsampled components to full resolution (nearest), crop
+    up = []
+    for p, (_, _, hi, vi) in zip(planes, comps):
+        if (hi, vi) != (hmax, vmax):
+            p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+        up.append(p[:h, :w])
+    planes = up
     if len(planes) == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)[..., None]
     y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0

@@ -190,6 +190,24 @@ def test_jpeg_roundtrip_and_features():
     err_rst = np.abs(decode_jpeg(rst).astype(int) - grad.astype(int))
     assert err_rst.max() <= 6
 
+    # chroma subsampling: 4:2:0 (2x2 Y blocks per MCU + box-averaged
+    # chroma) and 4:2:2; solid color stays exact, the smooth gradient
+    # stays within subsampled-chroma error; restarts compose with 420
+    for sub, tol in (("420", 10), ("422", 8)):
+        solid_err = np.abs(
+            decode_jpeg(encode_jpeg(solid, 90, subsampling=sub)).astype(int)
+            - solid.astype(int))
+        assert solid_err.max() == 0, sub
+        e2 = np.abs(
+            decode_jpeg(encode_jpeg(grad, 95, subsampling=sub)).astype(int)
+            - grad.astype(int))
+        assert e2.max() <= tol, sub
+    e3 = np.abs(
+        decode_jpeg(encode_jpeg(grad, 95, restart_interval=2,
+                                subsampling="420")).astype(int)
+        - grad.astype(int))
+    assert e3.max() <= 10
+
 
 def test_jpeg_rejects_and_degrades():
     """Truncation / progressive markers / garbage raise ValueError and
