@@ -205,6 +205,16 @@ def main():
     extras["lsh_star_clusters_sec"] = round(dt, 3)
     extras["lsh_star_clusters_trials_sec"] = trials
 
+    # span-level duplication profile (r4): production xxhash64 path
+    from cesium_spark.operators.dedup import duplicate_token_spans
+
+    dt, trials = _best_of(
+        lambda: _force(duplicate_token_spans(docs, k=8, hash_fn="xxhash64")),
+        n=2,
+    )
+    extras["dup_spans_xxhash64_sec"] = round(dt, 3)
+    extras["dup_spans_xxhash64_trials_sec"] = trials
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -40,6 +40,8 @@ __all__ = [
     "minhash_lsh_star_edges",
     "lsh_dedup_clusters",
     "duplicate_token_spans",
+    "span_index_rows",
+    "incremental_duplicate_spans",
     "incremental_minhash_pairs",
     "simhash64",
     "simhash_pairs",
@@ -436,6 +438,24 @@ def duplicate_token_spans(
     agree on ASCII whitespace — the classes the oracle exercises — but
     diverge on exotica like \\x0B, so such documents can produce
     different span keys across engines."""
+    base, spans = _token_span_relations(df, id_col, text_col, k, hash_fn)
+    cnt = spans.groupBy("key").agg(F.count("*").alias("c"))
+    per = (
+        spans.join(cnt, "key")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("c") >= min_count, 1).otherwise(0)).alias(
+                "dup_spans"
+            ),
+        )
+    )
+    return _assemble_span_profiles(base, per, id_col, round_digits)
+
+
+def _token_span_relations(df, id_col, text_col, k, hash_fn):
+    """Shared derivation: (base(id, toks), spans(id, key)) with one row
+    per k-token sliding-window occurrence."""
     toks = F.filter(
         F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
     )
@@ -455,17 +475,10 @@ def duplicate_token_spans(
     spans = base.select("id", F.explode(wins).alias("i"), "toks").select(
         "id", key.alias("key")
     )
-    cnt = spans.groupBy("key").agg(F.count("*").alias("c"))
-    per = (
-        spans.join(cnt, "key")
-        .groupBy("id")
-        .agg(
-            F.count("*").alias("n_spans"),
-            F.sum(F.when(F.col("c") >= min_count, 1).otherwise(0)).alias(
-                "dup_spans"
-            ),
-        )
-    )
+    return base, spans
+
+
+def _assemble_span_profiles(base, per, id_col, round_digits):
     frac = F.when(
         F.coalesce(F.col("n_spans"), F.lit(0)) == 0, F.lit(0.0)
     ).otherwise(F.col("dup_spans") / F.col("n_spans"))
@@ -485,6 +498,90 @@ def duplicate_token_spans(
             F.round(frac + F.lit(1e-9), round_digits).alias("dup_frac"),
         )
     )
+
+
+def span_index_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """(id, key, n) span-occurrence rows — the persistable SPAN INDEX
+    (an inverted index over k-token windows, aggregated per doc).
+    Written once per corpus/batch, this is what continuous ingestion
+    probes and extends (incremental_duplicate_spans); its size is
+    O(corpus tokens), the same order as the corpus itself."""
+    _, spans = _token_span_relations(df, id_col, text_col, k, hash_fn)
+    return spans.groupBy("id", "key").agg(F.count("*").alias("n"))
+
+
+def incremental_duplicate_spans(
+    index: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    hash_fn: str = "md5",
+    min_count: int = 2,
+    round_digits: int = 6,
+):
+    """Span-duplication profiles for a NEW batch against a persisted
+    span index — the continuous-ingestion path (shape parity with
+    incremental_minhash_pairs).
+
+    Returns (profiles, new_rows, affected_old_ids):
+      - `profiles`: duplicate_token_spans output for the batch docs,
+        computed against index ∪ batch counts — identical to what a full
+        recompute over (corpus + batch) would report for those ids
+        (tested);
+      - `new_rows`: the batch's (id, key, n) rows for the caller to
+        append to the index (replay-safe: re-ingested ids REPLACE their
+        stale index rows here, and callers should delete-then-append the
+        same way);
+      - `affected_old_ids`: ids of PREVIOUSLY ingested docs whose
+        dup_spans changed because this batch pushed one of their span
+        keys across min_count — exactly the docs whose profiles need
+        re-emitting, so callers re-profile a bounded set instead of the
+        corpus.
+
+    Scale: the batch is tokenized/hashed once; the index is touched by
+    two key-level aggregations and one semi-join — per-batch cost is
+    O(batch tokens + touched keys), never O(corpus^2) or a corpus
+    rescan."""
+    base, spans = _token_span_relations(new_docs, id_col, text_col, k, hash_fn)
+    new_rows = spans.groupBy("id", "key").agg(F.count("*").alias("n"))
+    fresh = index.select("id", "key", "n").join(
+        new_rows.select("id").distinct(), "id", "left_anti"
+    )
+    old_c = fresh.groupBy("key").agg(F.sum("n").alias("c_old"))
+    new_c = new_rows.groupBy("key").agg(F.sum("n").alias("c_new"))
+    tot = new_c.join(old_c, "key", "left").select(
+        "key",
+        (F.coalesce(F.col("c_old"), F.lit(0)) + F.col("c_new")).alias("c"),
+        F.coalesce(F.col("c_old"), F.lit(0)).alias("c_old"),
+    )
+    per = (
+        new_rows.join(tot, "key")
+        .groupBy("id")
+        .agg(
+            F.sum("n").alias("n_spans"),
+            F.sum(
+                F.when(F.col("c") >= min_count, F.col("n")).otherwise(0)
+            ).alias("dup_spans"),
+        )
+    )
+    profiles = _assemble_span_profiles(base, per, id_col, round_digits)
+    crossed = tot.filter(
+        (F.col("c_old") < min_count) & (F.col("c") >= min_count)
+        & (F.col("c_old") > 0)
+    )
+    affected_old = (
+        fresh.join(crossed.select("key"), "key")
+        .select(F.col("id").alias(id_col))
+        .distinct()
+    )
+    return profiles, new_rows, affected_old
 
 
 def _simhash_accumulate(token_lists) -> pd.Series:

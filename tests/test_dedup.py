@@ -469,3 +469,55 @@ def test_duplicate_token_spans_null_text(spark):
     assert pd.isna(out.loc[2, "n_tokens"])
     assert out.loc[2, "n_spans"] == 0 and out.loc[2, "dup_frac"] == 0.0
     assert out.loc[1, "n_spans"] == 3
+
+
+def test_incremental_duplicate_spans_matches_full_recompute(spark):
+    """The incremental span path must report, for batch docs, EXACTLY
+    what a full recompute over corpus+batch reports; replayed ids
+    replace their stale rows; and affected_old_ids names exactly the
+    old docs whose dup counts changed."""
+    from cesium_spark.operators.dedup import (
+        duplicate_token_spans, incremental_duplicate_spans, span_index_rows)
+
+    boiler = "please subscribe to our newsletter for more updates today"  # 9 toks
+    old = spark.createDataFrame(
+        [(1, f"first doc body one two three four five six {boiler}"),
+         (2, "second doc totally unique phrasing nothing shared here at all"),
+         (3, f"third doc prefix differs a lot {boiler}")],
+        "doc_id int, text string")
+    new = spark.createDataFrame(
+        [(10, f"new arrival with the same {boiler}"),
+         (11, "brand new unique content with zero overlap anywhere truly"),
+         # doc 2 REPLAYED with changed text: its old rows must be replaced
+         (2, "second doc replayed and rewritten with different words now")],
+        "doc_id int, text string")
+
+    index = span_index_rows(old)
+    profiles, new_rows, affected = incremental_duplicate_spans(index, new)
+    got = profiles.toPandas().sort_values("doc_id").reset_index(drop=True)
+
+    # ground truth: full recompute over the replay-resolved corpus
+    merged = old.filter("doc_id != 2").unionByName(new)
+    full = duplicate_token_spans(merged).toPandas()
+    want = full[full.doc_id.isin([10, 11, 2])] \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # affected old docs: 1 and 3 already shared the boilerplate spans
+    # (count 2 >= min_count before the batch), so nothing crossed the
+    # threshold FOR THEM... unless the batch created a new crossing.
+    # Here doc 10 adds a third occurrence (2 -> 3): no crossing. But
+    # doc 2's replay REMOVED its old spans; removals are the caller's
+    # delete-then-append, so affected tracks additions only.
+    aff = set(affected.toPandas()["doc_id"])
+    assert aff == set()
+
+    # a batch that pushes a previously-unique span to count 2 DOES
+    # surface the old doc
+    new2 = spark.createDataFrame(
+        [(20, "second doc replayed and rewritten with different words now")],
+        "doc_id int, text string")
+    idx2 = index.join(new_rows.select("id").distinct(), "id", "left_anti") \
+        .unionByName(new_rows)
+    _, _, affected2 = incremental_duplicate_spans(idx2, new2)
+    assert set(affected2.toPandas()["doc_id"]) == {2}
