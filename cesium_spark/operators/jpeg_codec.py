@@ -366,7 +366,23 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline JFIF bytes -> (h, w, 3) uint8 RGB (or (h, w, 1) gray).
     Supports SOF0, 8-bit, sampling factors 1-2 per axis (4:4:4 / 4:2:0 /
     4:2:2 / 4:4:0; subsampled chroma upsampled nearest), restart
-    markers; rejects progressive/arithmetic streams with ValueError."""
+    markers; rejects progressive/arithmetic streams with ValueError.
+
+    Hostile-input contract: EVERY malformed stream raises ValueError —
+    the T.81 container has many length/reference pitfalls (truncated
+    segments, scans referencing undefined Huffman/quant tables), so in
+    addition to the explicit validations, low-level failures
+    (struct.error/IndexError/KeyError) are converted at this boundary
+    (fuzz-tested)."""
+    try:
+        return _decode_jpeg(payload)
+    except (struct.error, IndexError, KeyError, OverflowError) as exc:
+        raise ValueError(
+            f"malformed JPEG stream ({type(exc).__name__})"
+        ) from exc
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
     d = payload
     if len(d) < 4 or d[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
@@ -438,6 +454,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     if h <= 0 or w <= 0 or h * w > 1 << 26:
         raise ValueError(f"invalid JPEG dimensions {w}x{h}")
     comp_tabs = {cid: (td, ta) for cid, td, ta in scan}
+    for cid, td, ta in scan:
+        if td not in dc_tabs or ta not in ac_tabs:
+            raise ValueError("JPEG scan references an undefined Huffman table")
+    for cid, tq, _hi, _vi in comps:
+        if tq not in qts:
+            raise ValueError("JPEG component references an undefined quant table")
+        if cid not in comp_tabs:
+            raise ValueError("JPEG scan does not cover every frame component")
 
     hmax = max(hi for _, _, hi, _ in comps)
     vmax = max(vi for _, _, _, vi in comps)
@@ -468,6 +492,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     for hh in range(hi):
                         try:
                             s = _read_huff(rd, dc_tabs[td])
+                            if s > 11:  # T.81 F.1.2.1: 8-bit DC category <= 11
+                                raise ValueError("invalid JPEG DC category")
                             diff = _extend(rd.bits(s), s) if s else 0
                             prev_dc[ci] += diff
                             zz = np.zeros(64, dtype=np.int32)

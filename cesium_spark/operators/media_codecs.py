@@ -299,8 +299,11 @@ def decode_png(payload: bytes) -> np.ndarray:
     # to materialize gigabytes before the length check — one hostile
     # blob OOM-killing an executor violates the multimodal pipeline's
     # degrade-don't-crash contract
-    dec = zlib.decompressobj()
-    data = dec.decompress(b"".join(idat), expected + 1)
+    try:
+        dec = zlib.decompressobj()
+        data = dec.decompress(b"".join(idat), expected + 1)
+    except zlib.error as exc:  # CRC-valid chunk, garbage deflate body
+        raise ValueError("corrupt PNG deflate stream") from exc
     if dec.unconsumed_tail or len(data) != expected:
         raise ValueError("PNG pixel data length mismatch")
     raw = np.frombuffer(data, dtype=np.uint8)

@@ -373,3 +373,68 @@ def test_bmpseq_truncation_is_valueerror():
     for fn in (bmp_video_frame_count, decode_bmp_video):
         with pytest.raises(ValueError, match="truncated"):
             fn(b"BMPSEQ0\x00\x01")
+
+
+def test_codec_fuzz_hostile_bytes_only_valueerror():
+    """Every pure-numpy decoder must reject arbitrary/mutated bytes
+    with ValueError (the multimodal degrade contract) — never an
+    IndexError/struct.error/OverflowError escaping from header math.
+    Deterministic fuzz: random blobs, truncations, and single-byte
+    mutations of valid payloads."""
+    from cesium_spark.operators.jpeg_codec import decode_jpeg, encode_jpeg
+    from cesium_spark.operators.media_codecs import (
+        decode_bmp, decode_bmp_video, decode_png, decode_wav,
+        encode_bmp_video)
+
+    rng = np.random.RandomState(1234)
+    img = rng.randint(0, 256, (9, 7, 3), np.uint8)
+    valid = {
+        decode_wav: encode_wav(rng.uniform(-1, 1, 500), 8000),
+        decode_bmp: encode_bmp(img),
+        decode_png: encode_png(img, filter_type=3),
+        decode_jpeg: encode_jpeg(img, 85),
+        decode_bmp_video: encode_bmp_video([img, img]),
+    }
+    decoders = list(valid)
+
+    def check(fn, payload):
+        try:
+            fn(bytes(payload))
+        except ValueError:
+            pass  # the contract
+        # anything else propagates and fails the test
+
+    for fn, good in valid.items():
+        for cut in (0, 1, 3, 8, 12, 20, len(good) // 2, len(good) - 1):
+            check(fn, good[:cut])
+        for _ in range(120):
+            b = bytearray(good)
+            for _ in range(rng.randint(1, 4)):
+                b[rng.randint(len(b))] = rng.randint(256)
+            check(fn, b)
+    for _ in range(150):
+        blob = rng.bytes(rng.randint(1, 200))
+        for fn in decoders:
+            check(fn, blob)
+        # random payloads wearing each format's magic
+        check(decode_png, b"\x89PNG\r\n\x1a\n" + blob)
+        check(decode_jpeg, b"\xff\xd8" + blob)
+        check(decode_bmp, b"BM" + blob)
+        check(decode_wav, b"RIFF" + blob[:4] + b"WAVE" + blob)
+        check(decode_bmp_video, b"BMPSEQ0\x00" + blob)
+
+
+def test_png_garbage_deflate_with_valid_crc():
+    """A structurally valid PNG whose IDAT carries non-deflate bytes
+    (CRC recomputed, so the chunk walk accepts it) must still raise
+    ValueError, not zlib.error."""
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    bad = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+           + chunk(b"IDAT", b"\xde\xad\xbe\xef not deflate")
+           + chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        decode_png(bad)
