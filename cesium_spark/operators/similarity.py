@@ -25,6 +25,10 @@ __all__ = [
     "build_ivf_index",
     "extend_ivf_index",
     "ivf_query",
+    "train_pq_codebooks",
+    "build_ivfpq_index",
+    "ivfpq_query",
+    "ivfpq_topk",
     "embedding_near_dup_pairs",
 ]
 
@@ -325,6 +329,237 @@ def ivf_query(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def train_pq_codebooks(
+    sample: np.ndarray, m: int = 8, nbits: int = 8, seed: int = 42,
+    iters: int = 12,
+) -> np.ndarray:
+    """Product-quantization codebooks (Jégou, Douze, Schmid, "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): split the
+    (normalized) vector into m subspaces and run an independent
+    euclidean k-means with 2**nbits codewords in each. Returns
+    (m, 2**nbits, dim/m). Deterministic: seeded init per subspace,
+    bounded driver-side training sample."""
+    sample = np.asarray(sample, dtype=np.float64)
+    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True).clip(1e-12)
+    n, dim = sample.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    ncode = 1 << nbits
+    books = np.empty((m, ncode, dsub))
+    for j in range(m):
+        sub = sample[:, j * dsub:(j + 1) * dsub]
+        rng = np.random.RandomState(seed + j)
+        idx = rng.choice(n, size=min(ncode, n), replace=False)
+        cents = sub[idx].copy()
+        if len(cents) < ncode:  # tiny sample: pad by repeating
+            cents = np.vstack([cents] * (ncode // len(cents) + 1))[:ncode]
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(axis=1)
+            for c in range(ncode):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[j] = cents
+    return books
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    m: int = 8,
+    nbits: int = 8,
+    train_sample: int = 2048,
+    seed: int = 42,
+):
+    """IVF-PQ index: (index DataFrame (neighbor_id, list_id, codes),
+    centroids, codebooks) — the 100 TB ANN layout. Each vector is
+    stored as m small codes (m bytes at nbits=8) instead of dim floats:
+    a 64-dim float32 corpus shrinks 32x (256 B -> 8 B per vector), so
+    the probe join's shuffled/scanned bytes shrink the same way, and a
+    10^11-vector index fits where raw vectors never would. Centroids
+    and codebooks are tiny driver-side arrays persisted alongside
+    (np.save) and broadcast at query time. Assignment + encoding happen
+    in ONE Arrow pass over the corpus.
+
+    Codes are array<smallint> for Spark-native handling; a production
+    writer would pack them to binary — the plan shape is identical."""
+    import pandas as pd
+
+    sample_rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(train_sample)
+        .toPandas()[vec_col].tolist()
+    )
+    sample = np.asarray(sample_rows, dtype=np.float64)
+    cents = _kmeans_centroids(sample, n_lists, seed)
+    books = train_pq_codebooks(sample, m=m, nbits=nbits, seed=seed)
+    dsub = books.shape[2]
+
+    def encode_fn(cols):
+        vs = np.asarray(cols.tolist(), dtype=np.float64)
+        vs = vs / np.linalg.norm(vs, axis=1, keepdims=True).clip(1e-12)
+        lists = (vs @ cents.T).argmax(axis=1).astype(np.int32)
+        codes = np.empty((len(vs), len(books)), dtype=np.int16)
+        for j in range(len(books)):
+            sub = vs[:, j * dsub:(j + 1) * dsub]
+            d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+            codes[:, j] = d2.argmin(axis=1).astype(np.int16)
+        return pd.DataFrame(
+            {"list_id": lists, "codes": [c.tolist() for c in codes]}
+        )
+
+    enc_udf = F.pandas_udf(encode_fn, "list_id int, codes array<smallint>")
+    index = corpus.select(
+        F.col(id_col).alias("neighbor_id"), enc_udf(F.col(vec_col)).alias("e")
+    ).select("neighbor_id", "e.list_id", "e.codes")
+    return index, cents, books
+
+
+def ivfpq_query(
+    index: DataFrame,
+    cents: np.ndarray,
+    books: np.ndarray,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+    round_digits: int = 6,
+    rerank: DataFrame | None = None,
+    rerank_mult: int = 5,
+) -> DataFrame:
+    """Top-k over an IVF-PQ index via asymmetric distance computation
+    (ADC): per query, one (m, 2**nbits) lookup table of subspace dot
+    products against the codebooks; each candidate's approximate cosine
+    is m table lookups summed — no full vectors are ever read, shuffled,
+    or broadcast. Ranks on (rounded score desc, id asc) like every
+    similarity path.
+
+    `rerank` (the raw vector table, joined BY ID) enables the standard
+    two-stage refinement: ADC prunes to a k*rerank_mult shortlist, then
+    only those rows' full vectors are fetched for exact cosine and the
+    final top-k. This recovers the quantization-error recall loss while
+    touching full vectors for ~k*rerank_mult rows per query instead of
+    the whole probed set — the memory story stays intact."""
+    import pandas as pd
+
+    dsub = books.shape[2]
+    mm = books.shape[0]
+
+    def probe_fn(cols):
+        vs = np.asarray(cols.tolist(), dtype=np.float64)
+        vs = vs / np.linalg.norm(vs, axis=1, keepdims=True).clip(1e-12)
+        sims = vs @ cents.T
+        order = np.argsort(-sims, axis=1)[:, : min(n_probe, len(cents))]
+        return pd.Series([row.astype(int).tolist() for row in order])
+
+    probe_udf = F.pandas_udf(probe_fn, "array<int>")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(probe_udf(F.col(vec_col))).alias("list_id"),
+    )
+
+    def adc_fn(qvs, codes):
+        n = len(qvs)
+        out = np.empty(n)
+        luts: dict[bytes, np.ndarray] = {}
+        C = np.asarray(codes.tolist(), dtype=np.int64)
+        for i in range(n):
+            qa = np.asarray(qvs.iloc[i], dtype=np.float64)
+            kb = qa.tobytes()
+            lut = luts.get(kb)
+            if lut is None:
+                qn = qa / max(np.linalg.norm(qa), 1e-12)
+                lut = np.einsum(
+                    "jd,jkd->jk", qn.reshape(mm, dsub), books
+                )  # (m, ncode) subspace dot products
+                luts[kb] = lut
+            out[i] = lut[np.arange(mm), C[i]].sum()
+        return pd.Series(out)
+
+    adc_udf = F.pandas_udf(adc_fn, "double")
+    scored = (
+        index.join(F.broadcast(q), "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(adc_udf(F.col("qv"), F.col("codes")) + F.lit(1e-9),
+                    round_digits).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    if rerank is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "score")
+        )
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k * rerank_mult)
+        .select("query_id", "neighbor_id")
+    )
+    qvs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    refined = (
+        shortlist.join(
+            rerank.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+            ),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qvs), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_cosine_expr("qv", "cv"), round_digits).alias("score"),
+        )
+    )
+    return (
+        refined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    nbits: int = 8,
+    train_sample: int = 2048,
+    seed: int = 42,
+    round_digits: int = 6,
+    rerank: bool = False,
+    rerank_mult: int = 5,
+) -> DataFrame:
+    """Build + query in one call (the ivf_topk-shaped convenience);
+    rerank=True refines the ADC shortlist with exact cosine against the
+    corpus (see ivfpq_query)."""
+    index, cents, books = build_ivfpq_index(
+        corpus, id_col=id_col, vec_col=vec_col, n_lists=n_lists, m=m,
+        nbits=nbits, train_sample=train_sample, seed=seed,
+    )
+    return ivfpq_query(
+        index, cents, books, queries, k=k, id_col=id_col, vec_col=vec_col,
+        n_probe=n_probe, round_digits=round_digits,
+        rerank=corpus if rerank else None, rerank_mult=rerank_mult,
     )
 
 

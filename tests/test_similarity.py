@@ -166,3 +166,52 @@ def test_ivf_index_persist_and_incremental_append(spark, vectors, tmp_path):
         extend_ivf_index(vectors, cents2), cents2, queries, k=3, n_probe=4
     ).toPandas()
     pd.testing.assert_frame_equal(pd_sort(got), pd_sort(want))
+
+
+def test_ivfpq_index_and_adc_rerank(spark):
+    """IVF-PQ (Jégou et al. 2011): the index stores m small codes per
+    vector (here 8 bytes vs 256 raw), ADC scores candidates from
+    per-query lookup tables without touching full vectors, and the
+    exact re-rank stage recovers quantization-error recall by id-joining
+    only the shortlist. On a clustered corpus the PQ path must find the
+    planted nearest neighbors."""
+    import numpy as np
+    from cesium_spark.operators.similarity import (
+        build_ivfpq_index, cosine_topk_bruteforce, ivfpq_query, ivfpq_topk)
+
+    rng = np.random.RandomState(7)
+    # planted structure: 10 clusters; within each, the first member has
+    # 3 TIGHT twins (the true nearest neighbors, clearly separated from
+    # the rest of the cluster) plus looser members
+    centers = rng.normal(0, 1, (10, 64))
+    rows = []
+    vid = 0
+    for c in range(10):
+        anchor = centers[c] + rng.normal(0, 0.05, 64)
+        members = [anchor]
+        members += [anchor + rng.normal(0, 0.02, 64) for _ in range(3)]
+        members += [centers[c] + rng.normal(0, 0.3, 64) for _ in range(26)]
+        for v in members:
+            rows.append((vid, (v / np.linalg.norm(v)).astype(float).tolist()))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    index, cents, books = build_ivfpq_index(emb, n_lists=8, m=8, nbits=6)
+    pdf = index.toPandas()
+    assert len(pdf) == 300 and all(len(c) == 8 for c in pdf.codes)
+    assert books.shape == (8, 64, 8)  # (m, 2**nbits, dsub)
+
+    qs = emb.filter("vec_id % 30 = 0")  # one query per cluster
+    exact = cosine_topk_bruteforce(emb, qs, k=3).select(
+        "query_id", "neighbor_id")
+    got = ivfpq_query(index, cents, books, qs, k=3, n_probe=4,
+                      rerank=emb, rerank_mult=5)
+    hits = got.select("query_id", "neighbor_id") \
+        .join(exact, ["query_id", "neighbor_id"]).count()
+    assert hits / exact.count() >= 0.9  # tight clusters: PQ must ace this
+
+    # no-rerank path still returns k ranked rows per query with scores
+    plain = ivfpq_topk(emb, qs, k=3, n_lists=8, n_probe=4, m=8, nbits=6)
+    pp = plain.toPandas()
+    assert (pp.groupby("query_id").size() == 3).all()
+    assert set(pp.columns) == {"query_id", "rank", "neighbor_id", "score"}
