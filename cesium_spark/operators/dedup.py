@@ -540,29 +540,40 @@ def incremental_duplicate_spans(
         stale index rows here, and callers should delete-then-append the
         same way);
       - `affected_old_ids`: ids of PREVIOUSLY ingested docs whose
-        dup_spans changed because this batch pushed one of their span
-        keys across min_count — exactly the docs whose profiles need
-        re-emitting, so callers re-profile a bounded set instead of the
-        corpus.
+        dup_spans changed because this batch moved one of their span
+        keys across min_count in EITHER direction — additions pushing a
+        key to the threshold AND replays removing occurrences that drop
+        a key below it — so callers re-profile a bounded set instead of
+        the corpus.
 
     Scale: the batch is tokenized/hashed once; the index is touched by
-    two key-level aggregations and one semi-join — per-batch cost is
-    O(batch tokens + touched keys), never O(corpus^2) or a corpus
-    rescan."""
+    key-level aggregations over the batch-touched keys and one
+    semi-join — per-batch cost is O(batch tokens + touched keys), never
+    O(corpus^2) or a corpus rescan."""
     base, spans = _token_span_relations(new_docs, id_col, text_col, k, hash_fn)
     new_rows = spans.groupBy("id", "key").agg(F.count("*").alias("n"))
-    fresh = index.select("id", "key", "n").join(
-        new_rows.select("id").distinct(), "id", "left_anti"
-    )
-    old_c = fresh.groupBy("key").agg(F.sum("n").alias("c_old"))
-    new_c = new_rows.groupBy("key").agg(F.sum("n").alias("c_new"))
-    tot = new_c.join(old_c, "key", "left").select(
-        "key",
-        (F.coalesce(F.col("c_old"), F.lit(0)) + F.col("c_new")).alias("c"),
-        F.coalesce(F.col("c_old"), F.lit(0)).alias("c_old"),
+    new_ids = new_rows.select("id").distinct()
+    idx = index.select("id", "key", "n")
+    # replay resolution: rows of re-ingested ids are REPLACED, and their
+    # removed occurrences count toward downward threshold crossings
+    replaced = idx.join(new_ids, "id", "semi")
+    fresh = idx.join(new_ids, "id", "left_anti")
+    base_c = fresh.groupBy("key").agg(F.sum("n").alias("c_base"))
+    rem_c = replaced.groupBy("key").agg(F.sum("n").alias("c_rem"))
+    add_c = new_rows.groupBy("key").agg(F.sum("n").alias("c_add"))
+    touched = (
+        add_c.join(rem_c, "key", "full")
+        .join(base_c, "key", "left")
+        .select(
+            "key",
+            (F.coalesce(F.col("c_base"), F.lit(0))
+             + F.coalesce(F.col("c_rem"), F.lit(0))).alias("c_before"),
+            (F.coalesce(F.col("c_base"), F.lit(0))
+             + F.coalesce(F.col("c_add"), F.lit(0))).alias("c"),
+        )
     )
     per = (
-        new_rows.join(tot, "key")
+        new_rows.join(touched, "key")
         .groupBy("id")
         .agg(
             F.sum("n").alias("n_spans"),
@@ -572,9 +583,8 @@ def incremental_duplicate_spans(
         )
     )
     profiles = _assemble_span_profiles(base, per, id_col, round_digits)
-    crossed = tot.filter(
-        (F.col("c_old") < min_count) & (F.col("c") >= min_count)
-        & (F.col("c_old") > 0)
+    crossed = touched.filter(
+        (F.col("c_before") >= min_count) != (F.col("c") >= min_count)
     )
     affected_old = (
         fresh.join(crossed.select("key"), "key")

@@ -209,11 +209,16 @@ def encode_jpeg(
             -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
             0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
         ]
-        hv = {
-            "444": [(1, 1), (1, 1), (1, 1)],
-            "420": [(2, 2), (1, 1), (1, 1)],
-            "422": [(2, 1), (1, 1), (1, 1)],
-        }[subsampling]
+        try:
+            hv = {
+                "444": [(1, 1), (1, 1), (1, 1)],
+                "420": [(2, 2), (1, 1), (1, 1)],
+                "422": [(2, 1), (1, 1), (1, 1)],
+            }[subsampling]
+        except KeyError:
+            raise ValueError(
+                f"unknown subsampling {subsampling!r} (444 | 420 | 422)"
+            ) from None
     qts = [_scale_qt(_QT_LUMA, quality), _scale_qt(_QT_CHROMA, quality)]
     dc_specs, ac_specs = [_DC_LUMA, _DC_CHROMA], [_AC_LUMA, _AC_CHROMA]
     dc_tabs = [_huff_codes(*s) for s in dc_specs]
@@ -463,6 +468,14 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
         if cid not in comp_tabs:
             raise ValueError("JPEG scan does not cover every frame component")
 
+    if len(comps) == 1:
+        # T.81 A.2: a single-component scan is NON-interleaved — one
+        # data unit per MCU at the component's full resolution,
+        # REGARDLESS of the declared sampling factors (real encoders
+        # emit grayscale SOFs declaring 2x2). Decoding it as hi*vi
+        # interleaved blocks would silently scramble the image.
+        cid, tq, _, _ = comps[0]
+        comps = [(cid, tq, 1, 1)]
     hmax = max(hi for _, _, hi, _ in comps)
     vmax = max(vi for _, _, _, vi in comps)
     for _, _, hi, vi in comps:

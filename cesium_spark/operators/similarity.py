@@ -202,6 +202,44 @@ def _kmeans_centroids(sample: np.ndarray, n_lists: int, seed: int, iters: int = 
     return cents
 
 
+def _driver_sample(
+    corpus: DataFrame, id_col: str, vec_col: str, n: int
+) -> np.ndarray:
+    """Bounded, id-ordered (= deterministic across partitionings)
+    driver-side training sample shared by every index builder."""
+    rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(n)
+        .toPandas()[vec_col].tolist()
+    )
+    return np.asarray(rows, dtype=np.float64)
+
+
+def _probe_exploded(
+    queries: DataFrame,
+    cents: np.ndarray,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(query_id, qv, list_id) — one row per (query, probed list); the
+    single probe-list derivation shared by ivf_query and ivfpq_query."""
+    import pandas as pd
+
+    def probe_fn(cols):
+        vs = np.asarray(cols.tolist(), dtype=np.float64)
+        vs = vs / np.linalg.norm(vs, axis=1, keepdims=True).clip(1e-12)
+        sims = vs @ cents.T
+        order = np.argsort(-sims, axis=1)[:, : min(n_probe, len(cents))]
+        return pd.Series([row.astype(int).tolist() for row in order])
+
+    probe_udf = F.pandas_udf(probe_fn, "array<int>")
+    return queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(probe_udf(F.col(vec_col))).alias("list_id"),
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -249,11 +287,8 @@ def build_ivf_index(
     (n_lists, dim) array the caller stores alongside (np.save / a 1-row
     table) and broadcasts at query time. New vectors append via
     extend_ivf_index without touching existing rows."""
-    sample_rows = (
-        corpus.select(id_col, vec_col).orderBy(id_col).limit(train_sample)
-        .toPandas()[vec_col].tolist()
-    )
-    cents = _kmeans_centroids(np.asarray(sample_rows, dtype=np.float64), n_lists, seed)
+    sample = _driver_sample(corpus, id_col, vec_col, train_sample)
+    cents = _kmeans_centroids(sample, n_lists, seed)
     return extend_ivf_index(corpus, cents, id_col, vec_col), cents
 
 
@@ -297,22 +332,7 @@ def ivf_query(
     """Top-k over a persisted IVF index: queries probe their n_probe
     nearest lists (broadcast side), cosine evaluated only within probed
     lists."""
-    import pandas as pd
-
-    def probe_fn(cols):
-        vs = np.asarray(cols.tolist(), dtype=np.float64)
-        vs = vs / np.linalg.norm(vs, axis=1, keepdims=True).clip(1e-12)
-        sims = vs @ cents.T
-        order = np.argsort(-sims, axis=1)[:, : min(n_probe, len(cents))]
-        return pd.Series([row.astype(int).tolist() for row in order])
-
-    probe_udf = F.pandas_udf(probe_fn, "array<int>")
-
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        F.explode(probe_udf(F.col(vec_col))).alias("list_id"),
-    )
+    q = _probe_exploded(queries, cents, n_probe, id_col, vec_col)
     scored = (
         index.join(F.broadcast(q), "list_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -437,9 +457,12 @@ def ivfpq_query(
     """Top-k over an IVF-PQ index via asymmetric distance computation
     (ADC): per query, one (m, 2**nbits) lookup table of subspace dot
     products against the codebooks; each candidate's approximate cosine
-    is m table lookups summed — no full vectors are ever read, shuffled,
-    or broadcast. Ranks on (rounded score desc, id asc) like every
-    similarity path.
+    is m table lookups summed. The INDEX side never carries full
+    vectors — candidates move as m-byte codes; the query vector (the
+    small, broadcast side) rides along candidate rows into the scorer,
+    which computes each LUT once per unique query per Arrow batch and
+    scores that query's rows in one vectorized gather. Ranks on
+    (rounded score desc, id asc) like every similarity path.
 
     `rerank` (the raw vector table, joined BY ID) enables the standard
     two-stage refinement: ADC prunes to a k*rerank_mult shortlist, then
@@ -451,37 +474,24 @@ def ivfpq_query(
 
     dsub = books.shape[2]
     mm = books.shape[0]
-
-    def probe_fn(cols):
-        vs = np.asarray(cols.tolist(), dtype=np.float64)
-        vs = vs / np.linalg.norm(vs, axis=1, keepdims=True).clip(1e-12)
-        sims = vs @ cents.T
-        order = np.argsort(-sims, axis=1)[:, : min(n_probe, len(cents))]
-        return pd.Series([row.astype(int).tolist() for row in order])
-
-    probe_udf = F.pandas_udf(probe_fn, "array<int>")
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        F.explode(probe_udf(F.col(vec_col))).alias("list_id"),
-    )
+    q = _probe_exploded(queries, cents, n_probe, id_col, vec_col)
 
     def adc_fn(qvs, codes):
-        n = len(qvs)
-        out = np.empty(n)
-        luts: dict[bytes, np.ndarray] = {}
         C = np.asarray(codes.tolist(), dtype=np.int64)
-        for i in range(n):
-            qa = np.asarray(qvs.iloc[i], dtype=np.float64)
-            kb = qa.tobytes()
-            lut = luts.get(kb)
-            if lut is None:
-                qn = qa / max(np.linalg.norm(qa), 1e-12)
-                lut = np.einsum(
-                    "jd,jkd->jk", qn.reshape(mm, dsub), books
-                )  # (m, ncode) subspace dot products
-                luts[kb] = lut
-            out[i] = lut[np.arange(mm), C[i]].sum()
+        qarr = np.asarray(qvs.tolist(), dtype=np.float64)
+        out = np.empty(len(C))
+        # one LUT + one vectorized gather per UNIQUE query in the batch
+        # (the Python loop is over queries, never candidate rows)
+        groups: dict[bytes, list] = {}
+        for i in range(len(C)):
+            groups.setdefault(qarr[i].tobytes(), []).append(i)
+        cols = np.arange(mm)[None, :]
+        for kb, idx_list in groups.items():
+            idxs = np.asarray(idx_list)
+            qa = qarr[idxs[0]]
+            qn = qa / max(np.linalg.norm(qa), 1e-12)
+            lut = np.einsum("jd,jkd->jk", qn.reshape(mm, dsub), books)
+            out[idxs] = lut[cols, C[idxs]].sum(axis=1)
         return pd.Series(out)
 
     adc_udf = F.pandas_udf(adc_fn, "double")

@@ -503,12 +503,11 @@ def test_incremental_duplicate_spans_matches_full_recompute(spark):
         .sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
-    # affected old docs: 1 and 3 already shared the boilerplate spans
-    # (count 2 >= min_count before the batch), so nothing crossed the
-    # threshold FOR THEM... unless the batch created a new crossing.
-    # Here doc 10 adds a third occurrence (2 -> 3): no crossing. But
-    # doc 2's replay REMOVED its old spans; removals are the caller's
-    # delete-then-append, so affected tracks additions only.
+    # affected old docs: docs 1/3 already shared the boilerplate spans
+    # (count 2 >= min_count before the batch); doc 10 adds a third
+    # occurrence (2 -> 3, no crossing), and doc 2's replay removed only
+    # count-1 spans (1 -> 0, below the threshold on both sides) — so
+    # nothing crossed in either direction
     aff = set(affected.toPandas()["doc_id"])
     assert aff == set()
 
@@ -521,3 +520,19 @@ def test_incremental_duplicate_spans_matches_full_recompute(spark):
         .unionByName(new_rows)
     _, _, affected2 = incremental_duplicate_spans(idx2, new2)
     assert set(affected2.toPandas()["doc_id"]) == {2}
+
+    # DOWNWARD crossing (review finding): replaying doc 3 WITHOUT the
+    # boilerplate drops those spans from count 3 to 2 (no crossing for
+    # min_count=2)... so replay doc 10 AND doc 3 away: 3 -> 1 crosses
+    # below, and doc 1 — the only remaining holder — must be surfaced
+    idx3 = span_index_rows(
+        old.filter("doc_id != 2").unionByName(
+            spark.createDataFrame(
+                [(10, f"new arrival with the same {boiler}")],
+                "doc_id int, text string")))
+    new3 = spark.createDataFrame(
+        [(3, "third doc fully rewritten no shared content remains anywhere"),
+         (10, "tenth doc also rewritten boilerplate gone entirely now yes")],
+        "doc_id int, text string")
+    _, _, affected3 = incremental_duplicate_spans(idx3, new3)
+    assert set(affected3.toPandas()["doc_id"]) == {1}

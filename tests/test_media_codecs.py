@@ -438,3 +438,24 @@ def test_png_garbage_deflate_with_valid_crc():
            + chunk(b"IEND", b""))
     with pytest.raises(ValueError):
         decode_png(bad)
+
+
+def test_jpeg_grayscale_sof_with_declared_subsampling():
+    """Review finding (r4): T.81 A.2 — a single-component scan is
+    NON-interleaved regardless of declared sampling factors. A grayscale
+    stream whose SOF says 2x2 must decode to the same pixels as the
+    1x1 declaration, not scrambled blocks."""
+    from cesium_spark.operators.jpeg_codec import decode_jpeg, encode_jpeg
+
+    gray = np.linspace(0, 255, 32 * 32).reshape(32, 32).astype(np.uint8)
+    good = encode_jpeg(gray, 95)
+    # patch the SOF component byte from 0x11 to 0x22 (same scan data)
+    sof_at = good.index(b"\xff\xc0")
+    comp_hv_at = sof_at + 4 + 6 + 1  # marker+len + B HH HH B + comp id
+    patched = good[:comp_hv_at] + b"\x22" + good[comp_hv_at + 1:]
+    a = decode_jpeg(good)
+    b = decode_jpeg(patched)
+    assert (a == b).all()
+
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg(np.zeros((8, 8, 3), np.uint8), subsampling="411")
