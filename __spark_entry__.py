@@ -694,6 +694,45 @@ def q_clean_corpus(spark, sf_dir):
     )
 
 
+def q_clean_corpus_spans(spark, sf_dir):
+    """The clean-corpus composition EXTENDED with the span-level
+    boilerplate filter (r4): precedence near_dup -> span_dup (more than
+    half of a document's 8-token windows are duplicated corpus-wide,
+    dup_frac > 0.5 — catches boilerplate-heavy pages that survive
+    document-level clustering) -> lang -> low_quality -> ok. Each stage
+    is independently oracled elsewhere (`dedup_clusters`, `dup_spans`,
+    `lang_id`, `text_quality`); this gates the four-way composition."""
+    from cesium_spark.operators.dedup import (
+        duplicate_token_spans, ngram_jaccard_pairs)
+    from cesium_spark.operators.graph import dedup_clusters
+    from cesium_spark.operators.text import lang_id, quality_score
+
+    docs = _docs(spark, sf_dir)
+    clusters = dedup_clusters(
+        docs, ngram_jaccard_pairs(docs, k=5, threshold=0.35, max_shingle_freq=1000)
+    )
+    spans = duplicate_token_spans(docs, k=8, round_digits=R).select(
+        "doc_id", "dup_frac"
+    )
+    joined = (
+        docs.select("doc_id")
+        .join(quality_score(docs), "doc_id")
+        .join(lang_id(docs), "doc_id")
+        .join(clusters.select("doc_id", "is_keeper"), "doc_id")
+        .join(spans, "doc_id")
+    )
+    reason = (
+        F.when(~F.col("is_keeper"), F.lit("near_dup"))
+        .when(F.col("dup_frac") > 0.5, F.lit("span_dup"))
+        .when(F.col("lang_guess") != "en", F.lit("lang"))
+        .when(F.col("quality") < 0.5, F.lit("low_quality"))
+        .otherwise(F.lit("ok"))
+    )
+    return joined.withColumn("reason", reason).select(
+        "doc_id", "reason", (F.col("reason") == "ok").alias("keep")
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Dedup survivorship: transitive near-dup CLUSTERS over the capped
     jaccard pair graph (same pair semantics as `jaccard_5gram`), every
@@ -1015,6 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "embedding_clusters": q_embedding_clusters,
         "clean_corpus": q_clean_corpus,
+        "clean_corpus_spans": q_clean_corpus_spans,
         "interp_1h": q_interp_1h,
         "twa_1h": q_twa_1h,
     }
@@ -2091,6 +2131,91 @@ def oracle_sql() -> dict[str, str]:
           LEFT JOIN lab l ON d.doc_id = l.n
           JOIN qs ON d.doc_id = qs.doc_id
           JOIN lg ON d.doc_id = lg.doc_id
+        )
+        SELECT doc_id, reason, reason = 'ok' AS keep FROM verdict
+    """
+
+    # clean_corpus + the span-level boilerplate stage: the jaccard
+    # closure / quality / lang CTEs verbatim, plus the dup_spans span
+    # fraction, with span_dup slotted between near_dup and lang
+    sql["clean_corpus_spans"] = f"""
+        WITH RECURSIVE {shingle_cte},
+        capped AS (
+          SELECT * FROM sh WHERE shingle NOT IN (
+            SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 1000)
+        ),
+        sz AS (SELECT id, count(*) AS sz FROM capped GROUP BY id),
+        c AS (
+          SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+          FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.id < b.id
+          GROUP BY a.id, b.id
+        ),
+        pairs AS (
+          SELECT c.id_a, c.id_b
+          FROM c JOIN sz za ON c.id_a = za.id JOIN sz zb ON c.id_b = zb.id
+          WHERE common / (za.sz + zb.sz - common) >= 0.35
+        ),
+        sym AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs
+        ),
+        reach(n, m) AS (
+          SELECT a, b FROM sym
+          UNION
+          SELECT r.n, s2.b FROM reach r JOIN sym s2 ON r.m = s2.a
+        ),
+        lab AS (SELECT n, least(n, min(m)) AS lbl FROM reach GROUP BY n),
+        qs AS (
+          SELECT doc_id,
+                 round(least(n_tokens / 100.0, 1.0) * 0.4
+                       + least(stopword_ratio * 4.0, 1.0) * 0.4
+                       + greatest(0.2 - punct_ratio * 2.0, 0.0), {R}) AS quality
+          FROM (
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                   round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / length(text) + {EPS}, {R}) AS punct_ratio,
+                   round(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|for)\\b'))
+                         / len(string_split_regex(trim(text), '\\s+')), {R}) AS stopword_ratio
+            FROM documents
+          )
+        ),
+        lg AS (SELECT doc_id, {guess} AS lang_guess FROM documents),
+        stl AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\\s+'),
+                             t -> t <> '') AS toks
+          FROM documents
+        ),
+        sspans AS (
+          SELECT doc_id,
+                 md5(array_to_string(list_slice(toks, g.j, g.j + 7), ' ')) AS skey
+          FROM stl, LATERAL unnest(
+            generate_series(1, greatest(len(toks) - 7, 0))) AS g(j)
+        ),
+        scnt AS (SELECT skey, count(*) AS sc FROM sspans GROUP BY skey),
+        sper AS (
+          SELECT s.doc_id, count(*) AS n_spans,
+                 sum(CASE WHEN sc >= 2 THEN 1 ELSE 0 END) AS dup_spans
+          FROM sspans s JOIN scnt USING (skey) GROUP BY s.doc_id
+        ),
+        sfrac AS (
+          SELECT t.doc_id,
+                 round(CASE WHEN coalesce(p.n_spans, 0) = 0 THEN 0.0
+                            ELSE p.dup_spans / p.n_spans END + {EPS}, {R}) AS dup_frac
+          FROM stl t LEFT JOIN sper p USING (doc_id)
+        ),
+        verdict AS (
+          SELECT d.doc_id,
+                 CASE WHEN coalesce(l.lbl, d.doc_id) <> d.doc_id THEN 'near_dup'
+                      WHEN sf.dup_frac > 0.5 THEN 'span_dup'
+                      WHEN lg.lang_guess <> 'en' THEN 'lang'
+                      WHEN qs.quality < 0.5 THEN 'low_quality'
+                      ELSE 'ok' END AS reason
+          FROM documents d
+          LEFT JOIN lab l ON d.doc_id = l.n
+          JOIN qs ON d.doc_id = qs.doc_id
+          JOIN lg ON d.doc_id = lg.doc_id
+          JOIN sfrac sf ON d.doc_id = sf.doc_id
         )
         SELECT doc_id, reason, reason = 'ok' AS keep FROM verdict
     """
