@@ -660,48 +660,11 @@ def q_embedding_clusters(spark, sf_dir):
     return dedup_clusters(emb, pairs, id_col="vec_id")
 
 
-def q_clean_corpus(spark, sf_dir):
-    """End-to-end corpus cleaning decision — the composition a training-
-    data pipeline actually runs: every document gets a keep/drop verdict
-    with the FIRST failing filter as the reason (near_dup -> lang ->
-    low_quality -> ok). Near-dup survivorship comes from the transitive
-    jaccard clusters (min-id keeper), language from the stopword-voting
-    guess, quality from the heuristic score at threshold 0.5. Each
-    component is independently oracled elsewhere; this query gates their
-    COMPOSITION (join plumbing + precedence logic) the same way."""
-    from cesium_spark.operators.dedup import ngram_jaccard_pairs
-    from cesium_spark.operators.graph import dedup_clusters
-    from cesium_spark.operators.text import lang_id, quality_score
-
-    docs = _docs(spark, sf_dir)
-    clusters = dedup_clusters(
-        docs, ngram_jaccard_pairs(docs, k=5, threshold=0.35, max_shingle_freq=1000)
-    )
-    joined = (
-        docs.select("doc_id")
-        .join(quality_score(docs), "doc_id")
-        .join(lang_id(docs), "doc_id")
-        .join(clusters.select("doc_id", "is_keeper"), "doc_id")
-    )
-    reason = (
-        F.when(~F.col("is_keeper"), F.lit("near_dup"))
-        .when(F.col("lang_guess") != "en", F.lit("lang"))
-        .when(F.col("quality") < 0.5, F.lit("low_quality"))
-        .otherwise(F.lit("ok"))
-    )
-    return joined.withColumn("reason", reason).select(
-        "doc_id", "reason", (F.col("reason") == "ok").alias("keep")
-    )
-
-
-def q_clean_corpus_spans(spark, sf_dir):
-    """The clean-corpus composition EXTENDED with the span-level
-    boilerplate filter (r4): precedence near_dup -> span_dup (more than
-    half of a document's 8-token windows are duplicated corpus-wide,
-    dup_frac > 0.5 — catches boilerplate-heavy pages that survive
-    document-level clustering) -> lang -> low_quality -> ok. Each stage
-    is independently oracled elsewhere (`dedup_clusters`, `dup_spans`,
-    `lang_id`, `text_quality`); this gates the four-way composition."""
+def _clean_corpus_verdict(spark, sf_dir, with_spans: bool):
+    """THE corpus-cleaning composition, shared by q_clean_corpus and
+    q_clean_corpus_spans so the two driver queries can never assert
+    divergent pipeline semantics. Precedence: near_dup [-> span_dup if
+    with_spans] -> lang -> low_quality -> ok."""
     from cesium_spark.operators.dedup import (
         duplicate_token_spans, ngram_jaccard_pairs)
     from cesium_spark.operators.graph import dedup_clusters
@@ -711,26 +674,52 @@ def q_clean_corpus_spans(spark, sf_dir):
     clusters = dedup_clusters(
         docs, ngram_jaccard_pairs(docs, k=5, threshold=0.35, max_shingle_freq=1000)
     )
-    spans = duplicate_token_spans(docs, k=8, round_digits=R).select(
-        "doc_id", "dup_frac"
-    )
     joined = (
         docs.select("doc_id")
         .join(quality_score(docs), "doc_id")
         .join(lang_id(docs), "doc_id")
         .join(clusters.select("doc_id", "is_keeper"), "doc_id")
-        .join(spans, "doc_id")
     )
+    reason = F.when(~F.col("is_keeper"), F.lit("near_dup"))
+    if with_spans:
+        spans = duplicate_token_spans(docs, k=8, round_digits=R).select(
+            "doc_id", "dup_frac"
+        )
+        joined = joined.join(spans, "doc_id")
+        reason = reason.when(F.col("dup_frac") > 0.5, F.lit("span_dup"))
     reason = (
-        F.when(~F.col("is_keeper"), F.lit("near_dup"))
-        .when(F.col("dup_frac") > 0.5, F.lit("span_dup"))
-        .when(F.col("lang_guess") != "en", F.lit("lang"))
+        reason.when(F.col("lang_guess") != "en", F.lit("lang"))
         .when(F.col("quality") < 0.5, F.lit("low_quality"))
         .otherwise(F.lit("ok"))
     )
     return joined.withColumn("reason", reason).select(
         "doc_id", "reason", (F.col("reason") == "ok").alias("keep")
     )
+
+
+def q_clean_corpus(spark, sf_dir):
+    """End-to-end corpus cleaning decision — the composition a training-
+    data pipeline actually runs: every document gets a keep/drop verdict
+    with the FIRST failing filter as the reason (near_dup -> lang ->
+    low_quality -> ok). Near-dup survivorship comes from the transitive
+    jaccard clusters (min-id keeper), language from the stopword-voting
+    guess, quality from the heuristic score at threshold 0.5. Each
+    component is independently oracled elsewhere; this query gates their
+    COMPOSITION (join plumbing + precedence logic) the same way."""
+    return _clean_corpus_verdict(spark, sf_dir, with_spans=False)
+
+
+def q_clean_corpus_spans(spark, sf_dir):
+    """The clean-corpus composition EXTENDED with the span-level
+    boilerplate filter (r4): precedence near_dup -> span_dup (more than
+    half of a document's 8-token windows are duplicated corpus-wide,
+    dup_frac > 0.5 — catches boilerplate-heavy pages that survive
+    document-level clustering) -> lang -> low_quality -> ok. Each stage
+    is independently oracled elsewhere (`dedup_clusters`, `dup_spans`,
+    `lang_id`, `text_quality`); this gates the four-way composition.
+    Shares _clean_corpus_verdict with q_clean_corpus, so the two
+    composition gates assert one set of semantics."""
+    return _clean_corpus_verdict(spark, sf_dir, with_spans=True)
 
 
 def q_dedup_clusters(spark, sf_dir):
@@ -1537,6 +1526,85 @@ def oracle_sql() -> dict[str, str]:
         )
     """
 
+    # single-source fragments shared by every oracle that embeds them —
+    # the composition gates (clean_corpus*, dedup_clusters) must assert
+    # the SAME semantics as the per-stage oracles, so each stage's CTE
+    # block exists exactly once:
+    # jaccard pair graph + recursive transitive closure -> lab(n, lbl)
+    jaccard_closure_cte = """
+        capped AS (
+          SELECT * FROM sh WHERE shingle NOT IN (
+            SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 1000)
+        ),
+        sz AS (SELECT id, count(*) AS sz FROM capped GROUP BY id),
+        c AS (
+          SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+          FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.id < b.id
+          GROUP BY a.id, b.id
+        ),
+        pairs AS (
+          SELECT c.id_a, c.id_b
+          FROM c JOIN sz za ON c.id_a = za.id JOIN sz zb ON c.id_b = zb.id
+          WHERE common / (za.sz + zb.sz - common) >= 0.35
+        ),
+        sym AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs
+        ),
+        reach(n, m) AS (
+          SELECT a, b FROM sym
+          UNION
+          SELECT r.n, s2.b FROM reach r JOIN sym s2 ON r.m = s2.a
+        ),
+        lab AS (SELECT n, least(n, min(m)) AS lbl FROM reach GROUP BY n)
+    """
+    # quality score -> qs(doc_id, quality); language guess -> lg
+    quality_lang_cte = f"""
+        qs AS (
+          SELECT doc_id,
+                 round(least(n_tokens / 100.0, 1.0) * 0.4
+                       + least(stopword_ratio * 4.0, 1.0) * 0.4
+                       + greatest(0.2 - punct_ratio * 2.0, 0.0), {R}) AS quality
+          FROM (
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                   round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / length(text) + {EPS}, {R}) AS punct_ratio,
+                   round(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|for)\\b'))
+                         / len(string_split_regex(trim(text), '\\s+')), {R}) AS stopword_ratio
+            FROM documents
+          )
+        ),
+        lg AS (SELECT doc_id, {guess} AS lang_guess FROM documents)
+    """
+    # 8-token span duplication -> sper(doc_id, n_spans, dup_spans),
+    # sfrac(doc_id, dup_frac); matches operators/dedup.py tokenization
+    span_frac_cte = f"""
+        stl AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\\s+'),
+                             t -> t <> '') AS toks
+          FROM documents
+        ),
+        sspans AS (
+          SELECT doc_id,
+                 md5(array_to_string(list_slice(toks, g.j, g.j + 7), ' ')) AS skey
+          FROM stl, LATERAL unnest(
+            generate_series(1, greatest(len(toks) - 7, 0))) AS g(j)
+        ),
+        scnt AS (SELECT skey, count(*) AS sc FROM sspans GROUP BY skey),
+        sper AS (
+          SELECT s.doc_id, count(*) AS n_spans,
+                 sum(CASE WHEN sc >= 2 THEN 1 ELSE 0 END) AS dup_spans
+          FROM sspans s JOIN scnt USING (skey) GROUP BY s.doc_id
+        ),
+        sfrac AS (
+          SELECT t.doc_id,
+                 round(CASE WHEN coalesce(p.n_spans, 0) = 0 THEN 0.0
+                            ELSE p.dup_spans / p.n_spans END + {EPS}, {R}) AS dup_frac
+          FROM stl t LEFT JOIN sper p USING (doc_id)
+        )
+    """
+
     # the frequency cap is part of the query semantics (see
     # q_jaccard_5gram) and is mirrored here so Spark and DuckDB agree at
     # any scale factor, not just where the cap happens not to bind
@@ -1611,31 +1679,15 @@ def oracle_sql() -> dict[str, str]:
     # (list_slice over the ordered token list == Spark's slice),
     # identical md5 keys
     sql["dup_spans"] = f"""
-        WITH tl AS (
-          SELECT doc_id,
-                 list_filter(string_split_regex(trim(text), '\\s+'),
-                             t -> t <> '') AS toks
-          FROM documents
-        ),
-        spans AS (
-          SELECT doc_id,
-                 md5(array_to_string(list_slice(toks, g.j, g.j + 7), ' ')) AS key
-          FROM tl, LATERAL unnest(
-            generate_series(1, greatest(len(toks) - 7, 0))) AS g(j)
-        ),
-        cnt AS (SELECT key, count(*) AS c FROM spans GROUP BY key),
-        per AS (
-          SELECT s.doc_id, count(*) AS n_spans,
-                 sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS dup_spans
-          FROM spans s JOIN cnt USING (key) GROUP BY s.doc_id
-        )
+        WITH {span_frac_cte}
         SELECT t.doc_id,
                CAST(len(t.toks) AS BIGINT) AS n_tokens,
                CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
                CAST(coalesce(p.dup_spans, 0) AS BIGINT) AS dup_spans,
-               round(CASE WHEN coalesce(p.n_spans, 0) = 0 THEN 0.0
-                          ELSE p.dup_spans / p.n_spans END + {EPS}, {R}) AS dup_frac
-        FROM tl t LEFT JOIN per p USING (doc_id)
+               sf.dup_frac
+        FROM stl t
+        LEFT JOIN sper p USING (doc_id)
+        JOIN sfrac sf USING (doc_id)
     """
 
     # retention decision: current per-day counts vs the simulated commit
@@ -2021,31 +2073,7 @@ def oracle_sql() -> dict[str, str]:
     # component label = least(self, min reachable)
     sql["dedup_clusters"] = f"""
         WITH RECURSIVE {shingle_cte},
-        capped AS (
-          SELECT * FROM sh WHERE shingle NOT IN (
-            SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 1000)
-        ),
-        sz AS (SELECT id, count(*) AS sz FROM capped GROUP BY id),
-        c AS (
-          SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
-          FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.id < b.id
-          GROUP BY a.id, b.id
-        ),
-        pairs AS (
-          SELECT c.id_a, c.id_b
-          FROM c JOIN sz za ON c.id_a = za.id JOIN sz zb ON c.id_b = zb.id
-          WHERE common / (za.sz + zb.sz - common) >= 0.35
-        ),
-        sym AS (
-          SELECT id_a AS a, id_b AS b FROM pairs
-          UNION ALL SELECT id_b, id_a FROM pairs
-        ),
-        reach(n, m) AS (
-          SELECT a, b FROM sym
-          UNION
-          SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a
-        ),
-        lab AS (SELECT n, least(n, min(m)) AS lbl FROM reach GROUP BY n)
+        {jaccard_closure_cte}
         SELECT d.doc_id,
                coalesce(l.lbl, d.doc_id) AS cluster_id,
                coalesce(l.lbl, d.doc_id) = d.doc_id AS is_keeper
@@ -2081,46 +2109,8 @@ def oracle_sql() -> dict[str, str]:
     # + language guess, with the same first-failing-filter precedence
     sql["clean_corpus"] = f"""
         WITH RECURSIVE {shingle_cte},
-        capped AS (
-          SELECT * FROM sh WHERE shingle NOT IN (
-            SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 1000)
-        ),
-        sz AS (SELECT id, count(*) AS sz FROM capped GROUP BY id),
-        c AS (
-          SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
-          FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.id < b.id
-          GROUP BY a.id, b.id
-        ),
-        pairs AS (
-          SELECT c.id_a, c.id_b
-          FROM c JOIN sz za ON c.id_a = za.id JOIN sz zb ON c.id_b = zb.id
-          WHERE common / (za.sz + zb.sz - common) >= 0.35
-        ),
-        sym AS (
-          SELECT id_a AS a, id_b AS b FROM pairs
-          UNION ALL SELECT id_b, id_a FROM pairs
-        ),
-        reach(n, m) AS (
-          SELECT a, b FROM sym
-          UNION
-          SELECT r.n, s2.b FROM reach r JOIN sym s2 ON r.m = s2.a
-        ),
-        lab AS (SELECT n, least(n, min(m)) AS lbl FROM reach GROUP BY n),
-        qs AS (
-          SELECT doc_id,
-                 round(least(n_tokens / 100.0, 1.0) * 0.4
-                       + least(stopword_ratio * 4.0, 1.0) * 0.4
-                       + greatest(0.2 - punct_ratio * 2.0, 0.0), {R}) AS quality
-          FROM (
-            SELECT doc_id,
-                   len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
-                   round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / length(text) + {EPS}, {R}) AS punct_ratio,
-                   round(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|for)\\b'))
-                         / len(string_split_regex(trim(text), '\\s+')), {R}) AS stopword_ratio
-            FROM documents
-          )
-        ),
-        lg AS (SELECT doc_id, {guess} AS lang_guess FROM documents),
+        {jaccard_closure_cte},
+        {quality_lang_cte},
         verdict AS (
           SELECT d.doc_id,
                  CASE WHEN coalesce(l.lbl, d.doc_id) <> d.doc_id THEN 'near_dup'
@@ -2140,70 +2130,9 @@ def oracle_sql() -> dict[str, str]:
     # fraction, with span_dup slotted between near_dup and lang
     sql["clean_corpus_spans"] = f"""
         WITH RECURSIVE {shingle_cte},
-        capped AS (
-          SELECT * FROM sh WHERE shingle NOT IN (
-            SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 1000)
-        ),
-        sz AS (SELECT id, count(*) AS sz FROM capped GROUP BY id),
-        c AS (
-          SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
-          FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.id < b.id
-          GROUP BY a.id, b.id
-        ),
-        pairs AS (
-          SELECT c.id_a, c.id_b
-          FROM c JOIN sz za ON c.id_a = za.id JOIN sz zb ON c.id_b = zb.id
-          WHERE common / (za.sz + zb.sz - common) >= 0.35
-        ),
-        sym AS (
-          SELECT id_a AS a, id_b AS b FROM pairs
-          UNION ALL SELECT id_b, id_a FROM pairs
-        ),
-        reach(n, m) AS (
-          SELECT a, b FROM sym
-          UNION
-          SELECT r.n, s2.b FROM reach r JOIN sym s2 ON r.m = s2.a
-        ),
-        lab AS (SELECT n, least(n, min(m)) AS lbl FROM reach GROUP BY n),
-        qs AS (
-          SELECT doc_id,
-                 round(least(n_tokens / 100.0, 1.0) * 0.4
-                       + least(stopword_ratio * 4.0, 1.0) * 0.4
-                       + greatest(0.2 - punct_ratio * 2.0, 0.0), {R}) AS quality
-          FROM (
-            SELECT doc_id,
-                   len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
-                   round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / length(text) + {EPS}, {R}) AS punct_ratio,
-                   round(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|for)\\b'))
-                         / len(string_split_regex(trim(text), '\\s+')), {R}) AS stopword_ratio
-            FROM documents
-          )
-        ),
-        lg AS (SELECT doc_id, {guess} AS lang_guess FROM documents),
-        stl AS (
-          SELECT doc_id,
-                 list_filter(string_split_regex(trim(text), '\\s+'),
-                             t -> t <> '') AS toks
-          FROM documents
-        ),
-        sspans AS (
-          SELECT doc_id,
-                 md5(array_to_string(list_slice(toks, g.j, g.j + 7), ' ')) AS skey
-          FROM stl, LATERAL unnest(
-            generate_series(1, greatest(len(toks) - 7, 0))) AS g(j)
-        ),
-        scnt AS (SELECT skey, count(*) AS sc FROM sspans GROUP BY skey),
-        sper AS (
-          SELECT s.doc_id, count(*) AS n_spans,
-                 sum(CASE WHEN sc >= 2 THEN 1 ELSE 0 END) AS dup_spans
-          FROM sspans s JOIN scnt USING (skey) GROUP BY s.doc_id
-        ),
-        sfrac AS (
-          SELECT t.doc_id,
-                 round(CASE WHEN coalesce(p.n_spans, 0) = 0 THEN 0.0
-                            ELSE p.dup_spans / p.n_spans END + {EPS}, {R}) AS dup_frac
-          FROM stl t LEFT JOIN sper p USING (doc_id)
-        ),
+        {jaccard_closure_cte},
+        {quality_lang_cte},
+        {span_frac_cte},
         verdict AS (
           SELECT d.doc_id,
                  CASE WHEN coalesce(l.lbl, d.doc_id) <> d.doc_id THEN 'near_dup'
