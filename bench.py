@@ -215,6 +215,21 @@ def main():
     extras["dup_spans_xxhash64_sec"] = round(dt, 3)
     extras["dup_spans_xxhash64_trials_sec"] = trials
 
+    # IVF-PQ ANN with exact re-rank (r4): codebook train + encode +
+    # ADC + shortlist re-rank end-to-end over the sf embeddings
+    from cesium_spark.operators.similarity import ivfpq_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qs = emb.limit(20)
+    dt, trials = _best_of(
+        lambda: _force(
+            ivfpq_topk(emb, qs, k=3, n_lists=16, n_probe=10, m=8, rerank=True)
+        ),
+        n=2,
+    )
+    extras["ivfpq_rerank_sec"] = round(dt, 3)
+    extras["ivfpq_rerank_trials_sec"] = trials
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
