@@ -158,12 +158,33 @@ def main():
         nonlocal totals
         totals = _compress_pass()
 
-    dt, _trials = _best_of(_run_compress, n=2)
+    # best-of-4 with ALL trials recorded (r4 verdict: the single-number
+    # protocol could not distinguish the 991k->343k pts/s "slide" from
+    # window noise; r5 adjudication with a clean-window control showed
+    # the codec itself at 1.2M pts/s and the slide environmental —
+    # tools/gorilla_bench.py reruns that adjudication on demand)
+    dt, trials = _best_of(_run_compress, n=4)
     # extras, not a headline timing: keeps the headline total comparable
     # across rounds (this entry was added in round 2)
     extras["gorilla_compress_1h_sec"] = round(dt, 3)
+    extras["gorilla_compress_trials_sec"] = trials
     extras["gorilla_points_per_sec"] = round(totals["pts"] / dt, 1)
     extras["gorilla_compression_ratio"] = round(totals["raw"] / totals["blk"], 2)
+
+    # codec-only control (no text-lineage md5 chain): isolates the
+    # Gorilla encode path so hash-path noise can be attributed
+    def _run_compress_nohash():
+        (
+            compress_blocks(tr, "1h", text_col=None,
+                            value=F.length("text").cast("double"))
+            .agg(F.sum("block_bytes").alias("blk"))
+            .collect()
+        )
+
+    dt, trials = _best_of(_run_compress_nohash, n=3)
+    extras["gorilla_nohash_sec"] = round(dt, 3)
+    extras["gorilla_nohash_trials_sec"] = trials
+    extras["gorilla_nohash_points_per_sec"] = round(totals["pts"] / dt, 1)
 
     # periodic featureset (Lomb-Scargle grids through the kernel UDF):
     # the heaviest per-series math in the engine — tracked as an extra

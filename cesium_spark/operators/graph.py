@@ -83,23 +83,24 @@ def _two_phase_cc(sym: DataFrame, max_rounds: int = 64) -> DataFrame:
     """(node, component) via two-phase star contraction over a symmetric
     distinct edge relation (a, b). Diameter-independent: O(log^2 n)
     rounds worst-case, a handful in practice. Convergence = the
-    canonical edge set's (count, bit_xor of xxhash64) signature repeats;
-    bit_xor is order-independent, overflow-free, and type-agnostic.
+    canonical edge set is EXACTLY unchanged: equal row count (cheap,
+    filters almost every round) and, only when counts match, an empty
+    exceptAll against the previous round — both sets are distinct, so
+    count equality + empty difference proves set equality. (A hash
+    signature would be one job cheaper but admits an astronomically
+    unlikely silent-wrong-answer collision; one extra join on the final
+    round buys exactness.)
     At the fixpoint every non-root points directly at its component's
     minimum id and roots have no outgoing edge."""
     nodes = sym.select(F.col("a").alias("node")).distinct()
     canon = sym.filter(F.col("a") > F.col("b")).select(
         F.col("a").alias("u"), F.col("b").alias("v")
     ).localCheckpoint(eager=True)
-    sig_cols = [
-        F.count("*").alias("n"),
-        F.expr("bit_xor(xxhash64(u, v))").alias("x"),
-    ]
-    prev_sig = tuple(canon.agg(*sig_cols).first())
+    prev, prev_n = canon, canon.count()
     for _ in range(max_rounds):
         canon = _small_star(_large_star(canon)).localCheckpoint(eager=True)
-        sig = tuple(canon.agg(*sig_cols).first())
-        if sig == prev_sig:
+        n = canon.count()
+        if n == prev_n and canon.exceptAll(prev).isEmpty():
             # anchor on the full node universe: nodes whose only edges
             # were self-loops (dropped by the canon filter) must still
             # come back as their own singleton component, matching the
@@ -114,7 +115,7 @@ def _two_phase_cc(sym: DataFrame, max_rounds: int = 64) -> DataFrame:
                     F.coalesce(F.col("cmp"), F.col("node")).alias("component"),
                 )
             )
-        prev_sig = sig
+        prev, prev_n = canon, n
     raise RuntimeError(
         f"two-phase star contraction did not converge in {max_rounds} "
         f"rounds — O(log^2 n) bound exceeded, which indicates a bug or "

@@ -1,12 +1,13 @@
 """Pure-numpy media codecs: real decoders for the formats honestly
 decodable offline — RIFF/WAVE PCM audio, uncompressed 24-bit BMP, PNG
 (stdlib zlib; this module owns the chunk walk and the five scanline
-filters), and baseline JPEG (operators/jpeg_codec.py — from-scratch
-T.81 Huffman + DCT). No external codec library involved.
+filters), and JPEG (operators/jpeg_codec.py — from-scratch T.81
+Huffman + DCT incl. 4:2:0/4:2:2 subsampling). No external codec
+library involved.
 
 These upgrade the multimodal pipeline's decode step from a stub to a
 real implementation where that is possible without codecs; the
-remaining formats (MP3/H.264, progressive or subsampled JPEG) still
+remaining formats (MP3/H.264) still
 require a codec library and keep the documented `register_decoder`
 swap-in path.
 

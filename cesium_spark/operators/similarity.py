@@ -412,11 +412,7 @@ def build_ivfpq_index(
     writer would pack them to binary — the plan shape is identical."""
     import pandas as pd
 
-    sample_rows = (
-        corpus.select(id_col, vec_col).orderBy(id_col).limit(train_sample)
-        .toPandas()[vec_col].tolist()
-    )
-    sample = np.asarray(sample_rows, dtype=np.float64)
+    sample = _driver_sample(corpus, id_col, vec_col, train_sample)
     cents = _kmeans_centroids(sample, n_lists, seed)
     books = train_pq_codebooks(sample, m=m, nbits=nbits, seed=seed)
     dsub = books.shape[2]
