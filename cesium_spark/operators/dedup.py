@@ -321,6 +321,7 @@ def minhash_lsh_star_edges(
     num_hashes: int = 16,
     bands: int = 4,
     hash_fn: str = "md5",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Spanning edges of the LSH candidate graph at O(c) per band bucket:
     each (band, key) bucket emits (bucket-min id -> member) star edges
@@ -350,22 +351,56 @@ def minhash_lsh_star_edges(
 
     Skew bound of the window formulation: a (band, key) bucket's rows
     land in one window task — at ~50 B/row a 10^7-member duplicate
-    class is ~500 MB in that task (spillable sort, fine); classes
-    beyond that should persist() the band rows and run the
-    groupBy+join variant instead, which absorbs any skew via partial
-    aggregation + AQE skew-join at the cost of caching the relation.
-    (Compare duplicate_token_spans, which faces unbounded span
+    class is ~500 MB in that task (spillable sort, fine). Buckets
+    beyond that are handled by `max_bucket`: when set, the band
+    relation is cached (MEMORY_AND_DISK; it is ~2-5% of corpus bytes —
+    id + band + 8-byte key), bucket sizes and minima come from ONE
+    partial-aggregation pass (map-side combine, so no task ever holds a
+    whole bucket), and rows are routed automatically: buckets with
+    <= max_bucket members keep the single-sort window plan; oversized
+    buckets take a BROADCAST join against the (small by construction:
+    at most n_rows/max_bucket entries, ~24 MB at 4x10^12 band rows and
+    max_bucket=10^7) hot-bucket relation, whose per-row hash probe
+    streams — no window, no sort, no shuffle ever sees the whole hot
+    bucket in one task. Edges are identical to the unrouted plan.
+    max_bucket=None (default) keeps the one-pass window plan with no
+    cache. (Compare duplicate_token_spans, which faces unbounded span
     hotness — corpus-wide boilerplate — and therefore uses the
     groupBy+join shape by design.)"""
     from pyspark.sql.window import Window
 
     rows = minhash_band_rows(df, id_col, text_col, k, num_hashes, bands, hash_fn)
     root = F.min("id").over(Window.partitionBy("band", "key"))
-    return (
+    star = (
         rows.withColumn("root", root)
         .filter(F.col("id") != F.col("root"))
         .select(F.col("root").alias("id_a"), F.col("id").alias("id_b"))
     )
+    if max_bucket is None:
+        return star
+
+    from pyspark import StorageLevel
+
+    rows = rows.persist(StorageLevel.MEMORY_AND_DISK)
+    hot = (
+        rows.groupBy("band", "key")
+        .agg(F.min("id").alias("root"), F.count("*").alias("c"))
+        .filter(F.col("c") > max_bucket)
+        .select("band", "key", "root")
+    )
+    cold_rows = rows.join(F.broadcast(hot.select("band", "key")),
+                          ["band", "key"], "left_anti")
+    cold_star = (
+        cold_rows.withColumn("root", root)
+        .filter(F.col("id") != F.col("root"))
+        .select(F.col("root").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    hot_star = (
+        rows.join(F.broadcast(hot), ["band", "key"])
+        .filter(F.col("id") != F.col("root"))
+        .select(F.col("root").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    return cold_star.unionByName(hot_star)
 
 
 def lsh_dedup_clusters(
@@ -376,6 +411,7 @@ def lsh_dedup_clusters(
     num_hashes: int = 16,
     bands: int = 4,
     hash_fn: str = "md5",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash/LSH dedup survivorship end-to-end at linear bucket cost:
     star edges per band bucket (O(c), never O(c^2)) -> connected
@@ -388,7 +424,8 @@ def lsh_dedup_clusters(
     from .graph import dedup_clusters
 
     edges = minhash_lsh_star_edges(
-        docs, id_col, text_col, k, num_hashes, bands, hash_fn
+        docs, id_col, text_col, k, num_hashes, bands, hash_fn,
+        max_bucket=max_bucket,
     )
     return dedup_clusters(docs, edges, id_col=id_col)
 
