@@ -28,7 +28,10 @@ import tarfile
 import tempfile
 import zipfile
 
-__all__ = ["extract_time_series", "remove_files", "featurize_archive"]
+__all__ = [
+    "extract_time_series", "remove_files", "featurize_archive",
+    "parse_and_store_ts_data",
+]
 
 
 def remove_files(paths) -> None:
@@ -124,3 +127,83 @@ def featurize_archive(spark, archive_path: str, features_to_use, **kwargs):
             return fset.toPandas().set_index("series").sort_index()
         finally:
             remove_files(extracted)
+
+
+def parse_and_store_ts_data(
+    spark,
+    data_path: str,
+    output_dir: str,
+    header_path: str | None = None,
+    cleanup_archive: bool = True,
+    cleanup_header: bool = True,
+    sep: str = ",",
+):
+    """One-call archive -> normalized series store, the engine's
+    equivalent of the reference upload ETL
+    (/root/reference/cesium/data_management.py:114-174): expand the
+    archive (or single file), parse every member with the reference
+    default pads (3 cols t,m,e; 2 cols -> constant DEFAULT_ERROR_VALUE;
+    1 col -> linspace(0, DEFAULT_MAX_TIME) times), join the header's
+    label + meta features onto each series (validating that every
+    series has a header row, as parse_headerfile does), and append the
+    result to a SnapshotTable at `output_dir`.
+
+    Where the reference stores one .npz file per series and returns
+    their paths, this stores one NORMALIZED LONG TABLE — rows
+    (series, idx, t, m, e, label, <meta feature columns...>) under
+    snapshot isolation — because a per-series-file layout is exactly
+    what does not survive 10^9 series; `SnapshotTable.read(spark)`
+    replaces the reference's per-path load loop, and every downstream
+    entry point (kernel.featurize with key_col="series") consumes the
+    table directly. Returns (table, snapshot_id, series_names).
+
+    `cleanup_archive` / `cleanup_header` match the reference flags:
+    the uploaded archive / header file are deleted after a successful
+    store (extracted temp members are always cleaned up).
+    """
+    from pyspark.sql import functions as F
+
+    from .table import SnapshotTable
+    from .transcripts import read_headerfile, read_ts_csv, shorten_fname
+
+    with extract_time_series(
+        data_path, cleanup_archive=cleanup_archive, cleanup_files=True
+    ) as paths:
+        if not paths:
+            raise ValueError(f"archive {data_path!r} contains no files")
+        names = [shorten_fname(p) for p in paths]
+        parts = []
+        for name, path in sorted(zip(names, paths)):
+            parts.append(
+                read_ts_csv(spark, path, sep=sep)
+                .withColumn("series", F.lit(name))
+            )
+        allrows = parts[0]
+        for p in parts[1:]:
+            allrows = allrows.unionByName(p)
+
+        if header_path is not None:
+            # validates every series has a header row (raises like the
+            # reference's parse_headerfile on a missing entry); header
+            # is a per-series dimension table -> broadcast join
+            hdr = read_headerfile(spark, header_path, files_to_include=names)
+            allrows = allrows.join(
+                F.broadcast(hdr.withColumnRenamed("name", "series")),
+                "series",
+            )
+        else:
+            allrows = allrows.withColumn(
+                "label", F.lit(None).cast("string")
+            )
+
+        table = SnapshotTable(output_dir)
+        snapshot_id = table.append(
+            allrows.select("series", "idx", "t", "m", "e", *[
+                c for c in allrows.columns
+                if c not in ("series", "idx", "t", "m", "e")
+            ])
+        )
+
+    if header_path is not None and cleanup_header:
+        remove_files([header_path])
+    return table, snapshot_id, sorted(names)

@@ -20,6 +20,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from ..kernel import DEFAULT_ERROR_VALUE
+from ..time_series import DEFAULT_MAX_TIME
 
 TRANSCRIPT_SCHEMA = T.StructType(
     [
@@ -62,8 +63,26 @@ def read_ts_csv(spark: SparkSession, path: str, sep: str = ",") -> DataFrame:
             F.col(cols[1]).cast("double").alias("m"),
             F.lit(DEFAULT_ERROR_VALUE).alias("e"),
         )
+    elif len(cols) == 1:
+        # measurement-only file: evenly spaced default times over
+        # [0, DEFAULT_MAX_TIME] in FILE order (reference
+        # data_management.py:48-53), constant default error
+        n = raw.count()
+        ordered = raw.select(
+            F.col(cols[0]).cast("double").alias("m"),
+            (F.row_number().over(
+                Window.orderBy(F.monotonically_increasing_id())) - 1
+             ).alias("idx"),
+        )
+        step = DEFAULT_MAX_TIME / (n - 1) if n > 1 else 0.0
+        return ordered.select(
+            (F.col("idx") * F.lit(step)).alias("t"),
+            "m",
+            F.lit(DEFAULT_ERROR_VALUE).alias("e"),
+            "idx",
+        )
     else:
-        raise ValueError("expected 2 or 3 CSV columns (t, m[, e])")
+        raise ValueError("expected 1-3 CSV columns ([t,] m [, e])")
     return df.withColumn("idx", F.row_number().over(Window.orderBy("t")) - 1)
 
 

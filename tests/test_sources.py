@@ -374,3 +374,104 @@ def test_featurize_archive_single_file_passthrough_keeps_input(spark, tmp_path):
     fset = featurize_archive(spark, str(p), ["mean"])
     assert list(fset.index) == ["bare_series"]
     assert p.exists()  # the user's input file is untouched
+
+
+def test_parse_and_store_ts_data_archive_to_snapshot_table(spark, tmp_path):
+    """Port of the reference's test_parsing_and_saving
+    (/root/reference/cesium/tests/test_data_management.py:74-93) against
+    the composed archive -> normalized-store ETL: with and without a
+    header file, with cleanup flags exercised both ways. The store is a
+    SnapshotTable of normalized (series, idx, t, m, e, label, meta...)
+    rows instead of per-series .npz files."""
+    import tarfile
+    import numpy as np
+    from cesium_spark.sources.archive import parse_and_store_ts_data
+    from cesium_spark.sources.table import SnapshotTable
+
+    rng = np.random.RandomState(7)
+    data = {}
+    for name in ("s215153", "s215176", "s218272"):
+        t = np.sort(rng.uniform(0, 10, 20))
+        m = rng.normal(5, 1, 20)
+        e = rng.uniform(0.01, 0.1, 20)
+        pd.DataFrame({"t": t, "m": m, "e": e}).to_csv(
+            tmp_path / f"{name}.dat", index=False, header=False)
+        data[name] = (t, m, e)
+    # one 2-column member exercises the default-error pad through the
+    # composed path too
+    t2 = np.sort(rng.uniform(0, 5, 12))
+    m2 = rng.normal(1, 1, 12)
+    pd.DataFrame({"t": t2, "m": m2}).to_csv(
+        tmp_path / "s2col.dat", index=False, header=False)
+    data["s2col"] = (t2, m2, np.full(12, 1e-4))
+
+    def make_tar(p):
+        with tarfile.open(p, "w:gz") as tf:
+            for name in data:
+                tf.add(str(tmp_path / f"{name}.dat"), arcname=f"{name}.dat")
+
+    hdr_p = tmp_path / "meta.csv"
+    hdr_p.write_text(
+        "filename,label,meta1\n"
+        + "".join(f"{n}.dat,cls_{i % 2},{i * 0.5}\n"
+                  for i, n in enumerate(sorted(data)))
+    )
+
+    # --- with header, no cleanup
+    tar_p = str(tmp_path / "arch.tar.gz")
+    make_tar(tar_p)
+    table, snap, names = parse_and_store_ts_data(
+        spark, tar_p, str(tmp_path / "store1"), str(hdr_p),
+        cleanup_archive=False, cleanup_header=False)
+    assert names == sorted(data)
+    assert os.path.exists(tar_p) and os.path.exists(hdr_p)
+    got = table.read(spark).toPandas()
+    assert set(got.series) == set(data)
+    assert set(got.columns) >= {"series", "idx", "t", "m", "e", "label", "meta1"}
+    for i, n in enumerate(sorted(data)):
+        rows = got[got.series == n].sort_values("idx")
+        t, m, e = data[n]
+        np.testing.assert_allclose(rows.t.to_numpy(), np.sort(t))
+        order = np.argsort(t, kind="stable")
+        np.testing.assert_allclose(rows.m.to_numpy(), m[order])
+        np.testing.assert_allclose(rows.e.to_numpy(), e[order])
+        assert (rows.label == f"cls_{i % 2}").all()
+        np.testing.assert_allclose(rows.meta1.to_numpy(), i * 0.5)
+
+    # --- without header; cleanup_archive deletes the upload
+    tar_p2 = str(tmp_path / "arch2.tar.gz")
+    make_tar(tar_p2)
+    table2, _, _ = parse_and_store_ts_data(
+        spark, tar_p2, str(tmp_path / "store2"), None,
+        cleanup_archive=True, cleanup_header=False)
+    assert not os.path.exists(tar_p2)
+    got2 = table2.read(spark).toPandas()
+    assert got2.label.isna().all()
+    assert len(got2) == len(got)
+
+    # --- header missing a series raises (reference parse_headerfile
+    # parity through the composed call)
+    bad_hdr = tmp_path / "bad.csv"
+    bad_hdr.write_text("filename,label\ns215153.dat,x\n")
+    tar_p3 = str(tmp_path / "arch3.tar.gz")
+    make_tar(tar_p3)
+    with pytest.raises(ValueError, match="header"):
+        parse_and_store_ts_data(
+            spark, tar_p3, str(tmp_path / "store3"), str(bad_hdr),
+            cleanup_archive=False, cleanup_header=False)
+
+
+def test_read_ts_csv_one_column_default_times(spark, tmp_path):
+    """Reference parse_ts_data 1-column semantics
+    (data_management.py:48-53): measurement-only file gets evenly
+    spaced times over [0, DEFAULT_MAX_TIME] in file order and the
+    constant default error."""
+    import numpy as np
+
+    p = tmp_path / "m_only.csv"
+    vals = [3.0, 1.0, 4.0, 1.5, 9.0]
+    p.write_text("".join(f"{v}\n" for v in vals))
+    df = read_ts_csv(spark, str(p)).toPandas().sort_values("idx")
+    np.testing.assert_allclose(df.t.to_numpy(), np.linspace(0, 1.0, 5))
+    np.testing.assert_allclose(df.m.to_numpy(), vals)
+    assert (df.e == 1e-4).all()
