@@ -754,6 +754,21 @@ def q_lsh_clusters(spark, sf_dir):
     return lsh_dedup_clusters(_docs(spark, sf_dir), k=5, num_hashes=16, bands=4)
 
 
+def q_lsh_clusters_skew_routed(spark, sf_dir):
+    """lsh_clusters through the r5 automatic skew routing
+    (max_bucket=5): oversized (band, key) buckets leave the window-min
+    plan and take the broadcast-join shape, so no single task ever
+    sorts a whole hot bucket. The sf corpora contain template classes
+    well past 5 members, so this exercises BOTH routes; the oracle is
+    the identical all-pairs transitive closure — a hash match proves
+    the routed edge set spans the same components."""
+    from cesium_spark.operators.dedup import lsh_dedup_clusters
+
+    return lsh_dedup_clusters(
+        _docs(spark, sf_dir), k=5, num_hashes=16, bands=4, max_bucket=5
+    )
+
+
 def q_dup_spans(spark, sf_dir):
     """Span-level duplication profile (Lee et al. 2022 substring-dedup
     measurement): per document, the fraction of 8-token sliding windows
@@ -988,64 +1003,77 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver's correctness check covers the FIRST 50
+    # entries, so newest / least-battle-tested queries go first and the
+    # ts_* block (driver-green every round since r1, value-guarded by
+    # tests/test_features_unit.py + the golden bridges) rotates out last
+    # (r4 VERDICT item 7: clean_corpus_spans shipped in r4 but sat past
+    # the 50-slot cap and was never driver-checked).
     return {
-        "ts_profile_basic": q_ts_profile_basic,
-        "ts_dispersion": q_ts_dispersion,
-        "ts_cadence": q_ts_cadence,
-        "ts_cad_probs": q_ts_cad_probs,
-        "ts_weighted": q_ts_weighted,
-        "ts_percentiles": q_ts_percentiles,
-        "ts_close_to_median": q_ts_close_to_median,
-        "ts_flux_ratios": q_ts_flux_ratios,
-        "ts_err_stats": q_ts_err_stats,
-        "ts_step_moments": q_ts_step_moments,
-        "rollup_1h_sql": q_rollup_1h_sql,
-        "rollup_1d_kernel": q_rollup_1d_kernel,
-        "locf_1h": q_locf_1h,
-        "agg_merge": q_agg_merge,
-        "rollup_cascade_1d": q_rollup_cascade_1d,
-        "asof_join": q_asof_join,
-        "ohlc_1h": q_ohlc_1h,
-        "range_join": q_range_join,
-        "sketch_accuracy": q_sketch_accuracy,
-        "sessionize_30m": q_sessionize_30m,
-        "pricing_summary": q_pricing_summary,
-        "region_revenue": q_region_revenue,
-        "dedup_exact": q_dedup_exact,
-        "doc_fingerprint": q_fingerprint,
-        "text_stats": q_text_stats,
-        "text_quality": q_quality,
-        "lang_id": q_lang_id,
-        "jaccard_5gram": q_jaccard_5gram,
-        "minhash_lsh": q_minhash_lsh,
-        "knn_cosine": q_knn_cosine,
-        "rollup_1m_sql": q_rollup_1m_sql,
-        "locf_1d": q_locf_1d,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "codec_roundtrip": q_codec_roundtrip,
-        "text_lineage": q_text_lineage,
-        "features_periodic": q_features_periodic,
-        "doc_winnowing": q_winnowing,
-        "simhash_near_dups": q_simhash_near_dups,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "ann_recall": q_ann_recall,
-        "features_wide": q_features_wide,
-        "featureset_impute": q_featureset_impute,
-        "features_wide_golden": q_features_wide_golden,
-        "features_periodic_golden": q_features_periodic_golden,
-        "dedup_clusters": q_dedup_clusters,
-        "lsh_clusters": q_lsh_clusters,
-        "downsample_lttb": q_downsample_lttb,
-        "retention_days": q_retention_days,
+        # --- round 5 ---
+        "lsh_clusters_skew_routed": q_lsh_clusters_skew_routed,
+        # --- round 4 ---
+        "clean_corpus_spans": q_clean_corpus_spans,
         "dup_spans": q_dup_spans,
-        "token_topk": q_token_topk,
-        "tfidf_top_terms": q_tfidf_top_terms,
+        "lsh_clusters": q_lsh_clusters,
+        "retention_days": q_retention_days,
+        "downsample_lttb": q_downsample_lttb,
+        "features_periodic_golden": q_features_periodic_golden,
+        "features_wide_golden": q_features_wide_golden,
+        "ann_recall": q_ann_recall,
+        # --- round 3 ---
+        "dedup_clusters": q_dedup_clusters,
         "embedding_clusters": q_embedding_clusters,
         "clean_corpus": q_clean_corpus,
-        "clean_corpus_spans": q_clean_corpus_spans,
         "interp_1h": q_interp_1h,
         "twa_1h": q_twa_1h,
+        "token_topk": q_token_topk,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "featureset_impute": q_featureset_impute,
+        "simhash_near_dups": q_simhash_near_dups,
+        "doc_winnowing": q_winnowing,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "features_wide": q_features_wide,
+        "features_periodic": q_features_periodic,
+        # --- rounds 1-2 ---
+        "text_lineage": q_text_lineage,
+        "codec_roundtrip": q_codec_roundtrip,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "locf_1d": q_locf_1d,
+        "rollup_1m_sql": q_rollup_1m_sql,
+        "knn_cosine": q_knn_cosine,
+        "minhash_lsh": q_minhash_lsh,
+        "jaccard_5gram": q_jaccard_5gram,
+        "lang_id": q_lang_id,
+        "text_quality": q_quality,
+        "text_stats": q_text_stats,
+        "doc_fingerprint": q_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "region_revenue": q_region_revenue,
+        "pricing_summary": q_pricing_summary,
+        "sessionize_30m": q_sessionize_30m,
+        "sketch_accuracy": q_sketch_accuracy,
+        "range_join": q_range_join,
+        "ohlc_1h": q_ohlc_1h,
+        "asof_join": q_asof_join,
+        "rollup_cascade_1d": q_rollup_cascade_1d,
+        "agg_merge": q_agg_merge,
+        "locf_1h": q_locf_1h,
+        "rollup_1d_kernel": q_rollup_1d_kernel,
+        "rollup_1h_sql": q_rollup_1h_sql,
+        # --- ts_* scalar blocks: stable since round 1, oracle-green in
+        # every CORRECTNESS_r0*.json; these are the rotation victims ---
+        "ts_step_moments": q_ts_step_moments,
+        "ts_err_stats": q_ts_err_stats,
+        "ts_flux_ratios": q_ts_flux_ratios,
+        "ts_close_to_median": q_ts_close_to_median,
+        "ts_percentiles": q_ts_percentiles,
+        "ts_weighted": q_ts_weighted,
+        "ts_cad_probs": q_ts_cad_probs,
+        "ts_cadence": q_ts_cadence,
+        "ts_dispersion": q_ts_dispersion,
+        "ts_profile_basic": q_ts_profile_basic,
     }
 
 
@@ -1671,6 +1699,10 @@ def oracle_sql() -> dict[str, str]:
                coalesce(l.lbl, d.doc_id) = d.doc_id AS is_keeper
         FROM documents d LEFT JOIN lab l ON d.doc_id = l.n
     """
+
+    # the skew-routed variant must produce the IDENTICAL clusters —
+    # same oracle by construction
+    sql["lsh_clusters_skew_routed"] = sql["lsh_clusters"]
 
     # span-level duplication: matching tokenization (\s+ on trimmed
     # text, empties dropped — Java and RE2 \s agree on the ASCII
