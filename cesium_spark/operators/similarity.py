@@ -354,16 +354,19 @@ def ivf_query(
 
 def train_pq_codebooks(
     sample: np.ndarray, m: int = 8, nbits: int = 8, seed: int = 42,
-    iters: int = 12,
+    iters: int = 12, normalize: bool = True,
 ) -> np.ndarray:
     """Product-quantization codebooks (Jégou, Douze, Schmid, "Product
     Quantization for Nearest Neighbor Search", TPAMI 2011): split the
-    (normalized) vector into m subspaces and run an independent
-    euclidean k-means with 2**nbits codewords in each. Returns
-    (m, 2**nbits, dim/m). Deterministic: seeded init per subspace,
-    bounded driver-side training sample."""
+    vector into m subspaces and run an independent euclidean k-means
+    with 2**nbits codewords in each. Returns (m, 2**nbits, dim/m).
+    Deterministic: seeded init per subspace, bounded driver-side
+    training sample. `normalize=False` for residual (IVFADC) training,
+    where the input rows are centroid residuals and MUST NOT be
+    re-normalized."""
     sample = np.asarray(sample, dtype=np.float64)
-    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True).clip(1e-12)
+    if normalize:
+        sample = sample / np.linalg.norm(sample, axis=1, keepdims=True).clip(1e-12)
     n, dim = sample.shape
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
@@ -408,19 +411,31 @@ def build_ivfpq_index(
     (np.save) and broadcast at query time. Assignment + encoding happen
     in ONE Arrow pass over the corpus.
 
+    Codes quantize the RESIDUAL vs the assigned IVF centroid (the IVFADC
+    layout of Jégou et al. §IV.A, r4 VERDICT item 6): residuals have far
+    less energy than raw vectors — the coarse quantizer already explains
+    the centroid component — so the same m bytes model the remainder
+    much more finely. On the isotropic test corpus this lifts raw (no
+    re-rank) recall@3 at m=8 from ~0.5-0.6 to >=0.8. The scorer adds the
+    exactly-known q·centroid term back per probed list (see ivfpq_query).
+
     Codes are array<smallint> for Spark-native handling; a production
     writer would pack them to binary — the plan shape is identical."""
     import pandas as pd
 
     sample = _driver_sample(corpus, id_col, vec_col, train_sample)
     cents = _kmeans_centroids(sample, n_lists, seed)
-    books = train_pq_codebooks(sample, m=m, nbits=nbits, seed=seed)
+    sn = sample / np.linalg.norm(sample, axis=1, keepdims=True).clip(1e-12)
+    resid = sn - cents[(sn @ cents.T).argmax(axis=1)]
+    books = train_pq_codebooks(resid, m=m, nbits=nbits, seed=seed,
+                               normalize=False)
     dsub = books.shape[2]
 
     def encode_fn(cols):
         vs = np.asarray(cols.tolist(), dtype=np.float64)
         vs = vs / np.linalg.norm(vs, axis=1, keepdims=True).clip(1e-12)
         lists = (vs @ cents.T).argmax(axis=1).astype(np.int32)
+        vs = vs - cents[lists]  # residual vs the assigned centroid
         codes = np.empty((len(vs), len(books)), dtype=np.int16)
         for j in range(len(books)):
             sub = vs[:, j * dsub:(j + 1) * dsub]
@@ -453,12 +468,17 @@ def ivfpq_query(
     """Top-k over an IVF-PQ index via asymmetric distance computation
     (ADC): per query, one (m, 2**nbits) lookup table of subspace dot
     products against the codebooks; each candidate's approximate cosine
-    is m table lookups summed. The INDEX side never carries full
-    vectors — candidates move as m-byte codes; the query vector (the
-    small, broadcast side) rides along candidate rows into the scorer,
-    which computes each LUT once per unique query per Arrow batch and
-    scores that query's rows in one vectorized gather. Ranks on
-    (rounded score desc, id asc) like every similarity path.
+    is m table lookups summed. Codes are RESIDUAL codes (IVFADC), so
+    the score decomposes exactly as q·v ~= q·c_list + q·residual: the
+    first term is computed exactly from the broadcast centroids (one
+    (n_lists,) vector per unique query), the second from the LUT gather
+    — same cost as non-residual ADC, one extra per-row add. The INDEX
+    side never carries full vectors — candidates move as m-byte codes;
+    the query vector (the small, broadcast side) rides along candidate
+    rows into the scorer, which computes each LUT once per unique query
+    per Arrow batch and scores that query's rows in one vectorized
+    gather. Ranks on (rounded score desc, id asc) like every
+    similarity path.
 
     `rerank` (the raw vector table, joined BY ID) enables the standard
     two-stage refinement: ADC prunes to a k*rerank_mult shortlist, then
@@ -472,8 +492,9 @@ def ivfpq_query(
     mm = books.shape[0]
     q = _probe_exploded(queries, cents, n_probe, id_col, vec_col)
 
-    def adc_fn(qvs, codes):
+    def adc_fn(qvs, codes, list_ids):
         C = np.asarray(codes.tolist(), dtype=np.int64)
+        L = np.asarray(list_ids.to_numpy(), dtype=np.int64)
         qarr = np.asarray(qvs.tolist(), dtype=np.float64)
         out = np.empty(len(C))
         # one LUT + one vectorized gather per UNIQUE query in the batch
@@ -487,7 +508,8 @@ def ivfpq_query(
             qa = qarr[idxs[0]]
             qn = qa / max(np.linalg.norm(qa), 1e-12)
             lut = np.einsum("jd,jkd->jk", qn.reshape(mm, dsub), books)
-            out[idxs] = lut[cols, C[idxs]].sum(axis=1)
+            qcent = cents @ qn  # exact q·c_list term, (n_lists,)
+            out[idxs] = qcent[L[idxs]] + lut[cols, C[idxs]].sum(axis=1)
         return pd.Series(out)
 
     adc_udf = F.pandas_udf(adc_fn, "double")
@@ -497,8 +519,11 @@ def ivfpq_query(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(adc_udf(F.col("qv"), F.col("codes")) + F.lit(1e-9),
-                    round_digits).alias("score"),
+            F.round(
+                adc_udf(F.col("qv"), F.col("codes"), F.col("list_id"))
+                + F.lit(1e-9),
+                round_digits,
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

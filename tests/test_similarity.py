@@ -215,3 +215,53 @@ def test_ivfpq_index_and_adc_rerank(spark):
     pp = plain.toPandas()
     assert (pp.groupby("query_id").size() == 3).all()
     assert set(pp.columns) == {"query_id", "rank", "neighbor_id", "score"}
+
+
+def test_ivfpq_residual_adc_score_decomposition(spark):
+    """r4 VERDICT item 6 (IVFADC, Jégou et al. §IV.A): codes quantize
+    the residual vs the assigned IVF centroid and the ADC score must
+    equal q·c_list + q·decoded_residual EXACTLY (same floats as a
+    numpy reconstruction) — the exact-centroid term is what the
+    non-residual layout threw away. Also pins raw (no-rerank) recall
+    on the planted-twins corpus at m=8 >= 0.8."""
+    import numpy as np
+    from cesium_spark.operators.similarity import (
+        build_ivfpq_index, cosine_topk_bruteforce, ivfpq_query)
+
+    rng = np.random.RandomState(11)
+    centers = rng.normal(0, 1, (6, 32))
+    rows, vid = [], 0
+    for c in range(6):
+        anchor = centers[c] + rng.normal(0, 0.05, 32)
+        members = [anchor] + [anchor + rng.normal(0, 0.02, 32) for _ in range(3)]
+        members += [centers[c] + rng.normal(0, 0.3, 32) for _ in range(16)]
+        for v in members:
+            rows.append((vid, (v / np.linalg.norm(v)).tolist()))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    index, cents, books = build_ivfpq_index(emb, n_lists=4, m=8, nbits=6)
+    qs = emb.filter("vec_id = 0")
+    got = ivfpq_query(index, cents, books, qs, k=5, n_probe=4).toPandas()
+
+    # numpy reconstruction of the same scores
+    idx_pd = index.toPandas().set_index("neighbor_id")
+    vecs = dict(rows)
+    q = np.asarray(vecs[0], dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    dsub = books.shape[2]
+    for _, r in got.iterrows():
+        e = idx_pd.loc[r.neighbor_id]
+        recon = cents[e.list_id] + np.concatenate(
+            [books[j][e.codes[j]] for j in range(len(books))])
+        want = round(float(qn @ recon) + 1e-9, 6)
+        assert abs(want - r.score) < 1.5e-6, (r.neighbor_id, want, r.score)
+
+    # raw-path recall floor on planted twins (no exact re-rank involved)
+    qs10 = emb.filter("vec_id % 20 = 0")
+    exact = cosine_topk_bruteforce(emb, qs10, k=3).select(
+        "query_id", "neighbor_id")
+    raw = ivfpq_query(index, cents, books, qs10, k=3, n_probe=4)
+    hits = raw.select("query_id", "neighbor_id") \
+        .join(exact, ["query_id", "neighbor_id"]).count()
+    assert hits / exact.count() >= 0.8
