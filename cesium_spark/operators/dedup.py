@@ -41,6 +41,7 @@ __all__ = [
     "lsh_dedup_clusters",
     "duplicate_token_spans",
     "span_index_rows",
+    "span_profiles_from_index",
     "incremental_duplicate_spans",
     "incremental_minhash_pairs",
     "simhash64",
@@ -629,6 +630,58 @@ def incremental_duplicate_spans(
         .distinct()
     )
     return profiles, new_rows, affected_old
+
+
+def span_profiles_from_index(
+    index: DataFrame,
+    doc_ids: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """duplicate_token_spans-shaped profiles for `doc_ids` recomputed
+    PURELY from the span index — no document text required. Exact for
+    any doc PRESENT in the index: a doc's window count sums its (id,
+    key, n) multiplicities, so n_spans = sum(n) and n_tokens =
+    n_spans + k - 1; dup verdicts come from global key counts over the
+    index restricted to the docs' keys (semi-join pruning — a re-profile
+    touches O(docs' keys) index rows, never the whole index).
+
+    This is how continuous ingestion refreshes the verdicts of
+    PREVIOUSLY seen documents when a batch moves their span keys across
+    min_count (incremental_duplicate_spans' affected_old_ids): the raw
+    text of an old doc may already be beyond its retention horizon, but
+    the index retains exactly enough to re-derive its profile."""
+    first_col = doc_ids.columns[0]
+    ids = doc_ids.select(F.col(first_col).alias("id")).distinct()
+    rows = index.select("id", "key", "n").join(ids, "id", "semi")
+    keys = rows.select("key").distinct()
+    counts = (
+        index.join(keys, "key", "semi")
+        .groupBy("key")
+        .agg(F.sum("n").alias("c"))
+    )
+    per = (
+        rows.join(counts, "key")
+        .groupBy("id")
+        .agg(
+            F.sum("n").alias("n_spans"),
+            F.sum(
+                F.when(F.col("c") >= min_count, F.col("n")).otherwise(0)
+            ).alias("dup_spans"),
+        )
+    )
+    frac = F.when(F.col("n_spans") == 0, F.lit(0.0)).otherwise(
+        F.col("dup_spans") / F.col("n_spans")
+    )
+    return per.select(
+        F.col("id").alias(id_col),
+        (F.col("n_spans") + F.lit(k - 1)).cast("long").alias("n_tokens"),
+        F.col("n_spans").cast("long"),
+        F.col("dup_spans").cast("long"),
+        F.round(frac + F.lit(1e-9), round_digits).alias("dup_frac"),
+    )
 
 
 def _simhash_accumulate(token_lists) -> pd.Series:

@@ -100,10 +100,21 @@ class SnapshotTable:
         _dest, new_paths = self._write_data(df, partition_by)
         return self._append_snapshot(new_paths, "overwrite", log)
 
-    def overwrite_partitions(self, df: DataFrame, partition_by: list[str]) -> str:
+    def overwrite_partitions(
+        self,
+        df: DataFrame,
+        partition_by: list[str],
+        also_replace: set[str] | None = None,
+    ) -> str:
         """Dynamic partition overwrite: replaces only the partitions
         present in `df`, keeps all others — Iceberg's
-        `overwritePartitions()` semantics."""
+        `overwritePartitions()` semantics.
+
+        `also_replace` names extra partition-dir suffixes (e.g.
+        ``{"bucket=13"}``) to drop even when `df` writes no rows for
+        them — the delete-partition case a pure dynamic overwrite cannot
+        express (an updated partition whose new content is EMPTY would
+        otherwise silently keep its stale rows)."""
         log = self._load_log()
         prev = log[-1]["paths"] if log else []
         dest, new_paths = self._write_data(df, partition_by)
@@ -111,7 +122,7 @@ class SnapshotTable:
         def suffix(p, base):
             return os.path.relpath(p, base)
 
-        replaced = {suffix(p, dest) for p in new_paths}
+        replaced = {suffix(p, dest) for p in new_paths} | set(also_replace or ())
         kept = []
         for p in prev:
             # previous paths belong to other snapshot dirs: compare their

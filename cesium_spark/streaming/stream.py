@@ -25,7 +25,8 @@ from .rollup_schema import STREAM_ROLLUP_COLUMNS
 __all__ = [
     "streaming_rollup", "streaming_partial_states", "start_file_stream",
     "streaming_sessionize", "start_session_stream",
-    "streaming_exact_dedup",
+    "streaming_exact_dedup", "span_dedup_batch_fn",
+    "start_span_dedup_stream",
 ]
 
 
@@ -361,6 +362,152 @@ def start_session_stream(
         sess.writeStream.outputMode("append")
         .format("parquet")
         .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def span_dedup_batch_fn(
+    store_root: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    hash_fn: str = "md5",
+    min_count: int = 2,
+    n_buckets: int = 64,
+    round_digits: int = 6,
+):
+    """foreachBatch function maintaining a persisted span index + a
+    per-document span-duplication VERDICT table under `store_root`
+    (SnapshotTables "span_index" and "span_verdicts") — the streaming
+    head of the span-level dedup pipeline (r4 VERDICT item 8;
+    incremental_duplicate_spans was batch-only).
+
+    Per micro-batch:
+      1. probe the index with the batch (incremental_duplicate_spans:
+         replay-safe — re-ingested ids REPLACE their stale rows);
+      2. re-profile `affected_old_ids` PURELY from the post-batch index
+         (span_profiles_from_index — old docs' raw text may be past its
+         retention horizon; the index suffices);
+      3. upsert verdicts, then commit the index.
+
+    Both tables are hash-bucketed on their key (`pmod(xxhash64, n_buckets)`)
+    and maintained with PARTITION-level dynamic overwrite: a batch
+    rewrites only the buckets it touched — O(batch + touched buckets),
+    never O(corpus) — the plain-parquet stand-in for an Iceberg
+    MERGE INTO (sources/table.py docstring).
+
+    Crash/replay discipline (foreachBatch may redeliver a batch): all
+    reads in a delivery see ONE index snapshot; verdicts commit BEFORE
+    the index. A redelivery after a verdict-only commit recomputes
+    identical upserts against the unchanged index; a redelivery after
+    both commits finds the batch ids already REPLACING their own rows
+    (idempotent) and an empty affected set. Either way the stores
+    converge to the same state a single delivery produces."""
+    import os
+
+    from ..operators.dedup import (
+        incremental_duplicate_spans, span_profiles_from_index)
+    from ..sources.table import SnapshotTable
+
+    idx_table = SnapshotTable(os.path.join(store_root, "span_index"))
+    verd_table = SnapshotTable(os.path.join(store_root, "span_verdicts"))
+    key_type = "string" if hash_fn == "md5" else "bigint"
+
+    def _bucket(col):
+        return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sp = batch_df.sparkSession
+        id_type = dict(batch_df.dtypes)[id_col]
+        bootstrap = False
+        try:
+            idx = idx_table.read(sp)
+        except FileNotFoundError:
+            bootstrap = True
+            idx = sp.createDataFrame(
+                [], f"id {id_type}, key {key_type}, n bigint, bucket int"
+            )
+
+        profiles, new_rows, affected_old = incremental_duplicate_spans(
+            idx.select("id", "key", "n"), batch_df, id_col=id_col,
+            text_col=text_col, k=k, hash_fn=hash_fn, min_count=min_count,
+            round_digits=round_digits,
+        )
+        new_ids = batch_df.select(F.col(id_col).alias("id")).distinct()
+        fresh = idx.join(new_ids, "id", "left_anti")
+        new_rows_b = new_rows.withColumn("bucket", _bucket(F.col("key")))
+        post_index = fresh.select("id", "key", "n").unionByName(new_rows)
+
+        # ---- verdict upserts (commit FIRST — see docstring) ----
+        aff_prof = span_profiles_from_index(
+            post_index, affected_old, k=k, min_count=min_count,
+            id_col=id_col, round_digits=round_digits,
+        )
+        upserts = profiles.unionByName(aff_prof).withColumn(
+            "vbucket", _bucket(F.col(id_col))
+        )
+        try:
+            verd = verd_table.read(sp)
+            v_touched = sorted(
+                r["vbucket"]
+                for r in upserts.select("vbucket").distinct().collect()
+            )
+            up_ids = upserts.select(id_col).distinct()
+            keep = (
+                verd.filter(F.col("vbucket").isin(v_touched))
+                .join(up_ids, id_col, "left_anti")
+            )
+            verd_table.overwrite_partitions(
+                keep.unionByName(upserts), ["vbucket"],
+                also_replace={f"vbucket={b}" for b in v_touched},
+            )
+        except FileNotFoundError:
+            verd_table.overwrite(upserts, ["vbucket"])
+
+        # ---- index maintenance: only touched buckets rewritten ----
+        if bootstrap:
+            idx_table.overwrite(new_rows_b, ["bucket"])
+            return
+        replaced = idx.join(new_ids, "id", "semi")
+        touched = sorted(
+            {r["bucket"] for r in
+             new_rows_b.select("bucket").distinct().collect()}
+            | {r["bucket"] for r in
+               replaced.select("bucket").distinct().collect()}
+        )
+        content = (
+            fresh.filter(F.col("bucket").isin(touched))
+            .unionByName(new_rows_b)
+        )
+        idx_table.overwrite_partitions(
+            content, ["bucket"],
+            also_replace={f"bucket={b}" for b in touched},
+        )
+
+    return _apply
+
+
+def start_span_dedup_stream(
+    spark,
+    input_dir: str,
+    store_root: str,
+    checkpoint_dir: str,
+    schema,
+    **kwargs,
+):
+    """File-source streaming span dedup: new parquet document files under
+    `input_dir` update the span index and per-doc duplication verdicts
+    under `store_root` micro-batch by micro-batch (span_dedup_batch_fn).
+    availableNow trigger: drains what exists, then stops — restartable
+    from the checkpoint like every head in this module. Returns the
+    StreamingQuery."""
+    src = spark.readStream.schema(schema).parquet(input_dir)
+    return (
+        src.writeStream.foreachBatch(span_dedup_batch_fn(store_root, **kwargs))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -264,3 +264,77 @@ def test_streaming_states_feed_batch_cascade(spark, tmp_path):
         partial_states(df, "1h"), ["conv_id", "window_start"]
     ).toPandas().sort_values(["conv_id", "window_start"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, rtol=1e-12, atol=1e-12)
+
+
+def test_streaming_span_dedup_availablenow_restart(spark, tmp_path):
+    """r4 VERDICT item 8: the span-level dedup head runs behind the
+    streaming ingest — per micro-batch the span index and the per-doc
+    duplication verdicts update, replays REPLACE a doc's old version,
+    and threshold crossings in BOTH directions re-profile previously
+    seen docs (whose raw text the stream no longer has). After an
+    availableNow restart over a second batch, verdicts and index must
+    equal a full batch recompute over the CURRENT corpus."""
+    from cesium_spark.operators.dedup import (
+        duplicate_token_spans, span_index_rows)
+    from cesium_spark.sources.table import SnapshotTable
+    from cesium_spark.streaming.stream import start_span_dedup_stream
+
+    in_dir, store, ckpt = (str(tmp_path / d) for d in ("in", "store", "ckpt"))
+    SPAN = "alpha beta gamma delta epsilon zeta eta theta"
+    batch1 = [
+        (1, SPAN + " filler one two"),          # shares SPAN with doc 3
+        (2, "unique words only here nothing shared at all"),
+        (3, SPAN + " other tail words"),
+        (4, "short text"),                      # < k tokens: 0 spans
+    ]
+    schema = "doc_id long, text string"
+    spark.createDataFrame(batch1, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(in_dir)
+
+    q = start_span_dedup_stream(spark, in_dir, store, ckpt, schema,
+                                k=8, n_buckets=8)
+    q.awaitTermination(120)
+
+    verd = SnapshotTable(f"{store}/span_verdicts")
+    got1 = verd.read(spark).drop("vbucket").toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    want1 = duplicate_token_spans(
+        spark.createDataFrame(batch1, schema), k=8).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got1, want1, check_dtype=False)
+    assert got1[got1.doc_id == 1].dup_frac.iloc[0] > 0  # SPAN is shared
+
+    # batch 2: replay doc 1 WITHOUT the span (downward crossing for
+    # doc 3), duplicate doc 2's text (upward crossing for doc 2), one
+    # fresh unique doc
+    batch2 = [
+        (1, "replayed text now totally different from before honestly"),
+        (5, "unique words only here nothing shared at all plus extra"),
+        (6, "a genuinely fresh document with eight plus tokens inside"),
+    ]
+    spark.createDataFrame(batch2, schema).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+    q2 = start_span_dedup_stream(spark, in_dir, store, ckpt, schema,
+                                 k=8, n_buckets=8)
+    q2.awaitTermination(120)
+
+    current = {d: t for d, t in batch1}
+    current.update({d: t for d, t in batch2})
+    corpus = spark.createDataFrame(sorted(current.items()), schema)
+    got2 = verd.read(spark).drop("vbucket").toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    want2 = duplicate_token_spans(corpus, k=8).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got2, want2, check_dtype=False)
+    # the crossings actually happened: doc 2 is now a dup, doc 3 no
+    # longer is — both were re-profiled WITHOUT their text
+    g2 = got2.set_index("doc_id")
+    assert g2.loc[2].dup_frac > 0 and g2.loc[3].dup_frac == 0.0
+
+    # index invariant: bucket-partitioned maintenance == full recompute
+    idx = SnapshotTable(f"{store}/span_index").read(spark) \
+        .select("id", "key", "n").toPandas() \
+        .sort_values(["id", "key"]).reset_index(drop=True)
+    want_idx = span_index_rows(corpus, k=8).toPandas() \
+        .sort_values(["id", "key"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(idx, want_idx, check_dtype=False)
