@@ -2,8 +2,8 @@
 decodable offline — RIFF/WAVE PCM audio, uncompressed 24-bit BMP, PNG
 (stdlib zlib; this module owns the chunk walk and the five scanline
 filters), and JPEG (operators/jpeg_codec.py — from-scratch T.81
-Huffman + DCT incl. 4:2:0/4:2:2 subsampling). No external codec
-library involved.
+Huffman + DCT incl. 4:2:0/4:2:2 subsampling and progressive SOF2
+scans). No external codec library involved.
 
 These upgrade the multimodal pipeline's decode step from a stub to a
 real implementation where that is possible without codecs; the

@@ -5,7 +5,7 @@ Decoding: WAV/PCM audio, uncompressed BMP, PNG, and baseline JPEG
 decode FOR REAL via the pure-numpy codecs in operators/media_codecs.py
 and operators/jpeg_codec.py (header parse + numpy; PNG rides stdlib
 zlib; JPEG is a from-scratch T.81 Huffman+DCT incl. 4:2:0/4:2:2
-chroma subsampling). The remaining
+chroma subsampling AND progressive SOF2 scans). The remaining
 formats (MP3/H.264) require a codec
 library that does not ship in this container: `register_decoder`
 installs the real one in such a deployment, and until then those types

@@ -210,7 +210,7 @@ def test_jpeg_roundtrip_and_features():
 
 
 def test_jpeg_rejects_and_degrades():
-    """Truncation / progressive markers / garbage raise ValueError and
+    """Truncation / corrupt headers / garbage raise ValueError and
     degrade to pseudo-features through the multimodal path."""
     from cesium_spark.operators.jpeg_codec import decode_jpeg, encode_jpeg
     from cesium_spark.operators.multimodal import _default_decode
@@ -219,14 +219,69 @@ def test_jpeg_rejects_and_degrades():
     with pytest.raises(ValueError):
         decode_jpeg(good[:40])               # truncated mid-segment
     with pytest.raises(ValueError):
-        decode_jpeg(b"\xff\xd8\xff\xc2" + good[4:])  # SOF2 progressive
+        # APP0 payload re-tagged as a frame header: corrupt precision
+        decode_jpeg(b"\xff\xd8\xff\xc2" + good[4:])
     with pytest.raises(ValueError):
         decode_jpeg(b"not a jpeg at all")
+    with pytest.raises(ValueError):
+        # arithmetic-coded progressive (SOF10) stays rejected
+        decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xca", 1))
     out = _default_decode(good[:40], "image/jpeg")
     assert out.shape == (8,) and out[7] != 4.0  # degraded, not decoded
     # and an intact payload through the same multimodal entry decodes
     ok = _default_decode(good, "image/jpeg")
     assert ok[7] == 4.0
+
+
+def test_jpeg_progressive_conformance():
+    """Progressive (SOF2) decode — r4 VERDICT item 2. The progressive
+    encoder writes the IDENTICAL quantized coefficients as baseline
+    through a scan script covering every Annex G scan kind (DC first
+    Al=1 + DC refinement; per-component spectral-selection AC first
+    scans at Al=2 with EOB-run accumulation; two AC refinement passes),
+    so the decoded pixels must match the baseline decode BIT-FOR-BIT —
+    across color/gray, every supported subsampling, restart markers,
+    and non-multiple-of-8/16 dimensions. The multimodal path now
+    decodes progressive payloads for REAL (no pseudo-feature fallback)."""
+    from cesium_spark.operators.jpeg_codec import decode_jpeg, encode_jpeg
+    from cesium_spark.operators.multimodal import _default_decode
+
+    rng = np.random.RandomState(17)
+    x = np.linspace(0, 255, 41)[None, :] * np.ones((27, 1))
+    grad = np.stack(
+        [x, x[::-1], np.tile(np.linspace(0, 255, 27)[:, None], (1, 41))], -1
+    ).astype(np.uint8)
+    noise = rng.randint(0, 256, (24, 56, 3)).astype(np.uint8)
+
+    for img, sub, q, ri in [
+        (grad, "444", 90, 0),
+        (grad, "420", 85, 0),
+        (grad, "422", 95, 0),
+        (noise, "420", 50, 0),
+        (noise, "444", 75, 3),   # restart markers inside every scan
+    ]:
+        base = decode_jpeg(encode_jpeg(img, q, restart_interval=ri,
+                                       subsampling=sub))
+        prog_bytes = encode_jpeg(img, q, restart_interval=ri,
+                                 subsampling=sub, progressive=True)
+        assert b"\xff\xc2" in prog_bytes  # really SOF2
+        np.testing.assert_array_equal(decode_jpeg(prog_bytes), base)
+
+    # grayscale
+    g = grad[..., 0]
+    np.testing.assert_array_equal(
+        decode_jpeg(encode_jpeg(g, 85, progressive=True)),
+        decode_jpeg(encode_jpeg(g, 85)),
+    )
+
+    # solid-color progressive recovers exactly, like baseline
+    solid = np.full((16, 16, 3), 128, np.uint8)
+    assert (decode_jpeg(encode_jpeg(solid, 95, progressive=True)) == solid).all()
+
+    # multimodal entry: progressive decodes for real (marker 4.0 = real
+    # decode, not the digest fallback)
+    assert _default_decode(
+        encode_jpeg(solid, 90, progressive=True), "image/jpeg")[7] == 4.0
 
 
 def test_extract_features_decodes_real_media(spark):
@@ -403,6 +458,17 @@ def test_codec_fuzz_hostile_bytes_only_valueerror():
         except ValueError:
             pass  # the contract
         # anything else propagates and fails the test
+
+    # the progressive scan decoders (r5) hold the same contract —
+    # mutate/truncate an SOF2 stream through the same harness
+    prog = encode_jpeg(img, 85, progressive=True)
+    for cut in (0, 8, 40, len(prog) // 3, len(prog) // 2, len(prog) - 1):
+        check(decode_jpeg, prog[:cut])
+    for _ in range(120):
+        b = bytearray(prog)
+        for _ in range(rng.randint(1, 4)):
+            b[rng.randint(len(b))] = rng.randint(256)
+        check(decode_jpeg, b)
 
     for fn, good in valid.items():
         for cut in (0, 1, 3, 8, 12, 20, len(good) // 2, len(good) - 1):
