@@ -120,8 +120,15 @@ def test_png_gray_palette_16bit_and_rejects():
     img16 = decode_png(_png_raw(1, 1, 16, 2, b"\x00" + px))
     assert img16.dtype == np.uint16 and img16[0, 0].tolist() == [0xFF00, 0x8000, 1]
 
-    # Adam7 interlace -> explicit reject (documented descope)
-    with pytest.raises(ValueError, match="Adam7"):
+    # Adam7 interlace (r4 VERDICT item 3): hand-built gray 2x2 — pass 1
+    # carries pixel (0,0), pass 6 pixel (1,0), pass 7 the y=1 row; the
+    # other passes are empty and contribute NO bytes, per the spec
+    adam_lines = b"\x00\x00" + b"\x00\x40" + b"\x00\x80\xc0"
+    gi = decode_png(_png_raw(2, 2, 8, 0, adam_lines,
+                             extra_chunks=(("interlace", b""),)))
+    assert gi.shape == (2, 2, 1) and gi.ravel().tolist() == [0, 64, 128, 192]
+    # sequential bytes under an interlaced header -> length mismatch
+    with pytest.raises(ValueError, match="length"):
         decode_png(_png_raw(2, 2, 8, 0, lines, extra_chunks=(("interlace", b""),)))
 
     # palette index out of range -> reject, not garbage pixels
@@ -459,16 +466,19 @@ def test_codec_fuzz_hostile_bytes_only_valueerror():
             pass  # the contract
         # anything else propagates and fails the test
 
-    # the progressive scan decoders (r5) hold the same contract —
-    # mutate/truncate an SOF2 stream through the same harness
-    prog = encode_jpeg(img, 85, progressive=True)
-    for cut in (0, 8, 40, len(prog) // 3, len(prog) // 2, len(prog) - 1):
-        check(decode_jpeg, prog[:cut])
-    for _ in range(120):
-        b = bytearray(prog)
-        for _ in range(rng.randint(1, 4)):
-            b[rng.randint(len(b))] = rng.randint(256)
-        check(decode_jpeg, b)
+    # the progressive scan decoders and the Adam7 pass scatterer (r5)
+    # hold the same contract — mutate/truncate through the same harness
+    for fn, extra in (
+        (decode_jpeg, encode_jpeg(img, 85, progressive=True)),
+        (decode_png, encode_png(img, filter_type=2, interlace=True)),
+    ):
+        for cut in (0, 8, 40, len(extra) // 3, len(extra) // 2, len(extra) - 1):
+            check(fn, extra[:cut])
+        for _ in range(120):
+            b = bytearray(extra)
+            for _ in range(rng.randint(1, 4)):
+                b[rng.randint(len(b))] = rng.randint(256)
+            check(fn, b)
 
     for fn, good in valid.items():
         for cut in (0, 1, 3, 8, 12, 20, len(good) // 2, len(good) - 1):
@@ -525,3 +535,26 @@ def test_jpeg_grayscale_sof_with_declared_subsampling():
 
     with pytest.raises(ValueError, match="subsampling"):
         encode_jpeg(np.zeros((8, 8, 3), np.uint8), subsampling="411")
+
+
+def test_png_adam7_bit_equal_to_sequential():
+    """r4 VERDICT item 3: an Adam7-interlaced fixture decodes bit-equal
+    to its deinterlaced (sequential) twin — across every filter type,
+    edge shapes where most passes are empty, and through the multimodal
+    feature path."""
+    from cesium_spark.operators.multimodal import _default_decode
+
+    rng = np.random.RandomState(29)
+    for shape in [(9, 7), (16, 16), (1, 1), (3, 1), (1, 3), (33, 21)]:
+        img = rng.randint(0, 256, (*shape, 3), np.uint8)
+        for ft in range(5):
+            seq = decode_png(encode_png(img, filter_type=ft))
+            adam = decode_png(encode_png(img, filter_type=ft, interlace=True))
+            np.testing.assert_array_equal(seq, adam)
+            np.testing.assert_array_equal(seq, img)
+
+    img = rng.randint(0, 256, (12, 10, 3), np.uint8)
+    pay = encode_png(img, filter_type=4, interlace=True)
+    assert _default_decode(pay, "image/png")[7] == 3.0  # real decode
+    np.testing.assert_array_equal(
+        png_features(pay), png_features(encode_png(img, filter_type=4)))
