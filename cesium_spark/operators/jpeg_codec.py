@@ -989,9 +989,14 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             rd = _BitReader(d, pos)
             try:
                 if not progressive:
-                    if ns != len(comps):
+                    # T.81 allows sequential frames split into several
+                    # scans (non-interleaved per-component scans are
+                    # common from hardware encoders); each scan decodes
+                    # independently, coverage is validated at the end
+                    if ns > 1 and ns != len(comps):
                         raise ValueError(
-                            "JPEG scan does not cover every frame component"
+                            "interleaved JPEG scan must cover every "
+                            "frame component"
                         )
                     for _, td, ta in scomps_r:
                         if td not in dc_tabs or ta not in ac_tabs:

@@ -558,3 +558,63 @@ def test_png_adam7_bit_equal_to_sequential():
     assert _default_decode(pay, "image/png")[7] == 3.0  # real decode
     np.testing.assert_array_equal(
         png_features(pay), png_features(encode_png(img, filter_type=4)))
+
+
+def test_jpeg_multiscan_sequential_decode():
+    """T.81 sequential frames may split into per-component
+    non-interleaved scans (common from hardware encoders). Hand-roll a
+    3-scan SOF0 stream carrying the same coefficients as the
+    interleaved encoding — decodes must be bit-identical."""
+    import struct as _struct
+    from cesium_spark.operators import jpeg_codec as J
+
+    rng = np.random.RandomState(31)
+    img = rng.randint(0, 256, (16, 24, 3), np.uint8)
+    interleaved = J.encode_jpeg(img, 85)  # 4:4:4 — every comp full-res
+
+    # rebuild the same stream with one SOS per component
+    x = img.astype(np.float64)
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    comps = [0.299 * r + 0.587 * g + 0.114 * b,
+             -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+             0.5 * r - 0.418688 * g - 0.081312 * b + 128.0]
+    qts = [J._scale_qt(J._QT_LUMA, 85), J._scale_qt(J._QT_CHROMA, 85)]
+    dc_specs, ac_specs = [J._DC_LUMA, J._DC_CHROMA], [J._AC_LUMA, J._AC_CHROMA]
+    dc_tabs = [J._huff_codes(*s) for s in dc_specs]
+    ac_tabs = [J._huff_codes(*s) for s in ac_specs]
+    h, w = img.shape[:2]
+    nby, nbx = h // 8, w // 8
+
+    def seg(marker, body):
+        return _struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = b"\xff\xd8"
+    for ti in range(2):
+        out += seg(0xFFDB, bytes([ti]) + bytes(
+            int(qts[ti][rr, cc]) for rr, cc in J.ZIGZAG))
+    sof = _struct.pack(">BHHB", 8, h, w, 3)
+    for ci in range(3):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += seg(0xFFC0, sof)
+    for ti in range(2):
+        for cls, spec in ((0, dc_specs[ti]), (1, ac_specs[ti])):
+            out += seg(0xFFC4, bytes([(cls << 4) | ti])
+                       + bytes(spec[0]) + bytes(spec[1]))
+    for ci, plane in enumerate(comps):
+        ti = 0 if ci == 0 else 1
+        p = J._edge_pad(plane, nby * 8, nbx * 8)
+        wtr = J._BitWriter()
+        prev = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                blk = p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+                q = np.round((J._C @ blk @ J._C.T) / qts[ti]).astype(np.int32)
+                prev = J._encode_block(q[J._ZZ_ROWS, J._ZZ_COLS], prev,
+                                       dc_tabs[ti], ac_tabs[ti], wtr)
+        wtr.flush()
+        out += seg(0xFFDA, bytes([1, ci + 1, (ti << 4) | ti, 0, 63, 0]))
+        out += bytes(wtr.out)
+    out += b"\xff\xd9"
+
+    np.testing.assert_array_equal(
+        J.decode_jpeg(out), J.decode_jpeg(interleaved))
