@@ -354,8 +354,10 @@ def minhash_lsh_star_edges(
     land in one window task — at ~50 B/row a 10^7-member duplicate
     class is ~500 MB in that task (spillable sort, fine). Buckets
     beyond that are handled by `max_bucket`: when set, the band
-    relation is cached (MEMORY_AND_DISK; it is ~2-5% of corpus bytes —
-    id + band + 8-byte key), bucket sizes and minima come from ONE
+    relation is materialized once via a lazy localCheckpoint (it is
+    ~2-5% of corpus bytes — id + band + 8-byte key — and the blocks are
+    reclaimed automatically when the plan is dropped), bucket sizes and
+    minima come from ONE
     partial-aggregation pass (map-side combine, so no task ever holds a
     whole bucket), and rows are routed automatically: buckets with
     <= max_bucket members keep the single-sort window plan; oversized
@@ -380,9 +382,13 @@ def minhash_lsh_star_edges(
     if max_bucket is None:
         return star
 
-    from pyspark import StorageLevel
-
-    rows = rows.persist(StorageLevel.MEMORY_AND_DISK)
+    # lazy localCheckpoint, not persist(): same one-materialization
+    # semantics for the three consumers below, but the cached blocks are
+    # RDD-scoped — the ContextCleaner reclaims them once the returned
+    # plan is unreferenced, where a cacheManager persist() from inside a
+    # function that returns a lazy DataFrame would leak for the session
+    # lifetime with no caller-visible handle (review finding r5)
+    rows = rows.localCheckpoint(eager=False)
     hot = (
         rows.groupBy("band", "key")
         .agg(F.min("id").alias("root"), F.count("*").alias("c"))

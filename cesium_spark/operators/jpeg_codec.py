@@ -436,8 +436,14 @@ def encode_jpeg(
                                      >> al) & 1, 1)
         else:
             nch, ncw = comp_grid(0)
+            blk = 0
             for by in range(nch):
                 for bx in range(ncw):
+                    if restart_interval and blk and blk % restart_interval == 0:
+                        wtr.flush()
+                        wtr.out += bytes(
+                            [0xFF, 0xD0 + ((blk // restart_interval - 1) % 8)])
+                    blk += 1
                     wtr.write((int(all_zz[0][by, bx, 0]) >> al) & 1, 1)
         wtr.flush()
         return sos_seg([(ci + 1, 0, 0) for ci in range(nf)],

@@ -157,9 +157,14 @@ def parse_and_store_ts_data(
     entry point (kernel.featurize with key_col="series") consumes the
     table directly. Returns (table, snapshot_id, series_names).
 
-    `cleanup_archive` / `cleanup_header` match the reference flags:
-    the uploaded archive / header file are deleted after a successful
-    store (extracted temp members are always cleaned up).
+    `cleanup_archive` / `cleanup_header` match the reference flags
+    with one deliberate hardening: the uploaded archive / header file
+    are deleted only AFTER a successful store (a failed ingest — bad
+    header, malformed member — must not destroy the user's upload;
+    review finding r5), and the single-file passthrough input is never
+    deleted by temp cleanup (only by an explicit cleanup_archive=True
+    after success) — the same input-protection featurize_archive
+    applies. Extracted temp members are always cleaned up.
     """
     from pyspark.sql import functions as F
 
@@ -167,43 +172,53 @@ def parse_and_store_ts_data(
     from .transcripts import read_headerfile, read_ts_csv, shorten_fname
 
     with extract_time_series(
-        data_path, cleanup_archive=cleanup_archive, cleanup_files=True
+        data_path, cleanup_archive=False, cleanup_files=False
     ) as paths:
         if not paths:
             raise ValueError(f"archive {data_path!r} contains no files")
-        names = [shorten_fname(p) for p in paths]
-        parts = []
-        for name, path in sorted(zip(names, paths)):
-            parts.append(
-                read_ts_csv(spark, path, sep=sep)
-                .withColumn("series", F.lit(name))
-            )
-        allrows = parts[0]
-        for p in parts[1:]:
-            allrows = allrows.unionByName(p)
+        # the single-file passthrough yields the INPUT path itself —
+        # temp cleanup only ever touches actually-extracted members
+        extracted = [p for p in paths if p != data_path]
+        try:
+            names = [shorten_fname(p) for p in paths]
+            parts = []
+            for name, path in sorted(zip(names, paths)):
+                parts.append(
+                    read_ts_csv(spark, path, sep=sep)
+                    .withColumn("series", F.lit(name))
+                )
+            allrows = parts[0]
+            for p in parts[1:]:
+                allrows = allrows.unionByName(p)
 
-        if header_path is not None:
-            # validates every series has a header row (raises like the
-            # reference's parse_headerfile on a missing entry); header
-            # is a per-series dimension table -> broadcast join
-            hdr = read_headerfile(spark, header_path, files_to_include=names)
-            allrows = allrows.join(
-                F.broadcast(hdr.withColumnRenamed("name", "series")),
-                "series",
-            )
-        else:
-            allrows = allrows.withColumn(
-                "label", F.lit(None).cast("string")
-            )
+            if header_path is not None:
+                # validates every series has a header row (raises like
+                # the reference's parse_headerfile on a missing entry);
+                # header is a per-series dimension table -> broadcast
+                hdr = read_headerfile(
+                    spark, header_path, files_to_include=names
+                )
+                allrows = allrows.join(
+                    F.broadcast(hdr.withColumnRenamed("name", "series")),
+                    "series",
+                )
+            else:
+                allrows = allrows.withColumn(
+                    "label", F.lit(None).cast("string")
+                )
 
-        table = SnapshotTable(output_dir)
-        snapshot_id = table.append(
-            allrows.select("series", "idx", "t", "m", "e", *[
-                c for c in allrows.columns
-                if c not in ("series", "idx", "t", "m", "e")
-            ])
-        )
+            table = SnapshotTable(output_dir)
+            snapshot_id = table.append(
+                allrows.select("series", "idx", "t", "m", "e", *[
+                    c for c in allrows.columns
+                    if c not in ("series", "idx", "t", "m", "e")
+                ])
+            )
+        finally:
+            remove_files(extracted)
 
+    if cleanup_archive:
+        remove_files([data_path])
     if header_path is not None and cleanup_header:
         remove_files([header_path])
     return table, snapshot_id, sorted(names)

@@ -421,6 +421,8 @@ def span_dedup_batch_fn(
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        from pyspark import StorageLevel
+
         sp = batch_df.sparkSession
         id_type = dict(batch_df.dtypes)[id_col]
         bootstrap = False
@@ -439,54 +441,68 @@ def span_dedup_batch_fn(
         )
         new_ids = batch_df.select(F.col(id_col).alias("id")).distinct()
         fresh = idx.join(new_ids, "id", "left_anti")
-        new_rows_b = new_rows.withColumn("bucket", _bucket(F.col("key")))
-        post_index = fresh.select("id", "key", "n").unionByName(new_rows)
-
-        # ---- verdict upserts (commit FIRST — see docstring) ----
-        aff_prof = span_profiles_from_index(
-            post_index, affected_old, k=k, min_count=min_count,
-            id_col=id_col, round_digits=round_digits,
-        )
-        upserts = profiles.unionByName(aff_prof).withColumn(
-            "vbucket", _bucket(F.col(id_col))
-        )
+        # cache the batch-derived relations for the batch duration:
+        # the verdict write, the bucket collects, and the index write
+        # would each re-tokenize/re-hash the batch text otherwise
+        # (~5 actions per micro-batch; review finding r5) — unpersisted
+        # before returning, so nothing outlives the batch
+        new_rows_b = new_rows.withColumn(
+            "bucket", _bucket(F.col("key"))
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         try:
-            verd = verd_table.read(sp)
-            v_touched = sorted(
-                r["vbucket"]
-                for r in upserts.select("vbucket").distinct().collect()
+            post_index = fresh.select("id", "key", "n").unionByName(
+                new_rows_b.select("id", "key", "n")
             )
-            up_ids = upserts.select(id_col).distinct()
-            keep = (
-                verd.filter(F.col("vbucket").isin(v_touched))
-                .join(up_ids, id_col, "left_anti")
-            )
-            verd_table.overwrite_partitions(
-                keep.unionByName(upserts), ["vbucket"],
-                also_replace={f"vbucket={b}" for b in v_touched},
-            )
-        except FileNotFoundError:
-            verd_table.overwrite(upserts, ["vbucket"])
 
-        # ---- index maintenance: only touched buckets rewritten ----
-        if bootstrap:
-            idx_table.overwrite(new_rows_b, ["bucket"])
-            return
-        replaced = idx.join(new_ids, "id", "semi")
-        touched = sorted(
-            {r["bucket"] for r in
-             new_rows_b.select("bucket").distinct().collect()}
-            | {r["bucket"] for r in
-               replaced.select("bucket").distinct().collect()}
-        )
-        content = (
-            fresh.filter(F.col("bucket").isin(touched))
-            .unionByName(new_rows_b)
-        )
-        idx_table.overwrite_partitions(
-            content, ["bucket"],
-            also_replace={f"bucket={b}" for b in touched},
-        )
+            # ---- verdict upserts (commit FIRST — see docstring) ----
+            aff_prof = span_profiles_from_index(
+                post_index, affected_old, k=k, min_count=min_count,
+                id_col=id_col, round_digits=round_digits,
+            )
+            upserts = profiles.unionByName(aff_prof).withColumn(
+                "vbucket", _bucket(F.col(id_col))
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            try:
+                verd = verd_table.read(sp)
+                v_touched = sorted(
+                    r["vbucket"]
+                    for r in upserts.select("vbucket").distinct().collect()
+                )
+                up_ids = upserts.select(id_col).distinct()
+                keep = (
+                    verd.filter(F.col("vbucket").isin(v_touched))
+                    .join(up_ids, id_col, "left_anti")
+                )
+                verd_table.overwrite_partitions(
+                    keep.unionByName(upserts), ["vbucket"],
+                    also_replace={f"vbucket={b}" for b in v_touched},
+                )
+            except FileNotFoundError:
+                verd_table.overwrite(upserts, ["vbucket"])
+            finally:
+                upserts.unpersist()
+
+            # ---- index maintenance: only touched buckets rewritten ----
+            if bootstrap:
+                idx_table.overwrite(new_rows_b, ["bucket"])
+                return
+            replaced = idx.join(new_ids, "id", "semi")
+            touched = sorted(
+                {r["bucket"] for r in
+                 new_rows_b.select("bucket").distinct().collect()}
+                | {r["bucket"] for r in
+                   replaced.select("bucket").distinct().collect()}
+            )
+            content = (
+                fresh.filter(F.col("bucket").isin(touched))
+                .unionByName(new_rows_b)
+            )
+            idx_table.overwrite_partitions(
+                content, ["bucket"],
+                also_replace={f"bucket={b}" for b in touched},
+            )
+        finally:
+            new_rows_b.unpersist()
 
     return _apply
 

@@ -274,11 +274,16 @@ def test_jpeg_progressive_conformance():
         assert b"\xff\xc2" in prog_bytes  # really SOF2
         np.testing.assert_array_equal(decode_jpeg(prog_bytes), base)
 
-    # grayscale
+    # grayscale, with and without restart markers (the gray DC-refine
+    # scan dropped its RSTn emission pre-review — review finding r5)
     g = grad[..., 0]
     np.testing.assert_array_equal(
         decode_jpeg(encode_jpeg(g, 85, progressive=True)),
         decode_jpeg(encode_jpeg(g, 85)),
+    )
+    np.testing.assert_array_equal(
+        decode_jpeg(encode_jpeg(g, 80, restart_interval=3, progressive=True)),
+        decode_jpeg(encode_jpeg(g, 80, restart_interval=3)),
     )
 
     # solid-color progressive recovers exactly, like baseline

@@ -450,15 +450,35 @@ def test_parse_and_store_ts_data_archive_to_snapshot_table(spark, tmp_path):
     assert len(got2) == len(got)
 
     # --- header missing a series raises (reference parse_headerfile
-    # parity through the composed call)
+    # parity through the composed call) AND, even with the default
+    # cleanup flags, a FAILED ingest must not destroy the upload
+    # (review finding r5: the archive used to be deleted right after
+    # extraction, before header validation)
     bad_hdr = tmp_path / "bad.csv"
     bad_hdr.write_text("filename,label\ns215153.dat,x\n")
     tar_p3 = str(tmp_path / "arch3.tar.gz")
     make_tar(tar_p3)
     with pytest.raises(ValueError, match="header"):
         parse_and_store_ts_data(
-            spark, tar_p3, str(tmp_path / "store3"), str(bad_hdr),
-            cleanup_archive=False, cleanup_header=False)
+            spark, tar_p3, str(tmp_path / "store3"), str(bad_hdr))
+    assert os.path.exists(tar_p3) and os.path.exists(bad_hdr)
+
+    # --- single-file passthrough: the input is NEVER deleted by temp
+    # cleanup (review finding r5), only by cleanup_archive=True after
+    # a successful store
+    single = tmp_path / "solo.dat"
+    t, m, e = data["s215153"]
+    pd.DataFrame({"t": t, "m": m, "e": e}).to_csv(
+        single, index=False, header=False)
+    t4, _, names4 = parse_and_store_ts_data(
+        spark, str(single), str(tmp_path / "store4"), None,
+        cleanup_archive=False, cleanup_header=False)
+    assert os.path.exists(single) and names4 == ["solo"]
+    assert len(t4.read(spark).toPandas()) == len(t)
+    parse_and_store_ts_data(
+        spark, str(single), str(tmp_path / "store5"), None,
+        cleanup_archive=True, cleanup_header=False)
+    assert not os.path.exists(single)  # explicit post-success cleanup
 
 
 def test_read_ts_csv_one_column_default_times(spark, tmp_path):
