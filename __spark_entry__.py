@@ -782,6 +782,52 @@ def q_dup_spans(spark, sf_dir):
     return duplicate_token_spans(_docs(spark, sf_dir), k=8, round_digits=R)
 
 
+def q_dup_spans_streamed(spark, sf_dir):
+    """The r5 STREAMING span-dedup head, end-to-end: the documents
+    table is staged as two parquet files, an availableNow file stream
+    with maxFilesPerTrigger=1 drains them as TWO micro-batches (so the
+    second batch really exercises the incremental probe-the-index path
+    plus affected-old re-profiling), and the resulting persisted
+    verdict table is returned. Its contract is that verdicts equal the
+    BATCH recompute over the whole corpus — so the oracle is the exact
+    same SQL as `dup_spans`, and a hash match proves the streaming
+    head's micro-batch maintenance (bucket-partitioned dynamic
+    overwrite, text-free re-profiling) reproduces it."""
+    import shutil
+    import tempfile
+
+    from cesium_spark.sources.table import SnapshotTable
+    from cesium_spark.streaming.stream import span_dedup_batch_fn
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="span_stream_")
+    in_dir = f"{work}/in"
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1) \
+        .write.mode("overwrite").parquet(in_dir)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+    src = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1).parquet(in_dir)
+    )
+    q = (
+        src.writeStream
+        .foreachBatch(span_dedup_batch_fn(f"{work}/store", k=8,
+                                          round_digits=R, n_buckets=8))
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = (
+        SnapshotTable(f"{work}/store/span_verdicts").read(spark)
+        .select("doc_id", "n_tokens", "n_spans", "dup_spans", "dup_frac")
+        .localCheckpoint(eager=True)  # detach from the temp files
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def q_retention_days(spark, sf_dir):
     """The retention DECISION (operators/retention.py contract: drop a
     day's raw rows only when every tier's committed rollup fingerprint
@@ -1012,6 +1058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round 5 ---
         "lsh_clusters_skew_routed": q_lsh_clusters_skew_routed,
+        "dup_spans_streamed": q_dup_spans_streamed,
         # --- round 4 ---
         "clean_corpus_spans": q_clean_corpus_spans,
         "dup_spans": q_dup_spans,
@@ -1704,6 +1751,10 @@ def oracle_sql() -> dict[str, str]:
     # same oracle by construction
     sql["lsh_clusters_skew_routed"] = sql["lsh_clusters"]
 
+    # the streaming span head's contract IS batch equality — same
+    # oracle as dup_spans by construction (assigned after sql["dup_spans"]
+    # is defined below)
+
     # span-level duplication: matching tokenization (\s+ on trimmed
     # text, empties dropped — Java and RE2 \s agree on the ASCII
     # whitespace this data contains; see the simhash caveat for the
@@ -1721,6 +1772,7 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN sper p USING (doc_id)
         JOIN sfrac sf USING (doc_id)
     """
+    sql["dup_spans_streamed"] = sql["dup_spans"]
 
     # retention decision: current per-day counts vs the simulated commit
     # fingerprints (same derivation as the Spark query), with the same
