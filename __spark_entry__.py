@@ -393,6 +393,49 @@ def q_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(_docs(spark, sf_dir), k=5, num_hashes=16, bands=4)
 
 
+def q_minhash_pairs_streamed(spark, sf_dir):
+    """The r5 streaming MinHash dedup head, end-to-end: the documents
+    table staged as two parquet files drains as TWO micro-batches
+    (maxFilesPerTrigger=1), each probing the persisted band index and
+    retiring/adding candidate pairs. The head's invariant is that the
+    pair table equals minhash_lsh_pairs over the whole corpus at every
+    batch boundary — so the oracle is the exact same all-pairs SQL as
+    `minhash_lsh`, and a hash match proves the micro-batch maintenance
+    (bucketed dynamic overwrite, replay retirement) reproduces it."""
+    import shutil
+    import tempfile
+
+    from cesium_spark.sources.table import SnapshotTable
+    from cesium_spark.streaming.stream import minhash_dedup_batch_fn
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="minhash_stream_")
+    in_dir = f"{work}/in"
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1) \
+        .write.mode("overwrite").parquet(in_dir)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+    src = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1).parquet(in_dir)
+    )
+    q = (
+        src.writeStream
+        .foreachBatch(minhash_dedup_batch_fn(f"{work}/store", n_buckets=8))
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = (
+        SnapshotTable(f"{work}/store/dup_pairs").read(spark)
+        .select("id_a", "id_b", "matching_bands")
+        .localCheckpoint(eager=True)  # detach from the temp files
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def q_knn_cosine(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 20)
@@ -1059,6 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round 5 ---
         "lsh_clusters_skew_routed": q_lsh_clusters_skew_routed,
         "dup_spans_streamed": q_dup_spans_streamed,
+        "minhash_pairs_streamed": q_minhash_pairs_streamed,
         # --- round 4 ---
         "clean_corpus_spans": q_clean_corpus_spans,
         "dup_spans": q_dup_spans,
@@ -1716,6 +1760,9 @@ def oracle_sql() -> dict[str, str]:
         FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id
         GROUP BY a.id, b.id
     """
+    # the streaming head's contract IS batch equality of the pair table
+    # — same all-pairs oracle by construction
+    sql["minhash_pairs_streamed"] = sql["minhash_lsh"]
 
     # LSH cluster survivorship: the oracle derives the ALL-PAIRS candidate
     # relation (exactly minhash_lsh's) and closes it transitively; the

@@ -26,7 +26,8 @@ __all__ = [
     "streaming_rollup", "streaming_partial_states", "start_file_stream",
     "streaming_sessionize", "start_session_stream",
     "streaming_exact_dedup", "span_dedup_batch_fn",
-    "start_span_dedup_stream",
+    "start_span_dedup_stream", "minhash_dedup_batch_fn",
+    "start_minhash_dedup_stream",
 ]
 
 
@@ -524,6 +525,155 @@ def start_span_dedup_stream(
     src = spark.readStream.schema(schema).parquet(input_dir)
     return (
         src.writeStream.foreachBatch(span_dedup_batch_fn(store_root, **kwargs))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def minhash_dedup_batch_fn(
+    store_root: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    hash_fn: str = "md5",
+    n_buckets: int = 64,
+):
+    """foreachBatch function maintaining a persisted MinHash band index
+    + a near-dup candidate PAIR table under `store_root` (SnapshotTables
+    "band_index" and "dup_pairs") — the streaming head of the
+    document-level dedup pipeline, symmetric with span_dedup_batch_fn.
+
+    Invariant (tested): after every micro-batch, dup_pairs ==
+    minhash_lsh_pairs(current corpus), where "current" means the latest
+    ingested version of each doc — so cluster survivorship
+    (graph.dedup_clusters over the pair table) is available at any
+    batch boundary without ever re-pairing the corpus. Per batch the
+    only join is new-bands against the band index
+    (incremental_minhash_pairs); replayed ids REPLACE their index rows
+    AND retire every stale pair they touch.
+
+    Storage discipline mirrors the span head: both tables hash-bucketed,
+    partition-level dynamic overwrite (only touched buckets rewritten),
+    pair table committed BEFORE the index so a foreachBatch redelivery
+    converges from either commit point."""
+    import os
+
+    from ..operators.dedup import incremental_minhash_pairs
+    from ..sources.table import SnapshotTable
+
+    idx_table = SnapshotTable(os.path.join(store_root, "band_index"))
+    pairs_table = SnapshotTable(os.path.join(store_root, "dup_pairs"))
+    key_type = "string" if hash_fn == "md5" else "bigint"
+
+    def _bucket(col):
+        return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from pyspark import StorageLevel
+
+        sp = batch_df.sparkSession
+        id_type = dict(batch_df.dtypes)[id_col]
+        bootstrap = False
+        try:
+            idx = idx_table.read(sp)
+        except FileNotFoundError:
+            bootstrap = True
+            idx = sp.createDataFrame(
+                [], f"id {id_type}, band int, key {key_type}, bucket int"
+            )
+
+        new_pairs, new_rows = incremental_minhash_pairs(
+            idx.select("id", "band", "key"), batch_df, id_col=id_col,
+            text_col=text_col, k=k, num_hashes=num_hashes, bands=bands,
+            hash_fn=hash_fn,
+        )
+        new_ids = batch_df.select(F.col(id_col).alias("id")).distinct()
+        fresh = idx.join(new_ids, "id", "left_anti")
+        new_rows_b = new_rows.withColumn(
+            "bucket", _bucket(F.col("key"))
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        new_pairs_b = new_pairs.withColumn(
+            "pbucket", _bucket(F.col("id_a"))
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            # ---- pair-table maintenance (commit FIRST) ----
+            ids_a = new_ids.withColumnRenamed("id", "id_a")
+            ids_b = new_ids.withColumnRenamed("id", "id_b")
+            try:
+                pr = pairs_table.read(sp)
+                # a replayed id retires EVERY pair it touches, on
+                # either side — collect the (<= n_buckets) buckets
+                # holding new or stale rows and rewrite only those
+                touched = sorted(
+                    {r["pbucket"] for r in
+                     new_pairs_b.select("pbucket").distinct().collect()}
+                    | {r["pbucket"] for r in
+                       pr.join(ids_a, "id_a", "semi")
+                       .select("pbucket").distinct().collect()}
+                    | {r["pbucket"] for r in
+                       pr.join(ids_b, "id_b", "semi")
+                       .select("pbucket").distinct().collect()}
+                )
+                keep = (
+                    pr.filter(F.col("pbucket").isin(touched))
+                    .join(ids_a, "id_a", "left_anti")
+                    .join(ids_b, "id_b", "left_anti")
+                    .select("id_a", "id_b", "matching_bands", "pbucket")
+                )
+                pairs_table.overwrite_partitions(
+                    keep.unionByName(new_pairs_b), ["pbucket"],
+                    also_replace={f"pbucket={b}" for b in touched},
+                )
+            except FileNotFoundError:
+                pairs_table.overwrite(new_pairs_b, ["pbucket"])
+
+            # ---- band-index maintenance ----
+            if bootstrap:
+                idx_table.overwrite(new_rows_b, ["bucket"])
+                return
+            replaced = idx.join(new_ids, "id", "semi")
+            touched_i = sorted(
+                {r["bucket"] for r in
+                 new_rows_b.select("bucket").distinct().collect()}
+                | {r["bucket"] for r in
+                   replaced.select("bucket").distinct().collect()}
+            )
+            content = (
+                fresh.filter(F.col("bucket").isin(touched_i))
+                .unionByName(new_rows_b)
+            )
+            idx_table.overwrite_partitions(
+                content, ["bucket"],
+                also_replace={f"bucket={b}" for b in touched_i},
+            )
+        finally:
+            new_rows_b.unpersist()
+            new_pairs_b.unpersist()
+
+    return _apply
+
+
+def start_minhash_dedup_stream(
+    spark,
+    input_dir: str,
+    store_root: str,
+    checkpoint_dir: str,
+    schema,
+    **kwargs,
+):
+    """File-source streaming MinHash dedup: new parquet document files
+    under `input_dir` update the band index and the near-dup candidate
+    pair table under `store_root` micro-batch by micro-batch
+    (minhash_dedup_batch_fn). Returns the StreamingQuery."""
+    src = spark.readStream.schema(schema).parquet(input_dir)
+    return (
+        src.writeStream
+        .foreachBatch(minhash_dedup_batch_fn(store_root, **kwargs))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -338,3 +338,73 @@ def test_streaming_span_dedup_availablenow_restart(spark, tmp_path):
     want_idx = span_index_rows(corpus, k=8).toPandas() \
         .sort_values(["id", "key"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(idx, want_idx, check_dtype=False)
+
+
+def test_streaming_minhash_dedup_availablenow_restart(spark, tmp_path):
+    """The r5 streaming MinHash head: after every micro-batch (incl. an
+    availableNow restart over a second batch with a replayed doc), the
+    persisted pair table equals minhash_lsh_pairs over the CURRENT
+    corpus and the band index equals the full band derivation — so
+    cluster survivorship is available at any batch boundary without
+    re-pairing the corpus."""
+    from cesium_spark.operators.dedup import (
+        minhash_band_rows, minhash_lsh_pairs)
+    from cesium_spark.sources.table import SnapshotTable
+    from cesium_spark.streaming.stream import start_minhash_dedup_stream
+
+    in_dir, store, ckpt = (str(tmp_path / d) for d in ("in", "store", "ckpt"))
+    tpl = ("shared boilerplate body used across the duplicate class of "
+           "this synthetic corpus with enough words to shingle")
+    batch1 = [
+        (1, tpl), (2, tpl),                       # near-dup pair
+        (3, "a genuinely unique document with its own phrasing one"),
+        (4, "another unique document with different phrasing two"),
+    ]
+    schema = "doc_id long, text string"
+    spark.createDataFrame(batch1, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(in_dir)
+    q = start_minhash_dedup_stream(spark, in_dir, store, ckpt, schema,
+                                   n_buckets=8)
+    q.awaitTermination(120)
+
+    def current_tables():
+        pairs = SnapshotTable(f"{store}/dup_pairs").read(spark) \
+            .select("id_a", "id_b", "matching_bands").toPandas() \
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        idx = SnapshotTable(f"{store}/band_index").read(spark) \
+            .select("id", "band", "key").toPandas() \
+            .sort_values(["id", "band", "key"]).reset_index(drop=True)
+        return pairs, idx
+
+    corpus1 = spark.createDataFrame(batch1, schema)
+    want1 = minhash_lsh_pairs(corpus1).toPandas() \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    got_pairs, got_idx = current_tables()
+    pd.testing.assert_frame_equal(got_pairs, want1, check_dtype=False)
+    assert {(1, 2)} <= set(zip(got_pairs.id_a, got_pairs.id_b))
+
+    # batch 2: doc 2 REPLAYED with unique text (retires the (1,2) pair),
+    # doc 5 duplicates the template (new pair with doc 1)
+    batch2 = [
+        (2, "replayed document two now completely unlike the template"),
+        (5, tpl),
+    ]
+    spark.createDataFrame(batch2, schema).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+    q2 = start_minhash_dedup_stream(spark, in_dir, store, ckpt, schema,
+                                    n_buckets=8)
+    q2.awaitTermination(120)
+
+    current = {d: t for d, t in batch1}
+    current.update({d: t for d, t in batch2})
+    corpus2 = spark.createDataFrame(sorted(current.items()), schema)
+    want2 = minhash_lsh_pairs(corpus2).toPandas() \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    got_pairs2, got_idx2 = current_tables()
+    pd.testing.assert_frame_equal(got_pairs2, want2, check_dtype=False)
+    keys2 = set(zip(got_pairs2.id_a, got_pairs2.id_b))
+    assert (1, 5) in keys2 and (1, 2) not in keys2  # retired + added
+
+    want_idx2 = minhash_band_rows(corpus2).toPandas() \
+        .sort_values(["id", "band", "key"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_idx2, want_idx2, check_dtype=False)
