@@ -265,13 +265,29 @@ def _png_defilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+def _unpack_subbyte(rows: np.ndarray, w: int, depth: int) -> np.ndarray:
+    """(h, stride_bytes) packed rows -> (h, w) sample values for bit
+    depths 1/2/4 (MSB-first within each byte, per the PNG spec; padding
+    bits at row end are discarded)."""
+    h = rows.shape[0]
+    bits = np.unpackbits(rows, axis=1)[:, : w * depth]
+    if depth == 1:
+        return bits
+    grouped = bits.reshape(h, w, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (grouped * weights).sum(axis=2).astype(np.uint8)
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """PNG -> (h, w, channels) uint8 (8-bit) or uint16 (16-bit) array.
     Supports color types 0/2/3/4/6 at bit depth 8 (plus 16 for
-    non-palette types), sequential AND Adam7-interlaced layouts
+    non-palette types, plus 1/2/4 for grayscale and palette — the
+    favicon/icon layouts), sequential AND Adam7-interlaced layouts
     (seven independently-filtered sub-images scattered back on the
-    pass lattice); sub-byte depths are rejected. CRCs are verified;
-    corrupt payloads raise ValueError."""
+    pass lattice). Sub-byte grayscale samples are rescaled to the full
+    0-255 range (x 255/(2^d - 1), exact for d in {1,2,4}); palette
+    indices are used as-is. CRCs are verified; corrupt payloads raise
+    ValueError."""
     import zlib
 
     ihdr = None
@@ -293,13 +309,24 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError(f"invalid PNG interlace method {interlace}")
     if color_type not in _PNG_CHANNELS:
         raise ValueError(f"invalid PNG color type {color_type}")
-    if depth not in (8, 16) or (color_type == 3 and depth != 8):
+    # sub-byte depths (1/2/4) are legal only for grayscale and palette
+    # (PNG spec table 11.1); color types 2/4/6 require 8 or 16
+    if depth not in (1, 2, 4, 8, 16) \
+            or (color_type == 3 and depth == 16) \
+            or (color_type in (2, 4, 6) and depth not in (8, 16)):
         raise ValueError(f"unsupported PNG bit depth {depth} for color type {color_type}")
     if w <= 0 or h <= 0 or w * h > 1 << 28:
         raise ValueError(f"invalid PNG dimensions {w}x{h}")
     ch = _PNG_CHANNELS[color_type]
-    bpp = ch * (depth // 8)
-    stride = w * bpp
+    subbyte = depth < 8
+    # filter unit: whole bytes; for bits-per-pixel < 8 the filters
+    # operate on the PACKED bytes with a one-byte left neighbor
+    bpp = 1 if subbyte else ch * (depth // 8)
+
+    def row_bytes(width):
+        return -(-width * ch * depth // 8)
+
+    stride = row_bytes(w)
     if interlace == 0:
         expected = h * (1 + stride)
     else:
@@ -311,7 +338,7 @@ def decode_png(payload: bytes) -> np.ndarray:
             for x0, y0, dx, dy in _ADAM7
         ]
         expected = sum(
-            ph * (1 + pw * bpp) for ph, pw in pass_dims if ph and pw
+            ph * (1 + row_bytes(pw)) for ph, pw in pass_dims if ph and pw
         )
     # cap the inflate at the size the header promises (+1 to detect
     # overruns): a tiny IHDR with a deep-ratio IDAT must not be allowed
@@ -328,19 +355,38 @@ def decode_png(payload: bytes) -> np.ndarray:
     raw = np.frombuffer(data, dtype=np.uint8)
     if interlace == 0:
         recon = _png_defilter(raw, h, stride, bpp)
+        if subbyte:
+            img = _unpack_subbyte(recon, w, depth)[..., None]
     else:
-        full = np.zeros((h, w, bpp), dtype=np.uint8)
+        if subbyte:
+            # sub-byte passes scatter SAMPLES (bit-packed per pass row,
+            # so the byte-oriented scatter below cannot apply)
+            samples = np.zeros((h, w), dtype=np.uint8)
+        else:
+            full = np.zeros((h, w, bpp), dtype=np.uint8)
         off = 0
         for (x0, y0, dx, dy), (ph, pw) in zip(_ADAM7, pass_dims):
             if not ph or not pw:
                 continue
-            pstride = pw * bpp
+            pstride = row_bytes(pw)
             n = ph * (1 + pstride)
             sub = _png_defilter(raw[off:off + n], ph, pstride, bpp)
             off += n
-            full[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
-        recon = full.reshape(h, stride)
-    if depth == 16:
+            if subbyte:
+                samples[y0::dy, x0::dx] = _unpack_subbyte(sub, pw, depth)
+            else:
+                full[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+        if subbyte:
+            img = samples[..., None]
+        else:
+            recon = full.reshape(h, stride)
+    if subbyte:
+        if color_type == 0:
+            # exact full-range rescale: 255/(2^d - 1) is an integer
+            # (255, 85, 17) for d in {1, 2, 4}
+            img = (img.astype(np.uint16) * (255 // ((1 << depth) - 1))) \
+                .astype(np.uint8)
+    elif depth == 16:
         img = recon.reshape(h, w, ch, 2).astype(np.uint16)
         img = (img[..., 0] << 8) | img[..., 1]  # network byte order
     else:

@@ -623,3 +623,48 @@ def test_jpeg_multiscan_sequential_decode():
 
     np.testing.assert_array_equal(
         J.decode_jpeg(out), J.decode_jpeg(interleaved))
+
+
+def test_png_subbyte_depths():
+    """Bit depths 1/2/4 (grayscale + palette — the favicon/icon
+    layouts): MSB-first unpack, exact full-range gray rescale
+    (255/85/17 are integers), packed-byte filtering, and the Adam7
+    interaction where passes scatter SAMPLES, not bytes."""
+    # 1-bit gray 10x2 checkerboard rows
+    r0 = bytes([0b10101010, 0b10000000])
+    r1 = bytes([0b01010101, 0b01000000])
+    g1 = decode_png(_png_raw(10, 2, 1, 0, b"\x00" + r0 + b"\x00" + r1))
+    assert g1[0, :, 0].tolist() == [255, 0] * 5
+    assert g1[1, :, 0].tolist() == [0, 255] * 5
+
+    # 2-bit gray 5x1: samples 0,1,2,3,0 -> 0,85,170,255,0
+    g2 = decode_png(_png_raw(5, 1, 2, 0,
+                             b"\x00" + bytes([0b00011011, 0b00000000])))
+    assert g2[0, :, 0].tolist() == [0, 85, 170, 255, 0]
+
+    # 4-bit palette 3x1: indices 2,0,1
+    plte = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90])
+    p4 = decode_png(_png_raw(3, 1, 4, 3, b"\x00" + bytes([0x20, 0x10]),
+                             extra_chunks=((b"PLTE", plte),)))
+    assert p4.tolist() == [[[70, 80, 90], [10, 20, 30], [40, 50, 60]]]
+
+    # 1-bit Adam7 2x2 checker: pass1 px(0,0)=1, pass6 px(1,0)=0,
+    # pass7 row1 = (0,1)
+    adam = b"\x00\x80" + b"\x00\x00" + b"\x00\x40"
+    ga = decode_png(_png_raw(2, 2, 1, 0, adam,
+                             extra_chunks=(("interlace", b""),)))
+    assert ga[..., 0].tolist() == [[255, 0], [0, 255]]
+
+    # filters operate on PACKED bytes: Up filter with zero delta
+    r = bytes([0b11001100, 0b00110011])
+    gf = decode_png(_png_raw(16, 2, 1, 0,
+                             b"\x00" + r + b"\x02" + bytes([0, 0])))
+    assert (gf[0] == gf[1]).all()
+
+    # sub-byte palette index out of range still rejected
+    with pytest.raises(ValueError, match="palette"):
+        decode_png(_png_raw(3, 1, 4, 3, b"\x00" + bytes([0x20, 0x30]),
+                            extra_chunks=((b"PLTE", plte),)))
+    # RGB at sub-byte depth is illegal per spec
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png(_png_raw(2, 1, 4, 2, b"\x00" + bytes([0, 0, 0])))
