@@ -31,7 +31,9 @@ from cesium_spark.operators.dedup import (
 from cesium_spark.operators.locf import locf_grid
 from cesium_spark.operators.rollup import rollup_kernel, rollup_sql
 from cesium_spark.operators.similarity import cosine_topk_bruteforce, lsh_bucket_topk
-from cesium_spark.operators.text import fingerprint, lang_id, quality_score, text_stats
+from cesium_spark.operators.text import (
+    fingerprint, lang_id, quality_score, repetition_stats, text_stats,
+)
 
 R = 6  # shared rounding for float comparisons across engines
 # +1e-9 before rounding on BOTH sides: input values have few decimal
@@ -366,6 +368,14 @@ def q_fingerprint(spark, sf_dir):
 
 def q_text_stats(spark, sf_dir):
     return text_stats(_docs(spark, sf_dir))
+
+
+def q_doc_repetition(spark, sf_dir):
+    """Gopher repetition quality filters (Rae et al. 2021 §A.1.1):
+    duplicate-line fractions + top/duplicated word-n-gram character
+    coverage + the composite repetitive flag, one explode + one hash
+    aggregation."""
+    return repetition_stats(_docs(spark, sf_dir))
 
 
 def q_quality(spark, sf_dir):
@@ -1100,6 +1110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50-slot cap and was never driver-checked).
     return {
         # --- round 5 ---
+        "doc_repetition": q_doc_repetition,
         "lsh_clusters_skew_routed": q_lsh_clusters_skew_routed,
         "dup_spans_streamed": q_dup_spans_streamed,
         "minhash_pairs_streamed": q_minhash_pairs_streamed,
@@ -1588,6 +1599,59 @@ def oracle_sql() -> dict[str, str]:
     sql["doc_fingerprint"] = """
         SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
         FROM documents
+    """
+
+    sql["doc_repetition"] = f"""
+        WITH d AS (
+          SELECT doc_id, length(text) AS n_chars,
+                 regexp_split_to_array(trim(text), '\\s+') AS w,
+                 string_split(text, chr(10)) AS lines
+          FROM documents
+        ),
+        units AS (
+          SELECT doc_id, n_chars, 0 AS n, unnest(lines) AS u FROM d
+          UNION ALL
+          SELECT doc_id, n_chars, n, array_to_string(w[i : i + n - 1], ' ') AS u
+          FROM (
+            SELECT doc_id, n_chars, nn.n AS n, w,
+                   unnest(range(1, len(w) - nn.n + 2)) AS i
+            FROM d, (VALUES (2),(3),(4),(5)) nn(n)
+            WHERE len(w) >= nn.n
+          )
+        ),
+        c AS (
+          SELECT doc_id, n_chars, n, u, count(*) AS cnt, length(u) AS ulen
+          FROM units GROUP BY ALL
+        ),
+        p AS (
+          SELECT doc_id, n_chars, n,
+                 sum(cnt) AS tot, count(*) AS uniq,
+                 coalesce(max(cnt * ulen) FILTER (WHERE cnt >= 2), 0) AS top_cov,
+                 coalesce(sum(cnt * ulen) FILTER (WHERE cnt >= 2), 0) AS dup_cov
+          FROM c GROUP BY ALL
+        ),
+        m AS (
+          SELECT doc_id,
+            round(least(coalesce(CASE WHEN max(CASE WHEN n=0 THEN tot END) > 0
+              THEN (max(CASE WHEN n=0 THEN tot END) - max(CASE WHEN n=0 THEN uniq END))::DOUBLE
+                   / max(CASE WHEN n=0 THEN tot END) END, 0), 1.0) + {EPS}, {R}) AS dup_line_frac,
+            round(least(coalesce(CASE WHEN any_value(n_chars) > 0
+              THEN max(CASE WHEN n=0 THEN dup_cov END)::DOUBLE / any_value(n_chars) END, 0), 1.0) + {EPS}, {R}) AS dup_line_char_frac,
+            round(least(coalesce(CASE WHEN any_value(n_chars) > 0
+              THEN max(CASE WHEN n=2 THEN top_cov END)::DOUBLE / any_value(n_chars) END, 0), 1.0) + {EPS}, {R}) AS top_2gram_char_frac,
+            round(least(coalesce(CASE WHEN any_value(n_chars) > 0
+              THEN max(CASE WHEN n=3 THEN top_cov END)::DOUBLE / any_value(n_chars) END, 0), 1.0) + {EPS}, {R}) AS top_3gram_char_frac,
+            round(least(coalesce(CASE WHEN any_value(n_chars) > 0
+              THEN max(CASE WHEN n=4 THEN top_cov END)::DOUBLE / any_value(n_chars) END, 0), 1.0) + {EPS}, {R}) AS top_4gram_char_frac,
+            round(least(coalesce(CASE WHEN any_value(n_chars) > 0
+              THEN max(CASE WHEN n=5 THEN dup_cov END)::DOUBLE / any_value(n_chars) END, 0), 1.0) + {EPS}, {R}) AS dup_5gram_char_frac
+          FROM p GROUP BY doc_id
+        )
+        SELECT *,
+          (dup_line_frac > 0.30 OR dup_line_char_frac > 0.20 OR top_2gram_char_frac > 0.20
+           OR top_3gram_char_frac > 0.18 OR top_4gram_char_frac > 0.16
+           OR dup_5gram_char_frac > 0.15)::INT AS repetitive
+        FROM m
     """
 
     sql["text_stats"] = f"""

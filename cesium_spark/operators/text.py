@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "text_stats", "quality_score", "lang_id", "fingerprint",
-    "token_topk", "tfidf_top_terms",
+    "token_topk", "tfidf_top_terms", "repetition_stats",
 ]
 
 # Small per-language stopword vocabularies for the n-gram voting heuristic.
@@ -144,6 +144,128 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     modulo case/whitespace."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " ")
     return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+
+
+#: Gopher (Rae et al. 2021, table A1) repetition-removal thresholds: a
+#: document is flagged repetitive when any measure exceeds its bound.
+GOPHER_REPETITION_THRESHOLDS = {
+    "dup_line_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+}
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: tuple = (2, 3, 4),
+    dup_ns: tuple = (5,),
+    thresholds: dict | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Gopher-style repetition quality measures (Rae et al. 2021 §A.1.1,
+    the MassiveText repetition filters) per document:
+
+    - ``dup_line_frac``: fraction of lines that are repeats of an
+      earlier-seen line ((total - distinct) / total).
+    - ``dup_line_char_frac``: characters inside lines occurring >= 2
+      times (all occurrences), over total characters.
+    - ``top_{n}gram_char_frac`` for n in ``top_ns``: the maximal
+      character coverage of any single REPEATED word n-gram
+      (occurrences x gram length / total chars, clamped to 1 because
+      overlapping occurrences re-count shared characters). Gopher uses
+      the coverage of the *most frequent* n-gram even when nothing
+      repeats; restricting to cnt >= 2 keeps the measure zero on
+      repetition-free text (short docs would otherwise trip the
+      threshold on a single long unique gram) and max-coverage is
+      tie-stable across engines — same monotone repetition signal,
+      no tie-break dependence.
+    - ``dup_{n}gram_char_frac`` for n in ``dup_ns``: characters covered
+      by all n-grams occurring >= 2 times (occurrence-summed, the
+      NeMo-Curator/Dolma reproduction of Gopher's duplicated-n-gram
+      measure — exact overlap-deduped coverage needs per-position
+      interval union, which no engine does in aggregate form).
+    - ``repetitive``: 1 when any measure exceeds its threshold
+      (defaults: ``GOPHER_REPETITION_THRESHOLDS``).
+
+    Plan shape — built for the 100 TB corpus: every unit (line, or
+    n-gram for each n) goes through ONE explode into a tall
+    (doc, n, unit) relation and ONE hash aggregation (map-side
+    combined), then a per-(doc, n) aggregate and a conditional-agg
+    pivot back to one row per document. No windows, no self-joins, no
+    Python UDFs; the only shuffle key is (doc, n, unit), which is as
+    fine-grained (skew-free) as the data allows."""
+    thresholds = dict(GOPHER_REPETITION_THRESHOLDS if thresholds is None else thresholds)
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    t = F.col(text_col)
+    toks = F.split(F.trim(t), r"\s+")
+    lines = F.split(t, "\n")
+    unit_t = "array<struct<n:int,u:string>>"
+
+    def grams(n):
+        # sequence() is guarded: with fewer than n tokens it would count
+        # DOWN and fabricate grams from negative slice starts.
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+                lambda i: F.struct(
+                    F.lit(n).alias("n"),
+                    F.array_join(F.slice(toks, i, n), " ").alias("u"),
+                ),
+            ),
+        ).otherwise(F.expr(f"cast(array() as {unit_t})"))
+
+    line_units = F.transform(
+        lines, lambda l: F.struct(F.lit(0).alias("n"), l.alias("u"))
+    )
+    units = F.concat(line_units, *[grams(n) for n in all_ns])
+
+    exploded = df.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        F.explode(units).alias("unit"),
+    )
+    counts = exploded.groupBy(
+        id_col, "n_chars", F.col("unit.n").alias("n"), F.col("unit.u").alias("u")
+    ).agg(F.count("*").alias("cnt"))
+    cov = F.col("cnt") * F.length("u")
+    per_n = counts.groupBy(id_col, "n_chars", "n").agg(
+        F.sum("cnt").alias("tot"),
+        F.count("*").alias("uniq"),
+        F.coalesce(F.max(F.when(F.col("cnt") >= 2, cov)), F.lit(0)).alias("top_cov"),
+        F.coalesce(F.sum(F.when(F.col("cnt") >= 2, cov)), F.lit(0)).alias("dup_cov"),
+    )
+
+    def at(n, c):
+        return F.max(F.when(F.col("n") == n, F.col(c)))
+
+    def frac(num, den):
+        r = F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))
+        r = F.least(F.coalesce(r, F.lit(0.0)), F.lit(1.0))
+        return F.round(r + F.lit(1e-9), round_digits)
+
+    measures = {
+        "dup_line_frac": frac(at(0, "tot") - at(0, "uniq"), at(0, "tot")),
+        "dup_line_char_frac": frac(at(0, "dup_cov"), F.first("n_chars")),
+    }
+    for n in sorted(top_ns):
+        measures[f"top_{n}gram_char_frac"] = frac(at(n, "top_cov"), F.first("n_chars"))
+    for n in sorted(dup_ns):
+        measures[f"dup_{n}gram_char_frac"] = frac(at(n, "dup_cov"), F.first("n_chars"))
+
+    out = per_n.groupBy(id_col).agg(
+        *[m.alias(name) for name, m in measures.items()]
+    )
+    flag = F.lit(False)
+    for name, bound in thresholds.items():
+        if name in measures:
+            flag = flag | (F.col(name) > F.lit(float(bound)))
+    return out.withColumn("repetitive", flag.cast("int"))
 
 
 def _tokens(text_col: str):

@@ -607,6 +607,45 @@ def test_token_topk_and_tfidf_hand_example(spark):
     assert list(d2.sort_values("rank").token) == ["cherry", "banana"]
 
 
+def test_repetition_stats_hand_example(spark):
+    """Gopher repetition measures on hand-computable fixtures: gram
+    coverage counts occurrences x gram chars over doc chars, top
+    coverage only over REPEATED grams (clamped to 1), line dups over
+    line counts/chars."""
+    from cesium_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),                      # 11 chars, heavy 2/3/4-gram overlap
+            (2, "hello world\nhello world\nbye"),    # 27 chars, dup line
+            (3, "x"),                                # too short for any gram
+            (4, ""),                                 # empty
+            (5, "one two three four five six"),      # repetition-free
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in repetition_stats(docs).collect()}
+
+    d1 = out[1]
+    assert d1["top_2gram_char_frac"] == round(3 * 3 / 11 + 1e-9, 6)   # "a b" x3
+    assert d1["top_3gram_char_frac"] == round(2 * 5 / 11 + 1e-9, 6)   # "a b a" x2
+    assert d1["top_4gram_char_frac"] == 1.0                           # 2*7/11 clamps
+    assert d1["dup_line_frac"] == 0.0 and d1["repetitive"] == 1
+
+    d2 = out[2]
+    assert d2["dup_line_frac"] == round(1 / 3 + 1e-9, 6)              # 3 lines, 2 distinct
+    assert d2["dup_line_char_frac"] == round(22 / 27 + 1e-9, 6)       # both "hello world"s
+    assert d2["top_2gram_char_frac"] == round(22 / 27 + 1e-9, 6)
+    assert d2["top_3gram_char_frac"] == 0.0                           # all 3-grams unique
+    assert d2["repetitive"] == 1
+
+    # short / empty / repetition-free docs: all measures zero, not flagged
+    for k in (3, 4, 5):
+        row = out[k]
+        assert row["repetitive"] == 0
+        assert all(v == 0.0 for c, v in row.items() if c.endswith("frac"))
+
+
 def test_asof_join_carries_whole_right_row_on_ties(spark):
     """Review finding: per-column last(ignorenulls) could stitch columns
     from DIFFERENT tied right rows when values are NULL. The carry must
