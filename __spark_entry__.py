@@ -656,6 +656,13 @@ def q_ann_recall(spark, sf_dir):
         ("ann_ivfpq_recall_ge_0.80", 0.80,
          ivfpq_topk(emb, queries, k=3, n_lists=16, n_probe=10, m=8,
                     nbits=8, rerank=True)),
+        # OPQ (Ge et al. 2013) rotated codes + exact re-rank; measured
+        # 0.90 here (== plain PQ: this corpus is near-isotropic, so the
+        # learned rotation is ~energy-balanced already — the rotation's
+        # gain shows on anisotropic corpora, see test_similarity.py)
+        ("ann_opq_recall_ge_0.80", 0.80,
+         ivfpq_topk(emb, queries, k=3, n_lists=16, n_probe=10, m=8,
+                    nbits=8, rerank=True, opq=True)),
     ):
         hits = (
             approx.select("query_id", "neighbor_id")
@@ -2184,6 +2191,9 @@ def oracle_sql() -> dict[str, str]:
                (SELECT CAST(count(*) AS BIGINT) FROM x) AS n_exact
         UNION ALL
         SELECT 'ann_ivfpq_recall_ge_0.80' AS method, TRUE AS recall_pass,
+               (SELECT CAST(count(*) AS BIGINT) FROM x) AS n_exact
+        UNION ALL
+        SELECT 'ann_opq_recall_ge_0.80' AS method, TRUE AS recall_pass,
                (SELECT CAST(count(*) AS BIGINT) FROM x) AS n_exact
     """
 

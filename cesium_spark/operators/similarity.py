@@ -26,6 +26,7 @@ __all__ = [
     "extend_ivf_index",
     "ivf_query",
     "train_pq_codebooks",
+    "train_opq_rotation",
     "build_ivfpq_index",
     "ivfpq_query",
     "ivfpq_topk",
@@ -391,6 +392,60 @@ def train_pq_codebooks(
     return books
 
 
+def _pq_encode(rows: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Nearest-codeword index per subspace; (n, m) int64."""
+    m, _, dsub = books.shape
+    codes = np.empty((len(rows), m), dtype=np.int64)
+    for j in range(m):
+        sub = rows[:, j * dsub:(j + 1) * dsub]
+        d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+        codes[:, j] = d2.argmin(axis=1)
+    return codes
+
+
+def _pq_reconstruct(codes: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Decode (n, m) codes back to (n, dim) vectors."""
+    return np.concatenate(
+        [books[j][codes[:, j]] for j in range(books.shape[0])], axis=1
+    )
+
+
+def train_opq_rotation(
+    sample: np.ndarray, m: int = 8, nbits: int = 8, seed: int = 42,
+    opq_iters: int = 8, pq_iters: int = 6,
+) -> tuple:
+    """Non-parametric OPQ (Ge, He, Ke, Sun, "Optimized Product
+    Quantization", CVPR 2013 §4): learn an orthogonal rotation R that
+    minimizes PQ quantization error by alternating (a) PQ codebook
+    training on the rotated sample X@R with (b) the orthogonal-
+    Procrustes rotation update R = U V^T from SVD(X^T Y), Y the PQ
+    reconstruction. Plain PQ cuts the space on raw axis blocks; when
+    variance is unevenly spread or correlated across the split (the
+    usual case for learned embeddings), the rotation re-balances it so
+    each subquantizer models comparable energy. Returns (R, books) with
+    x encoded as PQ(x @ R); R is orthogonal, so dot products are
+    preserved and ADC scoring only needs the query rotated the same
+    way. Deterministic (seeded k-means, identity init); monotone
+    non-increasing quantization error by construction of the two
+    alternating exact minimizations."""
+    X = np.asarray(sample, dtype=np.float64)
+    dim = X.shape[1]
+    R = np.eye(dim)
+    books = None
+    for _ in range(opq_iters):
+        Xr = X @ R
+        books = train_pq_codebooks(
+            Xr, m=m, nbits=nbits, seed=seed, iters=pq_iters, normalize=False
+        )
+        Y = _pq_reconstruct(_pq_encode(Xr, books), books)
+        U, _, Vt = np.linalg.svd(X.T @ Y)
+        R = U @ Vt
+    books = train_pq_codebooks(
+        X @ R, m=m, nbits=nbits, seed=seed, iters=pq_iters, normalize=False
+    )
+    return R, books
+
+
 def build_ivfpq_index(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -400,6 +455,7 @@ def build_ivfpq_index(
     nbits: int = 8,
     train_sample: int = 2048,
     seed: int = 42,
+    opq: bool = False,
 ):
     """IVF-PQ index: (index DataFrame (neighbor_id, list_id, codes),
     centroids, codebooks) — the 100 TB ANN layout. Each vector is
@@ -420,27 +476,34 @@ def build_ivfpq_index(
     exactly-known q·centroid term back per probed list (see ivfpq_query).
 
     Codes are array<smallint> for Spark-native handling; a production
-    writer would pack them to binary — the plan shape is identical."""
+    writer would pack them to binary — the plan shape is identical.
+
+    ``opq=True`` additionally learns an orthogonal OPQ rotation on the
+    residual sample (see train_opq_rotation) and encodes PQ(r @ R);
+    the return grows to (index, cents, books, R) and ivfpq_query must
+    be given the same ``rotation``. Because R is orthogonal the ADC
+    decomposition is unchanged: q·r = (q@R)·(r@R)."""
     import pandas as pd
 
     sample = _driver_sample(corpus, id_col, vec_col, train_sample)
     cents = _kmeans_centroids(sample, n_lists, seed)
     sn = sample / np.linalg.norm(sample, axis=1, keepdims=True).clip(1e-12)
     resid = sn - cents[(sn @ cents.T).argmax(axis=1)]
-    books = train_pq_codebooks(resid, m=m, nbits=nbits, seed=seed,
-                               normalize=False)
-    dsub = books.shape[2]
+    if opq:
+        R, books = train_opq_rotation(resid, m=m, nbits=nbits, seed=seed)
+    else:
+        R = None
+        books = train_pq_codebooks(resid, m=m, nbits=nbits, seed=seed,
+                                   normalize=False)
 
     def encode_fn(cols):
         vs = np.asarray(cols.tolist(), dtype=np.float64)
         vs = vs / np.linalg.norm(vs, axis=1, keepdims=True).clip(1e-12)
         lists = (vs @ cents.T).argmax(axis=1).astype(np.int32)
         vs = vs - cents[lists]  # residual vs the assigned centroid
-        codes = np.empty((len(vs), len(books)), dtype=np.int16)
-        for j in range(len(books)):
-            sub = vs[:, j * dsub:(j + 1) * dsub]
-            d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
-            codes[:, j] = d2.argmin(axis=1).astype(np.int16)
+        if R is not None:
+            vs = vs @ R
+        codes = _pq_encode(vs, books).astype(np.int16)
         return pd.DataFrame(
             {"list_id": lists, "codes": [c.tolist() for c in codes]}
         )
@@ -449,6 +512,8 @@ def build_ivfpq_index(
     index = corpus.select(
         F.col(id_col).alias("neighbor_id"), enc_udf(F.col(vec_col)).alias("e")
     ).select("neighbor_id", "e.list_id", "e.codes")
+    if opq:
+        return index, cents, books, R
     return index, cents, books
 
 
@@ -464,6 +529,7 @@ def ivfpq_query(
     round_digits: int = 6,
     rerank: DataFrame | None = None,
     rerank_mult: int = 5,
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """Top-k over an IVF-PQ index via asymmetric distance computation
     (ADC): per query, one (m, 2**nbits) lookup table of subspace dot
@@ -507,8 +573,12 @@ def ivfpq_query(
             idxs = np.asarray(idx_list)
             qa = qarr[idxs[0]]
             qn = qa / max(np.linalg.norm(qa), 1e-12)
-            lut = np.einsum("jd,jkd->jk", qn.reshape(mm, dsub), books)
             qcent = cents @ qn  # exact q·c_list term, (n_lists,)
+            if rotation is not None:
+                # OPQ: codes quantize r@R; q·r == (q@R)·(r@R) since R
+                # is orthogonal, so only the LUT side rotates.
+                qn = qn @ rotation
+            lut = np.einsum("jd,jkd->jk", qn.reshape(mm, dsub), books)
             out[idxs] = qcent[L[idxs]] + lut[cols, C[idxs]].sum(axis=1)
         return pd.Series(out)
 
@@ -579,18 +649,23 @@ def ivfpq_topk(
     round_digits: int = 6,
     rerank: bool = False,
     rerank_mult: int = 5,
+    opq: bool = False,
 ) -> DataFrame:
     """Build + query in one call (the ivf_topk-shaped convenience);
     rerank=True refines the ADC shortlist with exact cosine against the
-    corpus (see ivfpq_query)."""
-    index, cents, books = build_ivfpq_index(
+    corpus; opq=True trains and applies the OPQ rotation (see
+    build_ivfpq_index / ivfpq_query)."""
+    built = build_ivfpq_index(
         corpus, id_col=id_col, vec_col=vec_col, n_lists=n_lists, m=m,
-        nbits=nbits, train_sample=train_sample, seed=seed,
+        nbits=nbits, train_sample=train_sample, seed=seed, opq=opq,
     )
+    index, cents, books = built[:3]
+    rotation = built[3] if opq else None
     return ivfpq_query(
         index, cents, books, queries, k=k, id_col=id_col, vec_col=vec_col,
         n_probe=n_probe, round_digits=round_digits,
         rerank=corpus if rerank else None, rerank_mult=rerank_mult,
+        rotation=rotation,
     )
 
 
