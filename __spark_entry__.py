@@ -370,6 +370,17 @@ def q_text_stats(spark, sf_dir):
     return text_stats(_docs(spark, sf_dir))
 
 
+def q_kmeans_clusters(spark, sf_dir):
+    """Distributed Lloyd's k-means (k=4, 2 updates, lowest-id init) over
+    the embedding corpus: assignment is a map-only JVM fold per
+    centroid, update one (cluster, pos) average; only the rounded k x
+    dim centroid matrix hits the driver between passes. The oracle
+    replays the identical iterations as chained CTEs."""
+    from cesium_spark.operators.kmeans import kmeans_assignments
+
+    return kmeans_assignments(_emb(spark, sf_dir), k=4, iters=2)
+
+
 def q_doc_repetition(spark, sf_dir):
     """Gopher repetition quality filters (Rae et al. 2021 §A.1.1):
     duplicate-line fractions + top/duplicated word-n-gram character
@@ -1117,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50-slot cap and was never driver-checked).
     return {
         # --- round 5 ---
+        "kmeans_clusters": q_kmeans_clusters,
         "doc_repetition": q_doc_repetition,
         "lsh_clusters_skew_routed": q_lsh_clusters_skew_routed,
         "dup_spans_streamed": q_dup_spans_streamed,
@@ -1606,6 +1618,63 @@ def oracle_sql() -> dict[str, str]:
     sql["doc_fingerprint"] = """
         SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
         FROM documents
+    """
+
+    sql["kmeans_clusters"] = """
+        WITH e AS (
+          SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> round(x + 1e-9, 6)) AS v
+          FROM embeddings
+        ),
+        c0 AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+          FROM e ORDER BY vec_id LIMIT 4
+        ),
+        d1 AS (
+          SELECT e.vec_id, e.v, c0.cid,
+                 round(list_sum(list_transform(list_zip(e.v, c0.c), s -> (s[1]-s[2])*(s[1]-s[2]))) + 1e-9, 6) AS d2
+          FROM e, c0
+        ),
+        a1 AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d1
+          ) WHERE rn = 1
+        ),
+        c1 AS (
+          SELECT cid, list(cm ORDER BY pos) AS c FROM (
+            SELECT cid, pos, round(avg(val) + 1e-9, 6) AS cm FROM (
+              SELECT cid, pos, v[pos] AS val FROM (
+                SELECT cid, v, unnest(range(1, len(v) + 1)) AS pos FROM a1
+              )
+            ) GROUP BY cid, pos
+          ) GROUP BY cid
+        ),
+        d2_ AS (
+          SELECT e.vec_id, e.v, c1.cid,
+                 round(list_sum(list_transform(list_zip(e.v, c1.c), s -> (s[1]-s[2])*(s[1]-s[2]))) + 1e-9, 6) AS d2
+          FROM e, c1
+        ),
+        a2 AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d2_
+          ) WHERE rn = 1
+        ),
+        c2 AS (
+          SELECT cid, list(cm ORDER BY pos) AS c FROM (
+            SELECT cid, pos, round(avg(val) + 1e-9, 6) AS cm FROM (
+              SELECT cid, pos, v[pos] AS val FROM (
+                SELECT cid, v, unnest(range(1, len(v) + 1)) AS pos FROM a2
+              )
+            ) GROUP BY cid, pos
+          ) GROUP BY cid
+        ),
+        df AS (
+          SELECT e.vec_id, c2.cid,
+                 round(list_sum(list_transform(list_zip(e.v, c2.c), s -> (s[1]-s[2])*(s[1]-s[2]))) + 1e-9, 6) AS d2
+          FROM e, c2
+        )
+        SELECT vec_id, cid AS cluster, d2 AS dist2 FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM df
+        ) WHERE rn = 1
     """
 
     sql["doc_repetition"] = f"""

@@ -342,3 +342,35 @@ def test_opq_rotation_cuts_quantization_error_and_is_exact(spark):
     out = ivfpq_topk(emb, qs, k=3, n_lists=4, n_probe=4, m=8, nbits=6,
                      opq=True).toPandas()
     assert (out.groupby("query_id").size() == 3).all()
+
+
+def test_kmeans_hand_example_and_empty_cluster(spark):
+    """Lloyd's on a hand-checkable 1-D layout: two tight groups, k=2,
+    lowest-id init. After one update the centroids are the group means
+    and the final assignment separates the groups with correct rounded
+    dist2. Also: an init centroid that captures no points after the
+    first reassignment drops out of the fit."""
+    from cesium_spark.operators.kmeans import kmeans_assignments, kmeans_fit
+
+    # ids 0,1 init the two centroids; group A = {0.0, 0.2, 0.4},
+    # group B = {10.0, 10.2, 10.4}
+    rows = [(0, [0.0]), (1, [10.0]), (2, [0.2]), (3, [0.4]),
+            (4, [10.2]), (5, [10.4])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    final, cents = kmeans_fit(df, k=2, iters=2)
+    got = {r.vec_id: (r.cluster, r.dist2) for r in final.collect()}
+    assert {i: got[i][0] for i in got} == {0: 0, 2: 0, 3: 0, 1: 1, 4: 1, 5: 1}
+    assert dict(cents) == {0: [0.2], 1: [10.2]}
+    assert got[0] == (0, round(0.2 ** 2 + 1e-9, 6))
+    assert got[4] == (1, 0.0)  # 10.2 is its centroid exactly
+
+    # empty cluster: two IDENTICAL init vectors — every point is
+    # equidistant to both centroids, the (d2, cid) tie-break sends all
+    # of them to cid 0, and cluster 1 drops out of the fit (exactly
+    # what the oracle's group-by replay does)
+    rows2 = [(0, [0.0]), (1, [0.0]), (2, [0.1]), (3, [0.2]), (4, [0.3])]
+    df2 = spark.createDataFrame(rows2, "vec_id long, embedding array<double>")
+    final2, cents2 = kmeans_fit(df2, k=2, iters=2)
+    assert [cid for cid, _ in cents2] == [0]
+    out2 = final2.toPandas()
+    assert set(out2.cluster) == {0} and len(out2) == 5
