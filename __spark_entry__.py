@@ -370,6 +370,15 @@ def q_text_stats(spark, sf_dir):
     return text_stats(_docs(spark, sf_dir))
 
 
+def q_dataset_split(spark, sf_dir):
+    """Deterministic md5-bucket train/val/test split (90/5/5): a pure
+    map-only column expression, stable under corpus growth (no test-set
+    leakage across dataset versions) and re-derivable by any engine."""
+    from cesium_spark.operators.split import hash_split
+
+    return hash_split(_docs(spark, sf_dir)).select("doc_id", "split")
+
+
 def q_kmeans_clusters(spark, sf_dir):
     """Distributed Lloyd's k-means (k=4, 2 updates, lowest-id init) over
     the embedding corpus: assignment is a map-only JVM fold per
@@ -1128,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50-slot cap and was never driver-checked).
     return {
         # --- round 5 ---
+        "dataset_split": q_dataset_split,
         "kmeans_clusters": q_kmeans_clusters,
         "doc_repetition": q_doc_repetition,
         "lsh_clusters_skew_routed": q_lsh_clusters_skew_routed,
@@ -1618,6 +1628,18 @@ def oracle_sql() -> dict[str, str]:
     sql["doc_fingerprint"] = """
         SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
         FROM documents
+    """
+
+    sql["dataset_split"] = """
+        SELECT doc_id,
+               CASE WHEN b < 9000 THEN 'train'
+                    WHEN b < 9500 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS b
+          FROM documents
+        )
     """
 
     sql["kmeans_clusters"] = """

@@ -1,0 +1,66 @@
+"""Deterministic hash-based dataset splitting (train/val/test) for
+training-data pipelines.
+
+The split decision is a pure function of the row id (+ optional salt):
+``bucket = int(md5(id || salt)[:8], 16) % 10000``, carved into
+contiguous bucket ranges by the requested fractions. Properties that
+matter at corpus scale:
+
+- **stable under growth**: a document's split never changes when the
+  corpus is re-ingested or extended — no test-set leakage between
+  dataset versions (the failure mode of fraction-based random sampling
+  re-drawn per run);
+- **engine-portable**: md5 + hex-parse reproduce bit-identically in
+  Spark, DuckDB, Python — downstream consumers can re-derive membership
+  without the original job;
+- **map-only**: no shuffle, no sampling pass, no driver state; the
+  expression inlines into whatever scan reads the table.
+
+Fraction→bucket rounding: each boundary is ``round(cum_fraction *
+10000)``, so fractions are honored to 1e-4; the final range absorbs
+the remainder and a trailing fraction may be padded to cover bucket
+9999.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["hash_split", "split_column"]
+
+_BUCKETS = 10_000
+
+
+def split_column(
+    id_col: str,
+    fractions: dict[str, float] | None = None,
+    salt: str = "",
+) -> Column:
+    """The split label as a pure Column expression (see module doc)."""
+    fractions = dict(fractions or {"train": 0.9, "val": 0.05, "test": 0.05})
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    key = F.concat(F.col(id_col).cast("string"), F.lit(salt))
+    bucket = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % _BUCKETS
+    expr = None
+    cum = 0.0
+    names = list(fractions)
+    for name in names:
+        cum += fractions[name]
+        hi = _BUCKETS if name == names[-1] else int(round(cum * _BUCKETS))
+        cond = bucket < F.lit(hi)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return expr
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    fractions: dict[str, float] | None = None,
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Add a deterministic `split` label column to `df`."""
+    return df.withColumn(split_col, split_column(id_col, fractions, salt))

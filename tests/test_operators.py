@@ -870,3 +870,40 @@ def test_retention_decision_relational_verdicts(spark):
 
     got = droppable_days(df, _Log2(), ["1h", "1d"], horizon)
     assert got == [D(0), D(3)]
+
+
+def test_hash_split_deterministic_and_stable(spark):
+    """The split label is a pure function of (id, salt): it matches a
+    hashlib re-derivation, never changes when the corpus grows (no
+    test-set leakage across dataset versions), honors fractions to
+    ~1e-4 of the bucket space, and re-salts independently."""
+    import hashlib
+    from cesium_spark.operators.split import hash_split
+
+    def expect(i, salt=""):
+        b = int(hashlib.md5(f"{i}{salt}".encode()).hexdigest()[:8], 16) % 10000
+        return "train" if b < 9000 else ("val" if b < 9500 else "test")
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    got = {r.doc_id: r.split for r in hash_split(df).collect()}
+    assert all(got[i] == expect(i) for i in range(2000))
+
+    # growth stability: labels computed on a subset are identical
+    sub = {r.doc_id: r.split
+           for r in hash_split(df.filter("doc_id < 100")).collect()}
+    assert all(sub[i] == got[i] for i in range(100))
+
+    # fractions roughly honored (md5 is uniform; 2000 ids)
+    from collections import Counter
+    c = Counter(got.values())
+    assert 0.85 < c["train"] / 2000 < 0.95
+    assert c["val"] > 0 and c["test"] > 0
+
+    # salt changes membership; bad fractions raise
+    salted = {r.doc_id: r.split
+              for r in hash_split(df, salt="v2").collect()}
+    assert salted != got
+    assert all(salted[i] == expect(i, "v2") for i in range(100))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="sum to 1"):
+        hash_split(df, fractions={"train": 0.5, "val": 0.1})
