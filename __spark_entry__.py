@@ -370,6 +370,29 @@ def q_text_stats(spark, sf_dir):
     return text_stats(_docs(spark, sf_dir))
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE vocabulary training (Sennrich et al. 2016), 20
+    merges over the documents corpus. Iterative data-dependent argmax
+    per merge is not SQL-expressible, so this bridges like the golden
+    queries: matches_reference compares the distributed merge sequence
+    against an independent single-node reimplementation on the same
+    (bounded, vocabulary-sized) word counts — a trainer regression
+    flips hashed values."""
+    from cesium_spark.operators.bpe import bpe_reference, train_bpe, word_frequencies
+
+    docs = _docs(spark, sf_dir)
+    merges, _ = train_bpe(docs, n_merges=20)
+    wf = {r["word"]: r["freq"] for r in word_frequencies(docs).collect()}
+    ref, _ = bpe_reference(wf, n_merges=20)
+    rows = [
+        (rank, l, r, int((rank, l, r) in set(ref)))
+        for rank, l, r in merges
+    ]
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, matches_reference int"
+    )
+
+
 def q_dataset_split(spark, sf_dir):
     """Deterministic md5-bucket train/val/test split (90/5/5): a pure
     map-only column expression, stable under corpus growth (no test-set
@@ -1137,6 +1160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50-slot cap and was never driver-checked).
     return {
         # --- round 5 ---
+        "bpe_merges": q_bpe_merges,
         "dataset_split": q_dataset_split,
         "kmeans_clusters": q_kmeans_clusters,
         "doc_repetition": q_doc_repetition,

@@ -1,0 +1,69 @@
+"""Distributed BPE trainer tests: the Spark vocab loop must reproduce
+an independent single-node Sennrich-et-al reimplementation exactly
+(merge sequence, tie-breaks, early stop), and encoding must be
+lossless back to the pre-tokenized words."""
+
+import pytest
+from cesium_spark.operators.bpe import (
+    EOW, bpe_encode, bpe_reference, train_bpe, word_frequencies)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # the classic BPE example corpus (low/lower/newest/widest) plus a
+    # second doc so word counts span documents
+    return spark.createDataFrame(
+        [
+            (1, "low low low low low lower lower newest newest newest"),
+            (2, "newest newest newest widest widest widest"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_train_matches_reference_exactly(spark, corpus):
+    merges, vocab = train_bpe(corpus, n_merges=10)
+    wf = {r.word: r.freq for r in word_frequencies(corpus).collect()}
+    ref_merges, ref_vocab = bpe_reference(wf, n_merges=10)
+    assert merges == ref_merges
+    assert len(merges) == 10
+    # the canonical result: 'est</w>' and whole 'low' become units
+    assert ("e", "s") == merges[0][1:]
+    got_vocab = {r.word: tuple(r.syms) for r in vocab.collect()}
+    assert got_vocab == ref_vocab
+
+
+def test_min_freq_early_stop(spark):
+    # every word unique -> every pair count is 1 < min_freq=2: no merges
+    df = spark.createDataFrame(
+        [(1, "abc defg hij")], "doc_id long, text string")
+    merges, vocab = train_bpe(df, n_merges=5, min_freq=2)
+    assert merges == []
+    # with min_freq=1 the lexicographically-first max-count pair wins
+    merges1, _ = train_bpe(df, n_merges=1, min_freq=1)
+    wf = {r.word: r.freq for r in word_frequencies(df).collect()}
+    ref1, _ = bpe_reference(wf, n_merges=1, min_freq=1)
+    assert merges1 == ref1
+
+
+def test_encode_is_lossless_and_uses_merges(spark, corpus):
+    merges, _ = train_bpe(corpus, n_merges=10)
+    enc = bpe_encode(corpus, merges).collect()
+    for row in enc:
+        words = row.text.lower().split()
+        # EOW-terminated groups must spell the original words
+        rebuilt, cur = [], ""
+        for tok in row.bpe_tokens:
+            cur += tok
+            if cur.endswith(EOW):
+                rebuilt.append(cur[: -len(EOW)])
+                cur = ""
+        assert cur == "" and rebuilt == words
+    # trained units actually appear (not char-level fallback)
+    toks = set(t for row in enc for t in row.bpe_tokens)
+    assert "low" + EOW in toks or "low" in toks
+
+    # unseen word degrades to characters + EOW
+    new = spark.createDataFrame([(9, "zq")], "doc_id long, text string")
+    out = bpe_encode(new, merges).collect()[0].bpe_tokens
+    assert out == ["z", "q", EOW]
