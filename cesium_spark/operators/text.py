@@ -225,7 +225,13 @@ def repetition_stats(
     )
     units = F.concat(line_units, *[grams(n) for n in all_ns])
 
-    exploded = df.select(
+    # Shuffle the RAW documents once by id — the cheapest relation to
+    # move (the exploded gram table is ~4x token-count rows per doc and
+    # map-side combine can't merge across docs). Generate/explode
+    # preserves the partitioning, every downstream groupBy key starts
+    # with id_col, so all three aggregations run partition-local: one
+    # Exchange total instead of three.
+    exploded = df.repartition(F.col(id_col)).select(
         F.col(id_col),
         F.length(t).alias("n_chars"),
         F.explode(units).alias("unit"),

@@ -176,3 +176,40 @@ def test_lttb_single_exchange(spark, tmp_path):
     phys = out._jdf.queryExecution().toString().split("== Physical Plan ==")[-1]
     assert phys.count("Exchange") == 1
     assert "MapInPandas" in phys
+
+
+def test_repetition_stats_single_exchange(spark, tmp_path):
+    """repetition_stats: ONE shuffle of the raw docs by id; the explode
+    and all three aggregations (unit counts, per-(doc,n), per-doc
+    pivot) run partition-local on the preserved partitioning."""
+    from cesium_spark.operators.text import repetition_stats
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "a b a b c d" * (i % 3 + 1)) for i in range(30)],
+        "doc_id long, text string",
+    ).write.parquet(p)
+    out = repetition_stats(spark.read.parquet(p))
+    phys = out._jdf.queryExecution().toString().split("== Physical Plan ==")[-1]
+    assert phys.count("Exchange") == 1
+    assert "Window" not in phys and "Python" not in phys
+
+
+def test_kmeans_assignment_is_map_only(spark, tmp_path):
+    """k-means: the assignment pass is a pure projection over the scan
+    (no Exchange, no Python) — centroids ride inline; only the update
+    aggregation shuffles (k x dim partials)."""
+    from cesium_spark.operators.kmeans import _assign, _rounded_vec
+
+    p = str(tmp_path / "emb")
+    spark.createDataFrame(
+        [(i, [float(i), float(i % 5)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    v = _rounded_vec("embedding", 6)
+    out = _assign(df, "vec_id", v, [(0, [0.0, 0.0]), (1, [10.0, 1.0])],
+                  6, with_vec=False)
+    phys = out._jdf.queryExecution().toString().split("== Physical Plan ==")[-1]
+    assert phys.count("Exchange") == 0
+    assert "Python" not in phys
