@@ -370,6 +370,57 @@ def q_text_stats(spark, sf_dir):
     return text_stats(_docs(spark, sf_dir))
 
 
+def q_ivf_index_streamed(spark, sf_dir):
+    """The streaming IVF-index head end-to-end: embeddings staged as two
+    parquet files drain as two availableNow micro-batches (centroids
+    train on batch 1 and are committed before any index write; batch 2
+    exercises the incremental assign + touched-list rewrite). Bridge:
+    matches_batch compares every streamed row against extend_ivf_index
+    over the full corpus with the SAME persisted centroids — a
+    maintenance regression (stale/duplicate/missing rows) flips hashed
+    values."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from cesium_spark.operators.similarity import extend_ivf_index
+    from cesium_spark.sources.table import SnapshotTable
+    from cesium_spark.streaming.stream import start_ivf_index_stream
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    work = tempfile.mkdtemp(prefix="ivf_stream_")
+    in_dir = f"{work}/in"
+    emb.filter(F.col("vec_id") % 2 == 0).coalesce(1) \
+        .write.mode("overwrite").parquet(in_dir)
+    emb.filter(F.col("vec_id") % 2 == 1).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+    schema = "vec_id bigint, embedding array<float>"
+    q = start_ivf_index_stream(
+        spark, in_dir, f"{work}/store", f"{work}/ckpt", schema,
+        n_lists=16,
+    )
+    q.awaitTermination(300)
+    cents = np.load(f"{work}/store/centroids.npy")
+    got = SnapshotTable(f"{work}/store/ivf_index").read(spark) \
+        .select("neighbor_id", "list_id")
+    want = extend_ivf_index(emb, cents).select(
+        F.col("neighbor_id"), F.col("list_id").alias("want_list")
+    )
+    out = (
+        got.join(want, "neighbor_id", "full")
+        .select(
+            F.col("neighbor_id").alias("vec_id"),
+            F.coalesce("list_id", F.lit(-1)).alias("list_id"),
+            (F.col("list_id") == F.col("want_list")).cast("int")
+            .alias("matches_batch"),
+        )
+        .localCheckpoint(eager=True)  # detach from the temp files
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def q_bpe_merges(spark, sf_dir):
     """Distributed BPE vocabulary training (Sennrich et al. 2016), 20
     merges over the documents corpus. Iterative data-dependent argmax
@@ -1160,6 +1211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50-slot cap and was never driver-checked).
     return {
         # --- round 5 ---
+        "ivf_index_streamed": q_ivf_index_streamed,
         "bpe_merges": q_bpe_merges,
         "dataset_split": q_dataset_split,
         "kmeans_clusters": q_kmeans_clusters,

@@ -251,6 +251,21 @@ def main():
     extras["ivfpq_rerank_sec"] = round(dt, 3)
     extras["ivfpq_rerank_trials_sec"] = trials
 
+    # round-5 continuation: Gopher repetition filters (one-Exchange
+    # plan) and the oracle-replayable distributed k-means
+    from cesium_spark.operators.kmeans import kmeans_assignments
+    from cesium_spark.operators.text import repetition_stats
+
+    docs_r5 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    dt, trials = _best_of(lambda: _force(repetition_stats(docs_r5)), n=2)
+    extras["doc_repetition_sec"] = round(dt, 3)
+    extras["doc_repetition_trials_sec"] = trials
+    dt, trials = _best_of(
+        lambda: _force(kmeans_assignments(emb, k=4, iters=2)), n=2
+    )
+    extras["kmeans_sec"] = round(dt, 3)
+    extras["kmeans_trials_sec"] = trials
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

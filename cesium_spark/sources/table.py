@@ -50,7 +50,8 @@ class SnapshotTable:
         log = parent
         snap = {
             "snapshot_id": uuid.uuid4().hex[:16],
-            "sequence": len(log),
+            # monotonic even after expire_snapshots truncates the log
+            "sequence": (log[-1]["sequence"] + 1) if log else 0,
             "timestamp": time.time(),
             "operation": operation,
             "paths": sorted(paths),
@@ -136,6 +137,94 @@ class SnapshotTable:
             if suf not in replaced:
                 kept.append(p)
         return self._append_snapshot(kept + new_paths, "overwrite_partitions", log)
+
+    # ------------------------------------------------------- maintenance
+
+    def rollback(self, snapshot_id: str) -> str:
+        """Roll the table back to an earlier snapshot — Iceberg's
+        `rollback_to_snapshot`: appends a NEW snapshot whose live
+        file-set is the old one's, so the rollback itself is in the
+        history (and can be rolled back)."""
+        log = self._load_log()
+        matches = [s for s in log if s["snapshot_id"] == snapshot_id]
+        if not matches:
+            raise KeyError(f"unknown snapshot {snapshot_id}")
+        return self._append_snapshot(matches[0]["paths"], "rollback", log)
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
+        """Iceberg's `expire_snapshots`: drop all but the last
+        ``keep_last`` log entries and delete data files no kept
+        snapshot references. Returns the deleted paths. Ordering is
+        crash-safe: the truncated manifest lands atomically FIRST, so
+        an interruption leaves only harmless orphan files (never a
+        manifest pointing at deleted data)."""
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        log = self._load_log()
+        if len(log) <= keep_last:
+            return []
+        kept = log[-keep_last:]
+        referenced: set[str] = set()
+        for s in kept:
+            referenced.update(s["paths"])
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(kept, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._manifest_path)
+
+        deleted = []
+        for s in log[: len(log) - keep_last]:
+            for p in s["paths"]:
+                if p in referenced or not os.path.exists(p):
+                    continue
+                # a kept path may live UNDER an expired dir path (or
+                # vice versa) only when identical — paths are leaf
+                # partition dirs or whole snapshot dirs, never nested
+                shutil.rmtree(p, ignore_errors=True)
+                deleted.append(p)
+                referenced.add(p)  # don't double-delete shared paths
+        return sorted(set(deleted))
+
+    def merge_rows(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        keys: list[str],
+        partition_by: list[str] | None = None,
+    ) -> str:
+        """Upsert — Iceberg's ``MERGE INTO ... WHEN MATCHED THEN UPDATE
+        WHEN NOT MATCHED THEN INSERT`` for whole rows, as copy-on-write.
+        With ``partition_by`` the rewrite is PARTITION-SCOPED: only the
+        partitions the source rows land in are read back, anti-joined
+        on ``keys`` and rewritten; every untouched partition's files
+        are carried into the new snapshot as-is (the scalable CoW shape
+        — rewrite cost tracks the touched data, not the table).
+
+        Requires ``partition_by`` to be a prefix-stable property of the
+        key (a row's partition never changes), as in Iceberg: otherwise
+        the old version of a moved row would survive in its previous
+        partition."""
+        from pyspark.sql import functions as F
+
+        log = self._load_log()
+        if not log:
+            return self.append(df, partition_by)
+        current = self.read(spark)
+        if partition_by:
+            touched = df.select(*partition_by).distinct()
+            scoped = current.join(F.broadcast(touched), partition_by, "left_semi")
+            survivors = scoped.join(
+                df.select(*keys).distinct(), keys, "left_anti"
+            )
+            return self.overwrite_partitions(
+                survivors.unionByName(df), partition_by
+            )
+        survivors = current.join(df.select(*keys).distinct(), keys, "left_anti")
+        return self.overwrite(survivors.unionByName(df), partition_by)
 
     # -------------------------------------------------------------- read
 

@@ -27,7 +27,8 @@ __all__ = [
     "streaming_sessionize", "start_session_stream",
     "streaming_exact_dedup", "span_dedup_batch_fn",
     "start_span_dedup_stream", "minhash_dedup_batch_fn",
-    "start_minhash_dedup_stream",
+    "start_minhash_dedup_stream", "ivf_index_batch_fn",
+    "start_ivf_index_stream",
 ]
 
 
@@ -674,6 +675,111 @@ def start_minhash_dedup_stream(
     return (
         src.writeStream
         .foreachBatch(minhash_dedup_batch_fn(store_root, **kwargs))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def ivf_index_batch_fn(
+    store_root: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    train_sample: int = 2048,
+    seed: int = 42,
+):
+    """foreachBatch function maintaining a persisted IVF vector index
+    under `store_root` (SnapshotTable "ivf_index", list_id-partitioned,
+    plus "centroids.npy") — the streaming head of the ANN pipeline,
+    symmetric with the span/minhash heads.
+
+    Bootstrap trains centroids on the FIRST batch (the deterministic
+    bounded driver sample of build_ivf_index) and commits them
+    atomically (tmp+rename) BEFORE the first index write, so a
+    foreachBatch redelivery re-reads the same centroids instead of
+    retraining on different data. Every batch then assigns its vectors
+    with one broadcast-centroid Arrow pass (extend_ivf_index) and
+    rewrites ONLY the touched list partitions: a replayed id is
+    upserted, and if a re-ingested vector CHANGED (assignment moved
+    lists), its stale row's old partition is rewritten too — the
+    moved-row case a naive partition-scoped upsert would leak.
+
+    Invariant (tested): after every micro-batch the table equals
+    extend_ivf_index(latest version of every ingested vector, cents).
+    Centroids are append-stable by design (assignments are centroid-
+    relative); retrain = a new store_root when drift degrades recall."""
+    import os
+
+    import numpy as np
+
+    from ..operators.similarity import _driver_sample, _kmeans_centroids, extend_ivf_index
+    from ..sources.table import SnapshotTable
+
+    idx_table = SnapshotTable(os.path.join(store_root, "ivf_index"))
+    cents_path = os.path.join(store_root, "centroids.npy")
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sp = batch_df.sparkSession
+        if os.path.exists(cents_path):
+            cents = np.load(cents_path)
+            bootstrap = False
+        else:
+            sample = _driver_sample(batch_df, id_col, vec_col, train_sample)
+            cents = _kmeans_centroids(sample, n_lists, seed)
+            tmp = cents_path + ".tmp.npy"
+            np.save(tmp, cents)
+            os.replace(tmp, cents_path)
+            bootstrap = True
+
+        rows = extend_ivf_index(batch_df, cents, id_col=id_col,
+                                vec_col=vec_col).localCheckpoint(eager=True)
+        if bootstrap:
+            idx_table.overwrite(rows, ["list_id"])
+            return
+        try:
+            idx = idx_table.read(sp)
+        except FileNotFoundError:
+            # centroids committed but the bootstrap write didn't land
+            # (crash window): this redelivery IS the bootstrap write
+            idx_table.overwrite(rows, ["list_id"])
+            return
+        new_ids = rows.select(F.col("neighbor_id")).distinct()
+        stale = idx.join(new_ids, "neighbor_id", "semi")
+        touched = sorted(
+            {r["list_id"] for r in rows.select("list_id").distinct().collect()}
+            | {r["list_id"] for r in stale.select("list_id").distinct().collect()}
+        )
+        content = (
+            idx.filter(F.col("list_id").isin(touched))
+            .join(new_ids, "neighbor_id", "left_anti")
+            .unionByName(rows)
+        )
+        idx_table.overwrite_partitions(
+            content, ["list_id"],
+            also_replace={f"list_id={b}" for b in touched},
+        )
+
+    return _apply
+
+
+def start_ivf_index_stream(
+    spark,
+    input_dir: str,
+    store_root: str,
+    checkpoint_dir: str,
+    schema,
+    **kwargs,
+):
+    """File-source streaming IVF index upkeep: new parquet embedding
+    files under `input_dir` extend the persisted index micro-batch by
+    micro-batch (ivf_index_batch_fn). Returns the StreamingQuery."""
+    src = spark.readStream.schema(schema).parquet(input_dir)
+    return (
+        src.writeStream
+        .foreachBatch(ivf_index_batch_fn(store_root, **kwargs))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -47,6 +47,69 @@ def test_snapshot_table_overwrite_partitions(spark, tmp_path):
     assert set(cur["part"]) == {"a", "b"}
 
 
+def test_snapshot_table_rollback_expire_and_merge(spark, tmp_path):
+    """The Iceberg maintenance surface: rollback appends a history-
+    preserving snapshot pointing at the old file-set; expire_snapshots
+    truncates the log and GCs only unreferenced files (manifest lands
+    first -> crash leaves orphans, never dangling refs); merge_rows is
+    a partition-scoped copy-on-write upsert that carries untouched
+    partitions' files into the new snapshot byte-identically."""
+    import os
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    s1 = t.append(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]),
+                  partition_by=["part"])
+    s2 = t.overwrite_partitions(_df(spark, [(9, "b", 9.0)]),
+                                partition_by=["part"])
+
+    # rollback to s1: current read shows the old rows, history grows
+    s3 = t.rollback(s1)
+    cur = t.read(spark).toPandas()
+    assert sorted(cur["k"]) == [1, 2]
+    assert [s["operation"] for s in t.snapshots()][-1] == "rollback"
+    assert t.read(spark, as_of=s2).toPandas()["k"].tolist() != [1, 2]
+
+    # merge (upsert): update k=1's value, insert k=5 into partition b;
+    # partition a is touched (k=1), but suppose only its keys change —
+    # partition c untouched entirely
+    t.overwrite(_df(spark, [(1, "a", 1.0), (2, "b", 2.0), (7, "c", 7.0)]),
+                partition_by=["part"])
+    paths_before = {p for p in t.snapshots()[-1]["paths"] if "part=c" in p}
+    t.merge_rows(spark,
+                 _df(spark, [(1, "a", 111.0), (5, "b", 5.0)]),
+                 keys=["k"], partition_by=["part"])
+    cur = t.read(spark).toPandas().sort_values("k").reset_index(drop=True)
+    assert list(cur["k"]) == [1, 2, 5, 7]
+    assert cur.loc[0, "v"] == 111.0
+    paths_after = {p for p in t.snapshots()[-1]["paths"] if "part=c" in p}
+    assert paths_after == paths_before  # untouched partition: same files
+
+    # expire: keep the last snapshot only; files of expired-only
+    # snapshots are gone, current read still works, sequence monotonic
+    seq_before = t.snapshots()[-1]["sequence"]
+    deleted = t.expire_snapshots(keep_last=1)
+    assert deleted and all(not os.path.exists(p) for p in deleted)
+    assert len(t.snapshots()) == 1
+    cur2 = t.read(spark).toPandas().sort_values("k").reset_index(drop=True)
+    assert list(cur2["k"]) == [1, 2, 5, 7]
+    s_new = t.append(_df(spark, [(8, "d", 8.0)]), partition_by=["part"])
+    assert t.snapshots()[-1]["sequence"] == seq_before + 1
+    # expired snapshot ids are gone from time travel
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        t.read(spark, as_of=s1)
+
+
+def test_snapshot_table_merge_unpartitioned_and_empty(spark, tmp_path):
+    """merge_rows on an empty table degrades to append; unpartitioned
+    merge rewrites the whole table (documented CoW cost)."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.merge_rows(spark, _df(spark, [(1, "a", 1.0)]), keys=["k"])
+    assert t.read(spark).toPandas()["k"].tolist() == [1]
+    t.merge_rows(spark, _df(spark, [(1, "a", 2.0), (2, "b", 2.0)]), keys=["k"])
+    cur = t.read(spark).toPandas().sort_values("k")
+    assert list(cur["k"]) == [1, 2] and cur.iloc[0]["v"] == 2.0
+
+
 def test_read_ts_csv_matches_reference_parse(spark, tmp_path):
     # 3-column (t,m,e) and default-error fill on 2-column
     p3 = tmp_path / "s3.csv"

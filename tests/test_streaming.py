@@ -408,3 +408,65 @@ def test_streaming_minhash_dedup_availablenow_restart(spark, tmp_path):
     want_idx2 = minhash_band_rows(corpus2).toPandas() \
         .sort_values(["id", "band", "key"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got_idx2, want_idx2, check_dtype=False)
+
+
+def test_streaming_ivf_index_availablenow_restart(spark, tmp_path):
+    """The streaming IVF-index head: centroids train once on the first
+    batch and are committed before any index write; after every
+    micro-batch (incl. an availableNow restart whose second batch
+    REPLAYS a vector with changed values, moving it across lists) the
+    persisted index equals extend_ivf_index over the latest version of
+    every ingested vector — stale rows in the moved-from list are
+    rewritten out."""
+    import numpy as np
+
+    from cesium_spark.operators.similarity import extend_ivf_index
+    from cesium_spark.sources.table import SnapshotTable
+    from cesium_spark.streaming.stream import start_ivf_index_stream
+
+    in_dir, store, ckpt = (str(tmp_path / d) for d in ("in", "store", "ckpt"))
+    rng = np.random.RandomState(3)
+    schema = "vec_id long, embedding array<double>"
+    batch1 = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(40)]
+    spark.createDataFrame(batch1, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(in_dir)
+    q = start_ivf_index_stream(spark, in_dir, store, ckpt, schema,
+                               n_lists=4, train_sample=40)
+    q.awaitTermination(120)
+    cents = np.load(f"{store}/centroids.npy")
+    assert cents.shape == (4, 8)
+
+    def current_index():
+        return SnapshotTable(f"{store}/ivf_index").read(spark) \
+            .select("neighbor_id", "list_id").toPandas() \
+            .sort_values("neighbor_id").reset_index(drop=True)
+
+    corpus1 = spark.createDataFrame(batch1, schema)
+    want1 = extend_ivf_index(corpus1, cents).select("neighbor_id", "list_id") \
+        .toPandas().sort_values("neighbor_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(current_index(), want1, check_dtype=False)
+
+    # batch 2: vec 7 replayed pointing at a DIFFERENT centroid (moves
+    # lists), vecs 40-44 new
+    old7 = dict(batch1)[7]
+    target = int(want1.set_index("neighbor_id").loc[7, "list_id"])
+    other = (target + 1) % 4
+    batch2 = [(7, [float(x) for x in cents[other] * 10.0])] + \
+        [(40 + j, [float(x) for x in rng.normal(size=8)]) for j in range(5)]
+    spark.createDataFrame(batch2, schema).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+    q2 = start_ivf_index_stream(spark, in_dir, store, ckpt, schema,
+                                n_lists=4, train_sample=40)
+    q2.awaitTermination(120)
+
+    assert np.allclose(np.load(f"{store}/centroids.npy"), cents)  # stable
+    current = {i: v for i, v in batch1}
+    current.update({i: v for i, v in batch2})
+    corpus2 = spark.createDataFrame(sorted(current.items()), schema)
+    want2 = extend_ivf_index(corpus2, cents).select("neighbor_id", "list_id") \
+        .toPandas().sort_values("neighbor_id").reset_index(drop=True)
+    got2 = current_index()
+    pd.testing.assert_frame_equal(got2, want2, check_dtype=False)
+    moved = int(got2.set_index("neighbor_id").loc[7, "list_id"])
+    assert moved == other and moved != target  # really exercised the move
+    assert len(got2) == 45  # no duplicate rows for the replayed id
