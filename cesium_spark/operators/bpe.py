@@ -27,7 +27,12 @@ vocabulary relation itself ever dominates.
 
 Symbol alphabet: characters of the word plus a terminal '</w>' symbol
 (the original end-of-word marker), so merges distinguish suffixes from
-mid-word units.
+mid-word units. Caveat: the JVM-side character split is per UTF-16
+code unit, so astral-plane characters (emoji etc.) start as surrogate
+halves where the Python reference starts from code points — for
+byte-fallback semantics on such corpora, pre-encode text to a
+byte-level alphabet (GPT-2 style) before training; on BMP text the
+two splits are identical.
 """
 
 from __future__ import annotations
