@@ -398,7 +398,7 @@ def q_ivf_index_streamed(spark, sf_dir):
     schema = "vec_id bigint, embedding array<float>"
     q = start_ivf_index_stream(
         spark, in_dir, f"{work}/store", f"{work}/ckpt", schema,
-        n_lists=16,
+        n_lists=16, max_files_per_trigger=1,
     )
     q.awaitTermination(300)
     cents = np.load(f"{work}/store/centroids.npy")

@@ -166,11 +166,20 @@ def bpe_encode(
     ordered = [(l, r) for _, l, r in sorted(merges)]
 
     def enc_fn(texts):
+        import re
+
+        # mirror the training tokenization (_tokens: JVM lower + ASCII
+        # \s+ split, empties dropped) — Python str.split()'s Unicode
+        # whitespace would segment some corpora differently from the
+        # vocabulary the merges were learned on. (Exotic caveat: locale
+        # case mappings like Turkish dotted-İ can still lower()
+        # differently between Python and the JVM.)
+        ws = re.compile(r"\s+", re.ASCII)
         out = []
         cache: dict = {}
         for t in texts:
             toks: list = []
-            for w in (t or "").lower().split():
+            for w in (w for w in ws.split((t or "").lower()) if w):
                 if w not in cache:
                     syms = list(w) + [EOW]
                     for l, r in ordered:

@@ -215,7 +215,14 @@ def repetition_stats(
     rd = round_digits
 
     def rep_fn(texts):
+        import re
         from collections import Counter
+
+        # the engine tokenization contract (see _tokens): ASCII \s+
+        # split of the space-trimmed text — NOT Python str.split(),
+        # whose Unicode whitespace (\xa0 etc.) and empty-dropping
+        # would diverge from the DuckDB oracle's regexp_split_to_array
+        ws = re.compile(r"\s+", re.ASCII)
 
         out = []
         for txt in texts:
@@ -232,7 +239,7 @@ def repetition_stats(
                 frac(tot - len(lines), tot),
                 frac(sum(c * len(l) for l, c in lines.items() if c >= 2), nc),
             ]
-            toks = txt.strip().split()
+            toks = ws.split(txt.strip(" "))
             for n in top_list:
                 c = Counter(
                     " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)

@@ -185,8 +185,12 @@ class SnapshotTable:
                 # vice versa) only when identical — paths are leaf
                 # partition dirs or whole snapshot dirs, never nested
                 shutil.rmtree(p, ignore_errors=True)
-                deleted.append(p)
-                referenced.add(p)  # don't double-delete shared paths
+                referenced.add(p)  # don't retry shared paths
+                # rmtree swallows errors: report only what's GONE —
+                # a survivor is an unreferenced orphan (harmless), not
+                # reclaimed storage
+                if not os.path.exists(p):
+                    deleted.append(p)
         return sorted(set(deleted))
 
     def merge_rows(

@@ -723,18 +723,27 @@ def ivf_index_batch_fn(
         if batch_df.isEmpty():
             return
         sp = batch_df.sparkSession
+        # a micro-batch may deliver the same id twice (two ingest files
+        # drained together) — collapse to ONE row per id first, picking
+        # the lexicographically-greatest vector (file streams carry no
+        # intra-batch order, so "last" is undefined; the pick just has
+        # to be deterministic so redelivery converges). Centroid
+        # training samples the deduped relation for the same reason.
+        deduped = batch_df.groupBy(F.col(id_col)).agg(
+            F.max(F.col(vec_col)).alias(vec_col)
+        )
         if os.path.exists(cents_path):
             cents = np.load(cents_path)
             bootstrap = False
         else:
-            sample = _driver_sample(batch_df, id_col, vec_col, train_sample)
+            sample = _driver_sample(deduped, id_col, vec_col, train_sample)
             cents = _kmeans_centroids(sample, n_lists, seed)
             tmp = cents_path + ".tmp.npy"
             np.save(tmp, cents)
             os.replace(tmp, cents_path)
             bootstrap = True
 
-        rows = extend_ivf_index(batch_df, cents, id_col=id_col,
+        rows = extend_ivf_index(deduped, cents, id_col=id_col,
                                 vec_col=vec_col).localCheckpoint(eager=True)
         if bootstrap:
             idx_table.overwrite(rows, ["list_id"])
@@ -771,12 +780,20 @@ def start_ivf_index_stream(
     store_root: str,
     checkpoint_dir: str,
     schema,
+    max_files_per_trigger: int | None = None,
     **kwargs,
 ):
     """File-source streaming IVF index upkeep: new parquet embedding
     files under `input_dir` extend the persisted index micro-batch by
-    micro-batch (ivf_index_batch_fn). Returns the StreamingQuery."""
-    src = spark.readStream.schema(schema).parquet(input_dir)
+    micro-batch (ivf_index_batch_fn). Returns the StreamingQuery.
+    `max_files_per_trigger=1` forces one micro-batch per staged file —
+    without it an availableNow start drains every pending file in ONE
+    batch (i.e. pre-staged multi-file tests would only exercise the
+    bootstrap path)."""
+    src = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        src = src.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = src.parquet(input_dir)
     return (
         src.writeStream
         .foreachBatch(ivf_index_batch_fn(store_root, **kwargs))

@@ -470,3 +470,33 @@ def test_streaming_ivf_index_availablenow_restart(spark, tmp_path):
     moved = int(got2.set_index("neighbor_id").loc[7, "list_id"])
     assert moved == other and moved != target  # really exercised the move
     assert len(got2) == 45  # no duplicate rows for the replayed id
+
+
+def test_streaming_ivf_index_intra_batch_duplicate_id(spark, tmp_path):
+    """Review finding: two staged files carrying the SAME vec_id drain
+    into one availableNow micro-batch (no maxFilesPerTrigger) — the
+    head must collapse them to one deterministic row, not persist both
+    versions."""
+    import numpy as np
+
+    from cesium_spark.sources.table import SnapshotTable
+    from cesium_spark.streaming.stream import start_ivf_index_stream
+
+    in_dir, store, ckpt = (str(tmp_path / d) for d in ("in", "store", "ckpt"))
+    rng = np.random.RandomState(9)
+    schema = "vec_id long, embedding array<double>"
+    base = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(20)]
+    spark.createDataFrame(base, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(in_dir)
+    # second file REPEATS id 3 with a different vector, same batch
+    spark.createDataFrame(
+        [(3, [float(x) for x in rng.normal(size=8)])], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    q = start_ivf_index_stream(spark, in_dir, store, ckpt, schema,
+                               n_lists=4, train_sample=20)
+    q.awaitTermination(120)
+    got = SnapshotTable(f"{store}/ivf_index").read(spark) \
+        .select("neighbor_id").toPandas()
+    assert len(got) == 20  # one row per id
+    assert got.neighbor_id.is_unique
