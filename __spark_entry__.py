@@ -876,6 +876,36 @@ def q_clean_corpus_spans(spark, sf_dir):
     return _clean_corpus_verdict(spark, sf_dir, with_spans=True)
 
 
+def q_training_corpus(spark, sf_dir):
+    """THE end-to-end training-set materialization a 100 TB pipeline
+    runs: the five-stage cleaning precedence (near_dup -> span_dup ->
+    lang -> low_quality -> repetitive -> ok, each stage independently
+    oracled elsewhere) composed with the deterministic md5-bucket
+    train/val/test split for the survivors. Gates the full composition:
+    join plumbing, precedence, the Gopher repetition stage, and split
+    stability in one hash-checked verdict per document."""
+    from cesium_spark.operators.split import split_column
+
+    base = _clean_corpus_verdict(spark, sf_dir, with_spans=True)
+    rep = repetition_stats(_docs(spark, sf_dir)).select("doc_id", "repetitive")
+    reason = F.when(
+        (F.col("reason") == "ok") & (F.col("repetitive") == 1),
+        F.lit("repetitive"),
+    ).otherwise(F.col("reason"))
+    return (
+        base.join(rep, "doc_id")
+        .select(F.col("doc_id"), reason.alias("reason"))
+        .select(
+            "doc_id",
+            "reason",
+            (F.col("reason") == "ok").alias("keep"),
+            F.when(F.col("reason") != "ok", F.lit("dropped"))
+            .otherwise(split_column("doc_id"))
+            .alias("split"),
+        )
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Dedup survivorship: transitive near-dup CLUSTERS over the capped
     jaccard pair graph (same pair semantics as `jaccard_5gram`), every
@@ -1211,6 +1241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50-slot cap and was never driver-checked).
     return {
         # --- round 5 ---
+        "training_corpus": q_training_corpus,
         "ivf_index_streamed": q_ivf_index_streamed,
         "bpe_merges": q_bpe_merges,
         "dataset_split": q_dataset_split,
@@ -1775,36 +1806,38 @@ def oracle_sql() -> dict[str, str]:
         ) WHERE rn = 1
     """
 
-    sql["doc_repetition"] = f"""
-        WITH d AS (
+    # Gopher repetition-filter CTE chain — shared verbatim by the
+    # doc_repetition oracle and the training_corpus composition oracle
+    rep_cte = f"""
+        rep_d AS (
           SELECT doc_id, length(text) AS n_chars,
                  regexp_split_to_array(trim(text), '\\s+') AS w,
                  string_split(text, chr(10)) AS lines
           FROM documents
         ),
-        units AS (
-          SELECT doc_id, n_chars, 0 AS n, unnest(lines) AS u FROM d
+        rep_units AS (
+          SELECT doc_id, n_chars, 0 AS n, unnest(lines) AS u FROM rep_d
           UNION ALL
           SELECT doc_id, n_chars, n, array_to_string(w[i : i + n - 1], ' ') AS u
           FROM (
             SELECT doc_id, n_chars, nn.n AS n, w,
                    unnest(range(1, len(w) - nn.n + 2)) AS i
-            FROM d, (VALUES (2),(3),(4),(5)) nn(n)
+            FROM rep_d, (VALUES (2),(3),(4),(5)) nn(n)
             WHERE len(w) >= nn.n
           )
         ),
-        c AS (
+        rep_c AS (
           SELECT doc_id, n_chars, n, u, count(*) AS cnt, length(u) AS ulen
-          FROM units GROUP BY ALL
+          FROM rep_units GROUP BY ALL
         ),
-        p AS (
+        rep_p AS (
           SELECT doc_id, n_chars, n,
                  sum(cnt) AS tot, count(*) AS uniq,
                  coalesce(max(cnt * ulen) FILTER (WHERE cnt >= 2), 0) AS top_cov,
                  coalesce(sum(cnt * ulen) FILTER (WHERE cnt >= 2), 0) AS dup_cov
-          FROM c GROUP BY ALL
+          FROM rep_c GROUP BY ALL
         ),
-        m AS (
+        rep_m AS (
           SELECT doc_id,
             round(least(coalesce(CASE WHEN max(CASE WHEN n=0 THEN tot END) > 0
               THEN (max(CASE WHEN n=0 THEN tot END) - max(CASE WHEN n=0 THEN uniq END))::DOUBLE
@@ -1819,13 +1852,22 @@ def oracle_sql() -> dict[str, str]:
               THEN max(CASE WHEN n=4 THEN top_cov END)::DOUBLE / any_value(n_chars) END, 0), 1.0) + {EPS}, {R}) AS top_4gram_char_frac,
             round(least(coalesce(CASE WHEN any_value(n_chars) > 0
               THEN max(CASE WHEN n=5 THEN dup_cov END)::DOUBLE / any_value(n_chars) END, 0), 1.0) + {EPS}, {R}) AS dup_5gram_char_frac
-          FROM p GROUP BY doc_id
-        )
-        SELECT *,
-          (dup_line_frac > 0.30 OR dup_line_char_frac > 0.20 OR top_2gram_char_frac > 0.20
-           OR top_3gram_char_frac > 0.18 OR top_4gram_char_frac > 0.16
-           OR dup_5gram_char_frac > 0.15)::INT AS repetitive
-        FROM m
+          FROM rep_p GROUP BY doc_id
+        ),
+        rep AS (
+          SELECT *,
+            (dup_line_frac > 0.30 OR dup_line_char_frac > 0.20 OR top_2gram_char_frac > 0.20
+             OR top_3gram_char_frac > 0.18 OR top_4gram_char_frac > 0.16
+             OR dup_5gram_char_frac > 0.15)::INT AS repetitive
+          FROM rep_m
+        )"""
+
+    sql["doc_repetition"] = f"""
+        WITH {rep_cte}
+        SELECT doc_id, dup_line_frac, dup_line_char_frac,
+               top_2gram_char_frac, top_3gram_char_frac,
+               top_4gram_char_frac, dup_5gram_char_frac, repetitive
+        FROM rep
     """
 
     sql["text_stats"] = f"""
@@ -2519,6 +2561,39 @@ def oracle_sql() -> dict[str, str]:
           JOIN sfrac sf ON d.doc_id = sf.doc_id
         )
         SELECT doc_id, reason, reason = 'ok' AS keep FROM verdict
+    """
+
+    sql["training_corpus"] = f"""
+        WITH RECURSIVE {shingle_cte},
+        {jaccard_closure_cte},
+        {quality_lang_cte},
+        {span_frac_cte},
+        {rep_cte},
+        verdict AS (
+          SELECT d.doc_id,
+                 CASE WHEN coalesce(l.lbl, d.doc_id) <> d.doc_id THEN 'near_dup'
+                      WHEN sf.dup_frac > 0.5 THEN 'span_dup'
+                      WHEN lg.lang_guess <> 'en' THEN 'lang'
+                      WHEN qs.quality < 0.5 THEN 'low_quality'
+                      WHEN r.repetitive = 1 THEN 'repetitive'
+                      ELSE 'ok' END AS reason
+          FROM documents d
+          LEFT JOIN lab l ON d.doc_id = l.n
+          JOIN qs ON d.doc_id = qs.doc_id
+          JOIN lg ON d.doc_id = lg.doc_id
+          JOIN sfrac sf ON d.doc_id = sf.doc_id
+          JOIN rep r ON d.doc_id = r.doc_id
+        )
+        SELECT doc_id, reason, reason = 'ok' AS keep,
+               CASE WHEN reason <> 'ok' THEN 'dropped'
+                    WHEN b < 9000 THEN 'train'
+                    WHEN b < 9500 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+          SELECT *,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS b
+          FROM verdict
+        )
     """
 
     # golden-bridge oracles: the vendored reference constants, emitted as
