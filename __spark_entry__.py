@@ -876,6 +876,17 @@ def q_clean_corpus_spans(spark, sf_dir):
     return _clean_corpus_verdict(spark, sf_dir, with_spans=True)
 
 
+def q_event_loops(spark, sf_dir):
+    """Per-user consecutive-run statistics over the event stream — the
+    loop-detection primitive for agent transcripts (a stuck agent = a
+    long run of identical actions). Gaps-and-islands with a
+    deterministic (ts, event_id) order; the oracle replays the exact
+    dataflow."""
+    from cesium_spark.operators.runs import event_run_stats
+
+    return event_run_stats(_events(spark, sf_dir))
+
+
 def q_training_corpus(spark, sf_dir):
     """THE end-to-end training-set materialization a 100 TB pipeline
     runs: the five-stage cleaning precedence (near_dup -> span_dup ->
@@ -1241,6 +1252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50-slot cap and was never driver-checked).
     return {
         # --- round 5 ---
+        "event_loops": q_event_loops,
         "training_corpus": q_training_corpus,
         "ivf_index_streamed": q_ivf_index_streamed,
         "bpe_merges": q_bpe_merges,
@@ -2561,6 +2573,31 @@ def oracle_sql() -> dict[str, str]:
           JOIN sfrac sf ON d.doc_id = sf.doc_id
         )
         SELECT doc_id, reason, reason = 'ok' AS keep FROM verdict
+    """
+
+    sql["event_loops"] = f"""
+        WITH o AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                           IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+          FROM events
+        ),
+        isl AS (
+          SELECT user_id,
+                 sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS island
+          FROM o
+        ),
+        runs AS (
+          SELECT user_id, island, count(*) AS len FROM isl GROUP BY ALL
+        )
+        SELECT user_id,
+               sum(len) AS n_events,
+               count(*) AS n_runs,
+               max(len) AS max_run,
+               round((sum(len) - count(*))::DOUBLE / sum(len) + {EPS}, {R}) AS repeat_frac,
+               (max(len) >= 5)::INT AS looping
+        FROM runs GROUP BY user_id
     """
 
     sql["training_corpus"] = f"""

@@ -907,3 +907,35 @@ def test_hash_split_deterministic_and_stable(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="sum to 1"):
         hash_split(df, fractions={"train": 0.5, "val": 0.1})
+
+
+def test_event_run_stats_hand_example(spark):
+    """Gaps-and-islands loop detection: planted runs come out exactly —
+    user 1 has runs [a x3, b x1, a x2] (max 3, 6 events, 3 runs), user
+    2 loops (one type x5, flag fires at threshold 5), user 3 never
+    repeats. Tie-breaking: two equal timestamps order by event_id."""
+    import pandas as pd
+    from cesium_spark.operators.runs import event_run_stats
+
+    t0 = pd.Timestamp("2025-01-01")
+    rows = []
+    seq = {1: ["a", "a", "a", "b", "a", "a"],
+           2: ["x", "x", "x", "x", "x"],
+           3: ["p", "q", "r"]}
+    eid = 0
+    for u, types in seq.items():
+        for i, ty in enumerate(types):
+            # same ts for the first two events of user 1: order falls
+            # back to event_id, keeping the a-run intact
+            ts = t0 if (u == 1 and i < 2) else t0 + pd.Timedelta(seconds=i)
+            rows.append((eid, ts.to_pydatetime(), u, ty))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    got = {r.user_id: r.asDict() for r in event_run_stats(df).collect()}
+
+    assert (got[1]["n_events"], got[1]["n_runs"], got[1]["max_run"]) == (6, 3, 3)
+    assert got[1]["repeat_frac"] == round(3 / 6 + 1e-9, 6)
+    assert got[1]["looping"] == 0
+    assert (got[2]["max_run"], got[2]["looping"]) == (5, 1)
+    assert (got[3]["n_runs"], got[3]["repeat_frac"], got[3]["looping"]) == (3, 0.0, 0)
