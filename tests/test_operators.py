@@ -939,3 +939,79 @@ def test_event_run_stats_hand_example(spark):
     assert got[1]["looping"] == 0
     assert (got[2]["max_run"], got[2]["looping"]) == (5, 1)
     assert (got[3]["n_runs"], got[3]["repeat_frac"], got[3]["looping"]) == (3, 0.0, 0)
+
+
+def test_training_set_job_end_to_end(spark, tmp_path):
+    """spark-submit training-set job: five-stage precedence + split —
+    near-dup drops the younger twin, off-language and low-quality and
+    repetitive docs drop, survivors land under their md5-bucket split
+    dir, and the verdict/ report agree. Split labels match hashlib."""
+    import hashlib
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from jobs.training_set_job import main
+
+    # single occurrence of every 8-token window (no self-repeat), so
+    # the span stage passes; stopword-rich for the lang/quality gates
+    good = ("the quick brown fox jumps over the lazy dog and that is fine "
+            "for the test of this corpus cleaning pipeline today because "
+            "the words in that long sentence never come back again for "
+            "the rest of it and this is enough text to score well")
+    # near-dup of `good` at the char-5-gram level (threshold 0.35) but
+    # SPAN-distinct: a unique token every 6th position means no 8-token
+    # window is shared with doc 1, so the near_dup stage (not span_dup)
+    # is what kills it — and doc 1 survives the span stage
+    gw = good.split()
+    for _i in range(5, len(gw), 6):
+        gw[_i] = f"zz{_i}"
+    good2 = " ".join(gw)
+    other = ("this second document is about the spark engine and the rollup "
+             "tiers that keep the data small for training runs in the lab "
+             "plus a tail of new words so that nothing here repeats and "
+             "the quality gate still sees enough of the usual stopwords")
+    # heavily 2-gram-repetitive but with a UNIQUE token every third
+    # position, so no 8-token span ever recurs: survives near-dup,
+    # span_dup, lang (the/of vote en), and quality (long + stopword-
+    # heavy) — dies exactly at the Gopher repetition gate
+    loops = " ".join(f"the of u{i}" for i in range(40))
+    # German WITHOUT self-repetition (every word once): passes the
+    # span stage, dies at the language gate
+    german = ("der hund und die katze ist nicht ein test zu hause aber "
+              "das wetter war heute gut und wir gehen morgen zum park")
+    rows = [
+        (1, good),
+        (2, good2),                             # near-dup of 1
+        (3, german),
+        (4, "the, of. and! is? that; for: in."),
+        (5, other),
+        (6, loops),
+    ]
+    in_dir = str(tmp_path / "docs")
+    out_dir = str(tmp_path / "out")
+    spark.createDataFrame(rows, "doc_id int, text string").write.parquet(in_dir)
+
+    report = main([
+        "--input", in_dir, "--output", out_dir, "--write-verdicts",
+    ])
+    verd = spark.read.parquet(out_dir + "/verdicts").toPandas().set_index("doc_id")
+    assert verd.loc[2, "reason"] == "near_dup"
+    assert verd.loc[3, "reason"] == "lang"
+    assert verd.loc[4, "reason"] == "low_quality"
+    assert verd.loc[6, "reason"] == "repetitive"
+    assert report["kept"] == 2 and report["input_docs"] == 6
+    assert report["dropped_by_reason"]["repetitive"] == 1
+
+    def expect_split(i):
+        b = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 10000
+        return "train" if b < 9000 else ("val" if b < 9500 else "test")
+
+    kept_ids = []
+    for name in ("train", "val", "test"):
+        part = spark.read.parquet(out_dir + "/" + name).toPandas()
+        for i in part.doc_id:
+            assert expect_split(i) == name
+            kept_ids.append(i)
+    assert sorted(kept_ids) == [1, 5]
+    assert {verd.loc[i, "split"] for i in (1, 5)} == \
+        {expect_split(1), expect_split(5)}
+    assert (verd.loc[[2, 3, 4, 6], "split"] == "dropped").all()
