@@ -814,40 +814,21 @@ def q_embedding_clusters(spark, sf_dir):
     return dedup_clusters(emb, pairs, id_col="vec_id")
 
 
-def _clean_corpus_verdict(spark, sf_dir, with_spans: bool):
-    """THE corpus-cleaning composition, shared by q_clean_corpus and
-    q_clean_corpus_spans so the two driver queries can never assert
-    divergent pipeline semantics. Precedence: near_dup [-> span_dup if
-    with_spans] -> lang -> low_quality -> ok."""
-    from cesium_spark.operators.dedup import (
-        duplicate_token_spans, ngram_jaccard_pairs)
-    from cesium_spark.operators.graph import dedup_clusters
-    from cesium_spark.operators.text import lang_id, quality_score
+def _clean_corpus_verdict(spark, sf_dir, with_spans: bool,
+                          repetition: bool = False):
+    """THE corpus-cleaning composition — one call into the shared
+    operators/corpus.py implementation, so the driver queries
+    (q_clean_corpus, q_clean_corpus_spans, q_training_corpus) and the
+    spark-submit jobs can never assert divergent pipeline semantics.
+    Precedence: near_dup [-> span_dup if with_spans] -> lang ->
+    low_quality [-> repetitive if repetition] -> ok."""
+    from cesium_spark.operators.corpus import corpus_verdict
 
-    docs = _docs(spark, sf_dir)
-    clusters = dedup_clusters(
-        docs, ngram_jaccard_pairs(docs, k=5, threshold=0.35, max_shingle_freq=1000)
-    )
-    joined = (
-        docs.select("doc_id")
-        .join(quality_score(docs), "doc_id")
-        .join(lang_id(docs), "doc_id")
-        .join(clusters.select("doc_id", "is_keeper"), "doc_id")
-    )
-    reason = F.when(~F.col("is_keeper"), F.lit("near_dup"))
-    if with_spans:
-        spans = duplicate_token_spans(docs, k=8, round_digits=R).select(
-            "doc_id", "dup_frac"
-        )
-        joined = joined.join(spans, "doc_id")
-        reason = reason.when(F.col("dup_frac") > 0.5, F.lit("span_dup"))
-    reason = (
-        reason.when(F.col("lang_guess") != "en", F.lit("lang"))
-        .when(F.col("quality") < 0.5, F.lit("low_quality"))
-        .otherwise(F.lit("ok"))
-    )
-    return joined.withColumn("reason", reason).select(
-        "doc_id", "reason", (F.col("reason") == "ok").alias("keep")
+    return corpus_verdict(
+        _docs(spark, sf_dir),
+        span_k=8 if with_spans else None,
+        repetition=repetition,
+        round_digits=R,
     )
 
 
@@ -895,26 +876,11 @@ def q_training_corpus(spark, sf_dir):
     train/val/test split for the survivors. Gates the full composition:
     join plumbing, precedence, the Gopher repetition stage, and split
     stability in one hash-checked verdict per document."""
-    from cesium_spark.operators.split import split_column
+    from cesium_spark.operators.corpus import with_split
 
-    base = _clean_corpus_verdict(spark, sf_dir, with_spans=True)
-    rep = repetition_stats(_docs(spark, sf_dir)).select("doc_id", "repetitive")
-    reason = F.when(
-        (F.col("reason") == "ok") & (F.col("repetitive") == 1),
-        F.lit("repetitive"),
-    ).otherwise(F.col("reason"))
-    return (
-        base.join(rep, "doc_id")
-        .select(F.col("doc_id"), reason.alias("reason"))
-        .select(
-            "doc_id",
-            "reason",
-            (F.col("reason") == "ok").alias("keep"),
-            F.when(F.col("reason") != "ok", F.lit("dropped"))
-            .otherwise(split_column("doc_id"))
-            .alias("split"),
-        )
-    )
+    base = _clean_corpus_verdict(spark, sf_dir, with_spans=True,
+                                 repetition=True)
+    return with_split(base).select("doc_id", "reason", "keep", "split")
 
 
 def q_dedup_clusters(spark, sf_dir):

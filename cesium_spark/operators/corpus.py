@@ -1,0 +1,104 @@
+"""The corpus-cleaning verdict composition — ONE implementation of the
+five-stage precedence shared by the oracled driver queries
+(`clean_corpus`, `clean_corpus_spans`, `training_corpus`) and the
+spark-submit jobs (`clean_corpus_job`, `training_set_job`), so the
+thresholds, reason strings, and stage order cannot drift between the
+deployment entry points and the hash-checked semantics.
+
+Precedence (first failing stage wins):
+  near_dup    — not the min-id keeper of its transitive jaccard
+                near-dup cluster;
+  span_dup    — (if ``span_k``) more than ``span_dup_frac`` of the
+                document's span_k-token windows are duplicated
+                corpus-wide (Lee et al. 2022; spans count PRE-dedup,
+                so an exact twin's keeper can die here — faithful to
+                the paper's raw-corpus substring dedup);
+  lang        — stopword-vote guess != ``lang``;
+  low_quality — heuristic score < ``min_quality``;
+  repetitive  — (if ``repetition``) any Gopher repetition measure over
+                its threshold (Rae et al. 2021);
+  ok.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["corpus_verdict", "with_split"]
+
+
+def corpus_verdict(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    lang: str = "en",
+    jaccard: float = 0.35,
+    shingle_cap: int = 1000,
+    span_k: int | None = None,
+    span_dup_frac: float = 0.5,
+    repetition: bool = False,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document (id, reason, keep) under the precedence above."""
+    from .dedup import duplicate_token_spans, ngram_jaccard_pairs
+    from .graph import dedup_clusters
+    from .text import lang_id, quality_score, repetition_stats
+
+    clusters = dedup_clusters(
+        docs,
+        ngram_jaccard_pairs(
+            docs, id_col=id_col, text_col=text_col,
+            threshold=jaccard, max_shingle_freq=shingle_cap,
+        ),
+        id_col=id_col,
+    )
+    joined = (
+        docs.select(id_col)
+        .join(quality_score(docs, id_col, text_col), id_col)
+        .join(lang_id(docs, id_col, text_col), id_col)
+        .join(clusters.select(id_col, "is_keeper"), id_col)
+    )
+    reason = F.when(~F.col("is_keeper"), F.lit("near_dup"))
+    if span_k is not None:
+        spans = duplicate_token_spans(
+            docs, id_col=id_col, text_col=text_col, k=span_k,
+            round_digits=round_digits,
+        ).select(id_col, "dup_frac")
+        joined = joined.join(spans, id_col)
+        reason = reason.when(
+            F.col("dup_frac") > span_dup_frac, F.lit("span_dup")
+        )
+    reason = reason.when(F.col("lang_guess") != lang, F.lit("lang")).when(
+        F.col("quality") < min_quality, F.lit("low_quality")
+    )
+    if repetition:
+        joined = joined.join(
+            repetition_stats(docs, id_col, text_col)
+            .select(id_col, "repetitive"),
+            id_col,
+        )
+        reason = reason.when(F.col("repetitive") == 1, F.lit("repetitive"))
+    reason = reason.otherwise(F.lit("ok"))
+    return joined.withColumn("reason", reason).select(
+        id_col, "reason", (F.col("reason") == "ok").alias("keep")
+    )
+
+
+def with_split(
+    verdict: DataFrame,
+    id_col: str = "doc_id",
+    fractions: dict | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Append the deterministic md5-bucket split label for survivors
+    ('dropped' otherwise)."""
+    from .split import split_column
+
+    return verdict.withColumn(
+        "split",
+        F.when(F.col("reason") != "ok", F.lit("dropped")).otherwise(
+            split_column(id_col, fractions, salt)
+        ),
+    )

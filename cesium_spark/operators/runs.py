@@ -36,14 +36,15 @@ def event_run_stats(
     deterministic across engines and partitionings."""
     w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
     prev = F.lag(type_col).over(w)
-    chg = F.when(
-        prev.isNull() | (prev != F.col(type_col)), F.lit(1)
-    ).otherwise(F.lit(0))
+    # null-safe boundary (== the oracle's IS DISTINCT FROM): the first
+    # row and any type CHANGE — incl. NULL<->value — start a run, but
+    # NULL following NULL continues one
+    chg = F.when(~prev.eqNullSafe(F.col(type_col)), F.lit(1)).otherwise(F.lit(0))
     island = F.sum(chg).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     runs = (
-        df.select(F.col(key_col), chg.alias("chg"), island.alias("island"))
+        df.select(F.col(key_col), island.alias("island"))
         .groupBy(key_col, "island")
         .agg(F.count("*").alias("len"))
     )

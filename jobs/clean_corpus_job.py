@@ -32,9 +32,7 @@ def main(argv=None):
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
-    from cesium_spark.operators.dedup import ngram_jaccard_pairs
-    from cesium_spark.operators.graph import dedup_clusters
-    from cesium_spark.operators.text import lang_id, quality_score
+    from cesium_spark.operators.corpus import corpus_verdict
 
     p = argparse.ArgumentParser()
     p.add_argument("--input", required=True)
@@ -52,24 +50,12 @@ def main(argv=None):
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     docs = spark.read.parquet(args.input)
 
-    pairs = ngram_jaccard_pairs(
+    # the shared operators/corpus.py composition — same code path the
+    # oracled driver queries assert, so this job cannot drift from them
+    verdict = corpus_verdict(
         docs, id_col=args.id_col, text_col=args.text_col,
-        threshold=args.jaccard, max_shingle_freq=args.shingle_cap,
-    )
-    clusters = dedup_clusters(docs, pairs, id_col=args.id_col)
-    verdict = (
-        docs.select(args.id_col)
-        .join(quality_score(docs, args.id_col, args.text_col), args.id_col)
-        .join(lang_id(docs, args.id_col, args.text_col), args.id_col)
-        .join(clusters.select(args.id_col, "is_keeper"), args.id_col)
-        .withColumn(
-            "reason",
-            F.when(~F.col("is_keeper"), F.lit("near_dup"))
-            .when(F.col("lang_guess") != args.lang, F.lit("lang"))
-            .when(F.col("quality") < args.min_quality, F.lit("low_quality"))
-            .otherwise(F.lit("ok")),
-        )
-        .select(args.id_col, "reason", (F.col("reason") == "ok").alias("keep"))
+        min_quality=args.min_quality, lang=args.lang,
+        jaccard=args.jaccard, shingle_cap=args.shingle_cap,
     )
 
     # the verdict feeds three consumers (kept semi-join, verdict write,

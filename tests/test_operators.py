@@ -940,6 +940,17 @@ def test_event_run_stats_hand_example(spark):
     assert (got[2]["max_run"], got[2]["looping"]) == (5, 1)
     assert (got[3]["n_runs"], got[3]["repeat_frac"], got[3]["looping"]) == (3, 0.0, 0)
 
+    # NULL event types: boundary must be null-safe (IS DISTINCT FROM
+    # semantics, matching the oracle) — NULL,NULL continues one run;
+    # a->NULL and NULL->a are changes
+    t1 = pd.Timestamp("2025-01-01")
+    nrows = [(100 + i, (t1 + pd.Timedelta(seconds=i)).to_pydatetime(), 9, ty)
+             for i, ty in enumerate([None, None, "a", None, "a"])]
+    ndf = spark.createDataFrame(
+        nrows, "event_id long, ts timestamp, user_id long, event_type string")
+    g9 = event_run_stats(ndf).collect()[0]
+    assert (g9.n_events, g9.n_runs, g9.max_run) == (5, 4, 2)
+
 
 def test_training_set_job_end_to_end(spark, tmp_path):
     """spark-submit training-set job: five-stage precedence + split —
@@ -1005,13 +1016,10 @@ def test_training_set_job_end_to_end(spark, tmp_path):
         b = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 10000
         return "train" if b < 9000 else ("val" if b < 9500 else "test")
 
-    kept_ids = []
-    for name in ("train", "val", "test"):
-        part = spark.read.parquet(out_dir + "/" + name).toPandas()
-        for i in part.doc_id:
-            assert expect_split(i) == name
-            kept_ids.append(i)
-    assert sorted(kept_ids) == [1, 5]
+    kept = spark.read.parquet(out_dir + "/kept").toPandas()
+    for _, row in kept.iterrows():
+        assert expect_split(row.doc_id) == row.split
+    assert sorted(kept.doc_id) == [1, 5]
     assert {verd.loc[i, "split"] for i in (1, 5)} == \
         {expect_split(1), expect_split(5)}
     assert (verd.loc[[2, 3, 4, 6], "split"] == "dropped").all()
