@@ -857,6 +857,52 @@ def q_clean_corpus_spans(spark, sf_dir):
     return _clean_corpus_verdict(spark, sf_dir, with_spans=True)
 
 
+def q_event_loops_streamed(spark, sf_dir):
+    """The LIVE loop-detection head end-to-end: the event stream is
+    staged as two time-ordered parquet files (event_id is monotone in
+    ts) and drained as two availableNow micro-batches through the
+    applyInPandasWithState run tracker; the latest cumulative row per
+    user must equal the BATCH event_run_stats — so the oracle is the
+    exact same SQL as `event_loops`, and a hash match proves the
+    carried state (trailing run length across the batch boundary)
+    reproduces the batch gaps-and-islands result."""
+    import shutil
+    import tempfile
+
+    from cesium_spark.streaming.stream import streaming_run_stats
+
+    ev = _events(spark, sf_dir).select("event_id", "ts", "user_id", "event_type")
+    mid = ev.agg(F.expr("percentile(event_id, 0.5)")).collect()[0][0]
+    work = tempfile.mkdtemp(prefix="loops_stream_")
+    in_dir = f"{work}/in"
+    ev.filter(F.col("event_id") <= mid).coalesce(1) \
+        .write.mode("overwrite").parquet(in_dir)
+    ev.filter(F.col("event_id") > mid).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in_dir)
+    )
+    q = (
+        streaming_run_stats(src).writeStream
+        .format("parquet").option("path", f"{work}/out")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    emitted = spark.read.parquet(f"{work}/out")
+    latest = (
+        emitted.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "n_runs", "max_run",
+                            "repeat_frac", "looping")).alias("s"))
+        .select("user_id", "s.*")
+        .localCheckpoint(eager=True)  # detach from the temp files
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return latest
+
+
 def q_event_loops(spark, sf_dir):
     """Per-user consecutive-run statistics over the event stream — the
     loop-detection primitive for agent transcripts (a stuck agent = a
@@ -1218,6 +1264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50-slot cap and was never driver-checked).
     return {
         # --- round 5 ---
+        "event_loops_streamed": q_event_loops_streamed,
         "event_loops": q_event_loops,
         "training_corpus": q_training_corpus,
         "ivf_index_streamed": q_ivf_index_streamed,
@@ -2565,6 +2612,8 @@ def oracle_sql() -> dict[str, str]:
                (max(len) >= 5)::INT AS looping
         FROM runs GROUP BY user_id
     """
+
+    sql["event_loops_streamed"] = sql["event_loops"]
 
     sql["training_corpus"] = f"""
         WITH RECURSIVE {shingle_cte},

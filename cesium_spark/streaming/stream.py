@@ -28,7 +28,7 @@ __all__ = [
     "streaming_exact_dedup", "span_dedup_batch_fn",
     "start_span_dedup_stream", "minhash_dedup_batch_fn",
     "start_minhash_dedup_stream", "ivf_index_batch_fn",
-    "start_ivf_index_stream",
+    "start_ivf_index_stream", "streaming_run_stats",
 ]
 
 
@@ -800,4 +800,107 @@ def start_ivf_index_stream(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def streaming_run_stats(
+    stream_df: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    loop_threshold: int = 5,
+):
+    """LIVE agent-loop detection: the stateful streaming twin of
+    operators/runs.event_run_stats. Per-key state carries (last type,
+    current run length, max run, event/run counts) across micro-batch
+    boundaries via applyInPandasWithState, so a run that spans batches
+    counts as ONE run; after each batch the operator emits the key's
+    cumulative (n_events, n_runs, max_run, repeat_frac, looping) row —
+    an update stream whose latest row per key equals the batch operator
+    over everything ingested so far (tested, incl. restart).
+
+    Ordering: rows are sorted by (ts, tiebreak) WITHIN each batch; a
+    row older than the carried last event in a LATER batch is treated
+    as current (the standard in-order-per-key ingestion assumption —
+    bound it with source ordering, as the file-stream tests do).
+    State is one tiny tuple per key, NoTimeout (bounded by the actor
+    population; add a timeout wrapper if keys are unbounded)."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, LongType, StringType, StructField,
+        StructType,
+    )
+
+    out_schema = StructType([
+        StructField(key_col, LongType()),
+        StructField("n_events", LongType()),
+        StructField("n_runs", LongType()),
+        StructField("max_run", LongType()),
+        StructField("repeat_frac", DoubleType()),
+        StructField("looping", IntegerType()),
+    ])
+    state_schema = StructType([
+        StructField("last_type", StringType()),
+        StructField("run_len", LongType()),
+        StructField("max_run", LongType()),
+        StructField("n_events", LongType()),
+        StructField("n_runs", LongType()),
+    ])
+
+    def fn(key, pdfs, state):
+        parts = [p for p in pdfs]
+        if not parts:
+            return
+        pdf = pd.concat(parts).sort_values(["_ts_us", "_tb"])
+        types = list(pdf[type_col])
+        if not types:
+            return
+        if state.exists:
+            last_type, run_len, max_run, n_events, n_runs = state.get
+        else:
+            last_type, run_len, max_run, n_events, n_runs = None, 0, 0, 0, 0
+
+        def differs(a, b):
+            # IS DISTINCT FROM, matching the batch operator's oracle:
+            # None vs None continues a run, None vs value is a change
+            return (a is None) != (b is None) or (a is not None and a != b)
+
+        has_carry = n_events > 0
+        seq = ([last_type] + types) if has_carry else types
+        breaks = [i - 1 for i in range(1, len(seq)) if differs(seq[i], seq[i - 1])]
+        seg_starts = [0] + [b + 1 for b in breaks]
+        seg_ends = breaks + [len(seq) - 1]
+        for i, (s, z) in enumerate(zip(seg_starts, seg_ends)):
+            seg_len = z - s + 1
+            if i == 0 and has_carry:
+                seg_len = run_len + seg_len - 1  # marker isn't an event
+                if seg_len == run_len:
+                    # segment 0 is the lone carry marker (types[0]
+                    # differs): the carried run is unchanged and already
+                    # counted — skip so max/run counts don't double
+                    continue
+            else:
+                n_runs += 1
+            max_run = max(max_run, seg_len)
+            run_len = seg_len  # after the loop: the TRAILING run length
+        last_type = types[-1]
+        n_events += len(types)
+        state.update((last_type, run_len, max_run, n_events, n_runs))
+        yield pd.DataFrame({
+            key_col: [key[0]],
+            "n_events": [n_events],
+            "n_runs": [n_runs],
+            "max_run": [max_run],
+            "repeat_frac": [round((n_events - n_runs) / n_events + 1e-9, 6)],
+            "looping": [int(max_run >= loop_threshold)],
+        })
+
+    narrow = stream_df.select(
+        F.col(key_col), F.col(type_col),
+        ts_micros(F.col(ts_col)).alias("_ts_us"),
+        F.col(tiebreak_col).cast("long").alias("_tb"),
+    )
+    return narrow.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "NoTimeout"
     )

@@ -500,3 +500,62 @@ def test_streaming_ivf_index_intra_batch_duplicate_id(spark, tmp_path):
         .select("neighbor_id").toPandas()
     assert len(got) == 20  # one row per id
     assert got.neighbor_id.is_unique
+
+
+def test_streaming_run_stats_matches_batch_across_restart(spark, tmp_path):
+    """Live loop detection: a run spanning the batch boundary counts as
+    ONE run (state carries last type + trailing length), and after an
+    availableNow restart over a second file the latest emitted row per
+    key equals operators/runs.event_run_stats over everything ingested.
+    NULL event types follow IS DISTINCT FROM semantics."""
+    import pandas as pd
+
+    from cesium_spark.operators.runs import event_run_stats
+    from cesium_spark.streaming.stream import streaming_run_stats
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    t0 = pd.Timestamp("2025-01-01")
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+
+    def rows(specs, base_eid):
+        out = []
+        for i, (u, ty) in enumerate(specs):
+            out.append((base_eid + i,
+                        (t0 + pd.Timedelta(seconds=base_eid + i)).to_pydatetime(),
+                        u, ty))
+        return out
+
+    # batch 1 ends user 7 on two 'x'; batch 2 starts it on 'x' -> the
+    # cross-boundary run is x,x,x (len 3). user 8 mixes NULLs.
+    b1 = rows([(7, "a"), (7, "x"), (7, "x"), (8, None), (8, None), (8, "b")], 0)
+    b2 = rows([(7, "x"), (7, "y"), (8, None), (9, "z")], 100)
+    spark.createDataFrame(b1, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(in_dir)
+
+    def drain():
+        src = spark.readStream.schema(schema).parquet(in_dir)
+        q = (streaming_run_stats(src).writeStream
+             .format("parquet").option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drain()
+    spark.createDataFrame(b2, schema).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+    drain()
+
+    emitted = spark.read.parquet(out_dir).toPandas()
+    # latest row per key = the one with the highest cumulative n_events
+    latest = emitted.sort_values("n_events").groupby("user_id").last()
+
+    full = spark.createDataFrame(b1 + b2, schema)
+    want = event_run_stats(full).toPandas().set_index("user_id")
+    for u in want.index:
+        for c in ("n_events", "n_runs", "max_run", "repeat_frac", "looping"):
+            assert latest.loc[u, c] == want.loc[u, c], (u, c)
+    # the cross-boundary x-run really merged: 3, not 2 separate runs
+    assert latest.loc[7, "max_run"] == 3
+    # NULL,NULL was one run within batch 1 AND continued nowhere: user 8
+    # runs = [None x2, b, None] -> 3 runs
+    assert want.loc[8, "n_runs"] == 3 and latest.loc[8, "n_runs"] == 3
