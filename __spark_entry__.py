@@ -857,6 +857,21 @@ def q_clean_corpus_spans(spark, sf_dir):
     return _clean_corpus_verdict(spark, sf_dir, with_spans=True)
 
 
+def q_psi_drift(spark, sf_dir):
+    """Distribution-drift monitor: Population Stability Index of the
+    value column per event_type between the first and second half of
+    the event stream (split at the median event_id), bins cut at the
+    reference half's deciles. The oracle recomputes quantile edges,
+    binning, smoothing, and the PSI sum independently."""
+    from cesium_spark.operators.drift import psi_by_group
+
+    ev = _events(spark, sf_dir)
+    mid = ev.agg(F.expr("percentile(event_id, 0.5)")).collect()[0][0]
+    ref = ev.filter(F.col("event_id") <= mid)
+    cur = ev.filter(F.col("event_id") > mid)
+    return psi_by_group(ref, cur)
+
+
 def q_event_loops_streamed(spark, sf_dir):
     """The LIVE loop-detection head end-to-end: the event stream is
     staged as two time-ordered parquet files (event_id is monotone in
@@ -1264,6 +1279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50-slot cap and was never driver-checked).
     return {
         # --- round 5 ---
+        "psi_drift": q_psi_drift,
         "event_loops_streamed": q_event_loops_streamed,
         "event_loops": q_event_loops,
         "training_corpus": q_training_corpus,
@@ -2611,6 +2627,49 @@ def oracle_sql() -> dict[str, str]:
                round((sum(len) - count(*))::DOUBLE / sum(len) + {EPS}, {R}) AS repeat_frac,
                (max(len) >= 5)::INT AS looping
         FROM runs GROUP BY user_id
+    """
+
+
+    sql["psi_drift"] = """
+        WITH mid AS (SELECT quantile_cont(event_id, 0.5) AS m FROM events),
+        ref AS (SELECT event_type, value FROM events, mid WHERE event_id <= m),
+        cur AS (SELECT event_type, value FROM events, mid WHERE event_id > m),
+        edges AS (
+          SELECT event_type,
+                 list_transform(quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+                                e -> round(e + 1e-9, 6)) AS ed
+          FROM ref GROUP BY event_type
+        ),
+        rb AS (SELECT r.event_type, len(list_filter(ed, e -> r.value > e)) AS bin
+               FROM ref r JOIN edges USING (event_type)),
+        cb AS (SELECT c.event_type, len(list_filter(ed, e -> c.value > e)) AS bin
+               FROM cur c JOIN edges USING (event_type)),
+        rc AS (SELECT event_type, bin, count(*) AS n FROM rb GROUP BY ALL),
+        cc AS (SELECT event_type, bin, count(*) AS n FROM cb GROUP BY ALL),
+        rtot AS (SELECT event_type, sum(n) AS t FROM rc GROUP BY 1),
+        ctot AS (SELECT event_type, sum(n) AS t FROM cc GROUP BY 1),
+        frame AS (
+          SELECT e.event_type, b.bin
+          FROM edges e, (SELECT unnest(range(10)) AS bin) b
+        ),
+        p AS (
+          SELECT f.event_type,
+                 coalesce(rc.n, 0)::DOUBLE / rtot.t + 1e-6 AS pr,
+                 coalesce(cc.n, 0)::DOUBLE / ctot.t + 1e-6 AS pc
+          FROM frame f
+          JOIN rtot USING (event_type)
+          JOIN ctot USING (event_type)
+          LEFT JOIN rc ON rc.event_type = f.event_type AND rc.bin = f.bin
+          LEFT JOIN cc ON cc.event_type = f.event_type AND cc.bin = f.bin
+        )
+        SELECT p.event_type,
+               any_value(rtot.t) AS n_ref,
+               any_value(ctot.t) AS n_cur,
+               round(sum((pc - pr) * ln(pc / pr)) + 1e-9, 6) AS psi
+        FROM p
+        JOIN rtot ON rtot.event_type = p.event_type
+        JOIN ctot ON ctot.event_type = p.event_type
+        GROUP BY p.event_type
     """
 
     sql["event_loops_streamed"] = sql["event_loops"]

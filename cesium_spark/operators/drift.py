@@ -1,0 +1,103 @@
+"""Distribution-drift monitoring: Population Stability Index between a
+reference slice and a current slice of an event stream — the standard
+"did the data shift under my pipeline" gate (banking scorecards
+originally; every production feature store since).
+
+PSI = sum_bins (p_cur - p_ref) * ln(p_cur / p_ref), over bins cut at
+the REFERENCE slice's quantiles (so the reference is uniform ~1/bins
+by construction and the statistic measures how far the current slice
+drifted from it). Common reading: < 0.1 stable, 0.1-0.25 moderate
+shift, > 0.25 major shift.
+
+Cross-engine determinism (the repo discipline): bin edges are interior
+reference quantiles (linear interpolation — Spark `percentile` and
+DuckDB `quantile_cont` share the (n-1)*p definition) rounded to
+``round_digits`` with the +1e-9 nudge BEFORE any comparison, bin
+assignment is `sum(value > edge)`, and bin fractions are
+epsilon-smoothed so empty bins contribute a finite term identically in
+both engines.
+
+Plan shape: one aggregation computes every group's edge array (tiny),
+broadcast back; bin assignment is a map-only expression; one
+(group, side, bin) count + one per-group sum. No windows, no driver
+loops; scales with distinct groups x bins, not rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["psi_by_group"]
+
+
+def psi_by_group(
+    ref: DataFrame,
+    cur: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    n_bins: int = 10,
+    eps: float = 1e-6,
+    round_digits: int = 6,
+) -> DataFrame:
+    """(group, n_ref, n_cur, psi) with bins cut at each group's
+    reference quantiles. Groups present in only one side are dropped
+    (no reference edges / nothing to compare — surface them with an
+    anti-join if absence itself is the signal)."""
+    probs = [i / n_bins for i in range(1, n_bins)]
+    edges = ref.groupBy(group_col).agg(
+        F.transform(
+            F.percentile(value_col, F.array(*[F.lit(p) for p in probs])),
+            lambda e: F.round(e + F.lit(1e-9), round_digits),
+        ).alias("_edges")
+    )
+
+    def binned(df, side):
+        b = df.join(F.broadcast(edges), group_col)
+        bin_ix = F.aggregate(
+            "_edges", F.lit(0),
+            lambda acc, e: acc + F.when(F.col(value_col) > e, 1).otherwise(0),
+        )
+        return b.select(
+            group_col, F.lit(side).alias("_side"), bin_ix.alias("_bin")
+        )
+
+    counts = (
+        binned(ref, "ref").unionByName(binned(cur, "cur"))
+        .groupBy(group_col, "_side", "_bin")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = counts.groupBy(group_col, "_side").agg(F.sum("n").alias("tot"))
+    # every (group, side, bin) cell, including empty ones, via the
+    # group x side x [0..n_bins) frame — empty cells get the epsilon
+    frame = (
+        tot.select(group_col, "_side", "tot")
+        .crossJoin(F.broadcast(
+            tot.sparkSession.range(n_bins).select(F.col("id").cast("int").alias("_bin"))
+        ))
+    )
+    cells = frame.join(counts, [group_col, "_side", "_bin"], "left").select(
+        group_col, "_side", "_bin",
+        (F.coalesce(F.col("n"), F.lit(0)) / F.col("tot") + F.lit(eps)).alias("p"),
+    )
+    p_ref = cells.filter(F.col("_side") == "ref").select(
+        group_col, "_bin", F.col("p").alias("p_ref")
+    )
+    p_cur = cells.filter(F.col("_side") == "cur").select(
+        group_col, "_bin", F.col("p").alias("p_cur")
+    )
+    terms = p_ref.join(p_cur, [group_col, "_bin"]).select(
+        group_col,
+        ((F.col("p_cur") - F.col("p_ref"))
+         * F.log(F.col("p_cur") / F.col("p_ref"))).alias("t"),
+    )
+    sizes = (
+        tot.groupBy(group_col).pivot("_side", ["ref", "cur"]).agg(F.first("tot"))
+        .select(group_col, F.col("ref").alias("n_ref"), F.col("cur").alias("n_cur"))
+    )
+    return (
+        terms.groupBy(group_col)
+        .agg(F.round(F.sum("t") + F.lit(1e-9), round_digits).alias("psi"))
+        .join(sizes, group_col)
+        .select(group_col, "n_ref", "n_cur", "psi")
+    )

@@ -1023,3 +1023,45 @@ def test_training_set_job_end_to_end(spark, tmp_path):
     assert {verd.loc[i, "split"] for i in (1, 5)} == \
         {expect_split(1), expect_split(5)}
     assert (verd.loc[[2, 3, 4, 6], "split"] == "dropped").all()
+
+
+def test_psi_by_group_matches_numpy_reference(spark):
+    """PSI drift monitor: the Spark dataflow (reference-decile edges,
+    value>edge binning, epsilon smoothing) must equal an independent
+    numpy implementation exactly; a mean-shifted group scores 'major
+    shift' (>0.25) while an unshifted one stays stable (<0.1); groups
+    lacking a reference side are dropped."""
+    import numpy as np
+    from cesium_spark.operators.drift import psi_by_group
+
+    rng = np.random.RandomState(0)
+    ref_rows = [("a", float(x)) for x in rng.normal(0, 1, 4000)] \
+        + [("b", float(x)) for x in rng.normal(5, 2, 3000)]
+    cur_rows = [("a", float(x)) for x in rng.normal(0.5, 1, 3500)] \
+        + [("b", float(x)) for x in rng.normal(5, 2, 2500)] \
+        + [("only_cur", 1.0)]
+    ref = spark.createDataFrame(ref_rows, "event_type string, value double")
+    cur = spark.createDataFrame(cur_rows, "event_type string, value double")
+    got = {r.event_type: r.asDict() for r in psi_by_group(ref, cur).collect()}
+
+    def psi_np(rv, cv, bins=10, eps=1e-6, rd=6):
+        edges = np.round(
+            np.quantile(rv, [i / bins for i in range(1, bins)],
+                        method="linear") + 1e-9, rd)
+        rb = np.array([(v > edges).sum() for v in rv])
+        cb = np.array([(v > edges).sum() for v in cv])
+        out = 0.0
+        for b in range(bins):
+            pr = (rb == b).mean() + eps
+            pc = (cb == b).mean() + eps
+            out += (pc - pr) * np.log(pc / pr)
+        return round(out + 1e-9, rd)
+
+    for g in ("a", "b"):
+        rv = np.array([v for t, v in ref_rows if t == g])
+        cv = np.array([v for t, v in cur_rows if t == g])
+        assert got[g]["psi"] == psi_np(rv, cv), g
+    assert got["a"]["psi"] > 0.25      # planted 0.5-sigma mean shift
+    assert got["b"]["psi"] < 0.1       # same distribution
+    assert got["a"]["n_ref"] == 4000 and got["a"]["n_cur"] == 3500
+    assert "only_cur" not in got       # no reference edges -> dropped
