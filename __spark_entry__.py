@@ -857,6 +857,17 @@ def q_clean_corpus_spans(spark, sf_dir):
     return _clean_corpus_verdict(spark, sf_dir, with_spans=True)
 
 
+def q_doc_lm_score(spark, sf_dir):
+    """CCNet-style corpus-LM quality signal: every document scored by
+    the mean log-probability of its bigrams under the corpus's own
+    add-one-smoothed bigram model — low scorers are the atypical-text
+    review queue. One corpus pass builds the vocabulary-bounded count
+    relations; the oracle replays the identical model."""
+    from cesium_spark.operators.lm import bigram_logprob_score
+
+    return bigram_logprob_score(_docs(spark, sf_dir))
+
+
 def q_psi_drift(spark, sf_dir):
     """Distribution-drift monitor: Population Stability Index of the
     value column per event_type between the first and second half of
@@ -1279,6 +1290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50-slot cap and was never driver-checked).
     return {
         # --- round 5 ---
+        "doc_lm_score": q_doc_lm_score,
         "psi_drift": q_psi_drift,
         "event_loops_streamed": q_event_loops_streamed,
         "event_loops": q_event_loops,
@@ -2629,6 +2641,37 @@ def oracle_sql() -> dict[str, str]:
         FROM runs GROUP BY user_id
     """
 
+
+
+    sql["doc_lm_score"] = """
+        WITH d AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> '') AS t
+          FROM documents
+        ),
+        bg AS (
+          SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+          FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+                FROM d WHERE len(t) >= 2)
+        ),
+        uni AS (
+          SELECT w1, count(*) AS c1
+          FROM (SELECT unnest(t) AS w1 FROM d) GROUP BY w1
+        ),
+        bi AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY ALL),
+        v AS (SELECT count(*) AS vocab FROM uni),
+        sc AS (
+          SELECT bg.doc_id, count(*) AS n_bigrams,
+                 round(avg(ln((bi.c2 + 1.0) / (uni.c1 + v.vocab))) + 1e-9, 6) AS avg_logprob
+          FROM bg JOIN bi USING (w1, w2) JOIN uni USING (w1), v
+          GROUP BY bg.doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(sc.n_bigrams, 0) AS n_bigrams,
+               coalesce(sc.avg_logprob, 0.0) AS avg_logprob
+        FROM d LEFT JOIN sc USING (doc_id)
+    """
 
     sql["psi_drift"] = """
         WITH mid AS (SELECT quantile_cont(event_id, 0.5) AS m FROM events),

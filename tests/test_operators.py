@@ -1065,3 +1065,34 @@ def test_psi_by_group_matches_numpy_reference(spark):
     assert got["b"]["psi"] < 0.1       # same distribution
     assert got["a"]["n_ref"] == 4000 and got["a"]["n_cur"] == 3500
     assert "only_cur" not in got       # no reference edges -> dropped
+
+
+def test_bigram_logprob_score_hand_example(spark):
+    """Add-one bigram LM scoring against a pure-python recompute on a
+    tiny corpus: counts, vocabulary smoothing, and the short-doc zero
+    convention all come out exactly."""
+    import math
+    from collections import Counter
+    from cesium_spark.operators.lm import bigram_logprob_score
+
+    rows = [(1, "a b a b"), (2, "a b c"), (3, "x"), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_bigrams, r.avg_logprob)
+           for r in bigram_logprob_score(df).collect()}
+
+    toks = {i: t.split() for i, t in rows}
+    uni = Counter(w for t in toks.values() for w in t)
+    bi = Counter((t[j], t[j + 1]) for t in toks.values()
+                 for j in range(len(t) - 1))
+    V = len(uni)
+
+    def score(t):
+        lps = [math.log((bi[(t[j], t[j + 1])] + 1) / (uni[t[j]] + V))
+               for j in range(len(t) - 1)]
+        return (len(lps), round(sum(lps) / len(lps) + 1e-9, 6))
+
+    assert got[1] == score(toks[1])
+    assert got[2] == score(toks[2])
+    assert got[3] == (0, 0.0) and got[4] == (0, 0.0)
+    # corpus-typical doc 1 ("a b" seen 3x) outscores the rarer doc 2
+    assert got[1][1] > got[2][1]
