@@ -897,36 +897,54 @@ def q_event_loops_streamed(spark, sf_dir):
 
     from cesium_spark.streaming.stream import streaming_run_stats
 
+    import glob
+    import os
+    import time
+
     ev = _events(spark, sf_dir).select("event_id", "ts", "user_id", "event_type")
     mid = ev.agg(F.expr("percentile(event_id, 0.5)")).collect()[0][0]
     work = tempfile.mkdtemp(prefix="loops_stream_")
     in_dir = f"{work}/in"
-    ev.filter(F.col("event_id") <= mid).coalesce(1) \
-        .write.mode("overwrite").parquet(in_dir)
-    ev.filter(F.col("event_id") > mid).coalesce(1) \
-        .write.mode("append").parquet(in_dir)
-    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string"
-    src = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(in_dir)
-    )
-    q = (
-        streaming_run_stats(src).writeStream
-        .format("parquet").option("path", f"{work}/out")
-        .option("checkpointLocation", f"{work}/ckpt")
-        .trigger(availableNow=True).start()
-    )
-    q.awaitTermination(300)
-    emitted = spark.read.parquet(f"{work}/out")
-    latest = (
-        emitted.groupBy("user_id")
-        .agg(F.max(F.struct("n_events", "n_runs", "max_run",
-                            "repeat_frac", "looping")).alias("s"))
-        .select("user_id", "s.*")
-        .localCheckpoint(eager=True)  # detach from the temp files
-    )
-    shutil.rmtree(work, ignore_errors=True)
-    return latest
+    try:
+        ev.filter(F.col("event_id") <= mid).coalesce(1) \
+            .write.mode("overwrite").parquet(in_dir)
+        # unlike the *_streamed queries over order-insensitive tables,
+        # run tracking is ORDER-LOAD-BEARING: FileStreamSource orders
+        # pending files by modification time, so pin the second half
+        # strictly later than every first-half file (a same-millisecond
+        # tie would otherwise let the halves drain reversed)
+        first_files = set(glob.glob(f"{in_dir}/*.parquet"))
+        ev.filter(F.col("event_id") > mid).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+        later = time.time() + 10
+        for f in set(glob.glob(f"{in_dir}/*.parquet")) - first_files:
+            os.utime(f, (later, later))
+        schema = "event_id bigint, ts timestamp, user_id bigint, event_type string"
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(in_dir)
+        )
+        q = (
+            streaming_run_stats(src).writeStream
+            .format("parquet").option("path", f"{work}/out")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True).start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                raise TimeoutError("run-stats stream did not drain in 300s")
+        finally:
+            q.stop()
+        emitted = spark.read.parquet(f"{work}/out")
+        return (
+            emitted.groupBy("user_id")
+            .agg(F.max(F.struct("n_events", "n_runs", "max_run",
+                                "repeat_frac", "looping")).alias("s"))
+            .select("user_id", "s.*")
+            .localCheckpoint(eager=True)  # detach from the temp files
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def q_event_loops(spark, sf_dir):

@@ -54,14 +54,18 @@ def bigram_logprob_score(
         .agg(F.count("*").alias("c1"))
     )
     bi = doc_bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
-    vocab = uni.count()  # broadcast scalar, one job
+    # V stays LAZY (a broadcast 1-row cross join), keeping the whole
+    # computation in ONE plan — an eager uni.count() would be a second
+    # action re-running the corpus tokenize/shuffle lineage
+    vocab = uni.agg(F.count("*").cast("double").alias("_vocab"))
 
     logp = F.log(
-        (F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.lit(float(vocab)))
+        (F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("_vocab"))
     )
     scored = (
         doc_bigrams.join(bi, ["w1", "w2"])
         .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_bigrams"),

@@ -828,12 +828,14 @@ def streaming_run_stats(
     population; add a timeout wrapper if keys are unbounded)."""
     import pandas as pd
     from pyspark.sql.types import (
-        DoubleType, IntegerType, LongType, StringType, StructField,
-        StructType,
+        DoubleType, IntegerType, LongType, StructField, StructType,
     )
 
+    # key/type schemas come from the INPUT (string actor ids, int
+    # codes, ... all work); only the stats columns are fixed
+    key_type = stream_df.schema[key_col].dataType
     out_schema = StructType([
-        StructField(key_col, LongType()),
+        StructField(key_col, key_type),
         StructField("n_events", LongType()),
         StructField("n_runs", LongType()),
         StructField("max_run", LongType()),
@@ -841,7 +843,7 @@ def streaming_run_stats(
         StructField("looping", IntegerType()),
     ])
     state_schema = StructType([
-        StructField("last_type", StringType()),
+        StructField("last_type", stream_df.schema[type_col].dataType),
         StructField("run_len", LongType()),
         StructField("max_run", LongType()),
         StructField("n_events", LongType()),
@@ -899,7 +901,7 @@ def streaming_run_stats(
     narrow = stream_df.select(
         F.col(key_col), F.col(type_col),
         ts_micros(F.col(ts_col)).alias("_ts_us"),
-        F.col(tiebreak_col).cast("long").alias("_tb"),
+        F.col(tiebreak_col).alias("_tb"),  # natural type — any orderable
     )
     return narrow.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", "NoTimeout"

@@ -559,3 +559,32 @@ def test_streaming_run_stats_matches_batch_across_restart(spark, tmp_path):
     # NULL,NULL was one run within batch 1 AND continued nowhere: user 8
     # runs = [None x2, b, None] -> 3 runs
     assert want.loc[8, "n_runs"] == 3 and latest.loc[8, "n_runs"] == 3
+
+
+def test_streaming_run_stats_string_keys_and_types(spark, tmp_path):
+    """Review finding: the output/state schemas must follow the input
+    types — string actor ids and string tiebreaks work, not just the
+    bigint defaults."""
+    import pandas as pd
+
+    from cesium_spark.streaming.stream import streaming_run_stats
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    t0 = pd.Timestamp("2025-01-01")
+    schema = "turn_id string, ts timestamp, agent string, tool string"
+    rows = [(f"t{i}", (t0 + pd.Timedelta(seconds=i)).to_pydatetime(),
+             "agent-x", ty)
+            for i, ty in enumerate(["search", "search", "search", "reply"])]
+    spark.createDataFrame(rows, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(in_dir)
+    src = spark.readStream.schema(schema).parquet(in_dir)
+    q = (streaming_run_stats(src, key_col="agent", type_col="tool",
+                             tiebreak_col="turn_id", loop_threshold=3)
+         .writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    out = spark.read.parquet(out_dir).toPandas()
+    assert list(out.agent) == ["agent-x"]
+    assert (out.n_events[0], out.n_runs[0], out.max_run[0],
+            out.looping[0]) == (4, 2, 3, 1)
