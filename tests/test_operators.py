@@ -1096,3 +1096,62 @@ def test_bigram_logprob_score_hand_example(spark):
     assert got[3] == (0, 0.0) and got[4] == (0, 0.0)
     # corpus-typical doc 1 ("a b" seen 3x) outscores the rarer doc 2
     assert got[1][1] > got[2][1]
+
+
+def test_partition_invariance_of_round5_operators(spark):
+    """Round-5 operators must produce identical results at different
+    shuffle-partition counts: repetition stats, k-means, hash split,
+    run stats, PSI, and the LM scorer (determinism is what the oracles
+    and the resume story lean on)."""
+    import numpy as np
+    from cesium_spark.operators.drift import psi_by_group
+    from cesium_spark.operators.kmeans import kmeans_assignments
+    from cesium_spark.operators.lm import bigram_logprob_score
+    from cesium_spark.operators.runs import event_run_stats
+    from cesium_spark.operators.split import hash_split
+    from cesium_spark.operators.text import repetition_stats
+
+    rng = np.random.RandomState(2)
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.choice(list("abcdefg"), 30))) for i in range(80)],
+        "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=6)]) for i in range(60)],
+        "vec_id long, embedding array<double>")
+    import pandas as pd
+    t0 = pd.Timestamp("2025-01-01")
+    ev = spark.createDataFrame(
+        [(i, (t0 + pd.Timedelta(seconds=i)).to_pydatetime(), i % 5,
+          str(rng.choice(list("xyz"))), float(rng.normal()))
+         for i in range(400)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double")
+    ref = ev.filter("event_id < 200")
+    cur = ev.filter("event_id >= 200")
+
+    def run():
+        return (
+            repetition_stats(docs).toPandas()
+            .sort_values("doc_id").reset_index(drop=True),
+            kmeans_assignments(emb, k=3, iters=2).toPandas()
+            .sort_values("vec_id").reset_index(drop=True),
+            hash_split(docs).select("doc_id", "split").toPandas()
+            .sort_values("doc_id").reset_index(drop=True),
+            event_run_stats(ev).toPandas()
+            .sort_values("user_id").reset_index(drop=True),
+            psi_by_group(ref, cur).toPandas()
+            .sort_values("event_type").reset_index(drop=True),
+            bigram_logprob_score(docs).toPandas()
+            .sort_values("doc_id").reset_index(drop=True),
+        )
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        r3 = run()
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        r17 = run()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    import pandas as pd
+    for x, y in zip(r3, r17):
+        pd.testing.assert_frame_equal(x, y)
