@@ -857,6 +857,17 @@ def q_clean_corpus_spans(spark, sf_dir):
     return _clean_corpus_verdict(spark, sf_dir, with_spans=True)
 
 
+def q_span_removal(spark, sf_dir):
+    """Lee et al. 2022 exact-substring DELETION: tokens covered by any
+    corpus-duplicated 8-token window are excised and the remainder
+    re-joined — keep the document, cut the boilerplate. The oracle
+    re-derives the duplicated window starts and the interval-union
+    coverage in SQL and re-joins the survivors in token order."""
+    from cesium_spark.operators.dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(_docs(spark, sf_dir), k=8)
+
+
 def q_doc_lm_score(spark, sf_dir):
     """CCNet-style corpus-LM quality signal: every document scored by
     the mean log-probability of its bigrams under the corpus's own
@@ -1308,6 +1319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50-slot cap and was never driver-checked).
     return {
         # --- round 5 ---
+        "span_removal": q_span_removal,
         "doc_lm_score": q_doc_lm_score,
         "psi_drift": q_psi_drift,
         "event_loops_streamed": q_event_loops_streamed,
@@ -2660,6 +2672,50 @@ def oracle_sql() -> dict[str, str]:
     """
 
 
+
+
+    sql["span_removal"] = """
+        WITH d AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             x -> x <> '') AS t
+          FROM documents
+        ),
+        sp AS (
+          SELECT doc_id, i, md5(array_to_string(t[i : i + 7], ' ')) AS key
+          FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+                FROM d WHERE len(t) >= 8)
+        ),
+        cnt AS (SELECT key, count(*) AS c FROM sp GROUP BY key),
+        dup AS (SELECT doc_id, i FROM sp JOIN cnt USING (key) WHERE c >= 2),
+        tok AS (
+          SELECT doc_id, j, t[j] AS w
+          FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS j FROM d)
+        ),
+        kept AS (
+          SELECT tok.doc_id, tok.j, tok.w
+          FROM tok
+          WHERE NOT EXISTS (
+            SELECT 1 FROM dup
+            WHERE dup.doc_id = tok.doc_id
+              AND dup.i BETWEEN greatest(1, tok.j - 7) AND tok.j
+          )
+        ),
+        agg AS (
+          SELECT doc_id,
+                 coalesce(string_agg(w, ' ' ORDER BY j), '') AS clean_text,
+                 count(*) AS n_kept
+          FROM kept GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(agg.clean_text, '') AS clean_text,
+               len(d.t) AS n_tokens,
+               coalesce(agg.n_kept, 0) AS n_kept,
+               round(CASE WHEN len(d.t) > 0
+                     THEN (len(d.t) - coalesce(agg.n_kept, 0))::DOUBLE / len(d.t)
+                     ELSE 0 END + 1e-9, 6) AS removed_frac
+        FROM d LEFT JOIN agg USING (doc_id)
+    """
 
     sql["doc_lm_score"] = """
         WITH d AS (

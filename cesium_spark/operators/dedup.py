@@ -40,6 +40,7 @@ __all__ = [
     "minhash_lsh_star_edges",
     "lsh_dedup_clusters",
     "duplicate_token_spans",
+    "remove_duplicate_spans",
     "span_index_rows",
     "span_profiles_from_index",
     "incremental_duplicate_spans",
@@ -497,9 +498,92 @@ def duplicate_token_spans(
     return _assemble_span_profiles(base, per, id_col, round_digits)
 
 
-def _token_span_relations(df, id_col, text_col, k, hash_fn):
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    hash_fn: str = "md5",
+    min_count: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Span REMOVAL — the deletion step of Lee et al. 2022's exact
+    substring dedup: every token covered by any k-token window whose
+    exact sequence occurs >= min_count times corpus-wide is excised,
+    and the survivors are re-joined into ``clean_text``. Where
+    duplicate_token_spans MEASURES boilerplate, this one cuts it out
+    while keeping the document (the right call when the unique remainder
+    has training value).
+
+    Returns (id, clean_text, n_tokens, n_kept, removed_frac). Documents
+    with no duplicated window come back verbatim (modulo whitespace
+    normalization to single spaces — the tokenizer's canonical form);
+    a fully-boilerplate document yields an empty clean_text.
+
+    Plan: the span relation (one row per window occurrence, shuffled on
+    hashes, hot spans pre-aggregated — same scale discipline as
+    duplicate_token_spans) yields each doc's SORTED duplicated window
+    starts (bounded by the doc's own window count); one Arrow pass per
+    doc turns starts into an interval-union coverage mask via a
+    difference array (O(n_tokens), no per-token membership scans) and
+    emits the cleaned text. Token indices never leave their document."""
+    import numpy as np
+    import pandas as pd
+
+    base, spans = _token_span_relations(df, id_col, text_col, k, hash_fn,
+                                        with_pos=True)
+    cnt = spans.groupBy("key").agg(F.count("*").alias("c"))
+    dup_pos = (
+        spans.join(cnt.filter(F.col("c") >= min_count), "key")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("i")).alias("starts"))
+    )
+
+    def clean_fn(toks_ser, starts_ser):
+        out = []
+        for toks, starts in zip(toks_ser, starts_ser):
+            toks = list(toks) if toks is not None else []
+            n = len(toks)
+            if starts is None or len(starts) == 0 or n == 0:
+                out.append([" ".join(toks), n, n])
+                continue
+            # difference-array interval union: window start s covers
+            # tokens [s-1, s+k-2] (0-based)
+            diff = np.zeros(n + 1, dtype=np.int64)
+            for s in starts:
+                diff[s - 1] += 1
+                diff[min(s - 1 + k, n)] -= 1
+            covered = np.cumsum(diff[:n]) > 0
+            kept = [t for t, c in zip(toks, covered) if not c]
+            out.append([" ".join(kept), n, len(kept)])
+        return pd.DataFrame(out, columns=["clean_text", "n_tokens", "n_kept"])
+
+    clean_udf = F.pandas_udf(
+        clean_fn, "clean_text string, n_tokens long, n_kept long"
+    )
+    joined = base.join(dup_pos, "id", "left")
+    return (
+        joined.select(
+            F.col("id").alias(id_col),
+            clean_udf(F.col("toks"), F.col("starts")).alias("_c"),
+        )
+        .select(
+            id_col, "_c.clean_text", "_c.n_tokens", "_c.n_kept",
+            F.round(
+                F.when(F.col("_c.n_tokens") > 0,
+                       (F.col("_c.n_tokens") - F.col("_c.n_kept"))
+                       / F.col("_c.n_tokens"))
+                .otherwise(F.lit(0.0)) + F.lit(1e-9),
+                round_digits,
+            ).alias("removed_frac"),
+        )
+    )
+
+
+def _token_span_relations(df, id_col, text_col, k, hash_fn, with_pos=False):
     """Shared derivation: (base(id, toks), spans(id, key)) with one row
-    per k-token sliding-window occurrence."""
+    per k-token sliding-window occurrence; ``with_pos=True`` keeps the
+    1-based window start as ``i`` (the span-REMOVAL path needs it)."""
     toks = F.filter(
         F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
     )
@@ -516,9 +600,9 @@ def _token_span_relations(df, id_col, text_col, k, hash_fn):
         key = F.xxhash64(span_txt)
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r} (md5 | xxhash64)")
-    spans = base.select("id", F.explode(wins).alias("i"), "toks").select(
-        "id", key.alias("key")
-    )
+    cols = (["id", "i", key.alias("key")] if with_pos
+            else ["id", key.alias("key")])
+    spans = base.select("id", F.explode(wins).alias("i"), "toks").select(*cols)
     return base, spans
 
 

@@ -579,3 +579,42 @@ def test_minhash_star_edges_max_bucket_auto_skew_routing(spark):
     unrouted = minhash_lsh_star_edges(docs)
     assert edges.exceptAll(unrouted).isEmpty()
     assert unrouted.exceptAll(edges).isEmpty()
+
+
+def test_remove_duplicate_spans_hand_example(spark):
+    """Exact-substring deletion (Lee et al. 2022): the shared 8-token
+    boilerplate is excised from every occurrence (incl. overlapping
+    coverage), unique text and sub-window docs pass through verbatim,
+    and a fully-boilerplate doc empties."""
+    from cesium_spark.operators.dedup import remove_duplicate_spans
+
+    tpl = "one two three four five six seven eight"
+    rows = [
+        (1, f"{tpl} unique alpha beta"),
+        (2, f"gamma delta {tpl} epsilon"),
+        (3, "totally unique text with no duplicated windows at all here"),
+        (4, tpl),
+        (5, "short doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.asDict()
+           for r in remove_duplicate_spans(df, k=8).collect()}
+    assert got[1]["clean_text"] == "unique alpha beta"
+    assert got[2]["clean_text"] == "gamma delta epsilon"
+    assert got[3]["clean_text"].startswith("totally unique")
+    assert got[3]["removed_frac"] == 0.0
+    assert got[4]["clean_text"] == "" and got[4]["removed_frac"] == 1.0
+    assert got[5] == {"doc_id": 5, "clean_text": "short doc",
+                      "n_tokens": 2, "n_kept": 2, "removed_frac": 0.0}
+    assert got[1]["n_tokens"] == 11 and got[1]["n_kept"] == 3
+
+    # overlapping windows: a 9-token duplicated run is covered by TWO
+    # overlapping 8-windows; interval union removes all 9 tokens once
+    run9 = tpl + " nine"
+    df2 = spark.createDataFrame(
+        [(1, f"{run9} tailA"), (2, f"{run9} tailB")],
+        "doc_id long, text string")
+    got2 = {r.doc_id: r.asDict()
+            for r in remove_duplicate_spans(df2, k=8).collect()}
+    assert got2[1]["clean_text"] == "tailA" and got2[2]["clean_text"] == "tailB"
+    assert got2[1]["n_kept"] == 1
