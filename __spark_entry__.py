@@ -1296,6 +1296,168 @@ def q_featureset_impute(spark, sf_dir):
     )
 
 
+def q_contamination(spark, sf_dir):
+    """Train/test decontamination (Brown et al. 2020, GPT-3 appendix C):
+    every training document is profiled for 13-gram overlap with a
+    held-out evaluation set (here: the deterministic doc_id % 20 == 0
+    slice plays the benchmark). The oracle re-derives both corpora's
+    13-token window hashes and the any-hit flag independently."""
+    from cesium_spark.operators.dedup import ngram_contamination
+
+    docs = _docs(spark, sf_dir)
+    test = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    return ngram_contamination(train, test, n=13)
+
+
+def q_training_corpus_spanclean(spark, sf_dir):
+    """The training-set materialization under Lee et al.'s DELETION
+    reading: no document dies as span_dup — survivors instead carry
+    clean_text with corpus-duplicated 8-token windows excised
+    (`remove_duplicate_spans` wired through corpus_verdict's
+    span_action="remove"), composed with the Gopher repetition stage
+    and the md5 split. Gates that the removal transform and the verdict
+    precedence compose without perturbing each other's semantics."""
+    from cesium_spark.operators.corpus import corpus_verdict, with_split
+
+    base = corpus_verdict(
+        _docs(spark, sf_dir), span_k=8, span_action="remove",
+        repetition=True, round_digits=R,
+    )
+    return with_split(base).select(
+        "doc_id", "reason", "keep", "clean_text", "split"
+    )
+
+
+def q_doc_quality_score(spark, sf_dir):
+    """CCNet/GPT-3-style quality-classifier scoring: logistic regression
+    over 64 hashed token-frequency buckets (+ intercept), trained
+    engine-side with 3 full-batch GD rounds on the md5-sampled half of
+    the corpus, labels = the clean_corpus composition's survivors; every
+    document scored map-only against the rounded broadcast weights. The
+    oracle replays feature hashing, the label derivation, all three GD
+    rounds (chained CTEs, per-round weight rounding — the kmeans
+    discipline), and the final probabilities."""
+    from cesium_spark.operators.quality_clf import quality_classifier_scores
+
+    docs = _docs(spark, sf_dir)
+    labels = _clean_corpus_verdict(spark, sf_dir, with_spans=False).select(
+        "doc_id", F.col("keep").cast("int").alias("y")
+    )
+    return quality_classifier_scores(
+        docs, labels, n_buckets=64, iters=3, lr=1.0, sample_frac=0.5,
+        round_digits=R,
+    )
+
+
+def q_psi_drift_streamed(spark, sf_dir):
+    """The LIVE drift monitor end-to-end: reference = first half of the
+    event stream (frozen edges + smoothed bin fractions), the CURRENT
+    half staged as two parquet files and drained as two availableNow
+    micro-batches through the stateful streaming_psi head (cumulative
+    bin counts per group in applyInPandasWithState). The latest
+    cumulative row per group must equal the BATCH psi_by_group — so the
+    oracle is the exact same SQL as `psi_drift`, and a hash match proves
+    the carried bin-count state reproduces the batch statistic. PSI is
+    order-insensitive, so unlike the run-stats head no file-mtime
+    pinning is needed."""
+    import shutil
+    import tempfile
+
+    from cesium_spark.streaming.stream import streaming_psi
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    mid = ev.agg(F.expr("percentile(event_id, 0.5)")).collect()[0][0]
+    ref = ev.filter(F.col("event_id") <= mid)
+    cur = ev.filter(F.col("event_id") > mid)
+    work = tempfile.mkdtemp(prefix="psi_stream_")
+    in_dir = f"{work}/in"
+    try:
+        half = cur.agg(F.expr("percentile(event_id, 0.5)")).collect()[0][0]
+        cur.filter(F.col("event_id") <= half).coalesce(1) \
+            .write.mode("overwrite").parquet(in_dir)
+        cur.filter(F.col("event_id") > half).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+        schema = "event_id bigint, event_type string, value double"
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(in_dir)
+        )
+        q = (
+            streaming_psi(src, ref).writeStream
+            .format("parquet").option("path", f"{work}/out")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True).start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                raise TimeoutError("psi stream did not drain in 300s")
+        finally:
+            q.stop()
+        emitted = spark.read.parquet(f"{work}/out")
+        return (
+            emitted.groupBy("event_type")
+            .agg(F.max(F.struct("n_cur", "n_ref", "psi")).alias("s"))
+            .select(
+                "event_type", F.col("s.n_ref").alias("n_ref"),
+                F.col("s.n_cur").alias("n_cur"), F.col("s.psi").alias("psi"),
+            )
+            .localCheckpoint(eager=True)  # detach from the temp files
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q_bpe_encode(spark, sf_dir):
+    """BPE APPLY at corpus scale: 20 merges trained on the corpus
+    (train_bpe — the oracled-adjacent `bpe_merges` bridge pins the
+    trainer), then every document tokenized by replaying the merges in
+    rank order (one map-only Arrow pass, per-word memoization). No SQL
+    oracle — greedy non-overlapping merge application is not
+    SQL-expressible — so this is a BRIDGE query: pytest pins the
+    distributed encoder token-for-token against an independent
+    single-node encoder (tests/test_bpe.py), and the driver records the
+    per-doc token counts + an md5 fingerprint of the token stream for
+    round-over-round stability. The SQL-checkable invariants of the
+    same output are hash-gated by `bpe_token_stats`."""
+    from cesium_spark.operators.bpe import bpe_encode, train_bpe
+
+    docs = _docs(spark, sf_dir)
+    merges, _ = train_bpe(docs, n_merges=20)
+    enc = bpe_encode(docs, merges)
+    return enc.select(
+        "doc_id",
+        F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.md5(F.concat_ws("", "bpe_tokens")).alias("enc_md5"),
+    )
+
+
+def q_bpe_token_stats(spark, sf_dir):
+    """The SQL-checkable invariants of the full BPE train+encode path:
+    BPE is lossless (tokens concatenate back to word + '</w>'), so per
+    document the encoded stream must carry exactly one '</w>'-suffixed
+    token per whitespace word and sum(len(token)) == sum(len(word)) +
+    4*n_words — both recomputable by the oracle from RAW text without
+    knowing the learned merges. A broken merge application (dropped,
+    duplicated, or cross-word-merged symbols) breaks these counts, so
+    the hash gate covers the encoder's structural correctness while the
+    bridge (`bpe_encode` + tests/test_bpe.py) pins exact tokenization."""
+    from cesium_spark.operators.bpe import bpe_encode, train_bpe
+
+    docs = _docs(spark, sf_dir)
+    merges, _ = train_bpe(docs, n_merges=20)
+    enc = bpe_encode(docs, merges)
+    return enc.select(
+        "doc_id",
+        F.size(F.filter("bpe_tokens", lambda t: t.endswith("</w>")))
+        .cast("long").alias("n_words"),
+        F.aggregate(
+            "bpe_tokens", F.lit(0).cast("long"),
+            lambda acc, t: acc + F.length(t),
+        ).alias("bpe_char_sum"),
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -1318,6 +1480,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (r4 VERDICT item 7: clean_corpus_spans shipped in r4 but sat past
     # the 50-slot cap and was never driver-checked).
     return {
+        # --- round 6 ---
+        "contamination": q_contamination,
+        "training_corpus_spanclean": q_training_corpus_spanclean,
+        "doc_quality_score": q_doc_quality_score,
+        "psi_drift_streamed": q_psi_drift_streamed,
+        "bpe_token_stats": q_bpe_token_stats,
+        "bpe_encode": q_bpe_encode,
         # --- round 5 ---
         "span_removal": q_span_removal,
         "doc_lm_score": q_doc_lm_score,
@@ -2663,7 +2832,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT user_id, island, count(*) AS len FROM isl GROUP BY ALL
         )
         SELECT user_id,
-               sum(len) AS n_events,
+               sum(len)::BIGINT AS n_events,
                count(*) AS n_runs,
                max(len) AS max_run,
                round((sum(len) - count(*))::DOUBLE / sum(len) + {EPS}, {R}) AS repeat_frac,
@@ -2674,47 +2843,54 @@ def oracle_sql() -> dict[str, str]:
 
 
 
-    sql["span_removal"] = """
-        WITH d AS (
+    # Lee et al. span-REMOVAL CTE chain -> srd(doc_id, t),
+    # sragg(doc_id, clean_text, n_kept); shared verbatim by the
+    # span_removal oracle and the training_corpus_spanclean composition
+    # oracle (sr-prefixed names so it composes with the other fragments)
+    span_removal_cte = """
+        srd AS (
           SELECT doc_id,
                  list_filter(regexp_split_to_array(trim(text), '\\s+'),
                              x -> x <> '') AS t
           FROM documents
         ),
-        sp AS (
+        srsp AS (
           SELECT doc_id, i, md5(array_to_string(t[i : i + 7], ' ')) AS key
           FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
-                FROM d WHERE len(t) >= 8)
+                FROM srd WHERE len(t) >= 8)
         ),
-        cnt AS (SELECT key, count(*) AS c FROM sp GROUP BY key),
-        dup AS (SELECT doc_id, i FROM sp JOIN cnt USING (key) WHERE c >= 2),
-        tok AS (
+        srcnt AS (SELECT key, count(*) AS c FROM srsp GROUP BY key),
+        srdup AS (SELECT doc_id, i FROM srsp JOIN srcnt USING (key) WHERE c >= 2),
+        srtok AS (
           SELECT doc_id, j, t[j] AS w
-          FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS j FROM d)
+          FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS j FROM srd)
         ),
-        kept AS (
-          SELECT tok.doc_id, tok.j, tok.w
-          FROM tok
+        srkept AS (
+          SELECT srtok.doc_id, srtok.j, srtok.w
+          FROM srtok
           WHERE NOT EXISTS (
-            SELECT 1 FROM dup
-            WHERE dup.doc_id = tok.doc_id
-              AND dup.i BETWEEN greatest(1, tok.j - 7) AND tok.j
+            SELECT 1 FROM srdup
+            WHERE srdup.doc_id = srtok.doc_id
+              AND srdup.i BETWEEN greatest(1, srtok.j - 7) AND srtok.j
           )
         ),
-        agg AS (
+        sragg AS (
           SELECT doc_id,
                  coalesce(string_agg(w, ' ' ORDER BY j), '') AS clean_text,
                  count(*) AS n_kept
-          FROM kept GROUP BY doc_id
-        )
-        SELECT d.doc_id,
-               coalesce(agg.clean_text, '') AS clean_text,
-               len(d.t) AS n_tokens,
-               coalesce(agg.n_kept, 0) AS n_kept,
-               round(CASE WHEN len(d.t) > 0
-                     THEN (len(d.t) - coalesce(agg.n_kept, 0))::DOUBLE / len(d.t)
+          FROM srkept GROUP BY doc_id
+        )"""
+
+    sql["span_removal"] = f"""
+        WITH {span_removal_cte}
+        SELECT srd.doc_id,
+               coalesce(sragg.clean_text, '') AS clean_text,
+               len(srd.t) AS n_tokens,
+               coalesce(sragg.n_kept, 0) AS n_kept,
+               round(CASE WHEN len(srd.t) > 0
+                     THEN (len(srd.t) - coalesce(sragg.n_kept, 0))::DOUBLE / len(srd.t)
                      ELSE 0 END + 1e-9, 6) AS removed_frac
-        FROM d LEFT JOIN agg USING (doc_id)
+        FROM srd LEFT JOIN sragg USING (doc_id)
     """
 
     sql["doc_lm_score"] = """
@@ -2763,8 +2939,8 @@ def oracle_sql() -> dict[str, str]:
                FROM cur c JOIN edges USING (event_type)),
         rc AS (SELECT event_type, bin, count(*) AS n FROM rb GROUP BY ALL),
         cc AS (SELECT event_type, bin, count(*) AS n FROM cb GROUP BY ALL),
-        rtot AS (SELECT event_type, sum(n) AS t FROM rc GROUP BY 1),
-        ctot AS (SELECT event_type, sum(n) AS t FROM cc GROUP BY 1),
+        rtot AS (SELECT event_type, sum(n)::BIGINT AS t FROM rc GROUP BY 1),
+        ctot AS (SELECT event_type, sum(n)::BIGINT AS t FROM cc GROUP BY 1),
         frame AS (
           SELECT e.event_type, b.bin
           FROM edges e, (SELECT unnest(range(10)) AS bin) b
@@ -2822,6 +2998,161 @@ def oracle_sql() -> dict[str, str]:
                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS b
           FROM verdict
         )
+    """
+
+    # --- round 6 ---
+
+    # the streamed head's latest cumulative row per group must equal the
+    # batch statistic, so it shares the batch oracle (the
+    # event_loops_streamed pattern)
+    sql["psi_drift_streamed"] = sql["psi_drift"]
+
+    sql["contamination"] = """
+        WITH d AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             x -> x <> '') AS t
+          FROM documents
+        ),
+        tr AS (SELECT * FROM d WHERE doc_id % 20 <> 0),
+        te AS (SELECT * FROM d WHERE doc_id % 20 = 0),
+        tsp AS (
+          SELECT DISTINCT md5(array_to_string(t[i : i + 12], ' ')) AS key
+          FROM (SELECT t, unnest(range(1, len(t) - 11)) AS i
+                FROM te WHERE len(t) >= 13)
+        ),
+        rsp AS (
+          SELECT doc_id, md5(array_to_string(t[i : i + 12], ' ')) AS key
+          FROM (SELECT doc_id, t, unnest(range(1, len(t) - 11)) AS i
+                FROM tr WHERE len(t) >= 13)
+        ),
+        hit AS (SELECT doc_id, count(*) AS cs FROM rsp JOIN tsp USING (key)
+                GROUP BY doc_id)
+        SELECT tr.doc_id,
+               len(tr.t)::BIGINT AS n_tokens,
+               greatest(coalesce(len(tr.t), 0) - 12, 0)::BIGINT AS n_spans,
+               coalesce(h.cs, 0)::BIGINT AS contaminated_spans,
+               coalesce(h.cs, 0) > 0 AS contaminated
+        FROM tr LEFT JOIN hit h USING (doc_id)
+    """
+
+    sql["training_corpus_spanclean"] = f"""
+        WITH RECURSIVE {shingle_cte},
+        {jaccard_closure_cte},
+        {quality_lang_cte},
+        {rep_cte},
+        {span_removal_cte},
+        verdict AS (
+          SELECT d.doc_id,
+                 CASE WHEN coalesce(l.lbl, d.doc_id) <> d.doc_id THEN 'near_dup'
+                      WHEN lg.lang_guess <> 'en' THEN 'lang'
+                      WHEN qs.quality < 0.5 THEN 'low_quality'
+                      WHEN r.repetitive = 1 THEN 'repetitive'
+                      ELSE 'ok' END AS reason
+          FROM documents d
+          LEFT JOIN lab l ON d.doc_id = l.n
+          JOIN qs ON d.doc_id = qs.doc_id
+          JOIN lg ON d.doc_id = lg.doc_id
+          JOIN rep r ON d.doc_id = r.doc_id
+        )
+        SELECT v.doc_id, v.reason, v.reason = 'ok' AS keep,
+               CASE WHEN v.reason = 'ok'
+                    THEN coalesce(sragg.clean_text, '') END AS clean_text,
+               CASE WHEN v.reason <> 'ok' THEN 'dropped'
+                    WHEN b < 9000 THEN 'train'
+                    WHEN b < 9500 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+          SELECT *,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS b
+          FROM verdict
+        ) v
+        LEFT JOIN sragg ON v.doc_id = sragg.doc_id
+    """
+
+    sql["bpe_token_stats"] = """
+        WITH d AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> '') AS t
+          FROM documents
+        ),
+        agg AS (
+          SELECT doc_id, count(*)::BIGINT AS n_words,
+                 (sum(length(w)) + 4 * count(*))::BIGINT AS bpe_char_sum
+          FROM (SELECT doc_id, unnest(t) AS w FROM d) GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(agg.n_words, 0)::BIGINT AS n_words,
+               coalesce(agg.bpe_char_sum, 0)::BIGINT AS bpe_char_sum
+        FROM d LEFT JOIN agg USING (doc_id)
+    """
+
+    # quality-classifier GD replay: 3 chained rounds, per-round weight
+    # rounding (the kmeans-iteration discipline) — lr = 1.0, D = 64 + the
+    # intercept pseudo-bucket 64
+    gd_rounds = ""
+    for t in range(1, 4):
+        p = t - 1
+        gd_rounds += f"""
+        s{t} AS (SELECT tr.doc_id, sum(tr.x * w{p}.w) AS s,
+                        any_value(tr.y) AS y
+                 FROM tr JOIN w{p} USING (bucket) GROUP BY tr.doc_id),
+        r{t} AS (SELECT doc_id, 1.0 / (1.0 + exp(-s)) - y AS r FROM s{t}),
+        g{t} AS (SELECT tr.bucket, sum(tr.x * r{t}.r) AS g
+                 FROM tr JOIN r{t} USING (doc_id) GROUP BY tr.bucket),
+        w{t} AS (SELECT w{p}.bucket,
+                        round(w{p}.w - coalesce(g{t}.g, 0) / ntr.n + {EPS}, {R}) AS w
+                 FROM w{p} LEFT JOIN g{t} USING (bucket), ntr),"""
+
+    sql["doc_quality_score"] = f"""
+        WITH RECURSIVE {shingle_cte},
+        {jaccard_closure_cte},
+        {quality_lang_cte},
+        lbl0 AS (
+          SELECT d.doc_id,
+                 CASE WHEN coalesce(l.lbl, d.doc_id) <> d.doc_id THEN 0.0
+                      WHEN lg.lang_guess <> 'en' THEN 0.0
+                      WHEN qs.quality < 0.5 THEN 0.0
+                      ELSE 1.0 END AS y
+          FROM documents d
+          LEFT JOIN lab l ON d.doc_id = l.n
+          JOIN qs ON d.doc_id = qs.doc_id
+          JOIN lg ON d.doc_id = lg.doc_id
+        ),
+        lbl AS (
+          SELECT * FROM lbl0
+          WHERE ('0x' || substr(md5(doc_id::VARCHAR || 'qclf'), 1, 8))::BIGINT
+                % 10000 < 5000
+        ),
+        dtok AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> '') AS t
+          FROM documents
+        ),
+        fx0 AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(w), 1, 8))::BIGINT % 64 AS bucket,
+                 n
+          FROM (SELECT doc_id, len(t) AS n, unnest(t) AS w FROM dtok)
+        ),
+        fx AS (
+          SELECT doc_id, bucket, count(*)::DOUBLE / any_value(n) AS x
+          FROM fx0 GROUP BY doc_id, bucket
+          UNION ALL
+          SELECT doc_id, 64 AS bucket, 1.0 AS x FROM dtok
+        ),
+        tr AS (SELECT fx.doc_id, fx.bucket, fx.x, lbl.y
+               FROM fx JOIN lbl USING (doc_id)),
+        ntr AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM tr),
+        w0 AS (SELECT unnest(range(65))::BIGINT AS bucket, 0.0 AS w),
+        {gd_rounds}
+        sc AS (SELECT fx.doc_id, sum(fx.x * w3.w) AS s
+               FROM fx JOIN w3 USING (bucket) GROUP BY fx.doc_id)
+        SELECT doc_id,
+               round(1.0 / (1.0 + exp(-s)) + {EPS}, {R}) AS quality_prob
+        FROM sc
     """
 
     # golden-bridge oracles: the vendored reference constants, emitted as

@@ -6,18 +6,33 @@ thresholds, reason strings, and stage order cannot drift between the
 deployment entry points and the hash-checked semantics.
 
 Precedence (first failing stage wins):
+  contaminated — (if ``decontaminate``) shares any ``contam_n``-token
+                window with the held-out evaluation set (Brown et al.
+                2020 appendix C — decontamination outranks every other
+                stage: a benchmark-leaking document must never survive,
+                keeper or not);
   near_dup    — not the min-id keeper of its transitive jaccard
                 near-dup cluster;
-  span_dup    — (if ``span_k``) more than ``span_dup_frac`` of the
-                document's span_k-token windows are duplicated
-                corpus-wide (Lee et al. 2022; spans count PRE-dedup,
-                so an exact twin's keeper can die here — faithful to
-                the paper's raw-corpus substring dedup);
+  span_dup    — (if ``span_k`` and ``span_action="drop"``) more than
+                ``span_dup_frac`` of the document's span_k-token windows
+                are duplicated corpus-wide (Lee et al. 2022; spans count
+                PRE-dedup, so an exact twin's keeper can die here —
+                faithful to the paper's raw-corpus substring dedup);
   lang        — stopword-vote guess != ``lang``;
   low_quality — heuristic score < ``min_quality``;
   repetitive  — (if ``repetition``) any Gopher repetition measure over
                 its threshold (Rae et al. 2021);
   ok.
+
+``span_action="remove"`` switches the span stage from Lee et al.'s
+drop-the-document reading to their deletion recommendation: no document
+dies as span_dup; instead every survivor carries ``clean_text`` with
+corpus-duplicated span_k-token windows excised
+(`remove_duplicate_spans`). All stage measures (quality, lang,
+repetition, near-dup) are evaluated on the ORIGINAL text — the stages
+are independent corpus-wide measures and the deletion is a final
+transform on survivors, so the verdict does not depend on excision
+order (and the oracle replays one pass, not a fixpoint).
 """
 
 from __future__ import annotations
@@ -38,13 +53,25 @@ def corpus_verdict(
     shingle_cap: int = 1000,
     span_k: int | None = None,
     span_dup_frac: float = 0.5,
+    span_action: str = "drop",
     repetition: bool = False,
+    decontaminate: DataFrame | None = None,
+    contam_n: int = 13,
     round_digits: int = 6,
 ) -> DataFrame:
-    """Per-document (id, reason, keep) under the precedence above."""
-    from .dedup import duplicate_token_spans, ngram_jaccard_pairs
+    """Per-document (id, reason, keep) under the precedence above —
+    plus ``clean_text`` when ``span_action="remove"`` (NULL for drops)."""
+    from .dedup import (
+        duplicate_token_spans,
+        ngram_contamination,
+        ngram_jaccard_pairs,
+        remove_duplicate_spans,
+    )
     from .graph import dedup_clusters
     from .text import lang_id, quality_score, repetition_stats
+
+    if span_action not in ("drop", "remove"):
+        raise ValueError(f"span_action must be drop|remove, got {span_action!r}")
 
     clusters = dedup_clusters(
         docs,
@@ -60,8 +87,18 @@ def corpus_verdict(
         .join(lang_id(docs, id_col, text_col), id_col)
         .join(clusters.select(id_col, "is_keeper"), id_col)
     )
-    reason = F.when(~F.col("is_keeper"), F.lit("near_dup"))
-    if span_k is not None:
+    if decontaminate is not None:
+        contam = ngram_contamination(
+            docs, decontaminate, id_col=id_col, text_col=text_col,
+            n=contam_n,
+        ).select(id_col, "contaminated")
+        joined = joined.join(contam, id_col)
+        reason = F.when(F.col("contaminated"), F.lit("contaminated")).when(
+            ~F.col("is_keeper"), F.lit("near_dup")
+        )
+    else:
+        reason = F.when(~F.col("is_keeper"), F.lit("near_dup"))
+    if span_k is not None and span_action == "drop":
         spans = duplicate_token_spans(
             docs, id_col=id_col, text_col=text_col, k=span_k,
             round_digits=round_digits,
@@ -81,9 +118,19 @@ def corpus_verdict(
         )
         reason = reason.when(F.col("repetitive") == 1, F.lit("repetitive"))
     reason = reason.otherwise(F.lit("ok"))
-    return joined.withColumn("reason", reason).select(
+    verdict = joined.withColumn("reason", reason).select(
         id_col, "reason", (F.col("reason") == "ok").alias("keep")
     )
+    if span_k is not None and span_action == "remove":
+        cleaned = remove_duplicate_spans(
+            docs, id_col=id_col, text_col=text_col, k=span_k,
+            round_digits=round_digits,
+        ).select(id_col, "clean_text")
+        verdict = verdict.join(cleaned, id_col).select(
+            id_col, "reason", "keep",
+            F.when(F.col("keep"), F.col("clean_text")).alias("clean_text"),
+        )
+    return verdict
 
 
 def with_split(

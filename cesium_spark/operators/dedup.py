@@ -41,6 +41,7 @@ __all__ = [
     "lsh_dedup_clusters",
     "duplicate_token_spans",
     "remove_duplicate_spans",
+    "ngram_contamination",
     "span_index_rows",
     "span_profiles_from_index",
     "incremental_duplicate_spans",
@@ -900,4 +901,62 @@ def simhash_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    hash_fn: str = "md5",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Train/test contamination detection — the decontamination step every
+    LLM training pipeline runs before training (Brown et al. 2020, GPT-3
+    appendix C: flag any training document sharing a 13-gram with an
+    evaluation set; Chowdhery et al. 2022 use the same n-gram-overlap
+    recipe). A training document is `contaminated` when ANY of its n-token
+    sliding windows matches a window of any test document.
+
+    Returns one row per training document:
+    (id, n_tokens, n_spans, contaminated_spans, contaminated) where
+    contaminated_spans counts the training-side window OCCURRENCES whose
+    n-gram appears anywhere in the test set, and contaminated is the
+    Brown-et-al any-hit flag.
+
+    Plan (same scale discipline as duplicate_token_spans): both corpora
+    are tokenized/windowed/hashed with pure JVM expressions; the join is
+    restricted to TEST-side keys — the test relation is distinct n-gram
+    hashes of the benchmark set, orders of magnitude smaller than the
+    training corpus, so AQE promotes it to a broadcast at runtime (never
+    hint-broadcast here: a "test set" of millions of documents must still
+    shuffle). Token text never shuffles, only fixed-width hashes."""
+    base, tr_spans = _token_span_relations(train, id_col, text_col, n, hash_fn)
+    _, te_spans = _token_span_relations(test, id_col, text_col, n, hash_fn)
+    test_keys = te_spans.select("key").distinct()
+    per = (
+        tr_spans.join(test_keys, "key")
+        .groupBy("id")
+        .agg(F.count("*").alias("contaminated_spans"))
+    )
+    n_tokens = F.when(
+        F.col("toks").isNull(), F.lit(None).cast("long")
+    ).otherwise(F.size("toks").cast("long"))
+    n_spans = F.greatest(
+        F.coalesce(F.size("toks"), F.lit(0)) - F.lit(n - 1), F.lit(0)
+    ).cast("long")
+    return (
+        base.select("id", n_tokens.alias("n_tokens"), n_spans.alias("n_spans"))
+        .join(per, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            "n_spans",
+            F.coalesce(F.col("contaminated_spans"), F.lit(0)).cast("long")
+            .alias("contaminated_spans"),
+            (F.coalesce(F.col("contaminated_spans"), F.lit(0)) > 0)
+            .alias("contaminated"),
+        )
     )

@@ -28,7 +28,35 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["psi_by_group"]
+__all__ = ["psi_by_group", "reference_edges", "bin_index_column"]
+
+
+def reference_edges(
+    ref: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    n_bins: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """(group, _edges): the interior reference quantiles, rounded with
+    the +1e-9 nudge BEFORE any comparison — the frozen per-group bin
+    edges both the batch PSI and the streaming PSI head cut against."""
+    probs = [i / n_bins for i in range(1, n_bins)]
+    return ref.groupBy(group_col).agg(
+        F.transform(
+            F.percentile(value_col, F.array(*[F.lit(p) for p in probs])),
+            lambda e: F.round(e + F.lit(1e-9), round_digits),
+        ).alias("_edges")
+    )
+
+
+def bin_index_column(value_col: str = "value", edges_col: str = "_edges"):
+    """Bin assignment against an edge array column: sum(value > edge) —
+    map-only, shared by batch and streaming binning."""
+    return F.aggregate(
+        edges_col, F.lit(0),
+        lambda acc, e: acc + F.when(F.col(value_col) > e, 1).otherwise(0),
+    )
 
 
 def psi_by_group(
@@ -44,22 +72,13 @@ def psi_by_group(
     reference quantiles. Groups present in only one side are dropped
     (no reference edges / nothing to compare — surface them with an
     anti-join if absence itself is the signal)."""
-    probs = [i / n_bins for i in range(1, n_bins)]
-    edges = ref.groupBy(group_col).agg(
-        F.transform(
-            F.percentile(value_col, F.array(*[F.lit(p) for p in probs])),
-            lambda e: F.round(e + F.lit(1e-9), round_digits),
-        ).alias("_edges")
-    )
+    edges = reference_edges(ref, group_col, value_col, n_bins, round_digits)
 
     def binned(df, side):
         b = df.join(F.broadcast(edges), group_col)
-        bin_ix = F.aggregate(
-            "_edges", F.lit(0),
-            lambda acc, e: acc + F.when(F.col(value_col) > e, 1).otherwise(0),
-        )
         return b.select(
-            group_col, F.lit(side).alias("_side"), bin_ix.alias("_bin")
+            group_col, F.lit(side).alias("_side"),
+            bin_index_column(value_col).alias("_bin"),
         )
 
     counts = (

@@ -62,6 +62,12 @@ def bigram_logprob_score(
     logp = F.log(
         (F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("_vocab"))
     )
+    # skew surface: doc_bigrams ⋈ uni on w1 is Zipf-skewed (stopwords own
+    # most of the probability mass) — both sides are equi-join relations
+    # with pre-aggregated counts on the dimension side, so AQE's skew-join
+    # split handles the hot keys; uni/bi must NOT be broadcast (they are
+    # vocabulary-sized, which at corpus scale is GBs) — plan-asserted in
+    # tests/test_operators.py::test_lm_count_relations_not_forced_broadcast
     scored = (
         doc_bigrams.join(bi, ["w1", "w2"])
         .join(uni, "w1")

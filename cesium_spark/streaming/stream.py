@@ -28,7 +28,7 @@ __all__ = [
     "streaming_exact_dedup", "span_dedup_batch_fn",
     "start_span_dedup_stream", "minhash_dedup_batch_fn",
     "start_minhash_dedup_stream", "ivf_index_batch_fn",
-    "start_ivf_index_stream", "streaming_run_stats",
+    "start_ivf_index_stream", "streaming_run_stats", "streaming_psi",
 ]
 
 
@@ -904,5 +904,107 @@ def streaming_run_stats(
         F.col(tiebreak_col).alias("_tb"),  # natural type — any orderable
     )
     return narrow.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "NoTimeout"
+    )
+
+
+def streaming_psi(
+    stream_df: DataFrame,
+    ref: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    n_bins: int = 10,
+    eps: float = 1e-6,
+    round_digits: int = 6,
+):
+    """LIVE distribution-drift monitoring: the streaming twin of
+    operators/drift.psi_by_group. The REFERENCE slice is frozen up
+    front — its per-group decile edges and smoothed bin fractions are
+    computed once batch-side (tiny: groups x bins, the operator's scale
+    contract) and carried into the stream; each micro-batch's rows are
+    binned MAP-ONLY against the broadcast edges (stream-static join +
+    the shared bin_index_column expression), and per-group cumulative
+    bin counts live in applyInPandasWithState. After every batch each
+    touched group emits its cumulative (n_ref, n_cur, psi) row — an
+    update stream whose latest row per group equals the BATCH
+    psi_by_group(ref, everything-ingested-so-far) (tested; the driver
+    query hash-matches the psi_drift oracle).
+
+    Groups absent from the reference are dropped exactly like the batch
+    operator (no edges — the stream-static inner join filters them).
+    State per group is the n_bins count vector; PSI arithmetic replays
+    the batch formula term-for-term in fixed bin order with the same
+    eps smoothing and round(+1e-9) discipline."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    from ..operators.drift import bin_index_column, reference_edges
+
+    edges = reference_edges(ref, group_col, value_col, n_bins, round_digits)
+    # freeze the reference side: smoothed fractions per (group, bin) —
+    # bounded by groups x bins, the same driver-state contract as the
+    # k-means centroids
+    ref_binned = ref.join(F.broadcast(edges), group_col).select(
+        group_col, bin_index_column(value_col).alias("_bin")
+    )
+    ref_rows = (
+        ref_binned.groupBy(group_col, "_bin")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    ref_counts: dict = {}
+    for r in ref_rows:
+        g = r[group_col]
+        ref_counts.setdefault(g, [0] * n_bins)[r["_bin"]] += r["n"]
+    ref_stats = {
+        g: (sum(c), [c[b] / sum(c) + eps for b in range(n_bins)])
+        for g, c in ref_counts.items()
+    }
+
+    key_type = stream_df.schema[group_col].dataType
+    out_schema = StructType([
+        StructField(group_col, key_type),
+        StructField("n_ref", LongType()),
+        StructField("n_cur", LongType()),
+        StructField("psi", DoubleType()),
+    ])
+    state_schema = StructType(
+        [StructField(f"b{i}", LongType()) for i in range(n_bins)]
+    )
+
+    def fn(key, pdfs, state):
+        parts = [p for p in pdfs]
+        if not parts:
+            return
+        pdf = pd.concat(parts)
+        if pdf.empty:
+            return
+        counts = list(state.get) if state.exists else [0] * n_bins
+        vc = pdf["_bin"].value_counts()
+        for b, n in vc.items():
+            counts[int(b)] += int(n)
+        state.update(tuple(counts))
+        group = key[0]
+        n_ref, p_ref = ref_stats[group]
+        tot = sum(counts)
+        psi = 0.0
+        for b in range(n_bins):
+            pc = counts[b] / tot + eps
+            psi += (pc - p_ref[b]) * math.log(pc / p_ref[b])
+        yield pd.DataFrame({
+            group_col: [group],
+            "n_ref": [n_ref],
+            "n_cur": [tot],
+            "psi": [round(psi + 1e-9, round_digits)],
+        })
+
+    binned = stream_df.join(F.broadcast(edges), group_col).select(
+        group_col, bin_index_column(value_col).alias("_bin")
+    )
+    return binned.groupBy(group_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", "NoTimeout"
     )

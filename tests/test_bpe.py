@@ -67,3 +67,41 @@ def test_encode_is_lossless_and_uses_merges(spark, corpus):
     new = spark.createDataFrame([(9, "zq")], "doc_id long, text string")
     out = bpe_encode(new, merges).collect()[0].bpe_tokens
     assert out == ["z", "q", EOW]
+
+
+def test_encode_matches_independent_reference_token_for_token(spark, corpus):
+    """r5 VERDICT item 4 bridge: the distributed encoder must reproduce an
+    independent single-node greedy rank-ordered encoder exactly — not just
+    losslessness (which a wrong-but-lossless merge order would pass)."""
+    merges, _ = train_bpe(corpus, n_merges=10)
+
+    def ref_encode_word(word, ms):
+        syms = list(word) + [EOW]
+        for _, left, right in sorted(ms):
+            out, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == left and syms[j + 1] == right:
+                    out.append(left + right)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            syms = out
+        return syms
+
+    for row in bpe_encode(corpus, merges).collect():
+        want = [t for w in row.text.lower().split()
+                for t in ref_encode_word(w, merges)]
+        assert list(row.bpe_tokens) == want
+
+
+def test_encode_token_stats_invariants(spark, corpus):
+    """The SQL-oracle invariants of bpe_token_stats: one EOW-suffixed
+    token per word, and character conservation sum(len(tok)) ==
+    sum(len(word)) + 4 * n_words."""
+    merges, _ = train_bpe(corpus, n_merges=10)
+    for row in bpe_encode(corpus, merges).collect():
+        words = row.text.lower().split()
+        toks = list(row.bpe_tokens)
+        assert sum(1 for t in toks if t.endswith(EOW)) == len(words)
+        assert sum(len(t) for t in toks) == sum(len(w) for w in words) + 4 * len(words)

@@ -1155,3 +1155,162 @@ def test_partition_invariance_of_round5_operators(spark):
     import pandas as pd
     for x, y in zip(r3, r17):
         pd.testing.assert_frame_equal(x, y)
+
+
+def test_lm_count_relations_not_forced_broadcast(spark):
+    """r5 VERDICT item 10: the bigram⋈unigram join in bigram_logprob_score
+    runs on Zipf-skewed w1 and leans on AQE skew-join splitting. The count
+    relations (uni/bi) are vocabulary-sized — GBs at corpus scale — so the
+    plan must never HINT-broadcast them; the only explicit broadcast allowed
+    is the 1-row lazy vocab scalar. With autoBroadcastJoinThreshold=-1 the
+    optimizer can only produce a BroadcastExchange from an explicit hint,
+    so exactly one in the plan proves it."""
+    from cesium_spark.operators.lm import bigram_logprob_score
+
+    docs = spark.createDataFrame(
+        [(i, f"the quick brown fox {i} jumps over the lazy dog") for i in range(30)],
+        "doc_id long, text string")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = bigram_logprob_score(docs)._jdf.queryExecution().toString()
+        phys = plan.split("== Physical Plan ==")[-1]
+        assert phys.count("BroadcastExchange") == 1, phys
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_ngram_contamination_hand_example(spark):
+    """Brown et al. 13-gram decontamination: a training doc sharing a
+    13-token window with the test set is flagged with the right span
+    count; disjoint and too-short docs are not."""
+    from cesium_spark.operators.dedup import ngram_contamination
+
+    leak = "a b c d e f g h i j k l m"  # exactly 13 tokens
+    train = spark.createDataFrame(
+        [
+            (1, f"intro {leak} outro words here"),      # contains the 13-gram
+            (2, "totally different text with no overlap at all " * 3),
+            (3, "short doc"),                            # < 13 tokens
+            (4, leak),                                   # the exact window
+        ],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [(100, f"benchmark question: {leak} answer")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in ngram_contamination(train, test).collect()}
+    assert got[1].contaminated and got[1].contaminated_spans == 1
+    assert not got[2].contaminated and got[2].contaminated_spans == 0
+    assert not got[3].contaminated and got[3].n_spans == 0
+    assert got[4].contaminated and got[4].contaminated_spans == 1
+    assert got[1].n_tokens == 17 and got[1].n_spans == 5
+
+
+def test_corpus_verdict_decontaminate_and_span_remove(spark):
+    """The two new optional corpus stages compose: decontamination
+    outranks every other reason, and span_action='remove' drops the
+    span_dup reason in favor of a clean_text column on survivors that
+    equals the standalone remove_duplicate_spans output."""
+    from cesium_spark.operators.corpus import corpus_verdict
+    from cesium_spark.operators.dedup import remove_duplicate_spans
+
+    leak = " ".join(f"w{i}" for i in range(13))
+    good = ("the quick brown fox jumps over the lazy dog and then the "
+            "fox runs off to the river for a long drink of water today")
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, f"{good} {leak}"),   # would be ok, but leaks the benchmark
+        ],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame([(9, leak)], "doc_id long, text string")
+    got = {r.doc_id: r.reason
+           for r in corpus_verdict(docs, decontaminate=test).collect()}
+    assert got[2] == "contaminated"
+
+    out = corpus_verdict(docs, span_k=8, span_action="remove")
+    rows = {r.doc_id: r for r in out.collect()}
+    assert "clean_text" in out.columns
+    assert set(out.columns) == {"doc_id", "reason", "keep", "clean_text"}
+    # no document may die as span_dup under the removal reading
+    assert all(r.reason != "span_dup" for r in rows.values())
+    want = {r.doc_id: r.clean_text
+            for r in remove_duplicate_spans(docs, k=8).collect()}
+    for i, r in rows.items():
+        if r.keep:
+            assert r.clean_text == want[i]
+        else:
+            assert r.clean_text is None
+
+
+def test_quality_classifier_matches_numpy_gd(spark):
+    """The engine-side logistic-regression trainer must reproduce a pure
+    numpy full-batch GD (same hashing, same sampling, same per-round
+    rounding) exactly, and map-only scoring must match the numpy
+    sigmoid scores to the rounding tolerance."""
+    import hashlib
+
+    import numpy as np
+
+    from cesium_spark.operators.quality_clf import (
+        score_quality, train_quality_classifier)
+
+    rng = np.random.RandomState(7)
+    vocab_good = ["alpha", "beta", "gamma", "delta"]
+    vocab_bad = ["zz1", "zz2", "zz3"]
+    rows = []
+    labels = []
+    for i in range(40):
+        good = i % 2 == 0
+        words = rng.choice(vocab_good if good else vocab_bad, 12)
+        rows.append((i, " ".join(words)))
+        labels.append((i, 1 if good else 0))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    lab = spark.createDataFrame(labels, "doc_id long, y int")
+
+    D, iters, lr = 16, 4, 5.0
+    w = train_quality_classifier(
+        docs, lab, n_buckets=D, iters=iters, lr=lr, sample_frac=0.5,
+        sample_salt="t")
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % D
+
+    def sampled(i):
+        h = hashlib.md5(f"{i}t".encode()).hexdigest()[:8]
+        return int(h, 16) % 10000 < 5000
+
+    X, y = [], []
+    for (i, text), (_, yy) in zip(rows, labels):
+        if not sampled(i):
+            continue
+        toks = text.lower().split()
+        x = np.zeros(D + 1)
+        for t in toks:
+            x[bucket(t)] += 1.0 / len(toks)
+        x[D] = 1.0
+        X.append(x)
+        y.append(float(yy))
+    X, y = np.array(X), np.array(y)
+    wref = np.zeros(D + 1)
+    for _ in range(iters):
+        s = X @ wref
+        resid = 1.0 / (1.0 + np.exp(-s)) - y
+        grad = X.T @ resid / len(y)
+        wref = np.round(wref - lr * grad + 1e-9, 6)
+    assert w == list(wref)
+
+    got = {r.doc_id: r.quality_prob
+           for r in score_quality(docs, w).collect()}
+    for i, text in rows:
+        toks = text.lower().split()
+        s = sum(wref[bucket(t)] for t in toks) / len(toks) + wref[D]
+        want = round(1.0 / (1.0 + np.exp(-s)) + 1e-9, 6)
+        assert abs(got[i] - want) < 2e-6
+    # the classifier actually separates the classes
+    good_m = np.mean([got[i] for i in range(0, 40, 2)])
+    bad_m = np.mean([got[i] for i in range(1, 40, 2)])
+    assert good_m > bad_m + 0.1

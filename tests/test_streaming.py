@@ -588,3 +588,57 @@ def test_streaming_run_stats_string_keys_and_types(spark, tmp_path):
     assert list(out.agent) == ["agent-x"]
     assert (out.n_events[0], out.n_runs[0], out.max_run[0],
             out.looping[0]) == (4, 2, 3, 1)
+
+
+def test_streaming_psi_matches_batch_across_restart(spark, tmp_path):
+    """Live drift monitoring: cumulative per-group bin counts carry
+    across micro-batches AND an availableNow restart, so the latest
+    emitted row per group equals batch psi_by_group(ref, everything
+    ingested). Groups absent from the reference never emit."""
+    import numpy as np
+
+    from cesium_spark.operators.drift import psi_by_group
+    from cesium_spark.streaming.stream import streaming_psi
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    schema = "event_id long, event_type string, value double"
+    rng = np.random.RandomState(3)
+
+    def rows(base, groups, shift):
+        return [(base + i, groups[i % len(groups)],
+                 float(rng.normal(loc=shift)))
+                for i in range(120)]
+
+    ref_rows = rows(0, ["x", "y"], 0.0)
+    b1 = rows(1000, ["x", "y"], 0.7)
+    b2 = rows(2000, ["x", "y", "ghost"], 0.7)  # 'ghost' has no reference
+    ref = spark.createDataFrame(ref_rows, schema)
+
+    spark.createDataFrame(b1, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(in_dir)
+
+    def drain():
+        src = spark.readStream.schema(schema).parquet(in_dir)
+        q = (streaming_psi(src, ref).writeStream
+             .format("parquet").option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drain()
+    spark.createDataFrame(b2, schema).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+    drain()
+
+    emitted = spark.read.parquet(out_dir).toPandas()
+    assert "ghost" not in set(emitted["event_type"])
+    latest = emitted.sort_values("n_cur").groupby("event_type").last()
+
+    cur = spark.createDataFrame(b1 + b2, schema)
+    want = psi_by_group(ref, cur).toPandas().set_index("event_type")
+    assert set(latest.index) == set(want.index)
+    for g in want.index:
+        for c in ("n_ref", "n_cur", "psi"):
+            assert latest.loc[g, c] == want.loc[g, c], (g, c)
+    # the shifted current slice must actually register as drift
+    assert (want["psi"] > 0.1).all()

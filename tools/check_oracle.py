@@ -2,7 +2,12 @@
 entry on Spark and its oracle_sql() on DuckDB at sf0.01, compare
 row-count / column names / values (column-name-sorted, row-sorted).
 
-Usage: python tools/check_oracle.py [query ...]
+Usage: python tools/check_oracle.py [--rotated-out] [query ...]
+
+--rotated-out runs exactly the queries PAST the driver's 50-slot window
+(queries() is ordered newest-first; the driver checks the first 50), so
+each round's sweep of rotated-out oracles is one command (r5 verdict
+item 9).
 """
 
 from __future__ import annotations
@@ -38,6 +43,29 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
 
 
+def _dtype_class(s: pd.Series) -> str:
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    return "object"
+
+
+def dtype_class_mismatches(a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
+    """Columns whose dtype CLASS differs between the engines (int vs float
+    etc.). The driver's value hash is representation-sensitive, so DuckDB
+    HUGEINT sums surfacing as float64 (150.0) hash-diverge from Spark's
+    int64 (150) even when every value is exact — the r5 driver-red class
+    that check_dtype=False used to mask. Must be checked BEFORE normalize()
+    coerces both sides."""
+    return [c for c in sorted(a.columns)
+            if _dtype_class(a[c]) != _dtype_class(b[c])]
+
+
 def main():
     con = duckdb.connect()
     for t in TABLES:
@@ -46,7 +74,11 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    only = sys.argv[1:]
+    args = sys.argv[1:]
+    rotated_out = "--rotated-out" in args
+    only = [a for a in args if a != "--rotated-out"]
+    if rotated_out:
+        only = list(qs)[50:] + only  # past the driver's newest-first window
     results = {}
     for name, fn in qs.items():
         if only and name not in only:
@@ -69,6 +101,16 @@ def main():
             continue
         if sorted(sdf.columns) != sorted(odf.columns):
             results[name] = f"SCHEMA MISMATCH spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"
+            continue
+        bad = dtype_class_mismatches(sdf[sorted(sdf.columns)],
+                                     odf[sorted(odf.columns)])
+        if bad:
+            results[name] = (
+                f"DTYPE CLASS MISMATCH cols={bad} "
+                f"spark={[str(sdf[c].dtype) for c in bad]} "
+                f"oracle={[str(odf[c].dtype) for c in bad]} "
+                f"(driver hash would go red even if values match)"
+            )
             continue
         a, b = normalize(sdf), normalize(odf)
         try:
