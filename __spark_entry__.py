@@ -1458,6 +1458,123 @@ def q_bpe_token_stats(spark, sf_dir):
     )
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means partitions the embedding
+    corpus, near-duplicate pairs are sought only WITHIN each cluster
+    (the paper's pruning trick — the candidate set per document shrinks
+    from N to the cluster size), and transitive groups keep one
+    representative. Composes the oracled kmeans_fit + dedup_clusters;
+    the oracle replays the Lloyd iterations (the kmeans_clusters CTE
+    chain), the within-cluster cosine pairs, and the recursive min-label
+    closure."""
+    from cesium_spark.operators.semdedup import semdedup
+
+    return semdedup(_emb(spark, sf_dir), k=4, iters=2, threshold=0.35,
+                    round_digits=R)
+
+
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet head/middle/tail terciles (Wenzek et al. 2020 §4.4): per
+    LANGUAGE, documents are bucketed by bigram-LM score against the
+    rounded 1/3 and 2/3 percentile cutoffs — value-based labels, so the
+    only wide stage is the percentile aggregation (no global rank
+    window). The oracle replays the LM scoring CTEs plus per-lang
+    quantile_cont cutoffs."""
+    from cesium_spark.operators.lm import perplexity_buckets
+
+    return perplexity_buckets(
+        _docs(spark, sf_dir), group_col="lang", round_digits=R
+    )
+
+
+def q_source_mix(spark, sf_dir):
+    """Source-mixing materialization plan (the GPT-3 / Pile weighted-
+    sampling recipe): per-source fractional-epoch copy counts decided by
+    the growth-stable md5 bucket — src0 oversampled 2.5x, src1 kept at
+    a quarter epoch, src2 dropped entirely, src3 at 1.75, everything
+    else one epoch. Map-only CASE + hash; the oracle replays the bucket
+    arithmetic exactly."""
+    from cesium_spark.operators.split import source_mix
+
+    return source_mix(
+        _docs(spark, sf_dir),
+        weights={"src0": 2.5, "src1": 0.25, "src2": 0.0, "src3": 1.75},
+    )
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII redaction over a corpus with deterministically planted PII
+    (the synthetic documents carry none, so the query plants an email
+    per doc and ssn/phone/ipv4 on doc_id % 3/4/5 == 0 slices — both
+    engines synthesize the same string from the same parquet row).
+    Sequential typed regexp_replace with as-of-turn counts; the oracle
+    replays the same chain with RE2's 'g' flag."""
+    from cesium_spark.operators.pii import redact_pii
+
+    d = F.col("doc_id")
+    planted = F.concat_ws(
+        " ",
+        F.col("text"),
+        F.concat(F.lit("u"), d.cast("string"), F.lit("@example.com")),
+        F.when(d % 3 == 0, F.concat(
+            F.lit("123-45-"), F.lpad((d % 10000).cast("string"), 4, "0"))),
+        F.when(d % 4 == 0, F.concat(
+            F.lit("555-123-"), F.lpad((d % 10000).cast("string"), 4, "0"))),
+        F.when(d % 5 == 0, F.concat(
+            F.lit("10."), (d % 256).cast("string"), F.lit(".0."),
+            ((d * 3) % 256).cast("string"))),
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", planted.alias("text"))
+    return redact_pii(docs)
+
+
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing plan: md5-sharded token streams, each
+    cut into 256-token training sequences by a shard-partitioned running
+    sum — no global order, no single-reducer window. The oracle replays
+    the shard hash and the window sum."""
+    from cesium_spark.operators.pack import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), budget=256, n_shards=8)
+
+
+def q_training_corpus_ccnet(spark, sf_dir):
+    """The training-set composition with CCNet's LM stage appended: the
+    five-stage verdict (near-dup, span-dup, lang, quality, repetition)
+    plus per-language perplexity-tercile tail-drop, then the md5 split.
+    Gates that the tercile stage composes with the precedence chain
+    without perturbing upstream reasons."""
+    from cesium_spark.operators.corpus import corpus_verdict, with_split
+
+    base = corpus_verdict(
+        _docs(spark, sf_dir), span_k=8, repetition=True,
+        ppl_tail_group="lang", round_digits=R,
+    )
+    return with_split(base).select("doc_id", "reason", "keep", "split")
+
+
+def q_dedup_lines(spark, sf_dir):
+    """CCNet line-level dedup over a corpus with deterministically
+    planted line structure (the synthetic texts are single-line, so the
+    query wraps each in a 3-line page: a promo banner shared by the
+    doc_id % 5 class, the body, and a footer shared by the doc_id % 3
+    class — boilerplate that line-dedup must strip from all but the
+    first occurrence while exact-dup bodies collide corpus-wide). The
+    oracle replays the split, the corpus-wide line-hash counts, the
+    (doc_id, line_no) first-occurrence keeper, and the rebuild."""
+    from cesium_spark.operators.dedup import dedup_lines
+
+    d = F.col("doc_id")
+    page = F.concat_ws(
+        "\n",
+        F.concat(F.lit("promo banner "), (d % 5).cast("string")),
+        F.col("text"),
+        F.concat(F.lit("footer "), (d % 3).cast("string")),
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", page.alias("text"))
+    return dedup_lines(docs, round_digits=R)
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -1481,6 +1598,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50-slot cap and was never driver-checked).
     return {
         # --- round 6 ---
+        "pack_sequences": q_pack_sequences,
+        "training_corpus_ccnet": q_training_corpus_ccnet,
+        "semdedup": q_semdedup,
+        "perplexity_buckets": q_perplexity_buckets,
+        "source_mix": q_source_mix,
+        "pii_redact": q_pii_redact,
+        "dedup_lines": q_dedup_lines,
         "contamination": q_contamination,
         "training_corpus_spanclean": q_training_corpus_spanclean,
         "doc_quality_score": q_doc_quality_score,
@@ -2001,8 +2125,10 @@ def oracle_sql() -> dict[str, str]:
         )
     """
 
-    sql["kmeans_clusters"] = """
-        WITH e AS (
+    # Lloyd-iteration replay (k=4, 2 updates, lowest-id init) ending in
+    # df(vec_id, cid, d2) — shared verbatim by the kmeans_clusters
+    # oracle and the SemDeDup composition oracle
+    kmeans_cte = """e AS (
           SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> round(x + 1e-9, 6)) AS v
           FROM embeddings
         ),
@@ -2052,7 +2178,10 @@ def oracle_sql() -> dict[str, str]:
           SELECT e.vec_id, c2.cid,
                  round(list_sum(list_transform(list_zip(e.v, c2.c), s -> (s[1]-s[2])*(s[1]-s[2]))) + 1e-9, 6) AS d2
           FROM e, c2
-        )
+        )"""
+
+    sql["kmeans_clusters"] = f"""
+        WITH {kmeans_cte}
         SELECT vec_id, cid AS cluster, d2 AS dist2 FROM (
           SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM df
         ) WHERE rn = 1
@@ -3153,6 +3282,248 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                round(1.0 / (1.0 + exp(-s)) + {EPS}, {R}) AS quality_prob
         FROM sc
+    """
+
+    sql["semdedup"] = f"""
+        WITH RECURSIVE {kmeans_cte},
+        asn AS (
+          SELECT vec_id, cid AS cluster FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM df
+          ) WHERE rn = 1
+        ),
+        sd_pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM embeddings a
+          JOIN asn aa ON a.vec_id = aa.vec_id
+          JOIN embeddings b ON a.vec_id < b.vec_id
+          JOIN asn ab ON b.vec_id = ab.vec_id AND aa.cluster = ab.cluster
+          WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+                      + {EPS}, {R}) >= 0.35
+        ),
+        sym AS (
+          SELECT id_a AS a, id_b AS b FROM sd_pairs
+          UNION ALL SELECT id_b, id_a FROM sd_pairs
+        ),
+        reach(n, m) AS (
+          SELECT a, b FROM sym
+          UNION
+          SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a
+        ),
+        lab AS (SELECT n, least(n, min(m)) AS lbl FROM reach GROUP BY n)
+        SELECT asn.vec_id, asn.cluster,
+               coalesce(l.lbl, asn.vec_id) AS group_id,
+               coalesce(l.lbl, asn.vec_id) = asn.vec_id AS is_keeper
+        FROM asn LEFT JOIN lab l ON asn.vec_id = l.n
+    """
+
+    # CCNet perplexity-tercile replay (the doc_lm_score bigram LM + per-
+    # lang quantile_cont cutoffs) ending in pplb(doc_id, lang, n_bigrams,
+    # avg_logprob, bucket) — ppl-prefixed so it composes with the corpus
+    # fragment chain; shared by the perplexity_buckets oracle and the
+    # training_corpus_ccnet composition oracle
+    ppl_cte = """
+        ppld AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> '') AS t
+          FROM documents
+        ),
+        pplbg AS (
+          SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+          FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+                FROM ppld WHERE len(t) >= 2)
+        ),
+        ppluni AS (
+          SELECT w1, count(*) AS c1
+          FROM (SELECT unnest(t) AS w1 FROM ppld) GROUP BY w1
+        ),
+        pplbi AS (SELECT w1, w2, count(*) AS c2 FROM pplbg GROUP BY ALL),
+        pplv AS (SELECT count(*) AS vocab FROM ppluni),
+        pplsc AS (
+          SELECT pplbg.doc_id, count(*) AS n_bigrams,
+                 round(avg(ln((pplbi.c2 + 1.0) / (ppluni.c1 + pplv.vocab))) + 1e-9, 6) AS avg_logprob
+          FROM pplbg JOIN pplbi USING (w1, w2) JOIN ppluni USING (w1), pplv
+          GROUP BY pplbg.doc_id
+        ),
+        pplscored AS (
+          SELECT ppld.doc_id,
+                 coalesce(pplsc.n_bigrams, 0) AS n_bigrams,
+                 coalesce(pplsc.avg_logprob, 0.0) AS avg_logprob
+          FROM ppld LEFT JOIN pplsc USING (doc_id)
+        ),
+        ppllng AS (SELECT doc_id, lang FROM documents),
+        pplcuts AS (
+          SELECT lang,
+                 round(quantile_cont(avg_logprob, 1.0/3.0) + 1e-9, 6) AS q_lo,
+                 round(quantile_cont(avg_logprob, 2.0/3.0) + 1e-9, 6) AS q_hi
+          FROM pplscored JOIN ppllng USING (doc_id) GROUP BY lang
+        ),
+        pplb AS (
+          SELECT s.doc_id, l.lang, s.n_bigrams, s.avg_logprob,
+                 CASE WHEN s.avg_logprob >= c.q_hi THEN 'head'
+                      WHEN s.avg_logprob >= c.q_lo THEN 'middle'
+                      ELSE 'tail' END AS bucket
+          FROM pplscored s JOIN ppllng l USING (doc_id)
+          JOIN pplcuts c USING (lang)
+        )"""
+
+    sql["perplexity_buckets"] = f"""
+        WITH {ppl_cte}
+        SELECT doc_id, lang, n_bigrams, avg_logprob, bucket FROM pplb
+    """
+
+    sql["source_mix"] = """
+        SELECT doc_id, source,
+               (CAST(floor(w) AS BIGINT)
+                + CASE WHEN b < CAST(round((w - floor(w)) * 10000, 0) AS BIGINT)
+                       THEN 1 ELSE 0 END)::BIGINT AS n_copies
+        FROM (
+          SELECT doc_id, source,
+                 CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.25
+                             WHEN 'src2' THEN 0.0 WHEN 'src3' THEN 1.75
+                             ELSE 1.0 END AS w,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 8)) AS BIGINT) % 10000 AS b
+          FROM documents
+        )
+    """
+
+    sql["pii_redact"] = """
+        WITH p AS (
+          SELECT doc_id,
+                 concat_ws(' ', text,
+                   'u' || CAST(doc_id AS VARCHAR) || '@example.com',
+                   CASE WHEN doc_id % 3 = 0 THEN '123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') END,
+                   CASE WHEN doc_id % 4 = 0 THEN '555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') END,
+                   CASE WHEN doc_id % 5 = 0 THEN '10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST((doc_id * 3) % 256 AS VARCHAR) END
+                 ) AS s0
+          FROM documents
+        ),
+        s1 AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(s0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+                 regexp_replace(s0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS s
+          FROM p
+        ),
+        s2 AS (
+          SELECT doc_id, n_email,
+                 len(regexp_extract_all(s, '\\b\\d{3}-\\d{2}-\\d{4}\\b'))::BIGINT AS n_ssn,
+                 regexp_replace(s, '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g') AS s
+          FROM s1
+        ),
+        s3 AS (
+          SELECT doc_id, n_email, n_ssn,
+                 len(regexp_extract_all(s, '\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b'))::BIGINT AS n_phone,
+                 regexp_replace(s, '\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b', '<PHONE>', 'g') AS s
+          FROM s2
+        ),
+        s4 AS (
+          SELECT doc_id, n_email, n_ssn, n_phone,
+                 len(regexp_extract_all(s, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))::BIGINT AS n_ipv4,
+                 regexp_replace(s, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IPV4>', 'g') AS s
+          FROM s3
+        )
+        SELECT doc_id, s AS redacted_text, n_email, n_ssn, n_phone, n_ipv4,
+               (n_email + n_ssn + n_phone + n_ipv4)::BIGINT AS n_pii
+        FROM s4
+    """
+
+    sql["dedup_lines"] = """
+        WITH p AS (
+          SELECT doc_id,
+                 concat_ws(chr(10),
+                   'promo banner ' || CAST(doc_id % 5 AS VARCHAR),
+                   text,
+                   'footer ' || CAST(doc_id % 3 AS VARCHAR)) AS s
+          FROM documents
+        ),
+        ln0 AS (SELECT doc_id, string_split(s, chr(10)) AS lines FROM p),
+        ln AS (
+          SELECT doc_id, i, lines[i] AS line
+          FROM (SELECT doc_id, lines, unnest(range(1, len(lines) + 1)) AS i
+                FROM ln0)
+        ),
+        k AS (
+          SELECT doc_id, i, line,
+                 CASE WHEN lower(trim(line)) <> ''
+                      THEN md5(lower(trim(line))) END AS key
+          FROM ln
+        ),
+        w AS (
+          SELECT doc_id, i, line, key,
+                 count(*) OVER (PARTITION BY key) AS c,
+                 row_number() OVER (PARTITION BY key ORDER BY doc_id, i) AS rn
+          FROM k
+        ),
+        kept AS (
+          SELECT doc_id, i, line,
+                 (key IS NULL OR c < 2 OR rn = 1) AS keep
+          FROM w
+        )
+        SELECT doc_id,
+               coalesce(string_agg(line, chr(10) ORDER BY i) FILTER (WHERE keep), '') AS clean_text,
+               count(*)::BIGINT AS n_lines,
+               (count(*) FILTER (WHERE keep))::BIGINT AS n_kept,
+               round((count(*) - count(*) FILTER (WHERE keep))::DOUBLE / count(*) + 1e-9, 6) AS removed_frac
+        FROM kept GROUP BY doc_id
+    """
+
+    sql["pack_sequences"] = """
+        WITH pk AS (
+          SELECT doc_id,
+                 len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 x -> x <> ''))::BIGINT AS n_tokens,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'pack'), 1, 8)) AS BIGINT) % 8 AS shard
+          FROM documents
+        ),
+        pc AS (
+          SELECT doc_id, n_tokens, shard,
+                 coalesce(sum(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cb
+          FROM pk
+        )
+        SELECT doc_id, n_tokens, shard,
+               (cb // 256)::BIGINT AS seq_id,
+               (cb % 256)::BIGINT AS tok_offset
+        FROM pc
+    """
+
+    sql["training_corpus_ccnet"] = f"""
+        WITH RECURSIVE {shingle_cte},
+        {jaccard_closure_cte},
+        {quality_lang_cte},
+        {span_frac_cte},
+        {rep_cte},
+        {ppl_cte},
+        verdict AS (
+          SELECT d.doc_id,
+                 CASE WHEN coalesce(l.lbl, d.doc_id) <> d.doc_id THEN 'near_dup'
+                      WHEN sf.dup_frac > 0.5 THEN 'span_dup'
+                      WHEN lg.lang_guess <> 'en' THEN 'lang'
+                      WHEN qs.quality < 0.5 THEN 'low_quality'
+                      WHEN r.repetitive = 1 THEN 'repetitive'
+                      WHEN pb.bucket = 'tail' THEN 'ppl_tail'
+                      ELSE 'ok' END AS reason
+          FROM documents d
+          LEFT JOIN lab l ON d.doc_id = l.n
+          JOIN qs ON d.doc_id = qs.doc_id
+          JOIN lg ON d.doc_id = lg.doc_id
+          JOIN sfrac sf ON d.doc_id = sf.doc_id
+          JOIN rep r ON d.doc_id = r.doc_id
+          JOIN pplb pb ON d.doc_id = pb.doc_id
+        )
+        SELECT doc_id, reason, reason = 'ok' AS keep,
+               CASE WHEN reason <> 'ok' THEN 'dropped'
+                    WHEN b < 9000 THEN 'train'
+                    WHEN b < 9500 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+          SELECT *,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS b
+          FROM verdict
+        )
     """
 
     # golden-bridge oracles: the vendored reference constants, emitted as

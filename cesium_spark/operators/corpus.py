@@ -22,6 +22,11 @@ Precedence (first failing stage wins):
   low_quality — heuristic score < ``min_quality``;
   repetitive  — (if ``repetition``) any Gopher repetition measure over
                 its threshold (Rae et al. 2021);
+  ppl_tail    — (if ``ppl_tail_group``) the document lands in the
+                'tail' perplexity tercile of its group (Wenzek et al.
+                2020 §4.4 — CCNet's per-language LM filter, the LAST
+                stage because it is a soft typicality prior, not a
+                hard defect);
   ok.
 
 ``span_action="remove"`` switches the span stage from Lee et al.'s
@@ -57,6 +62,7 @@ def corpus_verdict(
     repetition: bool = False,
     decontaminate: DataFrame | None = None,
     contam_n: int = 13,
+    ppl_tail_group: str | None = None,
     round_digits: int = 6,
 ) -> DataFrame:
     """Per-document (id, reason, keep) under the precedence above —
@@ -117,6 +123,15 @@ def corpus_verdict(
             id_col,
         )
         reason = reason.when(F.col("repetitive") == 1, F.lit("repetitive"))
+    if ppl_tail_group is not None:
+        from .lm import perplexity_buckets
+
+        ppl = perplexity_buckets(
+            docs, id_col=id_col, text_col=text_col,
+            group_col=ppl_tail_group, round_digits=round_digits,
+        ).select(id_col, "bucket")
+        joined = joined.join(ppl, id_col)
+        reason = reason.when(F.col("bucket") == "tail", F.lit("ppl_tail"))
     reason = reason.otherwise(F.lit("ok"))
     verdict = joined.withColumn("reason", reason).select(
         id_col, "reason", (F.col("reason") == "ok").alias("keep")

@@ -42,6 +42,7 @@ __all__ = [
     "duplicate_token_spans",
     "remove_duplicate_spans",
     "ngram_contamination",
+    "dedup_lines",
     "span_index_rows",
     "span_profiles_from_index",
     "incremental_duplicate_spans",
@@ -958,5 +959,101 @@ def ngram_contamination(
             .alias("contaminated_spans"),
             (F.coalesce(F.col("contaminated_spans"), F.lit(0)) > 0)
             .alias("contaminated"),
+        )
+    )
+
+
+def dedup_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_count: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Line-level dedup — CCNet's paragraph/line hash dedup (Wenzek et
+    al. 2020 §4.2: hash every line of the corpus and drop repeated
+    lines; this is what strips boilerplate headers, cookie banners and
+    navigation chrome from web text). A line occurring >= min_count
+    times corpus-wide (compared after trim + lowercase normalization,
+    the paper's case-insensitive hashing) is removed from every document
+    EXCEPT its first occurrence — "first" by the deterministic
+    (doc_id, line_no) struct-min, the repo-wide keeper rule — and the
+    survivors are re-joined in original line order.
+
+    Returns (id, clean_text, n_lines, n_kept, removed_frac); documents
+    whose every line is a later duplicate yield an empty clean_text;
+    NULL text stays NULL. Blank lines (empty after trim) are never
+    dup-candidates — they are kept verbatim, preserving paragraph
+    structure.
+
+    Plan: posexplode on the separator is map-side; the corpus-wide
+    count + keeper relation is ONE partial-aggregable groupBy on the
+    line hash (min(struct(id, line_no)) needs no window); the join back
+    is an equi-join on the hash — Zipf-skewed on boilerplate lines,
+    which is exactly the AQE-skew-join-splittable shape, and the count
+    side is distinct-lines-sized, not corpus-sized. Rebuild is one
+    groupBy(id) with an array_sort on (line_no, line) structs — each
+    doc's lines collect into a single row, bounded by document size.
+    Line text itself shuffles once (into the rebuild); the counting
+    joins move only fixed-width hashes."""
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode_outer(F.split(F.col(text_col), sep)).alias("line_no", "line"),
+    )
+    norm = F.lower(F.trim(F.col("line")))
+    keyed = lines.withColumn(
+        "key", F.when(norm != "", F.md5(norm)).otherwise(F.lit(None))
+    )
+    stats = (
+        keyed.filter(F.col("key").isNotNull())
+        .groupBy("key")
+        .agg(
+            F.count("*").alias("c"),
+            F.min(F.struct("id", "line_no")).alias("first"),
+        )
+    )
+    kept = (
+        keyed.join(stats, "key", "left")
+        .withColumn(
+            "keep",
+            F.col("key").isNull()
+            | (F.col("c") < min_count)
+            | ((F.col("first.id") == F.col("id"))
+               & (F.col("first.line_no") == F.col("line_no"))),
+        )
+    )
+    per = kept.groupBy("id").agg(
+        F.count("line").alias("n_lines"),
+        F.sum(F.when(F.col("keep") & F.col("line").isNotNull(), 1)
+              .otherwise(0)).cast("long").alias("n_kept"),
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep") & F.col("line").isNotNull(),
+                               F.struct("line_no", "line"))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+    )
+    has_text = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).isNotNull().alias("has")
+    )
+    frac = F.when(F.col("n_lines") > 0,
+                  (F.col("n_lines") - F.col("n_kept")) / F.col("n_lines")
+                  ).otherwise(F.lit(0.0))
+    return (
+        per.join(has_text, "id")
+        .select(
+            F.col("id").alias(id_col),
+            F.when(F.col("has"), F.col("clean_text")).alias("clean_text"),
+            F.when(F.col("has"), F.col("n_lines")).cast("long").alias("n_lines"),
+            F.when(F.col("has"), F.col("n_kept")).cast("long").alias("n_kept"),
+            F.when(F.col("has"), F.round(frac + F.lit(1e-9), round_digits))
+            .alias("removed_frac"),
         )
     )

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from .text import _tokens
 
-__all__ = ["bigram_logprob_score"]
+__all__ = ["bigram_logprob_score", "perplexity_buckets"]
 
 
 def bigram_logprob_score(
@@ -88,4 +88,62 @@ def bigram_logprob_score(
             F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
             F.coalesce("avg_logprob", F.lit(0.0)).alias("avg_logprob"),
         )
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.4: rank
+    documents by LM perplexity per language and cut the corpus into
+    terciles — 'head' trains the model, 'tail' gets dropped or
+    down-weighted). Here the LM is the corpus bigram model above, and
+    the bucket is assigned by VALUE against the tercile cutoffs, not by
+    rank: the two interior percentiles of ``avg_logprob`` (per
+    ``group_col`` when given — CCNet buckets per language) are computed
+    with one aggregation, rounded, broadcast, and every document is
+    labeled map-only (`avg_logprob >= q_hi` -> head, `>= q_lo` ->
+    middle, else tail — higher avg log-prob = lower perplexity = more
+    corpus-typical).
+
+    Value-based cutoffs instead of ntile(3) is the scale choice: no
+    global per-group sort window over the corpus — the only wide stage
+    is the percentile aggregation, and the label inlines into the scan.
+    (Consequence: equal scores land in the same bucket, so bucket sizes
+    are only approximately N/3 under ties — the semantics CCNet's
+    published cutoff-file implementation has.) Cross-engine: both
+    engines interpolate percentiles at (n-1)*p over the same ROUNDED
+    score column, and the cutoffs are rounded before comparison, so the
+    DuckDB oracle (quantile_cont) replays the buckets hash-exactly.
+
+    Returns (id[, group], n_bigrams, avg_logprob, bucket)."""
+    scored = bigram_logprob_score(df, id_col, text_col, round_digits)
+    keys = [group_col] if group_col else []
+    if group_col:
+        scored = scored.join(df.select(id_col, group_col), id_col)
+
+    def q(p):
+        return F.round(
+            F.percentile("avg_logprob", F.lit(p)) + F.lit(1e-9), round_digits
+        )
+
+    cuts = scored.groupBy(*keys).agg(
+        q(1.0 / 3.0).alias("_q_lo"), q(2.0 / 3.0).alias("_q_hi")
+    )
+    joined = (
+        scored.join(F.broadcast(cuts), keys)
+        if keys
+        else scored.crossJoin(F.broadcast(cuts))
+    )
+    bucket = (
+        F.when(F.col("avg_logprob") >= F.col("_q_hi"), F.lit("head"))
+        .when(F.col("avg_logprob") >= F.col("_q_lo"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return joined.select(
+        id_col, *keys, "n_bigrams", "avg_logprob", bucket.alias("bucket")
     )

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_split", "split_column"]
+__all__ = ["hash_split", "split_column", "source_mix"]
 
 _BUCKETS = 10_000
 
@@ -64,3 +64,62 @@ def hash_split(
 ) -> DataFrame:
     """Add a deterministic `split` label column to `df`."""
     return df.withColumn(split_col, split_column(id_col, fractions, salt))
+
+
+def source_mix(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "mix",
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Training-mixture sampling weights per source (the GPT-3 / Pile
+    recipe — Brown et al. 2020 table 2.2, Gao et al. 2021 table 1:
+    each corpus component is sampled with its own weight, so
+    high-quality sources are seen for more than one epoch and bulk web
+    data for less than one). ``weights[source] = w`` means every
+    document of that source is materialized ``floor(w)`` times plus one
+    more with probability ``frac(w)`` — decided by the same
+    growth-stable md5 bucket as `hash_split` (per id+salt, so the
+    fractional survivors are a fixed, re-derivable subset, not a
+    per-run random draw).
+
+    Returns (id, source, n_copies) with n_copies >= 0 — the
+    materialization plan a downstream writer expands with
+    ``explode(sequence(1, n_copies))`` (kept unexpanded here so the
+    relation stays one row per document and the decision is
+    SQL-replayable). Map-only: the weight table rides inline as a CASE
+    expression (mixture tables are tens of entries), no join, no
+    shuffle, inlines into the scan."""
+    w_expr = None
+    for src, w in sorted(weights.items()):
+        if w < 0:
+            raise ValueError(f"negative weight for {src!r}")
+        cond = F.col(source_col) == src
+        w_expr = (
+            F.when(cond, F.lit(float(w)))
+            if w_expr is None
+            else w_expr.when(cond, F.lit(float(w)))
+        )
+    w_expr = (
+        w_expr.otherwise(F.lit(float(default_weight)))
+        if w_expr is not None
+        else F.lit(float(default_weight))
+    )
+    key = F.concat(F.col(id_col).cast("string"), F.lit(salt))
+    bucket = (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % _BUCKETS
+    )
+    # n = floor(w) + (bucket < round(frac(w) * 10000)): deterministic
+    # fractional-epoch oversampling, exact to 1e-4 like split_column
+    base = F.floor(w_expr).cast("long")
+    frac_hi = F.round(
+        (w_expr - F.floor(w_expr)) * _BUCKETS, 0
+    ).cast("long")
+    n_copies = base + (bucket < frac_hi).cast("long")
+    return df.select(
+        F.col(id_col),
+        F.col(source_col),
+        n_copies.alias("n_copies"),
+    )

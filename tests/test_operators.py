@@ -1314,3 +1314,261 @@ def test_quality_classifier_matches_numpy_gd(spark):
     good_m = np.mean([got[i] for i in range(0, 40, 2)])
     bad_m = np.mean([got[i] for i in range(1, 40, 2)])
     assert good_m > bad_m + 0.1
+
+
+def test_redact_pii_sequential_semantics(spark):
+    """Sequential typed redaction: each type's count is taken on the
+    text as-of its turn, so a numeric mail domain is consumed by the
+    email pass and never re-flagged as an IP, and placeholder tokens
+    from earlier passes are invisible to later patterns."""
+    from cesium_spark.operators.pii import redact_pii
+
+    rows = [
+        # email whose domain looks like an ipv4 — must count as email
+        # only (the ip pass sees '<EMAIL>', not digits)
+        (1, "send to bob@10.0.0.1.example.com today"),
+        (2, "ssn 123-45-6789 phone 555 123-4567 ip 192.168.0.1"),
+        (3, "nothing sensitive here"),
+        (4, None),
+        # ssn shape wins over phone shape (3-2-4 runs first and
+        # consumes; remaining 3-3-4 still matches phone)
+        (5, "123-45-6789 and 123-456-7890"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert got[1].n_email == 1 and got[1].n_ipv4 == 0
+    assert "<EMAIL>" in got[1].redacted_text
+    assert (got[2].n_ssn, got[2].n_phone, got[2].n_ipv4) == (1, 1, 1)
+    assert got[2].redacted_text == "ssn <SSN> phone <PHONE> ip <IPV4>"
+    assert got[3].n_pii == 0 and got[3].redacted_text == rows[2][1]
+    assert got[4].redacted_text is None and got[4].n_pii == 0
+    assert (got[5].n_ssn, got[5].n_phone) == (1, 1)
+
+
+def test_dedup_lines_keeper_and_rebuild(spark):
+    """CCNet line dedup: corpus-duplicated lines survive only at their
+    (doc_id, line_no)-first occurrence, matching is case-insensitive
+    after trim, blank lines are never dup-candidates, and the rebuild
+    preserves original line order."""
+    from cesium_spark.operators.dedup import dedup_lines
+
+    rows = [
+        (1, "Cookie Banner\nalpha body\n\nfooter"),
+        (2, "cookie banner \nbeta body\nfooter"),
+        (3, "unique page"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup_lines(df).collect()}
+    # doc 1 keeps everything (first occurrence of banner and footer)
+    assert got[1].clean_text == "Cookie Banner\nalpha body\n\nfooter"
+    assert (got[1].n_lines, got[1].n_kept) == (4, 4)
+    # doc 2 loses both boilerplate lines (banner matches case/trim-
+    # insensitively), keeps its body
+    assert got[2].clean_text == "beta body"
+    assert (got[2].n_lines, got[2].n_kept) == (3, 1)
+    assert abs(got[2].removed_frac - round(2 / 3 + 1e-9, 6)) < 1e-12
+    assert got[3].clean_text == "unique page"
+    assert got[4].clean_text is None and got[4].n_lines is None
+
+
+def test_source_mix_copy_counts(spark):
+    """Fractional-epoch oversampling: integral weights give exact copy
+    counts, fractional weights give floor(w) or floor(w)+1 with the
+    md5-bucket fraction, weight 0 drops the source, and the decision is
+    a pure function of (id, salt) — growth-stable."""
+    from cesium_spark.operators.split import source_mix
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 400 else ("b" if i < 800 else "z"))
+         for i in range(1200)],
+        "doc_id long, source string")
+    out = source_mix(df, {"a": 2.0, "b": 0.5, "z": 0.0}).toPandas()
+    a = out[out.source == "a"].n_copies
+    b = out[out.source == "b"].n_copies
+    z = out[out.source == "z"].n_copies
+    assert (a == 2).all() and (z == 0).all()
+    assert set(b.unique()) <= {0, 1}
+    assert 0.3 < b.mean() < 0.7  # ~half the fractional source survives
+    # growth-stable: the same ids decide the same way in a bigger corpus
+    df2 = spark.createDataFrame(
+        [(i, "b") for i in range(2400)], "doc_id long, source string")
+    out2 = source_mix(df2, {"b": 0.5}).toPandas().set_index("doc_id")
+    merged = out[out.source == "b"].set_index("doc_id").join(
+        out2, rsuffix="_big")
+    assert (merged.n_copies == merged.n_copies_big).all()
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        source_mix(df, {"a": -1.0}).collect()
+
+
+def test_perplexity_buckets_are_value_consistent(spark):
+    """Head/middle/tail labels must agree with cutoffs recomputed from
+    the emitted scores per group: every head score >= every middle
+    score >= every tail score within a language, and all three buckets
+    are populated on a spread corpus."""
+    import numpy as np
+    from cesium_spark.operators.lm import perplexity_buckets
+
+    rng = np.random.RandomState(5)
+    rows = []
+    for i in range(90):
+        lang = "en" if i % 2 == 0 else "de"
+        # vary typicality: low-i docs reuse a tiny vocabulary (high
+        # bigram probability), high-i docs draw from a wide one
+        vocab = list("ab") if i < 30 else [f"w{j}" for j in range(50)]
+        rows.append((i, lang, " ".join(rng.choice(vocab, 25))))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = perplexity_buckets(df, group_col="lang").toPandas()
+    assert len(out) == 90 and set(out.bucket) == {"head", "middle", "tail"}
+    for lang, grp in out.groupby("lang"):
+        heads = grp[grp.bucket == "head"].avg_logprob
+        mids = grp[grp.bucket == "middle"].avg_logprob
+        tails = grp[grp.bucket == "tail"].avg_logprob
+        if len(heads) and len(mids):
+            assert heads.min() >= mids.max() - 1e-12
+        if len(mids) and len(tails):
+            assert mids.min() > tails.max()
+
+
+def test_semdedup_within_cluster_only(spark):
+    """SemDeDup's core approximation: duplicate groups form only WITHIN
+    a k-means cell. Planted twins in each of two cells group with the
+    min-id keeper; a vector whose DIRECTION matches another cell's
+    members (cosine 1.0) but whose magnitude lands it elsewhere stays a
+    singleton — cross-cluster near-dups are invisible by design."""
+    from cesium_spark.operators.semdedup import semdedup
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.0, 50.0]),
+        (3, [1.01, 0.001]),   # twin of 1, same cell
+        (4, [0.5, 50.0]),     # twin of 2, same cell
+        (5, [30.0, 8.0]),     # same cell as 1, cosine 0.966 < thr
+        (6, [0.0, 0.5]),      # cosine 1.0 with 2/4 but lands in cell 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in
+           semdedup(df, k=2, iters=2, threshold=0.999).collect()}
+    assert out[3].group_id == 1 and not out[3].is_keeper
+    assert out[1].group_id == 1 and out[1].is_keeper
+    assert out[4].group_id == 2 and not out[4].is_keeper
+    assert out[2].group_id == 2 and out[2].is_keeper
+    assert out[5].group_id == 5 and out[5].is_keeper
+    # the cross-cluster look-alike survives as its own group
+    assert out[6].group_id == 6 and out[6].is_keeper
+    assert out[6].cluster != out[2].cluster
+
+
+def test_partition_invariance_of_round6_operators(spark):
+    """Round-6 operators are deterministic under repartitioning: PII
+    redaction, line dedup, source mixing, perplexity buckets, and
+    SemDeDup give identical frames at 3 and 17 shuffle partitions."""
+    import numpy as np
+    import pandas as pd
+    from cesium_spark.operators.dedup import dedup_lines
+    from cesium_spark.operators.lm import perplexity_buckets
+    from cesium_spark.operators.pii import redact_pii
+    from cesium_spark.operators.semdedup import semdedup
+    from cesium_spark.operators.split import source_mix
+
+    rng = np.random.RandomState(7)
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de", f"src{i % 4}",
+          "\n".join(" ".join(rng.choice(list("abcdef"), 8))
+                    for _ in range(3)) + f"\ncall 555 123-{1000 + i:04d}")
+         for i in range(60)],
+        "doc_id long, lang string, source string, text string")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=5)]) for i in range(40)],
+        "vec_id long, embedding array<double>")
+
+    def run():
+        return (
+            redact_pii(docs).toPandas()
+            .sort_values("doc_id").reset_index(drop=True),
+            dedup_lines(docs).toPandas()
+            .sort_values("doc_id").reset_index(drop=True),
+            source_mix(docs, {"src0": 1.5, "src1": 0.25}).toPandas()
+            .sort_values("doc_id").reset_index(drop=True),
+            perplexity_buckets(docs, group_col="lang").toPandas()
+            .sort_values("doc_id").reset_index(drop=True),
+            semdedup(emb, k=3, iters=2, threshold=0.9).toPandas()
+            .sort_values("vec_id").reset_index(drop=True),
+        )
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        r3 = run()
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        r17 = run()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    for x, y in zip(r3, r17):
+        pd.testing.assert_frame_equal(x, y)
+
+
+def test_pack_sequences_concat_and_cut(spark):
+    """Packing plan semantics: within a shard, documents concatenate in
+    id order and cut at the budget — offsets chain (prev offset + prev
+    n_tokens) mod budget, seq_id is the running-total div, and long
+    documents straddle boundaries; budget<=0 raises."""
+    import pytest as _pytest
+    from cesium_spark.operators.pack import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in
+         [(1, 3), (2, 5), (3, 9), (4, 2), (5, 7), (6, 40)]],
+        "doc_id long, text string")
+    out = pack_sequences(docs, budget=8, n_shards=2).toPandas() \
+        .sort_values("doc_id").set_index("doc_id")
+    assert (out.groupby("shard").size() >= 1).all()
+    for _, grp in out.reset_index().sort_values("doc_id").groupby("shard"):
+        cum = 0
+        for _, r in grp.iterrows():
+            assert r.seq_id == cum // 8
+            assert r.tok_offset == cum % 8
+            cum += r.n_tokens
+    # the 40-token doc spans >= 5 sequences; its successor (if any in
+    # the same shard) starts 40 tokens later
+    assert out.loc[6].n_tokens == 40
+    with _pytest.raises(ValueError):
+        pack_sequences(docs, budget=0)
+
+
+def test_corpus_verdict_ppl_tail_stage(spark):
+    """The CCNet tercile stage composes last: documents failing an
+    earlier stage keep their earlier reason, only 'ok' survivors in the
+    tail bucket become ppl_tail, and the stage is absent when not
+    requested."""
+    from cesium_spark.operators.corpus import corpus_verdict
+    from cesium_spark.operators.lm import perplexity_buckets
+
+    import numpy as np
+    rng = np.random.RandomState(11)
+    stop = "the and of to in is that for"
+    rows = []
+    for i in range(40):
+        # typical docs reuse a common vocabulary; atypical ones are
+        # unique-word soup (tail of the perplexity distribution)
+        vocab = (list("abcdefgh") if i < 30
+                 else [f"z{i}_{j}" for j in range(20)])
+        rows.append((i, "en", f"{stop} " + " ".join(rng.choice(vocab, 40))))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    base = {r.doc_id: r.reason for r in
+            corpus_verdict(docs, repetition=False).collect()}
+    with_ppl = {r.doc_id: r.reason for r in
+                corpus_verdict(docs, repetition=False,
+                               ppl_tail_group="lang").collect()}
+    buckets = {r.doc_id: r.bucket for r in
+               perplexity_buckets(docs, group_col="lang").collect()}
+    assert "ppl_tail" not in set(base.values())
+    for i, reason in with_ppl.items():
+        if base[i] != "ok":
+            assert reason == base[i]  # earlier stages unperturbed
+        elif buckets[i] == "tail":
+            assert reason == "ppl_tail"
+        else:
+            assert reason == "ok"
+    assert "ppl_tail" in set(with_ppl.values())
