@@ -1575,6 +1575,140 @@ def q_dedup_lines(spark, sf_dir):
     return dedup_lines(docs, round_digits=R)
 
 
+def q_acf_lags(spark, sf_dir):
+    """Sample autocorrelation per user series at lags 1..5 (the Box &
+    Jenkins estimator: full-series mean/variance in the denominator,
+    lagged cross products in the numerator). One sort-shuffle per
+    series; the oracle replays the lag windows and the centered-product
+    algebra."""
+    from cesium_spark.operators.tsstats import acf_lags
+
+    return acf_lags(_events(spark, sf_dir), max_lag=5)
+
+
+def q_cusum_changepoint(spark, sf_dir):
+    """CUSUM single-changepoint estimate per user series (Page 1954):
+    cp_pos = argmax_t |sum_{i<=t}(x_i - mean)| in (ts, event_id) order,
+    cp_stat = max|S| / (sd * sqrt(n)). Ties on the rounded |S| break to
+    the earliest position. The oracle replays the running sum and picks
+    the argmax with a qualify window over the same rounded key."""
+    from cesium_spark.operators.tsstats import cusum_changepoint
+
+    return cusum_changepoint(_events(spark, sf_dir))
+
+
+def q_anomaly_zscore(spark, sf_dir):
+    """Causal rolling-window anomaly flags: each event scored against
+    the 20 points strictly before it in its own series, flagged when
+    |z| > 2 with at least 5 predecessors and nonzero variance. Emits
+    the anomaly-sized relation only (map-side filter after one shared
+    ROWS-frame window)."""
+    from cesium_spark.operators.tsstats import rolling_zscore_anomalies
+
+    out = rolling_zscore_anomalies(
+        _events(spark, sf_dir), window=20, min_points=5, threshold=2.0
+    )
+    return out.select("user_id", "event_id", "value", "n_base", "z")
+
+
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-based language mixing (mT5 / XLM-R, alpha = 0.3):
+    per-language expected copy counts w_l = N * c_l^(alpha-1) / sum
+    c_h^alpha realized by the growth-stable md5 bucket — low-resource
+    languages up-sampled, the copy decision a pure function of
+    (doc_id, salt). The oracle replays the pow/normalizer arithmetic
+    and the bucket carve."""
+    from cesium_spark.operators.split import temperature_mix
+
+    return temperature_mix(_docs(spark, sf_dir), alpha=0.3, group_col="lang")
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 retrieval of the top 20 documents for a 4-term query
+    (Lucene idf + k1/b saturation): per-term tf as JVM array
+    expressions (no explode), corpus stats from one broadcast 1-row
+    aggregate, top-k via TakeOrderedAndProject. Ties on the rounded
+    score break by doc_id, so the ranking hashes identically in the
+    oracle's replay."""
+    from cesium_spark.operators.text import bm25_topk
+
+    return bm25_topk(
+        _docs(spark, sf_dir), query=["hash", "join", "spark", "window"],
+        k=20, round_digits=R,
+    )
+
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023): importance log-weight =
+    bigram-LM score under the TARGET model (trained on the src0 slice,
+    the curated seed) minus the score under the raw-corpus model;
+    deterministic top-25% selection by value against the broadcast
+    0.75-percentile cutoff. The oracle replays BOTH add-one bigram
+    models (left joins for target-unseen n-grams) and the
+    quantile_cont cutoff."""
+    from cesium_spark.operators.lm import dsir_select
+
+    docs = _docs(spark, sf_dir)
+    target = docs.filter(F.col("source") == "src0")
+    return dsir_select(docs, target, keep_frac=0.25, round_digits=R)
+
+
+def q_contamination_streamed(spark, sf_dir):
+    """The decontamination screen as a LIVE ingestion head: the frozen
+    evaluation slice (doc_id % 20 == 0) is distilled to its 13-gram
+    keys once; the training docs arrive as two availableNow
+    micro-batches and each batch is profiled and upserted into the
+    bucketed verdicts SnapshotTable by contamination_batch_fn.
+    Contamination is a pure per-document function, so the accumulated
+    table must equal the batch operator corpus-wide — the oracle IS
+    sql["contamination"]."""
+    import shutil
+    import tempfile
+
+    docs = _docs(spark, sf_dir)
+    test = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    work = tempfile.mkdtemp(prefix="contam_stream_")
+    try:
+        mid = train.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+        train.filter(F.col("doc_id") <= mid).coalesce(1) \
+            .write.mode("overwrite").parquet(f"{work}/in")
+        train.filter(F.col("doc_id") > mid).coalesce(1) \
+            .write.mode("append").parquet(f"{work}/in")
+        schema = ("doc_id bigint, text string, lang string, "
+                  "source string, n_chars bigint")
+        # maxFilesPerTrigger=1 forces TWO real micro-batches (without it
+        # availableNow drains every staged file as one bootstrap batch)
+        from cesium_spark.streaming.stream import contamination_batch_fn
+
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(f"{work}/in")
+        )
+        q = (
+            src.writeStream
+            .foreachBatch(contamination_batch_fn(f"{work}/store", test))
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                raise TimeoutError("contamination stream did not drain")
+        finally:
+            q.stop()
+        from cesium_spark.sources.table import SnapshotTable
+
+        out = SnapshotTable(f"{work}/store/verdicts").read(spark)
+        return (
+            out.select("doc_id", "n_tokens", "n_spans",
+                       "contaminated_spans", "contaminated")
+            .localCheckpoint(eager=True)  # detach from the temp store
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -1597,6 +1731,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (r4 VERDICT item 7: clean_corpus_spans shipped in r4 but sat past
     # the 50-slot cap and was never driver-checked).
     return {
+        # --- round 6, continuation batch ---
+        "contamination_streamed": q_contamination_streamed,
+        "dsir_select": q_dsir_select,
+        "bm25_topk": q_bm25_topk,
+        "temperature_mix": q_temperature_mix,
+        "acf_lags": q_acf_lags,
+        "cusum_changepoint": q_cusum_changepoint,
+        "anomaly_zscore": q_anomaly_zscore,
         # --- round 6 ---
         "pack_sequences": q_pack_sequences,
         "training_corpus_ccnet": q_training_corpus_ccnet,
@@ -3525,6 +3667,208 @@ def oracle_sql() -> dict[str, str]:
           FROM verdict
         )
     """
+
+    sql["acf_lags"] = """
+        WITH b AS (
+          SELECT user_id, value::DOUBLE AS x,
+                 lag(value::DOUBLE, 1) OVER w AS l1,
+                 lag(value::DOUBLE, 2) OVER w AS l2,
+                 lag(value::DOUBLE, 3) OVER w AS l3,
+                 lag(value::DOUBLE, 4) OVER w AS l4,
+                 lag(value::DOUBLE, 5) OVER w AS l5
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        per AS (
+          SELECT user_id, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx,
+                 count(l1) AS c1, sum(x * l1) AS sp1,
+                 sum(CASE WHEN l1 IS NOT NULL THEN x END) AS su1, sum(l1) AS sl1,
+                 count(l2) AS c2, sum(x * l2) AS sp2,
+                 sum(CASE WHEN l2 IS NOT NULL THEN x END) AS su2, sum(l2) AS sl2,
+                 count(l3) AS c3, sum(x * l3) AS sp3,
+                 sum(CASE WHEN l3 IS NOT NULL THEN x END) AS su3, sum(l3) AS sl3,
+                 count(l4) AS c4, sum(x * l4) AS sp4,
+                 sum(CASE WHEN l4 IS NOT NULL THEN x END) AS su4, sum(l4) AS sl4,
+                 count(l5) AS c5, sum(x * l5) AS sp5,
+                 sum(CASE WHEN l5 IS NOT NULL THEN x END) AS su5, sum(l5) AS sl5
+          FROM b GROUP BY user_id
+        ),
+        e AS (
+          SELECT *, sx / n AS m, sxx - n * (sx / n) * (sx / n) AS den
+          FROM per
+        )
+        SELECT user_id,
+               CAST(unnest([1, 2, 3, 4, 5]) AS INT) AS lag,
+               CAST(unnest([c1, c2, c3, c4, c5]) AS BIGINT) AS n_pairs,
+               unnest([
+                 CASE WHEN den > 0 AND c1 > 0 THEN round((sp1 - m * su1 - m * sl1 + c1 * m * m) / den + 1e-9, 6) END,
+                 CASE WHEN den > 0 AND c2 > 0 THEN round((sp2 - m * su2 - m * sl2 + c2 * m * m) / den + 1e-9, 6) END,
+                 CASE WHEN den > 0 AND c3 > 0 THEN round((sp3 - m * su3 - m * sl3 + c3 * m * m) / den + 1e-9, 6) END,
+                 CASE WHEN den > 0 AND c4 > 0 THEN round((sp4 - m * su4 - m * sl4 + c4 * m * m) / den + 1e-9, 6) END,
+                 CASE WHEN den > 0 AND c5 > 0 THEN round((sp5 - m * su5 - m * sl5 + c5 * m * m) / den + 1e-9, 6) END
+               ]) AS acf
+        FROM e
+    """
+
+    sql["cusum_changepoint"] = """
+        WITH b AS (
+          SELECT user_id, value::DOUBLE AS x,
+                 row_number() OVER w AS pos,
+                 sum(value::DOUBLE) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        st AS (
+          SELECT user_id, count(*) AS n, avg(x) AS mean, stddev_samp(x) AS sd
+          FROM b GROUP BY user_id
+        ),
+        sabs AS (
+          SELECT b.user_id, b.pos, abs(b.cum - b.pos * st.mean) AS s, st.n, st.sd
+          FROM b JOIN st USING (user_id)
+        ),
+        best AS (
+          SELECT user_id, pos, n, sd
+          FROM sabs
+          QUALIFY row_number() OVER (PARTITION BY user_id
+                                     ORDER BY round(s + 1e-9, 6) DESC, pos) = 1
+        ),
+        mx AS (SELECT user_id, max(s) AS smax FROM sabs GROUP BY user_id)
+        SELECT b2.user_id, b2.n::BIGINT AS n,
+               CAST(CASE WHEN b2.n >= 2 AND b2.sd > 0 THEN b2.pos END AS BIGINT) AS cp_pos,
+               CASE WHEN b2.n >= 2 AND b2.sd > 0
+                    THEN round(m.smax / (b2.sd * sqrt(b2.n)) + 1e-9, 6) END AS cp_stat
+        FROM best b2 JOIN mx m USING (user_id)
+    """
+
+    sql["anomaly_zscore"] = """
+        SELECT user_id, event_id, x AS value, nb::BIGINT AS n_base, z
+        FROM (
+          SELECT user_id, event_id, x, nb, round((x - m) / sd + 1e-9, 6) AS z
+          FROM (
+            SELECT user_id, event_id, value::DOUBLE AS x,
+                   count(*) OVER wp AS nb, avg(value::DOUBLE) OVER wp AS m,
+                   stddev_samp(value::DOUBLE) OVER wp AS sd
+            FROM events
+            WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+          )
+          WHERE nb >= 5 AND sd > 0
+        )
+        WHERE abs(z) > 2.0
+    """
+
+    sql["temperature_mix"] = """
+        WITH c AS (SELECT lang, count(*)::DOUBLE AS cnt FROM documents GROUP BY lang),
+        z AS (SELECT sum(pow(cnt, 0.3)) AS z, sum(cnt) AS n FROM c),
+        w AS (
+          SELECT lang, round(z.n * pow(c.cnt, 0.3 - 1.0) / z.z + 1e-9, 6) AS weight
+          FROM c, z
+        )
+        SELECT d.doc_id, d.lang, w.weight,
+               (CAST(floor(weight) AS BIGINT)
+                + CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'temp'), 1, 8)) AS BIGINT) % 10000
+                            < CAST(round((weight - floor(weight)) * 10000, 0) AS BIGINT)
+                       THEN 1 ELSE 0 END)::BIGINT AS n_copies
+        FROM documents d JOIN w USING (lang)
+    """
+
+    sql["bm25_topk"] = """
+        WITH d AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> '') AS t
+          FROM documents
+        ),
+        f AS (
+          SELECT doc_id, len(t)::DOUBLE AS dl,
+                 len(list_filter(t, x -> x = 'hash'))::DOUBLE AS tf0,
+                 len(list_filter(t, x -> x = 'join'))::DOUBLE AS tf1,
+                 len(list_filter(t, x -> x = 'spark'))::DOUBLE AS tf2,
+                 len(list_filter(t, x -> x = 'window'))::DOUBLE AS tf3
+          FROM d
+        ),
+        s AS (
+          SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl,
+                 sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
+                 sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1,
+                 sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df2,
+                 sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df3
+          FROM f
+        ),
+        sc AS (
+          SELECT doc_id,
+                 ((tf0 > 0)::BIGINT + (tf1 > 0)::BIGINT
+                  + (tf2 > 0)::BIGINT + (tf3 > 0)::BIGINT) AS n_hit_terms,
+                 round(
+                   CASE WHEN tf0 > 0 THEN ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * (1.2 + 1.0) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) ELSE 0.0 END
+                 + CASE WHEN tf1 > 0 THEN ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * (1.2 + 1.0) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) ELSE 0.0 END
+                 + CASE WHEN tf2 > 0 THEN ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * (1.2 + 1.0) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) ELSE 0.0 END
+                 + CASE WHEN tf3 > 0 THEN ln(1.0 + (n - df3 + 0.5) / (df3 + 0.5)) * tf3 * (1.2 + 1.0) / (tf3 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) ELSE 0.0 END
+                 + 1e-9, 6) AS score
+          FROM f, s
+        )
+        SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
+               doc_id, n_hit_terms, score
+        FROM sc WHERE score > 0
+        ORDER BY score DESC, doc_id LIMIT 20
+    """
+
+    sql["dsir_select"] = """
+        WITH d AS (
+          SELECT dd.doc_id, dd.source,
+                 list_filter(regexp_split_to_array(lower(dd.text), '\\s+'),
+                             x -> x <> '') AS t
+          FROM documents dd
+        ),
+        bg AS (
+          SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+          FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+                FROM d WHERE len(t) >= 2)
+        ),
+        tgt AS (SELECT * FROM d WHERE source = 'src0'),
+        tbg AS (
+          SELECT t[i] AS w1, t[i + 1] AS w2
+          FROM (SELECT t, unnest(range(1, len(t))) AS i
+                FROM tgt WHERE len(t) >= 2)
+        ),
+        tuni AS (SELECT w1, count(*) AS c1
+                 FROM (SELECT unnest(t) AS w1 FROM tgt) GROUP BY w1),
+        tbi AS (SELECT w1, w2, count(*) AS c2 FROM tbg GROUP BY ALL),
+        tv AS (SELECT count(*) AS vocab FROM tuni),
+        st AS (
+          SELECT bg.doc_id, count(*) AS n_bigrams,
+                 round(avg(ln((coalesce(tbi.c2, 0) + 1.0)
+                              / (coalesce(tuni.c1, 0) + tv.vocab))) + 1e-9, 6) AS lt
+          FROM bg LEFT JOIN tbi USING (w1, w2) LEFT JOIN tuni USING (w1), tv
+          GROUP BY bg.doc_id
+        ),
+        runi AS (SELECT w1, count(*) AS c1
+                 FROM (SELECT unnest(t) AS w1 FROM d) GROUP BY w1),
+        rbi AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+        rv AS (SELECT count(*) AS vocab FROM runi),
+        sr AS (
+          SELECT bg.doc_id,
+                 round(avg(ln((rbi.c2 + 1.0) / (runi.c1 + rv.vocab))) + 1e-9, 6) AS lr
+          FROM bg JOIN rbi USING (w1, w2) JOIN runi USING (w1), rv
+          GROUP BY bg.doc_id
+        ),
+        sel AS (
+          SELECT d.doc_id,
+                 coalesce(st.n_bigrams, 0) AS n_bigrams,
+                 coalesce(st.lt, 0.0) AS logp_target,
+                 coalesce(sr.lr, 0.0) AS logp_raw,
+                 round(coalesce(st.lt, 0.0) - coalesce(sr.lr, 0.0) + 1e-9, 6) AS weight
+          FROM d LEFT JOIN st USING (doc_id) LEFT JOIN sr USING (doc_id)
+        ),
+        cut AS (SELECT round(quantile_cont(weight, 0.75) + 1e-9, 6) AS c FROM sel)
+        SELECT doc_id, n_bigrams, logp_target, logp_raw, weight,
+               weight >= cut.c AS selected
+        FROM sel, cut
+    """
+
+    # the streaming head accumulates the identical per-doc verdicts
+    sql["contamination_streamed"] = sql["contamination"]
 
     # golden-bridge oracles: the vendored reference constants, emitted as
     # literals (ok=TRUE) — the Spark side recomputes `ok` from live engine

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from .text import _tokens
 
-__all__ = ["bigram_logprob_score", "perplexity_buckets"]
+__all__ = ["bigram_logprob_score", "perplexity_buckets", "dsir_select"]
 
 
 def bigram_logprob_score(
@@ -35,32 +35,49 @@ def bigram_logprob_score(
     id_col: str = "doc_id",
     text_col: str = "text",
     round_digits: int = 6,
+    train_df: DataFrame | None = None,
 ) -> DataFrame:
-    """(id, n_bigrams, avg_logprob) under the corpus's own add-one
-    bigram model (see module doc)."""
+    """(id, n_bigrams, avg_logprob) under an add-one bigram model.
+
+    The model is trained on ``train_df`` when given (the DSIR
+    cross-corpus scoring path — score raw documents under a TARGET
+    corpus's model), else on ``df`` itself (the CCNet self-scoring
+    path). Bigrams/unigrams unseen in the training corpus contribute
+    count 0, i.e. log((0+1)/(0+V)) for a fully-unseen context — the
+    standard add-one treatment."""
     toks = _tokens(text_col)
     pairs = F.expr(
         "transform(sequence(1, size(_toks) - 1), "
         "k -> struct(_toks[k-1] AS w1, _toks[k] AS w2))"
     )
-    docs_toks = df.select(F.col(id_col), toks.alias("_toks"))
-    doc_bigrams = docs_toks.filter(F.size("_toks") >= 2).select(
-        id_col, F.explode(pairs).alias("p")
-    ).select(id_col, "p.w1", "p.w2")
+
+    def _rels(d):
+        dt = d.select(F.col(id_col), toks.alias("_toks"))
+        bg = dt.filter(F.size("_toks") >= 2).select(
+            id_col, F.explode(pairs).alias("p")
+        ).select(id_col, "p.w1", "p.w2")
+        return dt, bg
+
+    docs_toks, doc_bigrams = _rels(df)
+    if train_df is None:
+        train_toks, train_bigrams = docs_toks, doc_bigrams
+    else:
+        train_toks, train_bigrams = _rels(train_df)
 
     uni = (
-        docs_toks.select(F.explode("_toks").alias("w1"))
+        train_toks.select(F.explode("_toks").alias("w1"))
         .groupBy("w1")
         .agg(F.count("*").alias("c1"))
     )
-    bi = doc_bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    bi = train_bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     # V stays LAZY (a broadcast 1-row cross join), keeping the whole
     # computation in ONE plan — an eager uni.count() would be a second
     # action re-running the corpus tokenize/shuffle lineage
     vocab = uni.agg(F.count("*").cast("double").alias("_vocab"))
 
     logp = F.log(
-        (F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("_vocab"))
+        (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1.0))
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("_vocab"))
     )
     # skew surface: doc_bigrams ⋈ uni on w1 is Zipf-skewed (stopwords own
     # most of the probability mass) — both sides are equi-join relations
@@ -68,9 +85,10 @@ def bigram_logprob_score(
     # split handles the hot keys; uni/bi must NOT be broadcast (they are
     # vocabulary-sized, which at corpus scale is GBs) — plan-asserted in
     # tests/test_operators.py::test_lm_count_relations_not_forced_broadcast
+    # (left joins so bigrams unseen in the training corpus still score)
     scored = (
-        doc_bigrams.join(bi, ["w1", "w2"])
-        .join(uni, "w1")
+        doc_bigrams.join(bi, ["w1", "w2"], "left")
+        .join(uni, "w1", "left")
         .crossJoin(F.broadcast(vocab))
         .groupBy(id_col)
         .agg(
@@ -146,4 +164,77 @@ def perplexity_buckets(
     )
     return joined.select(
         id_col, *keys, "n_bigrams", "avg_logprob", bucket.alias("bucket")
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_frac: float = 0.25,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al. 2023,
+    DSIR): rank raw-corpus documents by the importance log-weight
+
+        w(doc) = log p_target(doc) - log p_raw(doc)
+
+    where both densities are cheap n-gram models — here the same
+    add-one bigram model `bigram_logprob_score` uses, trained once on
+    the TARGET (high-quality seed) corpus and once on the raw corpus
+    itself, each scoring per-bigram average log-probability. A document
+    that looks more like the target than like the background raw
+    distribution gets a positive weight.
+
+    Selection is the deterministic top-`keep_frac` variant: the weight
+    cutoff is the (1 - keep_frac) percentile of the ROUNDED weights
+    (computed in one aggregation, broadcast, compared by VALUE — the
+    same no-global-sort discipline as `perplexity_buckets`; the paper's
+    sampled variant adds Gumbel noise to w, which we drop to keep the
+    pipeline replayable). Equal weights land on the same side of the
+    cutoff, so the kept set is only approximately keep_frac * N under
+    ties.
+
+    Returns (id, n_bigrams, logp_target, logp_raw, weight, selected).
+    Documents with < 2 tokens score 0 under both models (weight 0).
+    Plan: two LM scoring passes (each one corpus-tokenize + vocabulary-
+    bounded count joins, see bigram_logprob_score) + one percentile
+    aggregation; nothing corpus-sized is ever broadcast or collected.
+    """
+    if not 0 < keep_frac <= 1:
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    s_t = bigram_logprob_score(
+        df, id_col, text_col, round_digits, train_df=target
+    ).select(
+        id_col,
+        "n_bigrams",
+        F.col("avg_logprob").alias("logp_target"),
+    )
+    s_r = bigram_logprob_score(df, id_col, text_col, round_digits).select(
+        id_col, F.col("avg_logprob").alias("logp_raw")
+    )
+    weighted = s_t.join(s_r, id_col).select(
+        id_col,
+        "n_bigrams",
+        "logp_target",
+        "logp_raw",
+        F.round(
+            F.col("logp_target") - F.col("logp_raw") + F.lit(1e-9),
+            round_digits,
+        ).alias("weight"),
+    )
+    cut = weighted.agg(
+        F.round(
+            F.percentile("weight", F.lit(1.0 - keep_frac)) + F.lit(1e-9),
+            round_digits,
+        ).alias("_cut")
+    )
+    return weighted.crossJoin(F.broadcast(cut)).select(
+        id_col,
+        "n_bigrams",
+        "logp_target",
+        "logp_raw",
+        "weight",
+        (F.col("weight") >= F.col("_cut")).alias("selected"),
     )

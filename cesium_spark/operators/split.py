@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_split", "split_column", "source_mix"]
+__all__ = ["hash_split", "split_column", "source_mix", "temperature_mix"]
 
 _BUCKETS = 10_000
 
@@ -122,4 +122,73 @@ def source_mix(
         F.col(id_col),
         F.col(source_col),
         n_copies.alias("n_copies"),
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    alpha: float = 0.3,
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    salt: str = "temp",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Temperature-based sampling weights per group — the multilingual
+    mixing recipe of mT5 / XLM-R (Xue et al. 2021 §3.3, Conneau et al.
+    2020 §3.1: sample language l with probability proportional to
+    p_l^alpha, so low-resource groups are up-sampled without letting
+    any one group dominate). With c_g = group count and N = corpus
+    size, the realized per-document expected copy count that yields the
+    temperature distribution at unchanged total corpus size is
+
+        w_g = N * c_g^(alpha-1) / sum_h c_h^alpha
+
+    (the (c_g/N)^alpha normalizations cancel). alpha=1 reproduces the
+    natural distribution (every w_g = 1); alpha=0 equalizes groups.
+
+    Copy realization is identical to `source_mix`: floor(w) copies plus
+    one more when the document's growth-stable md5 bucket falls under
+    round(frac(w) * 10000) — so membership of the fractional survivors
+    is a re-derivable function of (id, salt), not a per-run draw. The
+    weight is rounded to `round_digits` BEFORE the floor/frac carve so
+    both engines carve identical integers.
+
+    Returns (id, group, weight, n_copies). Plan: one tiny groupBy
+    (groups-sized), a scalar normalizer, and a broadcast join back —
+    the corpus is touched map-only.
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_c"))
+    z = counts.agg(
+        F.sum(F.pow(F.col("_c").cast("double"), F.lit(float(alpha)))).alias("_z"),
+        F.sum("_c").cast("double").alias("_N"),
+    )
+    weights = counts.crossJoin(F.broadcast(z)).select(
+        group_col,
+        F.round(
+            F.col("_N")
+            * F.pow(F.col("_c").cast("double"), F.lit(float(alpha) - 1.0))
+            / F.col("_z")
+            + F.lit(1e-9),
+            round_digits,
+        ).alias("weight"),
+    )
+    key = F.concat(F.col(id_col).cast("string"), F.lit(salt))
+    bucket = (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % _BUCKETS
+    )
+    base = F.floor(F.col("weight")).cast("long")
+    frac_hi = F.round(
+        (F.col("weight") - F.floor(F.col("weight"))) * _BUCKETS, 0
+    ).cast("long")
+    return (
+        df.select(id_col, group_col)
+        .join(F.broadcast(weights), group_col)
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col("weight"),
+            (base + (bucket < frac_hi).cast("long")).alias("n_copies"),
+        )
     )

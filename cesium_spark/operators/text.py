@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "text_stats", "quality_score", "lang_id", "fingerprint",
-    "token_topk", "tfidf_top_terms", "repetition_stats",
+    "token_topk", "tfidf_top_terms", "repetition_stats", "bm25_topk",
 ]
 
 # Small per-language stopword vocabularies for the n-gram voting heuristic.
@@ -346,4 +346,94 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(id_col, "rank", "token", "tfidf")
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """BM25 retrieval: score every document against a bag-of-words query
+    and return the top k — the classic sparse-retrieval primitive
+    (Robertson & Zaragoza 2009), and the first stage of retrieval-based
+    dataset curation / RAG corpus audits. Uses the Lucene-standard
+    non-negative idf, idf_t = ln(1 + (N - df_t + 0.5) / (df_t + 0.5)),
+    and the usual saturation/length normalization
+
+        score = sum_t idf_t * tf_t * (k1+1)
+                      / (tf_t + k1 * (1 - b + b * dl / avgdl)).
+
+    Returns (rank, id, n_hit_terms, score) for the top k documents with
+    score > 0; ties on the ROUNDED score break by id ascending, so the
+    ranking is deterministic across engines and partitionings.
+
+    Plan: per-term tf is size(filter(tokens, = term)) — a JVM expression
+    per query term, no explode, no (doc, token) relation; corpus stats
+    (N, avgdl, every df_t) come from ONE aggregate and ride along as a
+    broadcast 1-row crossJoin; the top-k is orderBy().limit(k) =
+    TakeOrderedAndProject (per-partition heaps, never a global sort).
+    Two narrow scans of the corpus total — at 100 TB the scoring pass
+    is map-only behind the broadcast stats row.
+    """
+    from pyspark.sql.window import Window
+
+    terms = sorted({t.lower() for t in query if t and t.strip()})
+    if not terms:
+        raise ValueError("query must contain at least one non-empty term")
+    toks = _tokens(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).cast("double").alias("_dl"),
+        *[
+            F.size(F.filter(toks, lambda x, t=t: x == F.lit(t)))
+            .cast("double")
+            .alias(f"_tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = base.agg(
+        F.count("*").cast("double").alias("_N"),
+        F.avg("_dl").alias("_avgdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("double")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl")
+    )
+    score = None
+    hits = None
+    for i in range(len(terms)):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("_N") - F.col(f"_df{i}") + F.lit(0.5))
+            / (F.col(f"_df{i}") + F.lit(0.5))
+        )
+        term_score = (
+            idf
+            * F.col(f"_tf{i}")
+            * F.lit(k1 + 1.0)
+            / (F.col(f"_tf{i}") + norm)
+        )
+        contrib = F.when(F.col(f"_tf{i}") > 0, term_score).otherwise(F.lit(0.0))
+        hit = (F.col(f"_tf{i}") > 0).cast("long")
+        score = contrib if score is None else score + contrib
+        hits = hit if hits is None else hits + hit
+    out = scored.select(
+        F.col(id_col),
+        hits.alias("n_hit_terms"),
+        F.round(score + F.lit(1e-9), round_digits).alias("score"),
+    ).filter(F.col("score") > 0)
+    top = out.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", id_col, "n_hit_terms", "score"
     )

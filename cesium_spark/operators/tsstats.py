@@ -1,0 +1,235 @@
+"""Per-series time-series diagnostics over event streams: sample
+autocorrelation, CUSUM changepoint location, rolling-window z-score
+anomaly flags.
+
+These extend the SURVEY §2.4 feature blocks (cesium's per-series
+scalar features, `cesium/features/graphs.py`) with the monitoring-tier
+diagnostics an operations pipeline runs over the SAME rolled-up
+series: "is this series autocorrelated", "where did its level shift",
+"which points are locally anomalous". All three are expressed with
+one sort-shuffle per series (a single Window partition by the series
+key) plus JVM window/aggregate expressions — no Python in the hot
+path, no per-series collect, and the per-series state never leaves
+the executors.
+
+Cross-engine determinism follows the repo discipline: every emitted
+double is round(x + 1e-9, 6), and any argmax/argmin tie is broken on
+the ROUNDED value then the earliest position, so the DuckDB oracles
+replay hash-exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["acf_lags", "cusum_changepoint", "rolling_zscore_anomalies"]
+
+
+def _r6(col):
+    return F.round(col + F.lit(1e-9), 6)
+
+
+def acf_lags(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    max_lag: int = 5,
+) -> DataFrame:
+    """Sample autocorrelation function per series at lags 1..max_lag.
+
+    Uses the standard biased sample-ACF estimator (Box & Jenkins):
+    r_L = sum_{t=1..n-L} (x_t - xbar)(x_{t+L} - xbar)
+          / sum_{t=1..n} (x_t - xbar)^2
+    with xbar and the denominator over the FULL series, which is what
+    statsmodels/R `acf` compute — not a per-lag Pearson over the
+    overlapping pairs.
+
+    Returns (key, lag, n_pairs, acf); series whose variance is zero
+    (or with n <= lag) emit NULL acf for that lag. Plan shape: ONE
+    sort-shuffle per series — all max_lag lagged columns come from the
+    same Window (partition key, order ts/tiebreak), so Catalyst fuses
+    them into a single Window node; the per-(key,lag) sums are a
+    partial-aggregable groupBy; lags unpivot via stack, map-only.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    x = F.col(value_col).cast("double")
+    lagged = df.select(
+        key_col,
+        x.alias("_x"),
+        *[F.lag(x, L).over(w).alias(f"_x_lag{L}") for L in range(1, max_lag + 1)],
+    )
+    # per-series mean/denominator plus the per-lag cross products, all
+    # in one partial-aggregable pass; the lag-L product term uses the
+    # series mean, so compute sums first and expand the centered form:
+    # sum((x_t - m)(x_{t+L} - m)) = sum(x_t * x_{t+L}) - m*sum(x_t head)
+    #                               - m*sum(x_{t+L} tail) + c_L*m^2
+    aggs = [
+        F.count("*").alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+    ]
+    for L in range(1, max_lag + 1):
+        xl = F.col(f"_x_lag{L}")
+        pair = xl.isNotNull()
+        aggs += [
+            F.count(F.when(pair, 1)).alias(f"_c{L}"),
+            F.sum(F.when(pair, F.col("_x") * xl)).alias(f"_sp{L}"),
+            F.sum(F.when(pair, F.col("_x"))).alias(f"_scur{L}"),
+            F.sum(F.when(pair, xl)).alias(f"_slag{L}"),
+        ]
+    per = lagged.groupBy(key_col).agg(*aggs)
+
+    m = F.col("_sx") / F.col("_n")
+    denom = F.col("_sxx") - F.col("_n") * m * m
+    stacked_cols = []
+    for L in range(1, max_lag + 1):
+        num = (
+            F.col(f"_sp{L}")
+            - m * F.col(f"_scur{L}")
+            - m * F.col(f"_slag{L}")
+            + F.col(f"_c{L}") * m * m
+        )
+        acf = F.when(
+            (denom > 0) & (F.col(f"_c{L}") > 0), _r6(num / denom)
+        ).otherwise(F.lit(None).cast("double"))
+        stacked_cols += [
+            F.lit(L),
+            F.coalesce(F.col(f"_c{L}"), F.lit(0)).cast("long"),
+            acf,
+        ]
+    # unpivot map-only via explode of an inline array of structs (the
+    # stack() equivalent, but built from Column objects directly)
+    rows = F.array(
+        *[
+            F.struct(
+                stacked_cols[3 * i].cast("int").alias("lag"),
+                stacked_cols[3 * i + 1].alias("n_pairs"),
+                stacked_cols[3 * i + 2].alias("acf"),
+            )
+            for i in range(max_lag)
+        ]
+    )
+    return (
+        per.select(key_col, F.explode(rows).alias("_r"))
+        .select(key_col, "_r.lag", "_r.n_pairs", "_r.acf")
+    )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Single changepoint estimate per series via the CUSUM statistic
+    (Page 1954 / the standardized form in Taylor's changepoint
+    bootstrap): S_t = sum_{i<=t} (x_i - xbar), the estimated change
+    location is argmax_t |S_t| and the reported statistic is
+    max|S_t| / (sd * sqrt(n)) — scale-free, comparable across series.
+
+    Returns (key, n, cp_pos, cp_stat) with cp_pos the 1-based position
+    of the max-|S| point in (ts, tiebreak) order; ties on the ROUNDED
+    |S| break to the earliest position (cross-engine determinism).
+    Series with zero variance or n < 2 emit NULL cp_pos/cp_stat.
+
+    One sort-shuffle per series: the running sum and row position come
+    from the same Window; the argmax is a struct-min aggregate (no
+    second window, no per-series collect).
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    x = F.col(value_col).cast("double")
+    stats_w = Window.partitionBy(key_col)
+    base = df.select(
+        key_col,
+        x.alias("_x"),
+        F.row_number().over(w).alias("_pos"),
+        F.sum(x).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("_cum"),
+        F.count("*").over(stats_w).alias("_n"),
+        F.avg(x).over(stats_w).alias("_mean"),
+        F.stddev_samp(x).over(stats_w).alias("_sd"),
+    )
+    # S_t = cumsum(x) - t * mean  (identical to summing centered values)
+    s_abs = F.abs(F.col("_cum") - F.col("_pos") * F.col("_mean"))
+    # argmax on (rounded |S| desc, pos asc) as a struct-min
+    pick = F.struct(
+        (-_r6(s_abs)).alias("_neg"), F.col("_pos").alias("_pos")
+    )
+    per = base.groupBy(key_col).agg(
+        F.max("_n").alias("n"),
+        F.min(pick).alias("_best"),
+        F.max(_r6(s_abs)).alias("_smax_r"),
+        F.max(s_abs).alias("_smax"),
+        F.max("_sd").alias("_sd"),
+    )
+    ok = (F.col("n") >= 2) & (F.col("_sd") > 0)
+    return per.select(
+        key_col,
+        F.col("n").cast("long").alias("n"),
+        F.when(ok, F.col("_best._pos")).cast("long").alias("cp_pos"),
+        F.when(
+            ok, _r6(F.col("_smax") / (F.col("_sd") * F.sqrt(F.col("n"))))
+        ).alias("cp_stat"),
+    )
+
+
+def rolling_zscore_anomalies(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    window: int = 20,
+    min_points: int = 5,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Trailing-window anomaly detection: each point is scored against
+    the `window` points strictly BEFORE it in its own series —
+    z = (x_t - mean(prev W)) / stddev_samp(prev W) — and flagged when
+    |z| > threshold. Using only preceding points keeps the score causal
+    (the streaming-monitor semantics) and means an anomaly does not
+    contaminate its own baseline.
+
+    Returns the flagged rows only: (key, ts, tiebreak, value, n_base,
+    z), z rounded to 6dp. Points with fewer than min_points
+    predecessors or a zero-variance baseline are never flagged.
+    Plan: one sort-shuffle per series; mean/std/count share a single
+    ROWS-frame Window; the flag is a map-side filter, so the output
+    relation is anomaly-sized, not corpus-sized.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, tiebreak_col)
+        .rowsBetween(-window, -1)
+    )
+    x = F.col(value_col).cast("double")
+    scored = df.select(
+        key_col,
+        ts_col,
+        tiebreak_col,
+        x.alias("_x"),
+        F.count("*").over(w).alias("_nb"),
+        F.avg(x).over(w).alias("_m"),
+        F.stddev_samp(x).over(w).alias("_sd"),
+    )
+    z = _r6((F.col("_x") - F.col("_m")) / F.col("_sd"))
+    return (
+        scored.filter(
+            (F.col("_nb") >= min_points)
+            & (F.col("_sd") > 0)
+        )
+        .select(
+            key_col,
+            ts_col,
+            tiebreak_col,
+            F.col("_x").alias(value_col),
+            F.col("_nb").cast("long").alias("n_base"),
+            z.alias("z"),
+        )
+        .filter(F.abs(F.col("z")) > threshold)
+    )

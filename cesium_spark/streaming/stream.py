@@ -29,6 +29,7 @@ __all__ = [
     "start_span_dedup_stream", "minhash_dedup_batch_fn",
     "start_minhash_dedup_stream", "ivf_index_batch_fn",
     "start_ivf_index_stream", "streaming_run_stats", "streaming_psi",
+    "contamination_batch_fn", "start_contamination_stream",
 ]
 
 
@@ -1007,4 +1008,111 @@ def streaming_psi(
     )
     return binned.groupBy(group_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", "NoTimeout"
+    )
+
+
+def contamination_batch_fn(
+    store_root: str,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    hash_fn: str = "md5",
+    n_buckets: int = 64,
+):
+    """foreachBatch function for STREAMING train/test decontamination —
+    the live twin of operators/dedup.ngram_contamination, so newly
+    ingested training documents are screened against the frozen
+    evaluation set as they arrive instead of in a end-of-pipeline batch
+    sweep.
+
+    The test side is frozen at head construction (its distinct n-gram
+    hash keys — benchmark-set-sized, so the per-batch probe join is
+    AQE-broadcastable exactly like the batch operator). Contamination
+    is a PURE per-document function of (own text, frozen keys): no
+    cross-batch state is needed, and the maintained "verdicts"
+    SnapshotTable is a plain per-id upsert — replayed ids REPLACE their
+    row, so foreachBatch redelivery converges trivially.
+
+    Invariant (tested): after every micro-batch, verdicts ==
+    ngram_contamination(latest version of every ingested doc, test).
+    Storage mirrors the other heads: hash-bucketed by id, only touched
+    buckets rewritten per batch."""
+    import os
+
+    from ..operators.dedup import ngram_contamination
+    from ..sources.table import SnapshotTable
+
+    table = SnapshotTable(os.path.join(store_root, "verdicts"))
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from pyspark import StorageLevel
+
+        sp = batch_df.sparkSession
+        # latest version per id within the batch (a replay file can
+        # carry the same id twice): keep the max text by (length, text)
+        # struct — deterministic, matches the other heads' intra-batch
+        # dedupe discipline
+        latest = (
+            batch_df.groupBy(F.col(id_col))
+            .agg(F.max(F.struct(F.length(text_col).alias("_l"),
+                                F.col(text_col).alias("_t"))).alias("_s"))
+            .select(F.col(id_col), F.col("_s._t").alias(text_col))
+        )
+        prof = ngram_contamination(
+            latest, test, id_col=id_col, text_col=text_col, n=n,
+            hash_fn=hash_fn,
+        ).withColumn(
+            "bucket", F.pmod(F.xxhash64(F.col(id_col).cast("string")),
+                             F.lit(n_buckets)).cast("int")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            new_ids = prof.select(id_col).distinct()
+            try:
+                cur = table.read(sp)
+                touched = sorted(
+                    {r["bucket"] for r in
+                     prof.select("bucket").distinct().collect()}
+                    | {r["bucket"] for r in
+                       cur.join(new_ids, id_col, "semi")
+                       .select("bucket").distinct().collect()}
+                )
+                keep = (
+                    cur.filter(F.col("bucket").isin(touched))
+                    .join(new_ids, id_col, "left_anti")
+                )
+                table.overwrite_partitions(
+                    keep.unionByName(prof), ["bucket"],
+                    also_replace={f"bucket={b}" for b in touched},
+                )
+            except FileNotFoundError:
+                table.overwrite(prof, ["bucket"])
+        finally:
+            prof.unpersist()
+
+    return _apply
+
+
+def start_contamination_stream(
+    spark,
+    input_dir: str,
+    store_root: str,
+    checkpoint_dir: str,
+    schema,
+    test: DataFrame,
+    **kwargs,
+):
+    """File-source streaming decontamination: new parquet training-doc
+    files under `input_dir` are screened against the frozen `test` set
+    micro-batch by micro-batch (contamination_batch_fn); verdicts
+    accumulate under `store_root`. Returns the StreamingQuery."""
+    src = spark.readStream.schema(schema).parquet(input_dir)
+    return (
+        src.writeStream
+        .foreachBatch(contamination_batch_fn(store_root, test, **kwargs))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
     )

@@ -1572,3 +1572,177 @@ def test_corpus_verdict_ppl_tail_stage(spark):
         else:
             assert reason == "ok"
     assert "ppl_tail" in set(with_ppl.values())
+
+
+def test_acf_lags_matches_numpy(spark):
+    """acf_lags == the Box-Jenkins sample ACF (full-series mean/variance
+    denominator) computed independently with numpy."""
+    from cesium_spark.operators.tsstats import acf_lags
+
+    rng = np.random.RandomState(11)
+    rows = []
+    series = {}
+    for uid in (1, 2):
+        x = np.cumsum(rng.normal(size=40)) if uid == 1 else rng.normal(size=7)
+        series[uid] = x
+        for i, v in enumerate(x):
+            rows.append((uid, float(i), int(i), float(v)))
+    df = spark.createDataFrame(
+        rows, "user_id int, ts double, event_id int, value double"
+    )
+    out = acf_lags(df, ts_col="ts", max_lag=5).toPandas()
+
+    for uid, x in series.items():
+        m = x.mean()
+        den = ((x - m) ** 2).sum()
+        for L in range(1, 6):
+            got = out[(out.user_id == uid) & (out.lag == L)].iloc[0]
+            n_pairs = max(len(x) - L, 0)
+            assert got.n_pairs == n_pairs
+            want = ((x[:-L] - m) * (x[L:] - m)).sum() / den
+            assert abs(got.acf - round(want + 1e-9, 6)) < 1e-9, (uid, L)
+
+
+def test_cusum_changepoint_finds_level_shift(spark):
+    """A planted mean shift maximizes |S_t| at the shift boundary; the
+    statistic matches the numpy replay exactly."""
+    from cesium_spark.operators.tsstats import cusum_changepoint
+
+    rng = np.random.RandomState(5)
+    x = np.concatenate([rng.normal(0, 0.2, 30), rng.normal(3, 0.2, 30)])
+    rows = [(7, float(i), int(i), float(v)) for i, v in enumerate(x)]
+    # plus a constant series: zero variance -> NULL cp
+    rows += [(8, float(i), int(i), 1.0) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts double, event_id int, value double"
+    )
+    out = cusum_changepoint(df, ts_col="ts").toPandas().set_index("user_id")
+
+    s = np.cumsum(x - x.mean())
+    want_pos = int(np.argmax(np.abs(s))) + 1
+    assert out.loc[7, "cp_pos"] == want_pos
+    assert abs(want_pos - 30) <= 1  # the shift boundary
+    want_stat = round(
+        np.abs(s).max() / (x.std(ddof=1) * np.sqrt(len(x))) + 1e-9, 6
+    )
+    assert out.loc[7, "cp_stat"] == want_stat
+    assert np.isnan(out.loc[8, "cp_stat"]) and np.isnan(out.loc[8, "cp_pos"])
+
+
+def test_rolling_zscore_flags_planted_spike(spark):
+    """Only the planted spike is flagged, with the causal trailing-window
+    z-score numpy would compute."""
+    from cesium_spark.operators.tsstats import rolling_zscore_anomalies
+
+    rng = np.random.RandomState(9)
+    x = rng.normal(10, 1.0, 50)
+    x[30] = 25.0  # the anomaly
+    rows = [(1, float(i), int(i), float(v)) for i, v in enumerate(x)]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts double, event_id int, value double"
+    )
+    out = rolling_zscore_anomalies(
+        df, ts_col="ts", window=20, min_points=5, threshold=3.0
+    ).toPandas()
+    assert list(out.event_id) == [30]
+    base = x[10:30]
+    want = round(
+        (25.0 - base.mean()) / base.std(ddof=1) + 1e-9, 6
+    )
+    assert out.iloc[0].z == want
+    assert out.iloc[0].n_base == 20
+
+
+def test_temperature_mix_weights_and_determinism(spark):
+    """alpha=1 reproduces the natural distribution (all weights 1);
+    alpha<1 up-weights the rare group by the closed-form factor; copy
+    counts are a pure function of (id, salt)."""
+    from cesium_spark.operators.split import temperature_mix
+
+    rows = [(i, "en") for i in range(90)] + [(90 + i, "fr") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    flat = temperature_mix(df, alpha=1.0).toPandas()
+    assert (flat.weight == 1.0).all() and (flat.n_copies == 1).all()
+
+    out = temperature_mix(df, alpha=0.5).toPandas()
+    z = 90 ** 0.5 + 10 ** 0.5
+    for g, c in (("en", 90), ("fr", 10)):
+        want = round(100 * c ** (-0.5) / z + 1e-9, 6)
+        assert (out[out.lang == g].weight == want).all()
+    fr = out[out.lang == "fr"]
+    assert (fr.n_copies >= 2).all()  # w_fr ≈ 2.66: every fr doc >= 2 copies
+    frac = float(fr.weight.iloc[0]) % 1
+    assert abs(fr.n_copies.mean() - fr.weight.iloc[0]) < max(
+        0.5, 3 * np.sqrt(frac * (1 - frac) / len(fr))
+    )
+    again = temperature_mix(df, alpha=0.5).toPandas()
+    assert (out.sort_values("doc_id").n_copies.values
+            == again.sort_values("doc_id").n_copies.values).all()
+
+
+def test_bm25_topk_hand_example(spark):
+    """BM25 scores match an independent numpy computation on a 4-doc
+    corpus; ranking is deterministic."""
+    from cesium_spark.operators.text import bm25_topk
+
+    docs = [
+        (1, "spark shuffle join join"),
+        (2, "hash join"),
+        (3, "window sort merge"),
+        (4, "the quick brown fox"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = bm25_topk(df, query=["join", "hash"], k=4).toPandas()
+
+    toks = {i: t.split() for i, t in docs}
+    N = 4
+    avgdl = sum(len(t) for t in toks.values()) / N
+    import math
+
+    def score(i):
+        s = 0.0
+        for term in ("hash", "join"):  # sorted order
+            tf = toks[i].count(term)
+            if tf == 0:
+                continue
+            dfr = sum(1 for t in toks.values() if term in t)
+            idf = math.log(1.0 + (N - dfr + 0.5) / (dfr + 0.5))
+            s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(toks[i]) / avgdl))
+        return round(s + 1e-9, 6)
+
+    want = sorted(
+        [(i, score(i)) for i in toks if score(i) > 0],
+        key=lambda p: (-p[1], p[0]),
+    )
+    got = list(zip(out.doc_id, out.score))
+    assert got == want
+    assert list(out.rank) == list(range(1, len(want) + 1))
+    assert set(out.columns) == {"rank", "doc_id", "n_hit_terms", "score"}
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    """Documents phrased like the target corpus get higher importance
+    weights than background-only docs, and the cutoff keeps ~keep_frac."""
+    from cesium_spark.operators.lm import dsir_select
+
+    target_phrases = "good clean prose flows here"
+    noise_phrases = "zz qq xx vv ww"
+    rows = []
+    for i in range(20):
+        rows.append((i, target_phrases, "tgt"))
+    for i in range(20, 60):
+        rows.append((i, noise_phrases + f" tok{i}", "raw"))
+    for i in range(60, 80):
+        rows.append((i, target_phrases + " indeed", "raw"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    target = df.filter("source = 'tgt'")
+    out = dsir_select(df, target, keep_frac=0.25).toPandas()
+
+    tgt_like = out[(out.doc_id >= 60)]
+    noise = out[(out.doc_id >= 20) & (out.doc_id < 60)]
+    assert tgt_like.weight.min() > noise.weight.max()
+    assert tgt_like.selected.all()
+    assert not noise.selected.any()
+    # docs with <2 tokens score 0 under both models
+    assert (out.n_bigrams > 0).all()
