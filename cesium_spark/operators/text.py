@@ -387,13 +387,17 @@ def bm25_topk(
     if not terms:
         raise ValueError("query must contain at least one non-empty term")
     toks = _tokens(text_col)
+
+    def _tf(term):
+        # NB: a (x, t=t) default-arg lambda would be read by PySpark as
+        # the two-argument (element, index) form — capture via closure
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
     base = df.select(
         F.col(id_col),
         F.size(toks).cast("double").alias("_dl"),
         *[
-            F.size(F.filter(toks, lambda x, t=t: x == F.lit(t)))
-            .cast("double")
-            .alias(f"_tf{i}")
+            _tf(t).cast("double").alias(f"_tf{i}")
             for i, t in enumerate(terms)
         ],
     )

@@ -1643,14 +1643,23 @@ def test_rolling_zscore_flags_planted_spike(spark):
     )
     out = rolling_zscore_anomalies(
         df, ts_col="ts", window=20, min_points=5, threshold=3.0
-    ).toPandas()
-    assert list(out.event_id) == [30]
-    base = x[10:30]
-    want = round(
-        (25.0 - base.mean()) / base.std(ddof=1) + 1e-9, 6
-    )
-    assert out.iloc[0].z == want
-    assert out.iloc[0].n_base == 20
+    ).toPandas().set_index("event_id")
+
+    # independent numpy replay over every point
+    want = {}
+    for i in range(len(x)):
+        base = x[max(0, i - 20):i]
+        if len(base) < 5:
+            continue
+        sd = base.std(ddof=1)
+        if sd <= 0:
+            continue
+        z = round((x[i] - base.mean()) / sd + 1e-9, 6)
+        if abs(z) > 3.0:
+            want[i] = (len(base), z)
+    assert 30 in want  # the planted spike is among the flags
+    assert dict(zip(out.index, zip(out.n_base, out.z))) == want
+    assert out.loc[30, "n_base"] == 20
 
 
 def test_temperature_mix_weights_and_determinism(spark):
@@ -1717,7 +1726,7 @@ def test_bm25_topk_hand_example(spark):
     )
     got = list(zip(out.doc_id, out.score))
     assert got == want
-    assert list(out.rank) == list(range(1, len(want) + 1))
+    assert list(out["rank"]) == list(range(1, len(want) + 1))
     assert set(out.columns) == {"rank", "doc_id", "n_hit_terms", "score"}
 
 
@@ -1737,12 +1746,13 @@ def test_dsir_select_prefers_target_like_docs(spark):
         rows.append((i, target_phrases + " indeed", "raw"))
     df = spark.createDataFrame(rows, "doc_id long, text string, source string")
     target = df.filter("source = 'tgt'")
-    out = dsir_select(df, target, keep_frac=0.25).toPandas()
+    out = dsir_select(df, target, keep_frac=0.5).toPandas()
 
+    exact = out[out.doc_id < 20]
     tgt_like = out[(out.doc_id >= 60)]
     noise = out[(out.doc_id >= 20) & (out.doc_id < 60)]
-    assert tgt_like.weight.min() > noise.weight.max()
-    assert tgt_like.selected.all()
+    assert exact.weight.min() >= tgt_like.weight.max() > noise.weight.max()
+    assert exact.selected.all() and tgt_like.selected.all()
     assert not noise.selected.any()
     # docs with <2 tokens score 0 under both models
     assert (out.n_bigrams > 0).all()

@@ -642,3 +642,57 @@ def test_streaming_psi_matches_batch_across_restart(spark, tmp_path):
             assert latest.loc[g, c] == want.loc[g, c], (g, c)
     # the shifted current slice must actually register as drift
     assert (want["psi"] > 0.1).all()
+
+
+def test_streaming_contamination_matches_batch(spark, tmp_path):
+    """The contamination head's accumulated verdicts table == batch
+    ngram_contamination over the latest version of every ingested doc,
+    including after a replay that rewrites one doc's text."""
+    from cesium_spark.operators.dedup import ngram_contamination
+    from cesium_spark.sources.table import SnapshotTable
+    from cesium_spark.streaming.stream import contamination_batch_fn
+
+    in_dir = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    bench = "a b c d e f g h i j k l m n"
+    test = spark.createDataFrame([(100, bench)], schema)
+
+    b1 = [(1, bench + " tail tokens"), (2, "clean words only here " * 5)]
+    b2 = [(3, "x " * 20 + bench),
+          (1, "rewritten clean body with many fresh words " * 3)]  # replay
+    spark.createDataFrame(b1, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(in_dir)
+
+    def drain():
+        src = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1).parquet(in_dir))
+        q = (src.writeStream
+             .foreachBatch(contamination_batch_fn(store, test, n=13))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drain()
+    got1 = SnapshotTable(f"{store}/verdicts").read(spark).toPandas()
+    assert set(got1.doc_id) == {1, 2}
+    assert got1.set_index("doc_id").loc[1, "contaminated"]
+
+    spark.createDataFrame(b2, schema).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+    drain()
+
+    got = (SnapshotTable(f"{store}/verdicts").read(spark)
+           .select("doc_id", "n_tokens", "n_spans", "contaminated_spans",
+                   "contaminated")
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    latest = spark.createDataFrame(
+        [b2[1], b1[1], b2[0]], schema
+    )
+    want = (ngram_contamination(latest, test, n=13)
+            .toPandas().sort_values("doc_id").reset_index(drop=True))
+    assert got.equals(want)
+    # the replay flipped doc 1 to clean
+    assert not got.set_index("doc_id").loc[1, "contaminated"]
