@@ -1709,6 +1709,115 @@ def q_contamination_streamed(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_series_trend(spark, sf_dir):
+    """Per-user OLS trend over the event stream: slope (value/day),
+    intercept at 2024-01-01, and R^2 via the native regr_* aggregates —
+    partial-aggregable, one shuffle, no window. DuckDB shares the
+    regr_slope/regr_intercept/regr_r2 definitions so the oracle replays
+    the aggregate verbatim on the re-based day axis."""
+    from cesium_spark.operators.tsstats import series_trend
+
+    return series_trend(_events(spark, sf_dir), t0="2024-01-01")
+
+
+def q_hod_profile(spark, sf_dir):
+    """Weekly-hourly seasonality fingerprint: per (user, day-of-week,
+    hour-of-day) count/mean/sample-std of the value — the baseline
+    relation a monitoring pipeline compares live traffic against. One
+    partial-aggregable groupBy; dow is 0=Sunday in both engines
+    (Spark dayofweek()-1 == DuckDB dayofweek())."""
+    from cesium_spark.operators.tsstats import hod_profile
+
+    return hod_profile(_events(spark, sf_dir))
+
+
+def q_c4_clean(spark, sf_dir):
+    """The C4 cleaning heuristics (Raffel et al. 2020 §2.2) over
+    synthesized multi-line pages: line rules (terminal punctuation,
+    >=5 words, no 'javascript') and page rules (bad-word list, 'lorem
+    ipsum', curly brace, >=3 surviving lines) with the paper's discard
+    precedence. The page layout varies by doc_id residues so every
+    reason branch is exercised; the oracle replays the page build, the
+    line predicates, and the CASE precedence over string_split."""
+    from cesium_spark.operators.text import c4_line_filter
+
+    d = F.col("doc_id")
+    page = F.concat_ws(
+        "\n",
+        F.when(d % 13 == 0,
+               F.lit("This page contains a badword token here."))
+        .otherwise(F.lit("A perfectly fine opening sentence with many words.")),
+        F.col("text"),
+        F.when(d % 7 == 3,
+               F.lit("lorem ipsum dolor sit amet consectetur elit."))
+        .otherwise(F.lit("Please enable javascript to continue reading.")),
+        F.when(d % 11 == 5, F.lit("if (x) { y(); }"))
+        .otherwise(F.lit("Short line")),
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", page.alias("text"))
+    return c4_line_filter(docs, min_words_per_line=5, min_lines=2)
+
+
+def q_anomaly_zscore_streamed(spark, sf_dir):
+    """The LIVE causal anomaly monitor end-to-end: events staged as two
+    event_id-ordered parquet files (ts is monotone in event_id, so
+    event_id order IS the batch operator's (ts, event_id) order),
+    drained as two availableNow micro-batches through the
+    applyInPandasWithState trailing-window scorer. The emitted flags
+    must equal the BATCH rolling_zscore_anomalies relation — the oracle
+    is sql["anomaly_zscore"], so a hash match proves the carried
+    trailing-20 state reproduces the batch ROWS-frame window across the
+    micro-batch boundary."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from cesium_spark.streaming.stream import streaming_anomaly_zscore
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "value")
+    mid = ev.agg(F.expr("percentile(event_id, 0.5)")).collect()[0][0]
+    work = tempfile.mkdtemp(prefix="anom_stream_")
+    in_dir = f"{work}/in"
+    try:
+        ev.filter(F.col("event_id") <= mid).coalesce(1) \
+            .write.mode("overwrite").parquet(in_dir)
+        # order-load-bearing staging: FileStreamSource orders pending
+        # files by mtime — pin the second half strictly later
+        first_files = set(glob.glob(f"{in_dir}/*.parquet"))
+        ev.filter(F.col("event_id") > mid).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+        later = time.time() + 10
+        for f in set(glob.glob(f"{in_dir}/*.parquet")) - first_files:
+            os.utime(f, (later, later))
+        src = (
+            spark.readStream
+            .schema("event_id bigint, user_id bigint, value double")
+            .option("maxFilesPerTrigger", 1).parquet(in_dir)
+        )
+        q = (
+            streaming_anomaly_zscore(
+                src, window=20, min_points=5, threshold=2.0
+            )
+            .writeStream.format("parquet").option("path", f"{work}/out")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True).start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                raise TimeoutError("anomaly stream did not drain in 300s")
+        finally:
+            q.stop()
+        return (
+            spark.read.parquet(f"{work}/out")
+            .select("user_id", "event_id", "value", "n_base", "z")
+            .localCheckpoint(eager=True)  # detach from the temp files
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -1732,6 +1841,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50-slot cap and was never driver-checked).
     return {
         # --- round 6, continuation batch ---
+        "anomaly_zscore_streamed": q_anomaly_zscore_streamed,
+        "c4_clean": q_c4_clean,
+        "series_trend": q_series_trend,
+        "hod_profile": q_hod_profile,
         "contamination_streamed": q_contamination_streamed,
         "dsir_select": q_dsir_select,
         "bm25_topk": q_bm25_topk,
@@ -3756,6 +3869,83 @@ def oracle_sql() -> dict[str, str]:
           WHERE nb >= 5 AND sd > 0
         )
         WHERE abs(z) > 2.0
+    """
+
+    # the streaming head replays the batch operator exactly, so the
+    # oracle IS the batch oracle (the event_loops_streamed pattern)
+    sql["anomaly_zscore_streamed"] = sql["anomaly_zscore"]
+
+    sql["series_trend"] = """
+        SELECT user_id, count(*)::BIGINT AS n,
+               round(regr_slope(value::DOUBLE, _t) + 1e-9, 6) AS slope_per_day,
+               round(regr_intercept(value::DOUBLE, _t) + 1e-9, 6) AS intercept,
+               round(regr_r2(value::DOUBLE, _t) + 1e-9, 6) AS r2
+        FROM (
+          SELECT user_id, value,
+                 (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01')) / 86400e6 AS _t
+          FROM events
+        )
+        GROUP BY user_id
+    """
+
+    sql["hod_profile"] = """
+        SELECT user_id, dayofweek(ts)::INT AS dow, hour(ts)::INT AS "hour",
+               count(*)::BIGINT AS n,
+               round(avg(value::DOUBLE) + 1e-9, 6) AS mean,
+               round(stddev_samp(value::DOUBLE) + 1e-9, 6) AS std
+        FROM events
+        GROUP BY 1, 2, 3
+    """
+
+    sql["c4_clean"] = """
+        WITH pages AS (
+          SELECT doc_id,
+                 concat_ws(chr(10),
+                   CASE WHEN doc_id % 13 = 0
+                        THEN 'This page contains a badword token here.'
+                        ELSE 'A perfectly fine opening sentence with many words.'
+                   END,
+                   text,
+                   CASE WHEN doc_id % 7 = 3
+                        THEN 'lorem ipsum dolor sit amet consectetur elit.'
+                        ELSE 'Please enable javascript to continue reading.'
+                   END,
+                   CASE WHEN doc_id % 11 = 5
+                        THEN 'if (x) { y(); }' ELSE 'Short line' END
+                 ) AS page
+          FROM documents
+        ),
+        ln AS (
+          SELECT doc_id, page,
+                 string_split(page, chr(10)) AS lines,
+                 list_filter(string_split(page, chr(10)), l ->
+                   substr(rtrim(l), -1, 1) IN ('.', '!', '?', '"')
+                   AND len(list_filter(regexp_split_to_array(trim(l), '\\s+'),
+                                       x -> x <> '')) >= 5
+                   AND NOT contains(lower(l), 'javascript')
+                 ) AS kept
+          FROM pages
+        ),
+        verdict AS (
+          SELECT doc_id, lines, kept,
+                 CASE
+                   WHEN contains(lower(page), 'badword')
+                     OR contains(lower(page), 'obscenity') THEN 'bad_words'
+                   WHEN contains(lower(page), 'lorem ipsum') THEN 'lorem_ipsum'
+                   WHEN contains(page, '{') THEN 'code'
+                   WHEN len(kept) < 2 THEN 'too_few_lines'
+                   ELSE 'ok'
+                 END AS reason
+          FROM ln
+        )
+        SELECT doc_id, len(lines)::BIGINT AS n_lines, len(kept)::BIGINT AS n_kept,
+               round(CASE WHEN len(lines) > 0
+                          THEN len(kept)::DOUBLE / len(lines) ELSE 0.0 END
+                     + 1e-9, 6) AS kept_frac,
+               reason, reason = 'ok' AS keep,
+               CASE WHEN reason = 'ok'
+                    THEN array_to_string(kept, chr(10)) END AS clean_text
+        FROM verdict
     """
 
     sql["temperature_mix"] = """

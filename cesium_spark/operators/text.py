@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "text_stats", "quality_score", "lang_id", "fingerprint",
     "token_topk", "tfidf_top_terms", "repetition_stats", "bm25_topk",
+    "c4_line_filter",
 ]
 
 # Small per-language stopword vocabularies for the n-gram voting heuristic.
@@ -440,4 +441,81 @@ def bm25_topk(
     w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
     return top.withColumn("rank", F.row_number().over(w)).select(
         "rank", id_col, "n_hit_terms", "score"
+    )
+
+
+def c4_line_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_lines: int = 3,
+    bad_words: tuple = ("badword", "obscenity"),
+    round_digits: int = 6,
+) -> DataFrame:
+    """The C4 cleaning heuristics (Raffel et al. 2020 §2.2) — the
+    line- and page-level rules the original corpus applied before any
+    statistical filtering:
+
+    line rules (a line survives iff ALL hold):
+      - ends in a terminal punctuation mark ('.', '!', '?', '"')
+        after right-trim;
+      - contains at least `min_words_per_line` whitespace words;
+      - does not contain the word "javascript" (case-insensitive).
+    page rules (evaluated on the ORIGINAL text, first match is the
+    reason, precedence mirroring the paper's discard list):
+      - `bad_words`: any listed word present -> reason 'bad_words';
+      - the phrase "lorem ipsum" -> 'lorem_ipsum';
+      - a curly brace '{' (code) -> 'code';
+      - fewer than `min_lines` surviving lines -> 'too_few_lines';
+      - else 'ok'.
+
+    Returns (id, n_lines, n_kept, kept_frac, reason, keep,
+    clean_text) where clean_text joins the surviving lines for kept
+    pages and is NULL otherwise. Everything is JVM expressions over
+    one projection — 0 Exchanges, the filter inlines into the scan; at
+    100 TB this is a pure map stage like redact_pii.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    lw = F.lower(F.col(text_col))
+
+    def _line_ok(l):
+        t = F.trim(l)
+        words = F.filter(
+            F.split(t, r"\s+"), lambda x: x != F.lit("")
+        )
+        ends_ok = F.substring(F.rtrim(l), -1, 1).isin(".", "!", "?", '"')
+        has_words = F.size(words) >= min_words_per_line
+        no_js = ~F.lower(l).contains("javascript")
+        return ends_ok & has_words & no_js
+
+    kept = F.filter(lines, _line_ok)
+    bad = None
+    for w in sorted(bad_words):
+        hit = lw.contains(w.lower())
+        bad = hit if bad is None else (bad | hit)
+    if bad is None:
+        bad = F.lit(False)
+    reason = (
+        F.when(bad, F.lit("bad_words"))
+        .when(lw.contains("lorem ipsum"), F.lit("lorem_ipsum"))
+        .when(F.col(text_col).contains("{"), F.lit("code"))
+        .when(F.size(kept) < min_lines, F.lit("too_few_lines"))
+        .otherwise(F.lit("ok"))
+    )
+    n_lines = F.size(lines).cast("long")
+    n_kept = F.size(kept).cast("long")
+    kept_frac = F.round(
+        F.when(n_lines > 0, n_kept / n_lines).otherwise(F.lit(0.0))
+        + F.lit(1e-9),
+        round_digits,
+    )
+    return df.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        n_kept.alias("n_kept"),
+        kept_frac.alias("kept_frac"),
+        reason.alias("reason"),
+        (reason == "ok").alias("keep"),
+        F.when(reason == "ok", F.array_join(kept, "\n")).alias("clean_text"),
     )

@@ -23,7 +23,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["acf_lags", "cusum_changepoint", "rolling_zscore_anomalies"]
+__all__ = [
+    "acf_lags", "cusum_changepoint", "rolling_zscore_anomalies",
+    "series_trend", "hod_profile",
+]
 
 
 def _r6(col):
@@ -232,4 +235,81 @@ def rolling_zscore_anomalies(
             z.alias("z"),
         )
         .filter(F.abs(F.col("z")) > threshold)
+    )
+
+
+def series_trend(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    t0: str | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-series OLS trend: slope/intercept (value per DAY) and R^2 via
+    the native regr_* aggregates — JVM-side, partial-aggregable, one
+    shuffle on the series key, no window at all. Spark and DuckDB share
+    the regr_slope/regr_intercept/regr_r2 definitions, so the oracle
+    replays them verbatim.
+
+    `t0` (an ISO timestamp string) re-bases the time axis so the
+    intercept is "fitted value at t0" — pass a date near the data.
+    With the default epoch origin the intercept's magnitude is
+    |slope| * days-since-1970 (~2e4), where 6-decimal cross-engine
+    agreement would demand ~5e-11 relative precision from two
+    different co-moment accumulation orders; re-based, it is
+    value-sized and rounds identically.
+
+    Returns (key, n, slope_per_day, intercept, r2); single-point or
+    zero-time-variance series yield NULL slope/r2 (both engines).
+    """
+    if dict(df.dtypes)[ts_col] in ("double", "float", "bigint", "int"):
+        t_days = F.col(ts_col).cast("double")
+    else:
+        t_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+        if t0 is not None:
+            t_us = t_us - F.unix_micros(F.lit(t0).cast("timestamp"))
+        t_days = t_us / F.lit(86400e6)
+    x = F.col(value_col).cast("double")
+    return (
+        df.select(F.col(key_col), t_days.alias("_t"), x.alias("_x"))
+        .groupBy(key_col)
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            _r6(F.expr("regr_slope(_x, _t)")).alias("slope_per_day"),
+            _r6(F.expr("regr_intercept(_x, _t)")).alias("intercept"),
+            _r6(F.expr("regr_r2(_x, _t)")).alias("r2"),
+        )
+    )
+
+
+def hod_profile(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Seasonality fingerprint: per (series, day-of-week, hour-of-day)
+    count / mean / sample-std of the value — the weekly-hourly profile a
+    monitoring pipeline baselines against (and the reference's cadence
+    features never had, being astronomy-cadenced). One partial-
+    aggregable groupBy; dow is normalized to 0=Sunday in both engines
+    (Spark dayofweek()-1 == DuckDB dayofweek()).
+
+    Returns (key, dow, hour, n, mean, std)."""
+    x = F.col(value_col).cast("double")
+    return (
+        df.select(
+            F.col(key_col),
+            (F.dayofweek(ts_col) - 1).cast("int").alias("dow"),
+            F.hour(ts_col).cast("int").alias("hour"),
+            x.alias("_x"),
+        )
+        .groupBy(key_col, "dow", "hour")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            _r6(F.avg("_x")).alias("mean"),
+            _r6(F.stddev_samp("_x")).alias("std"),
+        )
     )

@@ -1116,3 +1116,84 @@ def start_contamination_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_anomaly_zscore(
+    stream_df: DataFrame,
+    key_col: str = "user_id",
+    order_col: str = "event_id",
+    value_col: str = "value",
+    window: int = 20,
+    min_points: int = 5,
+    threshold: float = 2.0,
+):
+    """LIVE causal anomaly monitoring: the streaming twin of
+    operators/tsstats.rolling_zscore_anomalies. Per-series state is the
+    trailing `window` values (bounded: W doubles per key); each
+    micro-batch's points are scored against state + earlier points of
+    the same batch, flagged rows are emitted append-mode, and the state
+    advances to the last W values seen.
+
+    Emits (key, order, value, n_base, z) — exactly the batch operator's
+    flagged relation — PROVIDED batches arrive in `order_col` order per
+    key (the file-staging discipline: order-ranged files, pinned
+    mtimes, maxFilesPerTrigger=1) and `order_col` order matches the
+    batch operator's (ts, tiebreak) order (true whenever ts is
+    monotone in the tiebreak id, as in the driver events table). The
+    z arithmetic replays the batch formula: trailing-W mean,
+    sample std, round(z + 1e-9, 6)."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
+    )
+
+    key_type = stream_df.schema[key_col].dataType
+    order_type = stream_df.schema[order_col].dataType
+    out_schema = StructType([
+        StructField(key_col, key_type),
+        StructField(order_col, order_type),
+        StructField(value_col, DoubleType()),
+        StructField("n_base", LongType()),
+        StructField("z", DoubleType()),
+    ])
+    state_schema = StructType([StructField("vals", ArrayType(DoubleType()))])
+
+    def fn(key, pdfs, state):
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts).sort_values(order_col)
+        hist = list(state.get[0]) if state.exists else []
+        orders, vals, bases, zs = [], [], [], []
+        for o, v in zip(pdf[order_col], pdf[value_col]):
+            v = float(v)
+            base = hist[-window:]
+            nb = len(base)
+            if nb >= min_points:
+                m = sum(base) / nb
+                var = sum((b - m) ** 2 for b in base) / (nb - 1)
+                if var > 0:
+                    z = round((v - m) / math.sqrt(var) + 1e-9, 6)
+                    if abs(z) > threshold:
+                        orders.append(o)
+                        vals.append(v)
+                        bases.append(nb)
+                        zs.append(z)
+            hist.append(v)
+        state.update((hist[-window:],))
+        if orders:
+            yield pd.DataFrame({
+                key_col: [key[0]] * len(orders),
+                order_col: orders,
+                value_col: vals,
+                "n_base": bases,
+                "z": zs,
+            })
+
+    return stream_df.select(key_col, order_col, value_col).groupBy(
+        key_col
+    ).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "NoTimeout"
+    )

@@ -1756,3 +1756,148 @@ def test_dsir_select_prefers_target_like_docs(spark):
     assert not noise.selected.any()
     # docs with <2 tokens score 0 under both models
     assert (out.n_bigrams > 0).all()
+
+
+def test_series_trend_exact_line_and_degenerates(spark):
+    """A noiseless line recovers slope/intercept/r2 exactly; a
+    single-point series and a zero-time-variance series yield NULLs."""
+    from cesium_spark.operators.tsstats import series_trend
+
+    rows = []
+    for i in range(10):  # numeric ts: y = 2.5 t + 7
+        rows.append((1, float(i), 2.5 * i + 7.0))
+    rows.append((2, 4.0, 11.0))  # single point
+    rows += [(3, 5.0, 1.0), (3, 5.0, 9.0)]  # zero time variance
+    df = spark.createDataFrame(rows, "user_id int, ts double, value double")
+    out = series_trend(df).toPandas().set_index("user_id")
+    assert out.loc[1, "slope_per_day"] == 2.5
+    assert out.loc[1, "intercept"] == 7.0
+    assert out.loc[1, "r2"] == 1.0
+    assert out.loc[1, "n"] == 10
+    assert np.isnan(out.loc[2, "slope_per_day"])
+    assert np.isnan(out.loc[3, "slope_per_day"])
+
+
+def test_series_trend_timestamp_rebase(spark):
+    """With a timestamp axis and t0, slope is per DAY and the intercept
+    is the fitted value AT t0."""
+    import datetime as dt
+
+    from cesium_spark.operators.tsstats import series_trend
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, t0 + dt.timedelta(days=k), 3.0 * k + 10.0) for k in range(6)]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, value double")
+    out = series_trend(df, t0="2024-01-01").toPandas().set_index("user_id")
+    assert out.loc[1, "slope_per_day"] == 3.0
+    assert out.loc[1, "intercept"] == 10.0
+    assert out.loc[1, "r2"] == 1.0
+
+
+def test_hod_profile_buckets_and_moments(spark):
+    """(dow, hour) cells land where the calendar says (2024-01-07 was a
+    Sunday -> dow 0) with exact count/mean/sample-std."""
+    import datetime as dt
+
+    from cesium_spark.operators.tsstats import hod_profile
+
+    sun13 = dt.datetime(2024, 1, 7, 13, 5)   # Sunday 13:xx
+    mon02 = dt.datetime(2024, 1, 8, 2, 30)   # Monday 02:xx
+    rows = [
+        (1, sun13, 4.0), (1, sun13 + dt.timedelta(minutes=10), 8.0),
+        (1, mon02, 5.0),
+        (2, sun13, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, value double")
+    out = hod_profile(df).toPandas().set_index(["user_id", "dow", "hour"])
+    assert out.loc[(1, 0, 13), "n"] == 2
+    assert out.loc[(1, 0, 13), "mean"] == 6.0
+    assert out.loc[(1, 0, 13), "std"] == round(np.std([4.0, 8.0], ddof=1) + 1e-9, 6)
+    assert out.loc[(1, 1, 2), "n"] == 1
+    assert np.isnan(out.loc[(1, 1, 2), "std"])  # single sample
+    assert out.loc[(2, 0, 13), "mean"] == 7.0
+    assert len(out) == 3
+
+
+def test_c4_line_filter_rules_and_precedence(spark):
+    """Every page reason and every line rule fires where the C4 paper
+    says it should, with the discard precedence bad_words > lorem_ipsum
+    > code > too_few_lines."""
+    from cesium_spark.operators.text import c4_line_filter
+
+    good1 = "Here is a perfectly reasonable first sentence."
+    good2 = "And a second sentence with more than five words!"
+    short_line = "Too short."                       # <5 words
+    no_punct = "this line has five words but no terminal punctuation"
+    js_line = "Please enable JavaScript to continue reading this."
+    pages = [
+        (0, "\n".join([good1, good2])),                       # ok
+        (1, "\n".join([good1, good2, "with a badword here."])),  # bad_words
+        (2, "\n".join([good1, "lorem ipsum text.", good2])),  # lorem_ipsum
+        (3, "\n".join([good1, good2, "code { brace }"])),     # code
+        (4, "\n".join([good1, short_line, no_punct, js_line])),  # 1 kept
+        (5, "\n".join([good1, good2, "lorem ipsum and a badword."])),  # precedence
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, text string")
+    out = c4_line_filter(df, min_words_per_line=5, min_lines=2) \
+        .toPandas().set_index("doc_id")
+
+    assert out.loc[0, "reason"] == "ok" and bool(out.loc[0, "keep"])
+    assert out.loc[0, "clean_text"] == good1 + "\n" + good2
+    assert out.loc[0, "n_lines"] == 2 and out.loc[0, "n_kept"] == 2
+    assert out.loc[1, "reason"] == "bad_words"
+    assert out.loc[2, "reason"] == "lorem_ipsum"
+    assert out.loc[3, "reason"] == "code"
+    assert out.loc[4, "reason"] == "too_few_lines"
+    assert out.loc[4, "n_kept"] == 1  # short/no-punct/js lines all died
+    assert out.loc[5, "reason"] == "bad_words"  # precedence over lorem
+    assert out.loc[4, "clean_text"] is None or (
+        isinstance(out.loc[4, "clean_text"], float)
+    )
+    assert not out.loc[1:, "keep"].any()
+
+
+def test_partition_invariance_of_final_round6_operators(spark):
+    """series_trend, hod_profile, and c4_line_filter give identical
+    frames at 3 and 17 shuffle partitions (rounded-value determinism
+    survives different partial-aggregation orders)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from cesium_spark.operators.text import c4_line_filter
+    from cesium_spark.operators.tsstats import hod_profile, series_trend
+
+    rng = np.random.RandomState(11)
+    t0 = dt.datetime(2024, 2, 1)
+    ev = spark.createDataFrame(
+        [(i % 7, t0 + dt.timedelta(hours=float(h)), float(v))
+         for i, (h, v) in enumerate(zip(rng.uniform(0, 500, 400),
+                                        rng.normal(50, 10, 400)))],
+        "user_id long, ts timestamp, value double")
+    docs = spark.createDataFrame(
+        [(i, "A good long sentence with several words here.\n"
+             + ("lorem ipsum line." if i % 5 == 0 else "Another fine sentence with enough words too."))
+         for i in range(40)],
+        "doc_id long, text string")
+
+    def run():
+        return (
+            series_trend(ev, t0="2024-02-01").toPandas()
+            .sort_values("user_id").reset_index(drop=True),
+            hod_profile(ev).toPandas()
+            .sort_values(["user_id", "dow", "hour"]).reset_index(drop=True),
+            c4_line_filter(docs, min_lines=2).toPandas()
+            .sort_values("doc_id").reset_index(drop=True),
+        )
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        r3 = run()
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        r17 = run()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    for x, y in zip(r3, r17):
+        pd.testing.assert_frame_equal(x, y)

@@ -215,3 +215,40 @@ def test_kmeans_assignment_is_map_only(spark, tmp_path):
     phys = out._jdf.queryExecution().toString().split("== Physical Plan ==")[-1]
     assert phys.count("Exchange") == 0
     assert "Python" not in phys
+
+
+def test_c4_line_filter_is_map_only_jvm(spark, tmp_path):
+    """C4 cleaning is a pure per-document function of the text: the
+    plan must be a single JVM projection over the scan — zero
+    Exchanges, no Window, and NO Python at all (every rule is a
+    built-in string/array expression)."""
+    from cesium_spark.operators.text import c4_line_filter
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "A fine sentence with enough words.\nShort one.") for i in range(20)],
+        "doc_id long, text string",
+    ).write.parquet(p)
+    out = c4_line_filter(spark.read.parquet(p))
+    phys = out._jdf.queryExecution().toString().split("== Physical Plan ==")[-1]
+    assert phys.count("Exchange") == 0
+    assert "Window" not in phys
+    assert "Python" not in phys
+
+
+def test_series_trend_is_single_partial_agg_shuffle(spark, tmp_path):
+    """series_trend: the regr_* aggregates are mergeable, so the plan
+    is partial HashAggregate -> ONE Exchange on the series key ->
+    final HashAggregate, with no Window and no Python."""
+    from cesium_spark.operators.tsstats import series_trend
+
+    p = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [(i % 5, float(i), float(i) * 0.5) for i in range(100)],
+        "user_id long, ts double, value double",
+    ).write.parquet(p)
+    out = series_trend(spark.read.parquet(p))
+    phys = out._jdf.queryExecution().toString().split("== Physical Plan ==")[-1]
+    assert phys.count("Exchange") == 1
+    assert "Window" not in phys and "Python" not in phys
+    assert phys.count("HashAggregate") >= 2  # partial + final

@@ -696,3 +696,58 @@ def test_streaming_contamination_matches_batch(spark, tmp_path):
     assert got.equals(want)
     # the replay flipped doc 1 to clean
     assert not got.set_index("doc_id").loc[1, "contaminated"]
+
+
+def test_streaming_anomaly_zscore_matches_batch_across_restart(spark, tmp_path):
+    """Live causal anomaly monitoring: flags emitted across two
+    availableNow drains (a restart between them) equal the BATCH
+    rolling_zscore_anomalies relation over everything ingested — the
+    trailing-20 state carries the window across the batch boundary, so
+    a spike early in batch 2 is scored against batch-1 history."""
+    import numpy as np
+    import pandas as pd
+
+    from cesium_spark.operators.tsstats import rolling_zscore_anomalies
+    from cesium_spark.streaming.stream import streaming_anomaly_zscore
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    rng = np.random.RandomState(17)
+    x = rng.normal(5, 1.0, 40)
+    x[25] = 20.0  # batch-2 spike whose window spans the boundary
+    x[10] = -9.0  # batch-1 spike
+    schema = "user_id long, event_id long, value double"
+    rows = [(1, i, float(v)) for i, v in enumerate(x)]
+
+    spark.createDataFrame(rows[:22], schema).coalesce(1) \
+        .write.mode("overwrite").parquet(in_dir)
+
+    def drain():
+        src = spark.readStream.schema(schema).parquet(in_dir)
+        q = (streaming_anomaly_zscore(src, window=20, min_points=5,
+                                      threshold=2.5)
+             .writeStream.format("parquet").option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+
+    drain()
+    spark.createDataFrame(rows[22:], schema).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+    drain()
+
+    got = (spark.read.parquet(out_dir).toPandas()
+           .sort_values("event_id").reset_index(drop=True))
+    batch_in = spark.createDataFrame(
+        [(u, float(i), i, v) for (u, i, v) in rows],
+        "user_id long, ts double, event_id long, value double")
+    want = (rolling_zscore_anomalies(batch_in, window=20, min_points=5,
+                                     threshold=2.5)
+            .select("user_id", "event_id", "value", "n_base", "z")
+            .toPandas().sort_values("event_id").reset_index(drop=True))
+    assert {10, 25} <= set(want.event_id)
+    pd.testing.assert_frame_equal(
+        got[["user_id", "event_id", "value", "n_base", "z"]], want,
+        check_dtype=False,
+    )
+    # the boundary-spanning window really used batch-1 history
+    assert int(want.set_index("event_id").loc[25, "n_base"]) == 20
