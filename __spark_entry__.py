@@ -1818,6 +1818,66 @@ def q_anomaly_zscore_streamed(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_funnel_steps(spark, sf_dir):
+    """view -> click -> purchase funnel per user: first step-1 event,
+    then the first later step-2 event, then the first later step-3
+    event, with strictly-after semantics on the (ts, event_id)
+    composite. One Exchange + partition-local sort + a vectorized
+    per-series Arrow pass (k first-match scans, no Python row loop);
+    output is user-sized. Runs over the deterministic sparse slice
+    event_id % 17 == 0 (~40 events/user) so conversion genuinely varies
+    — on the full stream every user trivially completes any 3-step
+    funnel. The oracle chains three QUALIFY-row_number CTEs with the
+    same composite bound over the same slice."""
+    from cesium_spark.operators.funnel import funnel_conversion
+
+    ev = _events(spark, sf_dir).filter(F.col("event_id") % 17 == 0)
+    return funnel_conversion(ev, steps=["view", "click", "purchase"])
+
+
+def q_drawdown_stats(spark, sf_dir):
+    """Per-user peak-to-trough stress triple in (ts, event_id) order:
+    max drawdown (deepest fall from a running peak), max drawup, and
+    net first-to-last change. One cumulative ROWS window + a final
+    aggregate on the same partitioning — pure max/min/subtract
+    arithmetic, no accumulation-order float risk."""
+    from cesium_spark.operators.tsstats import drawdown_stats
+
+    return drawdown_stats(_events(spark, sf_dir))
+
+
+def q_gopher_quality(spark, sf_dir):
+    """The Gopher quality rules (Rae et al. 2021 Table A1) over
+    synthesized multi-line pages: doc_id residues plant hash-symbol
+    runs, ellipsis line endings, bullet walls, numeric-token floods,
+    and a stopword-bearing sentence, so every reason branch of the
+    paper's precedence (word count > word length > symbols > bullets >
+    ellipses > non-alpha > stopwords) is exercised; plain word-salad
+    docs fail the stopword rule and the %3==0 class passes everything.
+    The oracle replays the page build and every rule over
+    regexp_split/list_filter."""
+    from cesium_spark.operators.text import gopher_quality_filter
+
+    d = F.col("doc_id")
+    page = F.concat_ws(
+        "\n",
+        F.col("text"),
+        F.when(d % 3 == 0, F.lit(
+            "The data have to be of good quality and that with care."
+        )),
+        F.when(d % 11 == 5, F.lit("### ### ### ### ### ### ###")),
+        F.when(d % 13 == 2, F.lit(
+            "This part trails off into more...\nAnd this one too..."
+        )),
+        F.when(d % 13 == 7, F.repeat(F.lit("• five short words here\n"), 30)),
+        F.when(d % 19 == 0, F.repeat(F.lit("12345 "), 40)),
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", page.alias("text"))
+    return gopher_quality_filter(
+        docs, min_words=20, max_words=10_000, max_bullet_frac=0.7,
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -1841,6 +1901,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50-slot cap and was never driver-checked).
     return {
         # --- round 6, continuation batch ---
+        "funnel_steps": q_funnel_steps,
+        "drawdown_stats": q_drawdown_stats,
+        "gopher_quality": q_gopher_quality,
         "anomaly_zscore_streamed": q_anomaly_zscore_streamed,
         "c4_clean": q_c4_clean,
         "series_trend": q_series_trend,
@@ -3874,6 +3937,164 @@ def oracle_sql() -> dict[str, str]:
     # the streaming head replays the batch operator exactly, so the
     # oracle IS the batch oracle (the event_loops_streamed pattern)
     sql["anomaly_zscore_streamed"] = sql["anomaly_zscore"]
+
+    sql["funnel_steps"] = """
+        WITH ev AS (
+          SELECT * FROM events WHERE event_id % 17 = 0
+        ),
+        s1 AS (
+          SELECT user_id, ts AS t1, event_id AS e1
+          FROM ev WHERE event_type = 'view'
+          QUALIFY row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) = 1
+        ),
+        s2 AS (
+          SELECT e.user_id, e.ts AS t2, e.event_id AS e2
+          FROM ev e JOIN s1 ON e.user_id = s1.user_id
+          WHERE e.event_type = 'click'
+            AND (e.ts > s1.t1 OR (e.ts = s1.t1 AND e.event_id > s1.e1))
+          QUALIFY row_number() OVER (PARTITION BY e.user_id
+                                     ORDER BY e.ts, e.event_id) = 1
+        ),
+        s3 AS (
+          SELECT e.user_id, e.ts AS t3
+          FROM ev e JOIN s2 ON e.user_id = s2.user_id
+          WHERE e.event_type = 'purchase'
+            AND (e.ts > s2.t2 OR (e.ts = s2.t2 AND e.event_id > s2.e2))
+          QUALIFY row_number() OVER (PARTITION BY e.user_id
+                                     ORDER BY e.ts, e.event_id) = 1
+        ),
+        u AS (SELECT DISTINCT user_id FROM ev)
+        SELECT u.user_id,
+               (CASE WHEN s3.t3 IS NOT NULL THEN 3
+                     WHEN s2.t2 IS NOT NULL THEN 2
+                     WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END)::INT
+                 AS steps_reached,
+               s1.t1 AS t_first,
+               coalesce(s3.t3, s2.t2, s1.t1) AS t_deepest,
+               CASE WHEN s3.t3 IS NOT NULL THEN
+                 round((epoch_us(s3.t3) - epoch_us(s1.t1)) / 1e6 + 1e-9, 6)
+               END AS seconds_to_convert,
+               (s3.t3 IS NOT NULL) AS converted
+        FROM u
+        LEFT JOIN s1 ON u.user_id = s1.user_id
+        LEFT JOIN s2 ON u.user_id = s2.user_id
+        LEFT JOIN s3 ON u.user_id = s3.user_id
+    """
+
+    sql["drawdown_stats"] = """
+        WITH b AS (
+          SELECT user_id, value::DOUBLE AS x,
+                 max(value::DOUBLE) OVER wc AS rmax,
+                 min(value::DOUBLE) OVER wc AS rmin,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS pos
+          FROM events
+          WINDOW wc AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT user_id, count(*)::BIGINT AS n,
+               round(max(x) + 1e-9, 6) AS peak,
+               round(min(x) + 1e-9, 6) AS trough,
+               round(max(rmax - x) + 1e-9, 6) AS max_drawdown,
+               round(max(x - rmin) + 1e-9, 6) AS max_drawup,
+               round(arg_max(x, pos) - arg_min(x, pos) + 1e-9, 6)
+                 AS net_change
+        FROM b GROUP BY user_id
+    """
+
+    sql["gopher_quality"] = """
+        WITH pages AS (
+          SELECT doc_id,
+                 concat_ws(chr(10),
+                   text,
+                   CASE WHEN doc_id % 3 = 0 THEN
+                     'The data have to be of good quality and that with care.'
+                   END,
+                   CASE WHEN doc_id % 11 = 5 THEN
+                     '### ### ### ### ### ### ###' END,
+                   CASE WHEN doc_id % 13 = 2 THEN
+                     'This part trails off into more...' || chr(10) ||
+                     'And this one too...' END,
+                   CASE WHEN doc_id % 13 = 7 THEN
+                     repeat('• five short words here' || chr(10), 30) END,
+                   CASE WHEN doc_id % 19 = 0 THEN repeat('12345 ', 40) END
+                 ) AS t
+          FROM documents
+        ),
+        m AS (
+          SELECT doc_id, t,
+                 list_filter(regexp_split_to_array(t, '\\s+'),
+                             x -> x <> '') AS words,
+                 list_filter(string_split(t, chr(10)),
+                             l -> trim(l) <> '') AS nlines
+          FROM pages
+        ),
+        f AS (
+          SELECT doc_id,
+                 len(words)::BIGINT AS n_words,
+                 list_sum(list_transform(words, x -> length(x)))::DOUBLE
+                   AS total_len,
+                 (length(t) - length(replace(t, '#', '')))::DOUBLE AS n_hash,
+                 (length(t) - length(replace(t, '…', '')))::DOUBLE AS n_uni,
+                 (length(t) - length(replace(t, '...', ''))) / 3.0 AS n_dot,
+                 len(nlines)::BIGINT AS n_lines,
+                 len(list_filter(nlines, l ->
+                     starts_with(trim(l), '•') OR starts_with(trim(l), '- ')
+                     OR starts_with(trim(l), '* ')))::DOUBLE AS n_bullet,
+                 len(list_filter(nlines, l ->
+                     ends_with(rtrim(l), '…') OR ends_with(rtrim(l), '...')
+                   ))::DOUBLE AS n_ell,
+                 len(list_filter(words, x ->
+                     regexp_matches(x, '[a-zA-Z]')))::DOUBLE AS n_alpha,
+                 (list_contains(list_transform(words, x -> lower(x)), 'the')::INT
+                  + list_contains(list_transform(words, x -> lower(x)), 'be')::INT
+                  + list_contains(list_transform(words, x -> lower(x)), 'to')::INT
+                  + list_contains(list_transform(words, x -> lower(x)), 'of')::INT
+                  + list_contains(list_transform(words, x -> lower(x)), 'and')::INT
+                  + list_contains(list_transform(words, x -> lower(x)), 'that')::INT
+                  + list_contains(list_transform(words, x -> lower(x)), 'have')::INT
+                  + list_contains(list_transform(words, x -> lower(x)), 'with')::INT
+                 )::BIGINT AS n_stop
+          FROM m
+        ),
+        g AS (
+          SELECT doc_id, n_words,
+                 CASE WHEN n_words > 0 THEN total_len / n_words END AS mwl,
+                 CASE WHEN n_words > 0
+                      THEN (n_hash + n_uni + n_dot) / n_words END AS symr,
+                 CASE WHEN n_lines > 0
+                      THEN n_bullet / n_lines ELSE 0.0 END AS bf,
+                 CASE WHEN n_lines > 0
+                      THEN n_ell / n_lines ELSE 0.0 END AS ef,
+                 CASE WHEN n_words > 0 THEN n_alpha / n_words END AS af,
+                 n_stop
+          FROM f
+        )
+        SELECT doc_id, n_words,
+               round(mwl + 1e-9, 6) AS mean_word_len,
+               round(symr + 1e-9, 6) AS symbol_ratio,
+               round(bf + 1e-9, 6) AS bullet_frac,
+               round(ef + 1e-9, 6) AS ellipsis_frac,
+               round(af + 1e-9, 6) AS alpha_frac,
+               n_stop AS n_stop_hits,
+               reason, reason = 'ok' AS keep
+        FROM (
+          SELECT *,
+                 CASE
+                   WHEN n_words < 20 THEN 'too_few_words'
+                   WHEN n_words > 10000 THEN 'too_many_words'
+                   WHEN mwl < 3.0 OR mwl > 10.0 THEN 'word_length'
+                   WHEN symr > 0.1 THEN 'symbol_ratio'
+                   WHEN bf > 0.7 THEN 'bullet_lines'
+                   WHEN ef > 0.3 THEN 'ellipsis_lines'
+                   WHEN af < 0.8 THEN 'non_alpha_words'
+                   WHEN n_stop < 2 THEN 'stopwords'
+                   ELSE 'ok'
+                 END AS reason
+          FROM g
+        )
+    """
 
     sql["series_trend"] = """
         SELECT user_id, count(*)::BIGINT AS n,

@@ -1,0 +1,132 @@
+"""Ordered-step funnel conversion over an event stream.
+
+The classic product-analytics operator the reference's per-series
+feature engine never had (its cadence/general blocks summarize one
+measure; a funnel is a typed-sequence match): given an ordered list of
+step event-types, find for each series the first occurrence of step 1,
+then the first occurrence of step 2 STRICTLY AFTER it (by the
+(ts, tiebreak) composite), and so on — the standard "first matching
+subsequence" semantics (strict ordering, unbounded horizon).
+
+Physical shape: the kernel idiom — narrow projection, ONE Exchange on
+the series key with a partition-local secondary sort, then a vectorized
+Arrow pass (per step a numpy first-match over the remaining suffix, so
+a k-step funnel is k vectorized scans per series, not a Python row
+loop). Output is series-sized, never event-sized.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..kernel import group_starts, iter_group_frames, ts_micros
+
+__all__ = ["funnel_conversion"]
+
+
+def funnel_conversion(
+    df: DataFrame,
+    steps: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    round_digits: int = 6,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-series funnel over `steps` (ordered event types).
+
+    Returns one row per series:
+      (key, steps_reached, t_first, t_deepest, seconds_to_convert,
+       converted)
+    where t_first is the matched step-1 timestamp, t_deepest the
+    timestamp of the deepest matched step, seconds_to_convert the
+    rounded t_deepest - t_first span only when ALL steps matched
+    (NULL otherwise), and converted = steps_reached == len(steps).
+    Series with no step-1 event still appear (steps_reached = 0).
+    """
+    if not steps:
+        raise ValueError("steps must be a non-empty ordered list")
+    k = len(steps)
+    narrow = df.select(
+        F.col(key_col),
+        ts_micros(F.col(ts_col)).alias("ts_us"),
+        F.col(tiebreak_col).cast("long").alias("_ord"),
+        F.col(type_col).alias("_ty"),
+    )
+    key_field = narrow.schema[key_col]
+    out_schema = (
+        f"{key_field.name} {key_field.dataType.simpleString()}, "
+        "steps_reached int, t_first timestamp, t_deepest timestamp, "
+        "seconds_to_convert double, converted boolean"
+    )
+
+    def _mapper(batches):
+        for body in iter_group_frames(batches, [key_col]):
+            starts = group_starts(body, [key_col])
+            ends = np.append(starts[1:], len(body))
+            ts_all = body["ts_us"].to_numpy(dtype=np.int64)
+            ty_all = body["_ty"].to_numpy()
+            keys = body[key_col].to_numpy()
+            out_k, out_n, out_tf, out_td = [], [], [], []
+            for s, z in zip(starts, ends):
+                ty = ty_all[s:z]
+                # rows arrive sorted by (ts_us, _ord); strictly-after is
+                # a row-position bound, so each step is one first-match
+                # over the remaining suffix
+                lo = 0
+                reached = 0
+                t_first = t_deep = None
+                for st in steps:
+                    hits = np.nonzero(ty[lo:] == st)[0]
+                    if hits.size == 0:
+                        break
+                    j = lo + int(hits[0])
+                    reached += 1
+                    t_deep = ts_all[s + j]
+                    if reached == 1:
+                        t_first = t_deep
+                    lo = j + 1
+                out_k.append(keys[s])
+                out_n.append(reached)
+                out_tf.append(t_first)
+                out_td.append(t_deep)
+            if not out_k:
+                continue
+            tf = np.array(
+                [np.datetime64("NaT", "us") if t is None
+                 else np.datetime64(int(t), "us") for t in out_tf],
+                dtype="datetime64[us]",
+            )
+            td = np.array(
+                [np.datetime64("NaT", "us") if t is None
+                 else np.datetime64(int(t), "us") for t in out_td],
+                dtype="datetime64[us]",
+            )
+            nr = np.asarray(out_n, dtype=np.int32)
+            # NaT pairs subtract to 0 here; the nr==k mask discards them
+            diff_us = td.astype("int64") - tf.astype("int64")
+            secs = np.where(
+                nr == k,
+                np.round(diff_us / 1e6 + 1e-9, round_digits),
+                np.nan,
+            )
+            yield pd.DataFrame({
+                key_col: out_k,
+                "steps_reached": nr,
+                "t_first": tf,
+                "t_deepest": td,
+                "seconds_to_convert": secs,
+                "converted": nr == k,
+            })
+
+    npart = num_partitions or narrow.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"
+    )
+    arranged = narrow.repartition(int(npart), key_col).sortWithinPartitions(
+        key_col, "ts_us", "_ord"
+    )
+    return arranged.mapInPandas(_mapper, schema=out_schema)

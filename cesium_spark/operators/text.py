@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "text_stats", "quality_score", "lang_id", "fingerprint",
     "token_topk", "tfidf_top_terms", "repetition_stats", "bm25_topk",
-    "c4_line_filter",
+    "c4_line_filter", "gopher_quality_filter",
 ]
 
 # Small per-language stopword vocabularies for the n-gram voting heuristic.
@@ -518,4 +518,114 @@ def c4_line_filter(
         reason.alias("reason"),
         (reason == "ok").alias("keep"),
         F.when(reason == "ok", F.array_join(kept, "\n")).alias("clean_text"),
+    )
+
+
+def gopher_quality_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    required_stopwords: tuple = (
+        "the", "be", "to", "of", "and", "that", "have", "with",
+    ),
+    min_stopword_hits: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """The Gopher document-quality rules (Rae et al. 2021, Table A1) —
+    the heuristic companion to `repetition_stats` (which carries the
+    same paper's repetition table). First failing rule is the reason,
+    in the paper's order:
+
+      too_few_words / too_many_words  word count outside [min, max]
+      word_length    mean word length outside [3, 10]
+      symbol_ratio   ('#' + ellipsis) per word > 0.1
+      bullet_lines   > 90% of non-empty lines start with a bullet
+      ellipsis_lines > 30% of non-empty lines end with an ellipsis
+      non_alpha_words< 80% of words contain an alphabetic character
+      stopwords      fewer than `min_stopword_hits` of the required
+                     stopword list appear in the document
+
+    Everything is built-in string/array expressions in one projection —
+    zero Exchanges, zero Python (same map-only class as c4_line_filter
+    / redact_pii); at 100 TB it fuses into whatever scan feeds it.
+    Ellipsis counting treats each '…' and each non-overlapping
+    '...' as one unit (replace()-delta arithmetic, identical in DuckDB).
+    """
+    txt = F.col(text_col)
+    words = F.filter(F.split(txt, r"\s+"), lambda x: x != F.lit(""))
+    n_words = F.size(words).cast("long")
+    total_len = F.aggregate(
+        F.transform(words, F.length),
+        F.lit(0).cast("long"), lambda a, x: a + x.cast("long"),
+    )
+    mean_wl = F.when(n_words > 0, total_len / n_words)
+    n_hash = F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit("")))
+    n_uni_ell = (
+        F.length(txt) - F.length(F.replace(txt, F.lit("…"), F.lit("")))
+    )
+    n_dot_ell = (
+        F.length(txt) - F.length(F.replace(txt, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    sym_ratio = F.when(
+        n_words > 0, (n_hash + n_uni_ell + n_dot_ell) / n_words
+    )
+    lines = F.filter(
+        F.split(txt, "\n"), lambda l: F.trim(l) != F.lit("")
+    )
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(F.filter(lines, lambda l: (
+        F.startswith(F.trim(l), F.lit("•"))
+        | F.startswith(F.trim(l), F.lit("- "))
+        | F.startswith(F.trim(l), F.lit("* "))
+    )))
+    n_ell_end = F.size(F.filter(lines, lambda l: (
+        F.endswith(F.rtrim(l), F.lit("…"))
+        | F.endswith(F.rtrim(l), F.lit("..."))
+    )))
+    bullet_frac = F.when(n_lines > 0, n_bullet / n_lines).otherwise(F.lit(0.0))
+    ell_frac = F.when(n_lines > 0, n_ell_end / n_lines).otherwise(F.lit(0.0))
+    n_alpha = F.size(F.filter(words, lambda x: x.rlike("[a-zA-Z]")))
+    alpha_frac = F.when(n_words > 0, n_alpha / n_words)
+    words_l = F.transform(words, F.lower)
+    n_stop = None
+    for w in required_stopwords:
+        hit = F.array_contains(words_l, w).cast("int")
+        n_stop = hit if n_stop is None else (n_stop + hit)
+    n_stop = (n_stop if n_stop is not None else F.lit(0)).cast("long")
+
+    reason = (
+        F.when(n_words < min_words, F.lit("too_few_words"))
+        .when(n_words > max_words, F.lit("too_many_words"))
+        .when((mean_wl < min_mean_word_len) | (mean_wl > max_mean_word_len),
+              F.lit("word_length"))
+        .when(sym_ratio > max_symbol_ratio, F.lit("symbol_ratio"))
+        .when(bullet_frac > max_bullet_frac, F.lit("bullet_lines"))
+        .when(ell_frac > max_ellipsis_frac, F.lit("ellipsis_lines"))
+        .when(alpha_frac < min_alpha_frac, F.lit("non_alpha_words"))
+        .when(n_stop < min_stopword_hits, F.lit("stopwords"))
+        .otherwise(F.lit("ok"))
+    )
+
+    def _r(c):
+        return F.round(c + F.lit(1e-9), round_digits)
+
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        _r(mean_wl).alias("mean_word_len"),
+        _r(sym_ratio).alias("symbol_ratio"),
+        _r(bullet_frac).alias("bullet_frac"),
+        _r(ell_frac).alias("ellipsis_frac"),
+        _r(alpha_frac).alias("alpha_frac"),
+        n_stop.alias("n_stop_hits"),
+        reason.alias("reason"),
+        (reason == "ok").alias("keep"),
     )

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "acf_lags", "cusum_changepoint", "rolling_zscore_anomalies",
-    "series_trend", "hod_profile",
+    "series_trend", "hod_profile", "drawdown_stats",
 ]
 
 
@@ -312,4 +312,50 @@ def hod_profile(
             _r6(F.avg("_x")).alias("mean"),
             _r6(F.stddev_samp("_x")).alias("std"),
         )
+    )
+
+
+def drawdown_stats(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-series peak-to-trough stress statistics in (ts, tiebreak)
+    order: max_drawdown = max_t(running_max - x_t), its mirror
+    max_drawup = max_t(x_t - running_min), and net_change = last - first
+    — the monitoring triple for "how far did this series fall from its
+    best point". Running extrema come from ONE cumulative ROWS window;
+    the reduction is a groupBy sharing the same partitioning, so the
+    plan is one Exchange + one Window + final aggregate. Pure max/min/
+    subtract arithmetic — no accumulation-order float risk, so the
+    oracle replays it exactly.
+
+    Returns (key, n, peak, trough, max_drawdown, max_drawup,
+    net_change)."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, tiebreak_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    x = F.col(value_col).cast("double")
+    run_max = F.max(x).over(w)
+    run_min = F.min(x).over(w)
+    rn = F.row_number().over(
+        Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    )
+    base = df.select(
+        F.col(key_col), x.alias("_x"),
+        (run_max - x).alias("_dd"), (x - run_min).alias("_du"),
+        rn.alias("_pos"),
+    )
+    return base.groupBy(key_col).agg(
+        F.count("*").cast("long").alias("n"),
+        _r6(F.max("_x")).alias("peak"),
+        _r6(F.min("_x")).alias("trough"),
+        _r6(F.max("_dd")).alias("max_drawdown"),
+        _r6(F.max("_du")).alias("max_drawup"),
+        _r6(F.max_by("_x", "_pos") - F.min_by("_x", "_pos")).alias("net_change"),
     )

@@ -1901,3 +1901,92 @@ def test_partition_invariance_of_final_round6_operators(spark):
         spark.conf.set("spark.sql.shuffle.partitions", old)
     for x, y in zip(r3, r17):
         pd.testing.assert_frame_equal(x, y)
+
+
+def test_funnel_conversion_strict_ordering(spark):
+    """First-matching-subsequence semantics: steps must occur strictly
+    after the previous match by (ts, tiebreak); same-event reuse is
+    forbidden; out-of-order occurrences don't count; ties on ts break
+    by the tiebreak id."""
+    from cesium_spark.operators.funnel import funnel_conversion
+
+    rows = [
+        # user 1 converts: view(1) click(3) purchase(5); the earlier
+        # purchase(0) must NOT count (it precedes the view)
+        (1, 0.0, 0, "purchase"), (1, 1.0, 1, "view"), (1, 2.0, 2, "view"),
+        (1, 3.0, 3, "click"), (1, 5.0, 5, "purchase"),
+        # user 2 stalls at click (purchase only before the click)
+        (2, 1.0, 1, "view"), (2, 2.0, 2, "purchase"), (2, 3.0, 3, "click"),
+        # user 3 never views
+        (3, 1.0, 1, "click"), (3, 2.0, 2, "purchase"),
+        # user 4: ts tie — click shares ts with view but has larger id,
+        # so it IS strictly after
+        (4, 1.0, 1, "view"), (4, 1.0, 2, "click"), (4, 9.0, 3, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        [(u, float(t), i, ty) for u, t, i, ty in rows],
+        "user_id int, ts double, event_id int, event_type string")
+    out = funnel_conversion(
+        df, ["view", "click", "purchase"]
+    ).toPandas().set_index("user_id")
+    assert out.loc[1, "steps_reached"] == 3 and bool(out.loc[1, "converted"])
+    assert out.loc[1, "seconds_to_convert"] == 4.0  # view@1s -> purchase@5s
+    assert out.loc[2, "steps_reached"] == 2 and not bool(out.loc[2, "converted"])
+    assert np.isnan(out.loc[2, "seconds_to_convert"])
+    assert out.loc[3, "steps_reached"] == 0
+    assert pd.isna(out.loc[3, "t_first"])
+    assert out.loc[4, "steps_reached"] == 3
+    assert len(out) == 4
+
+
+def test_drawdown_stats_hand_series(spark):
+    """Running-peak arithmetic on a hand series: 10 12 7 11 5 13 ->
+    max_drawdown = 12-5 = 7, max_drawup = 13-5 = 8, net +3."""
+    from cesium_spark.operators.tsstats import drawdown_stats
+
+    vals = [10.0, 12.0, 7.0, 11.0, 5.0, 13.0]
+    df = spark.createDataFrame(
+        [(1, float(i), i, v) for i, v in enumerate(vals)],
+        "user_id int, ts double, event_id int, value double")
+    out = drawdown_stats(df).toPandas().set_index("user_id")
+    assert out.loc[1, "peak"] == 13.0 and out.loc[1, "trough"] == 5.0
+    assert out.loc[1, "max_drawdown"] == 7.0
+    assert out.loc[1, "max_drawup"] == 8.0
+    assert out.loc[1, "net_change"] == 3.0
+    assert out.loc[1, "n"] == 6
+
+
+def test_gopher_quality_filter_rules(spark):
+    """Each Gopher rule fires on a crafted doc, in the paper's
+    precedence order."""
+    from cesium_spark.operators.text import gopher_quality_filter
+
+    base = ("the data and that have to be of good quality with care "
+            "plus several more ordinary words to clear the minimum bar "
+            "for this little page indeed truly")  # 30 words, stopwordy
+    docs = [
+        (0, base),                                     # ok
+        (1, "tiny doc"),                               # too_few_words
+        (2, base + " " + "x " * 40),                   # mean word len < 3
+        (3, base + " " + "# " * 10),                   # symbol ratio
+        (4, "\n".join(["• " + base] * 10)),            # bullet wall
+        (5, base + "\nmore trailing thoughts here..." * 1
+             + "\nanother trailing line..."),          # ellipsis lines
+        (6, base + " " + "12345 " * 30),               # non-alpha flood
+        (7, ("word " * 30).strip()),                   # no stopwords
+    ]
+    out = gopher_quality_filter(
+        spark.createDataFrame(docs, "doc_id long, text string"),
+        min_words=20, max_words=10_000, max_bullet_frac=0.7,
+        max_ellipsis_frac=0.3,
+    ).toPandas().set_index("doc_id")
+    assert out.loc[0, "reason"] == "ok" and bool(out.loc[0, "keep"])
+    assert out.loc[1, "reason"] == "too_few_words"
+    assert out.loc[2, "reason"] == "word_length"
+    assert out.loc[3, "reason"] == "symbol_ratio"
+    assert out.loc[4, "reason"] == "bullet_lines"
+    assert out.loc[5, "reason"] == "ellipsis_lines"
+    assert out.loc[6, "reason"] == "non_alpha_words"
+    assert out.loc[7, "reason"] == "stopwords"
+    assert out.loc[0, "n_stop_hits"] >= 2
+    assert not out.loc[1:, "keep"].any()

@@ -252,3 +252,54 @@ def test_series_trend_is_single_partial_agg_shuffle(spark, tmp_path):
     assert phys.count("Exchange") == 1
     assert "Window" not in phys and "Python" not in phys
     assert phys.count("HashAggregate") >= 2  # partial + final
+
+
+def test_gopher_quality_is_map_only_jvm(spark, tmp_path):
+    """Gopher quality rules are per-document string/array expressions:
+    zero Exchanges, no Window, no Python."""
+    from cesium_spark.operators.text import gopher_quality_filter
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "the data and that have to be of good words here") for i in range(20)],
+        "doc_id long, text string",
+    ).write.parquet(p)
+    out = gopher_quality_filter(spark.read.parquet(p))
+    phys = out._jdf.queryExecution().toString().split("== Physical Plan ==")[-1]
+    assert phys.count("Exchange") == 0
+    assert "Window" not in phys and "Python" not in phys
+
+
+def test_funnel_single_exchange_arrow_pass(spark, tmp_path):
+    """funnel_conversion: narrow projection -> ONE Exchange on the
+    series key -> partition-local sort -> one Arrow map pass; no
+    Window, no extra shuffle."""
+    from cesium_spark.operators.funnel import funnel_conversion
+
+    p = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [(i % 5, float(i), i, ["view", "click", "purchase"][i % 3])
+         for i in range(60)],
+        "user_id long, ts double, event_id long, event_type string",
+    ).write.parquet(p)
+    out = funnel_conversion(spark.read.parquet(p), ["view", "click"])
+    phys = out._jdf.queryExecution().toString().split("== Physical Plan ==")[-1]
+    assert phys.count("Exchange") == 1
+    assert "Window" not in phys
+    assert "ArrowEvalPython" in phys or "MapInPandas" in phys
+
+
+def test_drawdown_single_exchange_shared_partitioning(spark, tmp_path):
+    """drawdown_stats: the cumulative window and the final aggregate
+    share one partitioning — exactly one Exchange, no Python."""
+    from cesium_spark.operators.tsstats import drawdown_stats
+
+    p = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [(i % 5, float(i), i, float((i * 7) % 13)) for i in range(100)],
+        "user_id long, ts double, event_id long, value double",
+    ).write.parquet(p)
+    out = drawdown_stats(spark.read.parquet(p))
+    phys = out._jdf.queryExecution().toString().split("== Physical Plan ==")[-1]
+    assert phys.count("Exchange") == 1
+    assert "Python" not in phys
