@@ -1878,6 +1878,38 @@ def q_gopher_quality(spark, sf_dir):
     )
 
 
+def q_burst_stats(spark, sf_dir):
+    """Per-user burst detection: trailing 5-minute RANGE-window event
+    counts (half-open (t-W, t] over integer microseconds, so frame
+    membership is exact in both engines), reduced per user to the peak
+    burst, its earliest timestamp, and the mean burst. One sort-shuffle;
+    the reduction shares the partitioning."""
+    from cesium_spark.operators.tsstats import burst_stats
+
+    return burst_stats(_events(spark, sf_dir), window_seconds=300)
+
+
+def q_coverage_report(spark, sf_dir):
+    """Ingestion completeness: per (user, calendar day) event count,
+    distinct active hours, and hour-coverage fraction — the feed-went-
+    quiet monitoring relation. One partial-aggregable groupBy."""
+    from cesium_spark.operators.tsstats import coverage_report
+
+    return coverage_report(_events(spark, sf_dir))
+
+
+def q_winsorize(spark, sf_dir):
+    """Per-user winsorization to the [0.05, 0.95] in-series quantiles
+    (bounds rounded before the clip so the two engines' quantile
+    interpolation ulps can't flip a boundary comparison). Event-sized
+    output; the bound relation is user-sized and broadcast."""
+    from cesium_spark.operators.tsstats import winsorize_series
+
+    return winsorize_series(
+        _events(spark, sf_dir), lower=0.05, upper=0.95
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -1901,6 +1933,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50-slot cap and was never driver-checked).
     return {
         # --- round 6, continuation batch ---
+        "burst_stats": q_burst_stats,
+        "coverage_report": q_coverage_report,
+        "winsorize": q_winsorize,
         "funnel_steps": q_funnel_steps,
         "drawdown_stats": q_drawdown_stats,
         "gopher_quality": q_gopher_quality,
@@ -3937,6 +3972,52 @@ def oracle_sql() -> dict[str, str]:
     # the streaming head replays the batch operator exactly, so the
     # oracle IS the batch oracle (the event_loops_streamed pattern)
     sql["anomaly_zscore_streamed"] = sql["anomaly_zscore"]
+
+    sql["burst_stats"] = """
+        WITH b AS (
+          SELECT user_id, epoch_us(ts) AS us,
+                 count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                                RANGE BETWEEN 299999999 PRECEDING
+                                          AND CURRENT ROW) AS burst
+          FROM events
+        ),
+        peak AS (
+          SELECT user_id, us FROM b
+          QUALIFY row_number() OVER (PARTITION BY user_id
+                                     ORDER BY burst DESC, us) = 1
+        ),
+        agg AS (
+          SELECT user_id, count(*)::BIGINT AS n, max(burst)::BIGINT AS max_burst,
+                 round(avg(burst) + 1e-9, 6) AS mean_burst
+          FROM b GROUP BY user_id
+        )
+        SELECT a.user_id, a.n, a.max_burst,
+               make_timestamp(p.us) AS t_peak, a.mean_burst
+        FROM agg a JOIN peak p ON a.user_id = p.user_id
+    """
+
+    sql["coverage_report"] = """
+        SELECT user_id, date_trunc('day', ts) AS day,
+               count(*)::BIGINT AS n_events,
+               count(DISTINCT hour(ts))::BIGINT AS hours_active,
+               round(count(DISTINCT hour(ts)) / 24.0 + 1e-9, 6) AS coverage
+        FROM events GROUP BY 1, 2
+    """
+
+    sql["winsorize"] = """
+        WITH bnd AS (
+          SELECT user_id,
+                 round(quantile_cont(value::DOUBLE, 0.05) + 1e-9, 6) AS lo,
+                 round(quantile_cont(value::DOUBLE, 0.95) + 1e-9, 6) AS hi
+          FROM events GROUP BY user_id
+        )
+        SELECT e.user_id, e.event_id,
+               round(e.value::DOUBLE + 1e-9, 6) AS value,
+               round(least(greatest(e.value::DOUBLE, b.lo), b.hi) + 1e-9, 6)
+                 AS value_w,
+               (e.value::DOUBLE < b.lo OR e.value::DOUBLE > b.hi) AS clipped
+        FROM events e JOIN bnd b ON e.user_id = b.user_id
+    """
 
     sql["funnel_steps"] = """
         WITH ev AS (

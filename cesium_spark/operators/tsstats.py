@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "acf_lags", "cusum_changepoint", "rolling_zscore_anomalies",
     "series_trend", "hod_profile", "drawdown_stats",
+    "burst_stats", "coverage_report", "winsorize_series",
 ]
 
 
@@ -358,4 +359,120 @@ def drawdown_stats(
         _r6(F.max("_dd")).alias("max_drawdown"),
         _r6(F.max("_du")).alias("max_drawup"),
         _r6(F.max_by("_x", "_pos") - F.min_by("_x", "_pos")).alias("net_change"),
+    )
+
+
+def burst_stats(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_seconds: int = 300,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-series burst detection over a trailing RANGE window: for
+    each event, the number of events in the half-open interval
+    (t - W, t] of its own series; reported per series as the peak
+    burst, the earliest timestamp achieving it, and the mean burst.
+
+    The frame is a RANGE (not ROWS) window over integer microseconds —
+    (W*1e6 - 1) PRECEDING .. CURRENT ROW — so simultaneous events are
+    frame peers and the half-open boundary is exact integer
+    arithmetic, identical in the SQL replay. One sort-shuffle per
+    series; the per-series reduction shares the partitioning (no
+    second Exchange). Peak ties break to the earliest timestamp.
+
+    Returns (key, n, max_burst, t_peak, mean_burst)."""
+    from ..kernel import ts_micros
+
+    us = ts_micros(F.col(ts_col)) if dict(df.dtypes)[ts_col] not in (
+        "double", "float", "bigint", "int"
+    ) else (F.col(ts_col).cast("double") * F.lit(1e6)).cast("long")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("_us")
+        .rangeBetween(-(window_seconds * 1_000_000 - 1), 0)
+    )
+    base = df.select(F.col(key_col), us.alias("_us")).withColumn(
+        "_burst", F.count("*").over(w)
+    )
+    pick = F.struct((-F.col("_burst")).alias("_neg"), F.col("_us").alias("_us"))
+    per = base.groupBy(key_col).agg(
+        F.count("*").cast("long").alias("n"),
+        F.max("_burst").cast("long").alias("max_burst"),
+        F.min(pick).alias("_best"),
+        _r6(F.avg("_burst")).alias("mean_burst"),
+    )
+    return per.select(
+        key_col, "n", "max_burst",
+        F.timestamp_micros(F.col("_best._us")).alias("t_peak"),
+        "mean_burst",
+    )
+
+
+def coverage_report(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Data-completeness report: per (series, calendar day) the event
+    count, the number of distinct active hours, and the hour-coverage
+    fraction — the relation an ingestion monitor alerts on when a feed
+    goes quiet. One partial-aggregable groupBy (count distinct is the
+    only non-trivial agg and it is hour-of-day bounded at 24).
+
+    Returns (key, day, n_events, hours_active, coverage)."""
+    return (
+        df.select(
+            F.col(key_col),
+            F.date_trunc("DAY", F.col(ts_col)).alias("day"),
+            F.hour(ts_col).cast("int").alias("_h"),
+        )
+        .groupBy(key_col, "day")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("_h").cast("long").alias("hours_active"),
+            _r6(F.countDistinct("_h") / F.lit(24.0)).alias("coverage"),
+        )
+    )
+
+
+def winsorize_series(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    lower: float = 0.01,
+    upper: float = 0.99,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-series winsorization: clip each value to its own series'
+    [lower, upper] quantiles (Spark `percentile` == DuckDB
+    quantile_cont — the parity the PSI monitor already pins). The
+    per-series bound relation is series-sized and broadcast back onto
+    the stream, so the corpus pass is map-only behind one small join;
+    output is event-sized like the interpolation operators.
+
+    Returns (key, tiebreak, value, value_w, clipped)."""
+    x = F.col(value_col).cast("double")
+    # bounds are ROUNDED before the clip: the two engines' quantile
+    # interpolations can differ in ulps, and an unrounded bound would
+    # make the clip/clipped-flag comparisons nondeterministic for
+    # values sitting exactly on a quantile
+    bounds = df.groupBy(key_col).agg(
+        _r6(F.expr(f"percentile({value_col}, {lower})")).alias("_lo"),
+        _r6(F.expr(f"percentile({value_col}, {upper})")).alias("_hi"),
+    )
+    joined = df.select(F.col(key_col), F.col(tiebreak_col), x.alias("_x")).join(
+        F.broadcast(bounds), key_col
+    )
+    clipped = F.least(F.greatest(F.col("_x"), F.col("_lo")), F.col("_hi"))
+    return joined.select(
+        key_col,
+        F.col(tiebreak_col),
+        _r6(F.col("_x")).alias("value"),
+        _r6(clipped).alias("value_w"),
+        ((F.col("_x") < F.col("_lo")) | (F.col("_x") > F.col("_hi"))).alias("clipped"),
     )

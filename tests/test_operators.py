@@ -1990,3 +1990,78 @@ def test_gopher_quality_filter_rules(spark):
     assert out.loc[7, "reason"] == "stopwords"
     assert out.loc[0, "n_stop_hits"] >= 2
     assert not out.loc[1:, "keep"].any()
+
+
+def test_burst_stats_range_window(spark):
+    """Trailing (t-W, t] burst counts: three events inside one 10 s
+    window peak at 3; an event exactly W seconds before is OUTSIDE the
+    half-open frame; peak ties break to the earliest timestamp."""
+    import datetime as dt
+
+    from cesium_spark.operators.tsstats import burst_stats
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        (1, at(0)), (1, at(4)), (1, at(9)),      # burst 3 at t=9
+        (1, at(19)),                             # t=9 is 10 s earlier -> excluded
+        (2, at(0)), (2, at(5)), (2, at(100)), (2, at(105)),  # two bursts of 2
+    ]
+    df = spark.createDataFrame(
+        [(u, t, 1.0) for u, t in rows],
+        "user_id int, ts timestamp, value double")
+    out = burst_stats(df, window_seconds=10).toPandas().set_index("user_id")
+    assert out.loc[1, "max_burst"] == 3
+    assert out.loc[1, "t_peak"] == at(9)
+    assert out.loc[2, "max_burst"] == 2
+    # tie between the burst ending at t=5 and at t=105 -> earliest wins
+    assert out.loc[2, "t_peak"] == at(5)
+    assert out.loc[1, "n"] == 4
+    # bursts for user 1: [1,2,3,1] -> mean 1.75
+    assert out.loc[1, "mean_burst"] == 1.75
+
+
+def test_coverage_report_days_and_hours(spark):
+    """Distinct active hours per calendar day, coverage = hours/24."""
+    import datetime as dt
+
+    from cesium_spark.operators.tsstats import coverage_report
+
+    d1, d2 = dt.datetime(2024, 3, 1), dt.datetime(2024, 3, 2)
+    rows = [
+        (1, d1 + dt.timedelta(hours=3, minutes=5)),
+        (1, d1 + dt.timedelta(hours=3, minutes=50)),   # same hour
+        (1, d1 + dt.timedelta(hours=7)),
+        (1, d2 + dt.timedelta(hours=0)),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    out = coverage_report(df).toPandas().set_index(["user_id", "day"])
+    assert out.loc[(1, d1), "n_events"] == 3
+    assert out.loc[(1, d1), "hours_active"] == 2
+    assert out.loc[(1, d1), "coverage"] == round(2 / 24.0 + 1e-9, 6)
+    assert out.loc[(1, d2), "hours_active"] == 1
+
+
+def test_winsorize_series_clips_to_quantiles(spark):
+    """Values outside the per-series rounded [lower, upper] quantiles
+    are clipped and flagged; interior values pass through."""
+    from cesium_spark.operators.tsstats import winsorize_series
+
+    vals = list(range(1, 100)) + [1000.0]  # one huge outlier
+    df = spark.createDataFrame(
+        [(1, float(i), i, float(v)) for i, v in enumerate(vals)],
+        "user_id int, ts double, event_id int, value double")
+    out = winsorize_series(df, lower=0.01, upper=0.95).toPandas() \
+        .set_index("event_id")
+    lo = round(np.percentile(vals, 1, method="linear") + 1e-9, 6)
+    hi = round(np.percentile(vals, 95, method="linear") + 1e-9, 6)
+    assert out.loc[99, "value"] == 1000.0
+    assert out.loc[99, "value_w"] == hi and bool(out.loc[99, "clipped"])
+    assert out.loc[0, "value_w"] == lo and bool(out.loc[0, "clipped"])
+    mid = out.loc[50]
+    assert mid["value_w"] == mid["value"] and not bool(mid["clipped"])
+    assert out["clipped"].sum() == int((np.array(vals) < lo).sum()
+                                       + (np.array(vals) > hi).sum())
