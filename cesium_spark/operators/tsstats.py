@@ -30,8 +30,8 @@ __all__ = [
 ]
 
 
-def _r6(col):
-    return F.round(col + F.lit(1e-9), 6)
+def _r6(col, digits: int = 6):
+    return F.round(col + F.lit(1e-9), digits)
 
 
 def acf_lags(
@@ -277,9 +277,9 @@ def series_trend(
         .groupBy(key_col)
         .agg(
             F.count("*").cast("long").alias("n"),
-            _r6(F.expr("regr_slope(_x, _t)")).alias("slope_per_day"),
-            _r6(F.expr("regr_intercept(_x, _t)")).alias("intercept"),
-            _r6(F.expr("regr_r2(_x, _t)")).alias("r2"),
+            _r6(F.expr("regr_slope(_x, _t)"), round_digits).alias("slope_per_day"),
+            _r6(F.expr("regr_intercept(_x, _t)"), round_digits).alias("intercept"),
+            _r6(F.expr("regr_r2(_x, _t)"), round_digits).alias("r2"),
         )
     )
 
@@ -310,8 +310,8 @@ def hod_profile(
         .groupBy(key_col, "dow", "hour")
         .agg(
             F.count("*").cast("long").alias("n"),
-            _r6(F.avg("_x")).alias("mean"),
-            _r6(F.stddev_samp("_x")).alias("std"),
+            _r6(F.avg("_x"), round_digits).alias("mean"),
+            _r6(F.stddev_samp("_x"), round_digits).alias("std"),
         )
     )
 
@@ -354,11 +354,12 @@ def drawdown_stats(
     )
     return base.groupBy(key_col).agg(
         F.count("*").cast("long").alias("n"),
-        _r6(F.max("_x")).alias("peak"),
-        _r6(F.min("_x")).alias("trough"),
-        _r6(F.max("_dd")).alias("max_drawdown"),
-        _r6(F.max("_du")).alias("max_drawup"),
-        _r6(F.max_by("_x", "_pos") - F.min_by("_x", "_pos")).alias("net_change"),
+        _r6(F.max("_x"), round_digits).alias("peak"),
+        _r6(F.min("_x"), round_digits).alias("trough"),
+        _r6(F.max("_dd"), round_digits).alias("max_drawdown"),
+        _r6(F.max("_du"), round_digits).alias("max_drawup"),
+        _r6(F.max_by("_x", "_pos") - F.min_by("_x", "_pos"),
+            round_digits).alias("net_change"),
     )
 
 
@@ -401,7 +402,7 @@ def burst_stats(
         F.count("*").cast("long").alias("n"),
         F.max("_burst").cast("long").alias("max_burst"),
         F.min(pick).alias("_best"),
-        _r6(F.avg("_burst")).alias("mean_burst"),
+        _r6(F.avg("_burst"), round_digits).alias("mean_burst"),
     )
     return per.select(
         key_col, "n", "max_burst",
@@ -433,7 +434,7 @@ def coverage_report(
         .agg(
             F.count("*").cast("long").alias("n_events"),
             F.countDistinct("_h").cast("long").alias("hours_active"),
-            _r6(F.countDistinct("_h") / F.lit(24.0)).alias("coverage"),
+            _r6(F.countDistinct("_h") / F.lit(24.0), round_digits).alias("coverage"),
         )
     )
 
@@ -441,7 +442,6 @@ def coverage_report(
 def winsorize_series(
     df: DataFrame,
     key_col: str = "user_id",
-    ts_col: str = "ts",
     value_col: str = "value",
     tiebreak_col: str = "event_id",
     lower: float = 0.01,
@@ -462,8 +462,10 @@ def winsorize_series(
     # make the clip/clipped-flag comparisons nondeterministic for
     # values sitting exactly on a quantile
     bounds = df.groupBy(key_col).agg(
-        _r6(F.expr(f"percentile({value_col}, {lower})")).alias("_lo"),
-        _r6(F.expr(f"percentile({value_col}, {upper})")).alias("_hi"),
+        _r6(F.expr(f"percentile({value_col}, {lower})"),
+            round_digits).alias("_lo"),
+        _r6(F.expr(f"percentile({value_col}, {upper})"),
+            round_digits).alias("_hi"),
     )
     joined = df.select(F.col(key_col), F.col(tiebreak_col), x.alias("_x")).join(
         F.broadcast(bounds), key_col
@@ -472,7 +474,7 @@ def winsorize_series(
     return joined.select(
         key_col,
         F.col(tiebreak_col),
-        _r6(F.col("_x")).alias("value"),
-        _r6(clipped).alias("value_w"),
+        _r6(F.col("_x"), round_digits).alias("value"),
+        _r6(clipped, round_digits).alias("value_w"),
         ((F.col("_x") < F.col("_lo")) | (F.col("_x") > F.col("_hi"))).alias("clipped"),
     )

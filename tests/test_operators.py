@@ -2065,3 +2065,61 @@ def test_winsorize_series_clips_to_quantiles(spark):
     assert mid["value_w"] == mid["value"] and not bool(mid["clipped"])
     assert out["clipped"].sum() == int((np.array(vals) < lo).sum()
                                        + (np.array(vals) > hi).sum())
+
+
+def test_partition_invariance_of_monitoring_operators(spark):
+    """funnel, drawdown, burst, coverage, winsorize, and the Gopher
+    filter are deterministic under repartitioning (3 vs 17 shuffle
+    partitions)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from cesium_spark.operators.funnel import funnel_conversion
+    from cesium_spark.operators.text import gopher_quality_filter
+    from cesium_spark.operators.tsstats import (
+        burst_stats, coverage_report, drawdown_stats, winsorize_series,
+    )
+
+    rng = np.random.RandomState(23)
+    t0 = dt.datetime(2024, 4, 1)
+    types = ["view", "click", "purchase", "error"]
+    ev = spark.createDataFrame(
+        [(i % 9, t0 + dt.timedelta(seconds=float(s)), i,
+          float(v), types[i % 4])
+         for i, (s, v) in enumerate(zip(rng.uniform(0, 86400 * 3, 500),
+                                        rng.normal(100, 20, 500)))],
+        "user_id long, ts timestamp, event_id long, value double, "
+        "event_type string")
+    docs = spark.createDataFrame(
+        [(i, ("the data and that have to be of good words here " * (i % 3 + 1)
+              + ("### " * 8 if i % 5 == 0 else "")))
+         for i in range(40)],
+        "doc_id long, text string")
+
+    def run():
+        return (
+            funnel_conversion(ev, ["view", "click", "purchase"]).toPandas()
+            .sort_values("user_id").reset_index(drop=True),
+            drawdown_stats(ev).toPandas()
+            .sort_values("user_id").reset_index(drop=True),
+            burst_stats(ev, window_seconds=3600).toPandas()
+            .sort_values("user_id").reset_index(drop=True),
+            coverage_report(ev).toPandas()
+            .sort_values(["user_id", "day"]).reset_index(drop=True),
+            winsorize_series(ev, lower=0.1, upper=0.9).toPandas()
+            .sort_values("event_id").reset_index(drop=True),
+            gopher_quality_filter(docs, min_words=10).toPandas()
+            .sort_values("doc_id").reset_index(drop=True),
+        )
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        r3 = run()
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        r17 = run()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    for x, y in zip(r3, r17):
+        pd.testing.assert_frame_equal(x, y)
