@@ -1910,6 +1910,49 @@ def q_winsorize(spark, sf_dir):
     )
 
 
+def q_text_normalize(spark, sf_dir):
+    """Unicode normalization stage over pages planted with decomposed
+    accents (e + COMBINING ACUTE), precomposed umlauts, uppercase runs,
+    and tab/multi-space noise: NFC (one Arrow pass — no JVM builtin)
+    then JVM lowercase + whitespace collapse. The oracle is DuckDB's
+    own nfc_normalize/lower/regexp_replace chain, so a hash match
+    proves the two engines' Unicode tables agree on the planted
+    repertoire."""
+    from cesium_spark.operators.text import normalize_text
+
+    d = F.col("doc_id")
+    page = F.concat_ws(
+        " ",
+        F.col("text"),
+        F.when(d % 4 == 1, F.lit("  Cafe\u0301   LATTE  ")),
+        F.when(d % 4 == 2, F.lit("Ångström Straße")),
+        F.when(d % 4 == 3, F.lit("tabs\there\tand  runs")),
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", page.alias("text"))
+    return normalize_text(docs)
+
+
+def q_script_profile(spark, sf_dir):
+    """Character-class composition over pages planted with Cyrillic,
+    CJK, and digit runs by doc_id residue: fractions per class from
+    replace()-delta counts over literal character ranges (no \\s/\\w,
+    whose definitions differ between Java regex and RE2) plus the
+    dominant script under a fixed precedence. Zero Exchanges."""
+    from cesium_spark.operators.text import script_profile
+
+    d = F.col("doc_id")
+    page = F.concat_ws(
+        " ",
+        F.col("text"),
+        F.when(d % 5 == 1, F.lit("Привет мир это тест")),
+        F.when(d % 5 == 2, F.lit("中文文本的一段")),
+        F.when(d % 5 == 3, F.lit("12345 67890 00111")),
+        F.when(d % 5 == 4, F.lit("Ёлка 林 mix")),
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", page.alias("text"))
+    return script_profile(docs)
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -1933,6 +1976,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50-slot cap and was never driver-checked).
     return {
         # --- round 6, continuation batch ---
+        "text_normalize": q_text_normalize,
+        "script_profile": q_script_profile,
         "burst_stats": q_burst_stats,
         "coverage_report": q_coverage_report,
         "winsorize": q_winsorize,
@@ -3972,6 +4017,70 @@ def oracle_sql() -> dict[str, str]:
     # the streaming head replays the batch operator exactly, so the
     # oracle IS the batch oracle (the event_loops_streamed pattern)
     sql["anomaly_zscore_streamed"] = sql["anomaly_zscore"]
+
+    sql["text_normalize"] = """
+        WITH pages AS (
+          SELECT doc_id,
+                 concat_ws(' ', text,
+                   CASE WHEN doc_id % 4 = 1
+                        THEN '  Cafe' || chr(769) || '   LATTE  ' END,
+                   CASE WHEN doc_id % 4 = 2 THEN 'Ångström Straße' END,
+                   CASE WHEN doc_id % 4 = 3
+                        THEN 'tabs' || chr(9) || 'here' || chr(9)
+                             || 'and  runs' END
+                 ) AS t
+          FROM documents
+        )
+        SELECT doc_id,
+               trim(regexp_replace(lower(nfc_normalize(t)),
+                                   '\\s+', ' ', 'g')) AS text_norm,
+               t <> trim(regexp_replace(lower(nfc_normalize(t)),
+                                        '\\s+', ' ', 'g')) AS changed,
+               length(t)::BIGINT AS n_chars_before,
+               length(trim(regexp_replace(lower(nfc_normalize(t)),
+                                          '\\s+', ' ', 'g')))::BIGINT
+                 AS n_chars_after
+        FROM pages
+    """
+
+    sql["script_profile"] = """
+        WITH pages AS (
+          SELECT doc_id,
+                 concat_ws(' ', text,
+                   CASE WHEN doc_id % 5 = 1 THEN 'Привет мир это тест' END,
+                   CASE WHEN doc_id % 5 = 2 THEN '中文文本的一段' END,
+                   CASE WHEN doc_id % 5 = 3 THEN '12345 67890 00111' END,
+                   CASE WHEN doc_id % 5 = 4 THEN 'Ёлка 林 mix' END
+                 ) AS t
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, length(t)::BIGINT AS n,
+                 length(regexp_replace(t, '[^a-zA-Z]', '', 'g'))::BIGINT AS lat,
+                 length(regexp_replace(t, '[^0-9]', '', 'g'))::BIGINT AS dig,
+                 length(regexp_replace(t, '[^Ѐ-ӿ]', '', 'g'))::BIGINT AS cyr,
+                 length(regexp_replace(t, '[^一-鿿]', '', 'g'))::BIGINT AS cjk,
+                 length(regexp_replace(t, '[^ ' || chr(9) || chr(10)
+                        || chr(13) || ']', '', 'g'))::BIGINT AS ws
+          FROM pages
+        )
+        SELECT doc_id, n AS n_chars,
+               round(CASE WHEN n > 0 THEN lat::DOUBLE / n ELSE 0 END + 1e-9, 6)
+                 AS latin_frac,
+               round(CASE WHEN n > 0 THEN dig::DOUBLE / n ELSE 0 END + 1e-9, 6)
+                 AS digit_frac,
+               round(CASE WHEN n > 0 THEN cyr::DOUBLE / n ELSE 0 END + 1e-9, 6)
+                 AS cyrillic_frac,
+               round(CASE WHEN n > 0 THEN cjk::DOUBLE / n ELSE 0 END + 1e-9, 6)
+                 AS cjk_frac,
+               round(CASE WHEN n > 0 THEN ws::DOUBLE / n ELSE 0 END + 1e-9, 6)
+                 AS ws_frac,
+               CASE WHEN lat + cyr + cjk = 0 THEN 'none'
+                    WHEN lat >= cyr AND lat >= cjk THEN 'latin'
+                    WHEN cyr >= cjk THEN 'cyrillic'
+                    ELSE 'cjk' END AS main_script
+        FROM c
+    """
 
     sql["burst_stats"] = """
         WITH b AS (

@@ -14,7 +14,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "text_stats", "quality_score", "lang_id", "fingerprint",
     "token_topk", "tfidf_top_terms", "repetition_stats", "bm25_topk",
-    "c4_line_filter", "gopher_quality_filter",
+    "c4_line_filter", "gopher_quality_filter", "normalize_text",
+    "script_profile",
 ]
 
 # Small per-language stopword vocabularies for the n-gram voting heuristic.
@@ -628,4 +629,111 @@ def gopher_quality_filter(
         n_stop.alias("n_stop_hits"),
         reason.alias("reason"),
         (reason == "ok").alias("keep"),
+    )
+
+
+def normalize_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lower: bool = True,
+    collapse_ws: bool = True,
+) -> DataFrame:
+    """Unicode-canonical text normalization — the first stage of every
+    multilingual curation pipeline (CCNet/ROOTS): NFC composition, then
+    optional lowercasing and whitespace collapse (runs of whitespace to
+    one space, ends trimmed).
+
+    NFC has no JVM builtin, so it runs as ONE vectorized Arrow pass
+    (unicodedata.normalize per batch — the sanctioned Python path);
+    lowercase/collapse stay JVM expressions so the plan is
+    ArrowEval -> projection, still zero Exchanges and scan-fused.
+    DuckDB's nfc_normalize/lower/regexp_replace replay it exactly
+    (verified on decomposed accents and multi-space runs).
+
+    Returns (id, text_norm, changed, n_chars_before, n_chars_after).
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc_fn(s):
+        import unicodedata
+
+        return s.map(
+            lambda t: None if t is None else unicodedata.normalize("NFC", t)
+        )
+
+    # no type hints: under `from __future__ import annotations` they are
+    # strings pandas_udf cannot resolve (pd is function-local here)
+    _nfc = pandas_udf(_nfc_fn, "string")
+
+    out = _nfc(F.col(text_col))
+    if lower:
+        out = F.lower(out)
+    if collapse_ws:
+        out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    return df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_orig"),
+        out.alias("text_norm"),
+    ).select(
+        id_col,
+        "text_norm",
+        (F.col("_orig") != F.col("text_norm")).alias("changed"),
+        F.length("_orig").cast("long").alias("n_chars_before"),
+        F.length("text_norm").cast("long").alias("n_chars_after"),
+    )
+
+
+def script_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Character-class composition per document — the script-detection
+    signal multilingual pipelines route on before any model-based
+    language ID: fractions of Latin letters, ASCII digits, Cyrillic
+    (U+0400..U+04FF), CJK unified ideographs (U+4E00..U+9FFF), and
+    whitespace, plus the dominant script with a fixed precedence
+    (latin > cyrillic > cjk, 'none' when no letters).
+
+    Counting is replace()-delta arithmetic over explicit literal
+    character ranges (NOT \\s/\\w classes, whose definitions differ
+    between Java regex and RE2) — pure JVM expressions, zero
+    Exchanges, identical in the DuckDB replay.
+    """
+    txt = F.col(text_col)
+    n = F.length(txt).cast("long")
+
+    def cnt(cls):
+        return F.length(F.regexp_replace(txt, f"[^{cls}]", "")).cast("long")
+
+    lat = cnt("a-zA-Z")
+    dig = cnt("0-9")
+    cyr = cnt("Ѐ-ӿ")
+    cjk = cnt("一-鿿")
+    ws = cnt(" \t\n\r")
+
+    def frac(c):
+        return F.round(
+            F.when(n > 0, c / n).otherwise(F.lit(0.0)) + F.lit(1e-9),
+            round_digits,
+        )
+
+    main = (
+        F.when(lat + cyr + cjk == 0, F.lit("none"))
+        .when((lat >= cyr) & (lat >= cjk), F.lit("latin"))
+        .when(cyr >= cjk, F.lit("cyrillic"))
+        .otherwise(F.lit("cjk"))
+    )
+    return df.select(
+        F.col(id_col),
+        n.alias("n_chars"),
+        frac(lat).alias("latin_frac"),
+        frac(dig).alias("digit_frac"),
+        frac(cyr).alias("cyrillic_frac"),
+        frac(cjk).alias("cjk_frac"),
+        frac(ws).alias("ws_frac"),
+        main.alias("main_script"),
     )

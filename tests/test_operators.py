@@ -2123,3 +2123,56 @@ def test_partition_invariance_of_monitoring_operators(spark):
         spark.conf.set("spark.sql.shuffle.partitions", old)
     for x, y in zip(r3, r17):
         pd.testing.assert_frame_equal(x, y)
+
+
+def test_normalize_text_nfc_lower_collapse(spark):
+    """Decomposed accents compose, precomposed stay, case folds,
+    whitespace runs collapse, NULL-safe."""
+    from cesium_spark.operators.text import normalize_text
+
+    decomposed = "Café"          # e + COMBINING ACUTE (5 cp)
+    composed = "Café"             # é (4 cp)
+    docs = [
+        (0, f"  {decomposed}   AU  LAIT "),
+        (1, composed),
+        (2, "no\tchange needed"),
+        (3, None),
+    ]
+    out = normalize_text(
+        spark.createDataFrame(docs, "doc_id long, text string")
+    ).toPandas().set_index("doc_id")
+    assert out.loc[0, "text_norm"] == "café au lait"
+    assert out.loc[0, "n_chars_before"] == len(f"  {decomposed}   AU  LAIT ")
+    assert out.loc[0, "n_chars_after"] == len("café au lait")
+    assert bool(out.loc[0, "changed"])
+    assert out.loc[1, "text_norm"] == "café" and bool(out.loc[1, "changed"])
+    assert out.loc[2, "text_norm"] == "no change needed"
+    assert out.loc[3, "text_norm"] is None or pd.isna(out.loc[3, "text_norm"])
+
+
+def test_script_profile_classes_and_dominance(spark):
+    """Class fractions are codepoint-exact and the dominant script
+    follows the fixed precedence."""
+    from cesium_spark.operators.text import script_profile
+
+    docs = [
+        (0, "hello world"),            # latin
+        (1, "Привет мир"),             # cyrillic
+        (2, "中文文本"),                # cjk
+        (3, "12345"),                  # digits only -> none
+        (4, "abc где"),                # tie latin==cyrillic -> latin wins
+        (5, ""),
+    ]
+    out = script_profile(
+        spark.createDataFrame(docs, "doc_id long, text string")
+    ).toPandas().set_index("doc_id")
+    assert out.loc[0, "main_script"] == "latin"
+    assert out.loc[0, "latin_frac"] == round(10 / 11 + 1e-9, 6)
+    assert out.loc[0, "ws_frac"] == round(1 / 11 + 1e-9, 6)
+    assert out.loc[1, "main_script"] == "cyrillic"
+    assert out.loc[1, "cyrillic_frac"] == round(9 / 10 + 1e-9, 6)
+    assert out.loc[2, "main_script"] == "cjk" and out.loc[2, "cjk_frac"] == 1.0
+    assert out.loc[3, "main_script"] == "none"
+    assert out.loc[3, "digit_frac"] == 1.0
+    assert out.loc[4, "main_script"] == "latin"
+    assert out.loc[5, "main_script"] == "none" and out.loc[5, "n_chars"] == 0

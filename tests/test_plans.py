@@ -303,3 +303,34 @@ def test_drawdown_single_exchange_shared_partitioning(spark, tmp_path):
     phys = out._jdf.queryExecution().toString().split("== Physical Plan ==")[-1]
     assert phys.count("Exchange") == 1
     assert "Python" not in phys
+
+
+def test_normalize_text_single_arrow_pass_no_shuffle(spark, tmp_path):
+    """normalize_text: ONE ArrowEvalPython (the NFC pass) + JVM
+    projection — zero Exchanges."""
+    from cesium_spark.operators.text import normalize_text
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "Some  TEXT here") for i in range(10)],
+        "doc_id long, text string",
+    ).write.parquet(p)
+    out = normalize_text(spark.read.parquet(p))
+    phys = out._jdf.queryExecution().toString().split("== Physical Plan ==")[-1]
+    assert phys.count("Exchange") == 0
+    assert phys.count("ArrowEvalPython") == 1
+
+
+def test_script_profile_is_map_only_jvm(spark, tmp_path):
+    """script_profile: pure JVM projection — zero Exchanges, no
+    Python at all."""
+    from cesium_spark.operators.text import script_profile
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "abc 123") for i in range(10)], "doc_id long, text string",
+    ).write.parquet(p)
+    out = script_profile(spark.read.parquet(p))
+    phys = out._jdf.queryExecution().toString().split("== Physical Plan ==")[-1]
+    assert phys.count("Exchange") == 0
+    assert "Python" not in phys
