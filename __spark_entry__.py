@@ -1953,6 +1953,19 @@ def q_script_profile(spark, sf_dir):
     return script_profile(docs)
 
 
+def q_seasonal_decompose(spark, sf_dir):
+    """Classical additive decomposition of each user's hourly series:
+    per-(user, hour) means, a +/-12 h TIME-range centered moving
+    average for trend (missing buckets shrink the neighborhood — the
+    honest irregular-grid equivalent of the classical MA), per
+    hour-of-day mean detrended value as the seasonal index, residual
+    as the remainder. The oracle replays the bucket/window/join CTE
+    chain with the same integer-second frame."""
+    from cesium_spark.operators.tsstats import seasonal_decompose
+
+    return seasonal_decompose(_events(spark, sf_dir))
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -1976,6 +1989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50-slot cap and was never driver-checked).
     return {
         # --- round 6, continuation batch ---
+        "seasonal_decompose": q_seasonal_decompose,
         "text_normalize": q_text_normalize,
         "script_profile": q_script_profile,
         "burst_stats": q_burst_stats,
@@ -4017,6 +4031,33 @@ def oracle_sql() -> dict[str, str]:
     # the streaming head replays the batch operator exactly, so the
     # oracle IS the batch oracle (the event_loops_streamed pattern)
     sql["anomaly_zscore_streamed"] = sql["anomaly_zscore"]
+
+    sql["seasonal_decompose"] = """
+        WITH b AS (
+          SELECT user_id, date_trunc('hour', ts) AS hour_bucket,
+                 count(*)::BIGINT AS n, avg(value::DOUBLE) AS y
+          FROM events GROUP BY 1, 2
+        ),
+        t AS (
+          SELECT user_id, hour_bucket, n, y,
+                 avg(y) OVER (PARTITION BY user_id
+                              ORDER BY epoch_us(hour_bucket) // 1000000
+                              RANGE BETWEEN 43200 PRECEDING
+                                        AND 43200 FOLLOWING) AS trend,
+                 hour(hour_bucket)::INT AS hod
+          FROM b
+        ),
+        s AS (
+          SELECT user_id, hod, avg(y - trend) AS seas
+          FROM t GROUP BY 1, 2
+        )
+        SELECT t.user_id, t.hour_bucket, t.n,
+               round(t.y + 1e-9, 6) AS value,
+               round(t.trend + 1e-9, 6) AS trend,
+               round(s.seas + 1e-9, 6) AS seasonal,
+               round(t.y - t.trend - s.seas + 1e-9, 6) AS resid
+        FROM t JOIN s ON t.user_id = s.user_id AND t.hod = s.hod
+    """
 
     sql["text_normalize"] = """
         WITH pages AS (

@@ -27,6 +27,7 @@ __all__ = [
     "acf_lags", "cusum_changepoint", "rolling_zscore_anomalies",
     "series_trend", "hod_profile", "drawdown_stats",
     "burst_stats", "coverage_report", "winsorize_series",
+    "seasonal_decompose",
 ]
 
 
@@ -477,4 +478,68 @@ def winsorize_series(
         _r6(F.col("_x"), round_digits).alias("value"),
         _r6(clipped, round_digits).alias("value_w"),
         ((F.col("_x") < F.col("_lo")) | (F.col("_x") > F.col("_hi"))).alias("clipped"),
+    )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    trend_halfwidth_hours: int = 12,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Classical additive seasonal decomposition over the hourly grid:
+
+      1. bucket to per-(series, hour) means (the 1h-tier relation);
+      2. trend = centered moving average over a +/-H hour RANGE window
+         on epoch seconds — a TIME-range frame, so missing buckets
+         shrink the neighborhood instead of dragging in far-away rows
+         (the classical MA assumes a regular grid; irregular event
+         streams get the honest equivalent);
+      3. seasonal index = mean detrended value per (series,
+         hour-of-day), joined back (series-sized relation, broadcast);
+      4. residual = value - trend - seasonal.
+
+    Everything is groupBy/window/join arithmetic — one shuffle for the
+    bucketing, one sort-shuffle for the trend window, one
+    profile-sized aggregate + broadcast join — so the DuckDB oracle
+    replays the exact CTE chain. Rounding happens only at the output
+    surface; ties/frames are integer-second exact.
+
+    Returns (key, hour_bucket, n, value, trend, seasonal, resid)."""
+    x = F.col(value_col).cast("double")
+    hb = F.date_trunc("HOUR", F.col(ts_col))
+    bucketed = (
+        df.select(F.col(key_col), hb.alias("hour_bucket"), x.alias("_x"))
+        .groupBy(key_col, "hour_bucket")
+        .agg(F.count("*").cast("long").alias("n"), F.avg("_x").alias("_y"))
+    )
+    sec = (F.unix_micros(F.col("hour_bucket").cast("timestamp"))
+           / F.lit(1_000_000)).cast("long")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("_sec")
+        .rangeBetween(-trend_halfwidth_hours * 3600,
+                      trend_halfwidth_hours * 3600)
+    )
+    trended = (
+        bucketed.withColumn("_sec", sec)
+        .withColumn("_trend", F.avg("_y").over(w))
+        .withColumn("_detr", F.col("_y") - F.col("_trend"))
+        .withColumn("_hod", F.hour("hour_bucket").cast("int"))
+    )
+    seas = trended.groupBy(key_col, "_hod").agg(
+        F.avg("_detr").alias("_seas")
+    )
+    out = trended.join(F.broadcast(seas), [key_col, "_hod"])
+    r = lambda c: _r6(c, round_digits)  # noqa: E731
+    return out.select(
+        F.col(key_col),
+        F.col("hour_bucket"),
+        F.col("n"),
+        r(F.col("_y")).alias("value"),
+        r(F.col("_trend")).alias("trend"),
+        r(F.col("_seas")).alias("seasonal"),
+        r(F.col("_y") - F.col("_trend") - F.col("_seas")).alias("resid"),
     )

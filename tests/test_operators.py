@@ -2176,3 +2176,48 @@ def test_script_profile_classes_and_dominance(spark):
     assert out.loc[3, "digit_frac"] == 1.0
     assert out.loc[4, "main_script"] == "latin"
     assert out.loc[5, "main_script"] == "none" and out.loc[5, "n_chars"] == 0
+
+
+def test_seasonal_decompose_matches_numpy_replay(spark):
+    """The bucket / time-range trend / hour-of-day seasonal chain
+    equals an independent numpy replay on an irregular series, and the
+    identity value == trend + seasonal + resid holds after rounding."""
+    import datetime as dt
+
+    from cesium_spark.operators.tsstats import seasonal_decompose
+
+    rng = np.random.RandomState(31)
+    t0 = dt.datetime(2024, 5, 1)
+    rows = []
+    for i in range(300):
+        ts = t0 + dt.timedelta(minutes=float(rng.uniform(0, 72 * 60)))
+        v = 10.0 + 3.0 * np.sin(2 * np.pi * ts.hour / 24) + rng.normal(0, 0.5)
+        rows.append((1, ts, float(v)))
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, value double")
+    out = seasonal_decompose(df).toPandas().sort_values("hour_bucket") \
+        .reset_index(drop=True)
+
+    # numpy replay
+    import collections
+    buckets = collections.defaultdict(list)
+    for _, ts, v in rows:
+        buckets[ts.replace(minute=0, second=0, microsecond=0)].append(v)
+    hbs = sorted(buckets)
+    y = {h: float(np.mean(buckets[h])) for h in hbs}
+    trend = {}
+    for h in hbs:
+        lo, hi = h - dt.timedelta(hours=12), h + dt.timedelta(hours=12)
+        vals = [y[g] for g in hbs if lo <= g <= hi]
+        trend[h] = float(np.mean(vals))
+    seas = collections.defaultdict(list)
+    for h in hbs:
+        seas[h.hour].append(y[h] - trend[h])
+    seas = {k: float(np.mean(v)) for k, v in seas.items()}
+
+    assert len(out) == len(hbs)
+    for _, row in out.iterrows():
+        h = row["hour_bucket"].to_pydatetime()
+        assert row["value"] == round(y[h] + 1e-9, 6)
+        assert row["trend"] == round(trend[h] + 1e-9, 6)
+        assert row["seasonal"] == round(seas[h.hour] + 1e-9, 6)
+        assert row["resid"] == round(y[h] - trend[h] - seas[h.hour] + 1e-9, 6)
