@@ -4313,6 +4313,7 @@ def oracle_sql() -> dict[str, str]:
         FROM (
           SELECT *,
                  CASE
+                   WHEN n_words IS NULL THEN 'null_text'
                    WHEN n_words < 20 THEN 'too_few_words'
                    WHEN n_words > 10000 THEN 'too_many_words'
                    WHEN mwl < 3.0 OR mwl > 10.0 THEN 'word_length'
@@ -4381,8 +4382,10 @@ def oracle_sql() -> dict[str, str]:
         verdict AS (
           SELECT doc_id, lines, kept,
                  CASE
-                   WHEN contains(lower(page), 'badword')
-                     OR contains(lower(page), 'obscenity') THEN 'bad_words'
+                   WHEN page IS NULL THEN 'null_text'
+                   WHEN regexp_matches(lower(page), '\\bbadword\\b')
+                     OR regexp_matches(lower(page), '\\bobscenity\\b')
+                     THEN 'bad_words'
                    WHEN contains(lower(page), 'lorem ipsum') THEN 'lorem_ipsum'
                    WHEN contains(page, '{') THEN 'code'
                    WHEN len(kept) < 2 THEN 'too_few_lines'

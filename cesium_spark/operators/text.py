@@ -464,8 +464,10 @@ def c4_line_filter(
       - contains at least `min_words_per_line` whitespace words;
       - does not contain the word "javascript" (case-insensitive).
     page rules (evaluated on the ORIGINAL text, first match is the
-    reason, precedence mirroring the paper's discard list):
-      - `bad_words`: any listed word present -> reason 'bad_words';
+    reason, precedence mirroring the paper's discard list; a NULL text
+    is its own reason 'null_text' and never kept):
+      - `bad_words`: any listed word present (word-boundary regex
+        match, not substring) -> reason 'bad_words';
       - the phrase "lorem ipsum" -> 'lorem_ipsum';
       - a curly brace '{' (code) -> 'code';
       - fewer than `min_lines` surviving lines -> 'too_few_lines';
@@ -493,12 +495,15 @@ def c4_line_filter(
     kept = F.filter(lines, _line_ok)
     bad = None
     for w in sorted(bad_words):
-        hit = lw.contains(w.lower())
+        # word-boundary match (the C4 implementation's semantics), not
+        # raw substring — 'class' must not trip a blocklisted 'ass'
+        hit = lw.rlike(r"\b" + w.lower() + r"\b")
         bad = hit if bad is None else (bad | hit)
     if bad is None:
         bad = F.lit(False)
     reason = (
-        F.when(bad, F.lit("bad_words"))
+        F.when(F.col(text_col).isNull(), F.lit("null_text"))
+        .when(bad, F.lit("bad_words"))
         .when(lw.contains("lorem ipsum"), F.lit("lorem_ipsum"))
         .when(F.col(text_col).contains("{"), F.lit("code"))
         .when(F.size(kept) < min_lines, F.lit("too_few_lines"))
@@ -553,6 +558,7 @@ def gopher_quality_filter(
       non_alpha_words< 80% of words contain an alphabetic character
       stopwords      fewer than `min_stopword_hits` of the required
                      stopword list appear in the document
+    (a NULL text short-circuits to reason 'null_text', never kept)
 
     Everything is built-in string/array expressions in one projection —
     zero Exchanges, zero Python (same map-only class as c4_line_filter
@@ -603,7 +609,8 @@ def gopher_quality_filter(
     n_stop = (n_stop if n_stop is not None else F.lit(0)).cast("long")
 
     reason = (
-        F.when(n_words < min_words, F.lit("too_few_words"))
+        F.when(txt.isNull(), F.lit("null_text"))
+        .when(n_words < min_words, F.lit("too_few_words"))
         .when(n_words > max_words, F.lit("too_many_words"))
         .when((mean_wl < min_mean_word_len) | (mean_wl > max_mean_word_len),
               F.lit("word_length"))
@@ -722,7 +729,7 @@ def script_profile(
         )
 
     main = (
-        F.when(lat + cyr + cjk == 0, F.lit("none"))
+        F.when(txt.isNull() | (lat + cyr + cjk == 0), F.lit("none"))
         .when((lat >= cyr) & (lat >= cjk), F.lit("latin"))
         .when(cyr >= cjk, F.lit("cyrillic"))
         .otherwise(F.lit("cjk"))

@@ -254,7 +254,9 @@ def series_trend(
     the regr_slope/regr_intercept/regr_r2 definitions, so the oracle
     replays them verbatim.
 
-    `t0` (an ISO timestamp string) re-bases the time axis so the
+    `t0` (an ISO timestamp string for timestamp axes, a number for
+    numeric axes — numeric axes keep their own unit) re-bases the
+    time axis so the
     intercept is "fitted value at t0" — pass a date near the data.
     With the default epoch origin the intercept's magnitude is
     |slope| * days-since-1970 (~2e4), where 6-decimal cross-engine
@@ -266,7 +268,11 @@ def series_trend(
     zero-time-variance series yield NULL slope/r2 (both engines).
     """
     if dict(df.dtypes)[ts_col] in ("double", "float", "bigint", "int"):
+        # numeric axis: slope is per ts-unit; t0 (a number here) re-bases
+        # the intercept the same way it does for timestamps
         t_days = F.col(ts_col).cast("double")
+        if t0 is not None:
+            t_days = t_days - F.lit(float(t0))
     else:
         t_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
         if t0 is not None:
@@ -368,7 +374,6 @@ def burst_stats(
     df: DataFrame,
     key_col: str = "user_id",
     ts_col: str = "ts",
-    value_col: str = "value",
     window_seconds: int = 300,
     round_digits: int = 6,
 ) -> DataFrame:
@@ -463,10 +468,8 @@ def winsorize_series(
     # make the clip/clipped-flag comparisons nondeterministic for
     # values sitting exactly on a quantile
     bounds = df.groupBy(key_col).agg(
-        _r6(F.expr(f"percentile({value_col}, {lower})"),
-            round_digits).alias("_lo"),
-        _r6(F.expr(f"percentile({value_col}, {upper})"),
-            round_digits).alias("_hi"),
+        _r6(F.percentile(x, F.lit(float(lower))), round_digits).alias("_lo"),
+        _r6(F.percentile(x, F.lit(float(upper))), round_digits).alias("_hi"),
     )
     joined = df.select(F.col(key_col), F.col(tiebreak_col), x.alias("_x")).join(
         F.broadcast(bounds), key_col

@@ -30,6 +30,7 @@ __all__ = [
     "start_minhash_dedup_stream", "ivf_index_batch_fn",
     "start_ivf_index_stream", "streaming_run_stats", "streaming_psi",
     "contamination_batch_fn", "start_contamination_stream",
+    "streaming_anomaly_zscore",
 ]
 
 
@@ -1141,7 +1142,9 @@ def streaming_anomaly_zscore(
     batch operator's (ts, tiebreak) order (true whenever ts is
     monotone in the tiebreak id, as in the driver events table). The
     z arithmetic replays the batch formula: trailing-W mean,
-    sample std, round(z + 1e-9, 6)."""
+    sample std, round(z + 1e-9, 6) — including the batch NULL
+    semantics (null rows occupy frame slots but never contribute to
+    the moments and are never flagged)."""
     import math
 
     import pandas as pd
@@ -1168,12 +1171,17 @@ def streaming_anomaly_zscore(
         hist = list(state.get[0]) if state.exists else []
         orders, vals, bases, zs = [], [], [], []
         for o, v in zip(pdf[order_col], pdf[value_col]):
-            v = float(v)
+            v = None if pd.isna(v) else float(v)
+            # batch parity for NULL values: a null row occupies a frame
+            # slot (n_base = count(*) counts it) but contributes nothing
+            # to mean/std (avg/stddev_samp skip nulls) and is itself
+            # never flagged
             base = hist[-window:]
             nb = len(base)
-            if nb >= min_points:
-                m = sum(base) / nb
-                var = sum((b - m) ** 2 for b in base) / (nb - 1)
+            nn = [b for b in base if b is not None]
+            if v is not None and nb >= min_points and len(nn) >= 2:
+                m = sum(nn) / len(nn)
+                var = sum((b - m) ** 2 for b in nn) / (len(nn) - 1)
                 if var > 0:
                     z = round((v - m) / math.sqrt(var) + 1e-9, 6)
                     if abs(z) > threshold:

@@ -2221,3 +2221,35 @@ def test_seasonal_decompose_matches_numpy_replay(spark):
         assert row["trend"] == round(trend[h] + 1e-9, 6)
         assert row["seasonal"] == round(seas[h.hour] + 1e-9, 6)
         assert row["resid"] == round(y[h] - trend[h] - seas[h.hour] + 1e-9, 6)
+
+
+def test_text_filters_null_and_word_boundary_semantics(spark):
+    """Review findings: NULL text must not pass any filter as 'ok' (or
+    route as 'cjk'), and bad-word matching is word-boundary, not
+    substring — 'class' must survive a blocklisted 'ass'."""
+    from cesium_spark.operators.text import (
+        c4_line_filter, gopher_quality_filter, script_profile,
+    )
+
+    good = "A perfectly reasonable sentence with many fine words here."
+    docs = spark.createDataFrame(
+        [(0, None), (1, good + "\n" + good),
+         (2, "the class assignment title is due and that with care "
+             + good.lower())],
+        "doc_id long, text string")
+    c4 = c4_line_filter(docs, min_lines=2, bad_words=("ass", "tit")) \
+        .toPandas().set_index("doc_id")
+    assert c4.loc[0, "reason"] == "null_text" and not bool(c4.loc[0, "keep"])
+    assert c4.loc[1, "reason"] == "ok"
+    assert c4.loc[2, "reason"] != "bad_words"  # substrings don't trip it
+    c4b = c4_line_filter(docs, min_lines=2, bad_words=("class",)) \
+        .toPandas().set_index("doc_id")
+    assert c4b.loc[2, "reason"] == "bad_words"  # whole word does
+
+    g = gopher_quality_filter(docs, min_words=5).toPandas().set_index("doc_id")
+    assert g.loc[0, "reason"] == "null_text" and not bool(g.loc[0, "keep"])
+    assert g.loc[2, "reason"] == "ok"
+
+    sp = script_profile(docs).toPandas().set_index("doc_id")
+    assert sp.loc[0, "main_script"] == "none"
+    assert sp.loc[1, "main_script"] == "latin"

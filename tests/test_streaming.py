@@ -751,3 +751,46 @@ def test_streaming_anomaly_zscore_matches_batch_across_restart(spark, tmp_path):
     )
     # the boundary-spanning window really used batch-1 history
     assert int(want.set_index("event_id").loc[25, "n_base"]) == 20
+
+
+def test_streaming_anomaly_zscore_null_values_match_batch(spark, tmp_path):
+    """Review finding: a NULL value must occupy a frame slot (n_base
+    counts rows) without poisoning the moments or being flagged —
+    exactly the batch operator's count(*)/avg/stddev_samp semantics."""
+    import numpy as np
+    import pandas as pd
+
+    from cesium_spark.operators.tsstats import rolling_zscore_anomalies
+    from cesium_spark.streaming.stream import streaming_anomaly_zscore
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    rng = np.random.RandomState(5)
+    vals = [float(v) for v in rng.normal(5, 1.0, 30)]
+    vals[8] = None   # null inside the early window
+    vals[15] = 19.0  # spike scored over a window containing the null
+    vals[20] = None  # second null
+    schema = "user_id long, event_id long, value double"
+    rows = [(1, i, v) for i, v in enumerate(vals)]
+    spark.createDataFrame(rows, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(in_dir)
+    q = (streaming_anomaly_zscore(
+            spark.readStream.schema(schema).parquet(in_dir),
+            window=10, min_points=5, threshold=2.5)
+         .writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    got = (spark.read.parquet(out_dir).toPandas()
+           .sort_values("event_id").reset_index(drop=True))
+    batch_in = spark.createDataFrame(
+        [(u, float(i), i, v) for (u, i, v) in rows],
+        "user_id long, ts double, event_id long, value double")
+    want = (rolling_zscore_anomalies(batch_in, window=10, min_points=5,
+                                     threshold=2.5)
+            .select("user_id", "event_id", "value", "n_base", "z")
+            .toPandas().sort_values("event_id").reset_index(drop=True))
+    assert 15 in set(want.event_id)  # the spike IS flagged despite the null
+    pd.testing.assert_frame_equal(
+        got[["user_id", "event_id", "value", "n_base", "z"]], want,
+        check_dtype=False,
+    )
