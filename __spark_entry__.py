@@ -1966,6 +1966,16 @@ def q_seasonal_decompose(spark, sf_dir):
     return seasonal_decompose(_events(spark, sf_dir))
 
 
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over the event stream:
+    per-series consecutive (from, to) type pairs in (ts, event_id)
+    order, counted and row-normalized. The probability window runs
+    over the |types|^2 matrix relation, never the event stream."""
+    from cesium_spark.operators.tsstats import event_transitions
+
+    return event_transitions(_events(spark, sf_dir))
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -1989,6 +1999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50-slot cap and was never driver-checked).
     return {
         # --- round 6, continuation batch ---
+        "event_transitions": q_event_transitions,
         "seasonal_decompose": q_seasonal_decompose,
         "text_normalize": q_text_normalize,
         "script_profile": q_script_profile,
@@ -4031,6 +4042,26 @@ def oracle_sql() -> dict[str, str]:
     # the streaming head replays the batch operator exactly, so the
     # oracle IS the batch oracle (the event_loops_streamed pattern)
     sql["anomaly_zscore_streamed"] = sql["anomaly_zscore"]
+
+    sql["event_transitions"] = """
+        WITH p AS (
+          SELECT event_type AS to_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS from_type,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS pos
+          FROM events
+        ),
+        m AS (
+          SELECT from_type, to_type, count(*)::BIGINT AS n
+          FROM p WHERE pos > 1
+          GROUP BY 1, 2
+        )
+        SELECT from_type, to_type, n,
+               round(n::DOUBLE / sum(n) OVER (PARTITION BY from_type)
+                     + 1e-9, 6) AS prob
+        FROM m
+    """
 
     sql["seasonal_decompose"] = """
         WITH b AS (

@@ -27,7 +27,7 @@ __all__ = [
     "acf_lags", "cusum_changepoint", "rolling_zscore_anomalies",
     "series_trend", "hod_profile", "drawdown_stats",
     "burst_stats", "coverage_report", "winsorize_series",
-    "seasonal_decompose",
+    "seasonal_decompose", "event_transitions",
 ]
 
 
@@ -545,4 +545,44 @@ def seasonal_decompose(
         r(F.col("_trend")).alias("trend"),
         r(F.col("_seas")).alias("seasonal"),
         r(F.col("_y") - F.col("_trend") - F.col("_seas")).alias("resid"),
+    )
+
+
+def event_transitions(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """First-order Markov transition matrix over event types: for each
+    consecutive pair within a series (in (ts, tiebreak) order), count
+    (from_type, to_type) and the row-conditional probability
+    P(to | from). NULL types participate as real states (IS NOT
+    DISTINCT FROM semantics live in the count keys themselves).
+
+    One sort-shuffle for the per-series lag, then a partial-aggregable
+    groupBy; the conditional probabilities run a window over the
+    |types|^2-sized matrix relation, not the event stream.
+
+    Returns (from_type, to_type, n, prob)."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    pairs = (
+        df.select(
+            F.col(key_col),
+            F.col(type_col).alias("to_type"),
+            F.lag(F.col(type_col)).over(w).alias("from_type"),
+            F.row_number().over(w).alias("_pos"),
+        )
+        .filter(F.col("_pos") > 1)  # row 1 has no predecessor; a NULL
+        # from_type beyond it is a real NULL state, not a boundary
+    )
+    mat = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tot = Window.partitionBy("from_type")
+    return mat.select(
+        "from_type", "to_type", "n",
+        _r6(F.col("n") / F.sum("n").over(tot), round_digits).alias("prob"),
     )

@@ -2253,3 +2253,29 @@ def test_text_filters_null_and_word_boundary_semantics(spark):
     sp = script_profile(docs).toPandas().set_index("doc_id")
     assert sp.loc[0, "main_script"] == "none"
     assert sp.loc[1, "main_script"] == "latin"
+
+
+def test_event_transitions_counts_and_conditionals(spark):
+    """Per-series consecutive pairs only (no cross-user pair), NULL
+    types are real states, rows normalize within from_type."""
+    from cesium_spark.operators.tsstats import event_transitions
+
+    rows = [
+        (1, 0.0, 0, "a"), (1, 1.0, 1, "b"), (1, 2.0, 2, "a"),
+        (1, 3.0, 3, "b"),
+        (2, 0.0, 0, "b"), (2, 1.0, 1, None), (2, 2.0, 2, "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts double, event_id int, event_type string")
+    out = event_transitions(df).toPandas()
+    m = {(r.from_type, r.to_type): (r.n, r.prob) for r in out.itertuples()}
+    # user1: a->b, b->a, a->b ; user2: b->NULL, NULL->b
+    assert m[("a", "b")][0] == 2 and m[("a", "b")][1] == 1.0
+    assert m[("b", "a")][0] == 1
+    assert m[("b", None)][0] == 1
+    assert m[(None, "b")] == (1, 1.0)
+    # b row: b->a and b->NULL, each 0.5
+    assert m[("b", "a")][1] == 0.5 and m[("b", None)][1] == 0.5
+    # the cross-user boundary (1,"b") -> (2,"b") must NOT appear
+    assert m[("b", "b")][0] if ("b", "b") in m else True
+    assert sum(n for (f, _), (n, _) in m.items()) == len(rows) - 2
