@@ -1976,6 +1976,47 @@ def q_event_transitions(spark, sf_dir):
     return event_transitions(_events(spark, sf_dir))
 
 
+def q_ewma_level(spark, sf_dir):
+    """RiskMetrics-style exponentially-weighted level + volatility of
+    each user's series as of its last point (pandas ewm adjust=True
+    semantics, per-observation decay). One sort-shuffle + one
+    partial-aggregable groupBy; old points underflow pow() to 0."""
+    from cesium_spark.operators.robust import ewma_level
+
+    return ewma_level(_events(spark, sf_dir), alpha=0.3)
+
+
+def q_theilsen_trend(spark, sf_dir):
+    """Theil-Sen robust trend (median of pairwise slopes, value/day)
+    per user — the high-breakdown complement to the OLS series_trend.
+    Pair relation is a same-key self-join capped by deterministic
+    row-number decimation (max_points); intercept medians the
+    residuals at t0 with the tiny slope relation broadcast back."""
+    from cesium_spark.operators.robust import theilsen_trend
+
+    return theilsen_trend(_events(spark, sf_dir), t0="2024-01-01")
+
+
+def q_value_percentiles(spark, sf_dir):
+    """Exact interpolated p50/p90/p99 of value per event_type — the
+    tail-latency report. Exact percentile (not approx_percentile):
+    the sketch's answer depends on partitioning; the contract is the
+    rank-(n-1)p interpolation DuckDB's quantile_cont shares."""
+    from cesium_spark.operators.robust import value_percentiles
+
+    return value_percentiles(_events(spark, sf_dir))
+
+
+def q_xcorr_types(spark, sf_dir):
+    """Pearson correlation between event-type hourly series within
+    each user, over hours where both types observed data. Expanded
+    from co-moment sums (not native corr) so zero-variance guards are
+    identical in both engines — the r4 NULL-parity lesson."""
+    from cesium_spark.operators.robust import xcorr_types
+
+    return xcorr_types(_events(spark, sf_dir))
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -1998,6 +2039,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (r4 VERDICT item 7: clean_corpus_spans shipped in r4 but sat past
     # the 50-slot cap and was never driver-checked).
     return {
+        # --- round 6, robust-statistics batch ---
+        "ewma_level": q_ewma_level,
+        "theilsen_trend": q_theilsen_trend,
+        "value_percentiles": q_value_percentiles,
+        "xcorr_types": q_xcorr_types,
         # --- round 6, continuation batch ---
         "event_transitions": q_event_transitions,
         "seasonal_decompose": q_seasonal_decompose,
@@ -4042,6 +4088,113 @@ def oracle_sql() -> dict[str, str]:
     # the streaming head replays the batch operator exactly, so the
     # oracle IS the batch oracle (the event_loops_streamed pattern)
     sql["anomaly_zscore_streamed"] = sql["anomaly_zscore"]
+
+    # EWMA weights are position-based: (1-a)^(n - rn) with rn ordered by
+    # (ts, event_id); pow underflow (not overflow) on long series, and
+    # variances below 1e-9 clamp to exact 0 before sqrt in BOTH engines
+    # (cancellation noise on constant series would otherwise round-wobble
+    # the 6th decimal after the sqrt amplification)
+    sql["ewma_level"] = """
+        WITH o AS (
+          SELECT user_id, value::DOUBLE AS x,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn,
+                 count(*) OVER (PARTITION BY user_id) AS n
+          FROM events
+        ), w AS (
+          SELECT user_id, x, power(0.7, (n - rn)::DOUBLE) AS wt FROM o
+        ), s AS (
+          SELECT user_id, count(*)::BIGINT AS n,
+                 sum(wt) AS sw, sum(wt * x) AS swx, sum(wt * x * x) AS swxx
+          FROM w GROUP BY user_id
+        )
+        SELECT user_id, n,
+               round(swx / sw + 1e-9, 6) AS ewma,
+               round(sqrt(CASE WHEN greatest(swxx / sw - (swx / sw) ^ 2, 0)
+                                    < 1e-9 THEN 0
+                               ELSE greatest(swxx / sw - (swx / sw) ^ 2, 0)
+                          END) + 1e-9, 6) AS ewm_std
+        FROM s
+    """
+
+    # Theil-Sen: the decimation stride ((rn-1) % ceil(n/1000) == 0) and
+    # the strict t2 > t1 pair predicate are replayed verbatim; median ==
+    # Spark percentile(.., 0.5) (both interpolate at rank p*(n-1))
+    sql["theilsen_trend"] = """
+        WITH pts AS (
+          SELECT * FROM (
+            SELECT user_id,
+                   (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01'))
+                     / 86400e6 AS t,
+                   value::DOUBLE AS x,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn,
+                   greatest(ceil(count(*) OVER (PARTITION BY user_id)
+                                 / 1000.0), 1)::BIGINT AS stride
+            FROM events
+          ) WHERE (rn - 1) % stride = 0
+        ),
+        slopes AS (
+          SELECT a.user_id, count(*)::BIGINT AS n_pairs,
+                 median((b.x - a.x) / (b.t - a.t)) AS slope
+          FROM pts a JOIN pts b ON a.user_id = b.user_id AND b.t > a.t
+          GROUP BY a.user_id
+        ),
+        used AS (
+          SELECT user_id, count(*)::BIGINT AS n_used FROM pts GROUP BY user_id
+        ),
+        icept AS (
+          SELECT p.user_id, median(p.x - s2.slope * p.t) AS icept
+          FROM pts p LEFT JOIN slopes s2 USING (user_id)
+          GROUP BY p.user_id
+        )
+        SELECT u.user_id, u.n_used,
+               coalesce(s.n_pairs, 0)::BIGINT AS n_pairs,
+               round(s.slope + 1e-9, 6) AS slope_per_day,
+               round(i.icept + 1e-9, 6) AS intercept
+        FROM used u
+        LEFT JOIN slopes s USING (user_id)
+        LEFT JOIN icept i USING (user_id)
+    """
+
+    sql["value_percentiles"] = """
+        SELECT event_type, count(*)::BIGINT AS n,
+               round(quantile_cont(value::DOUBLE, 0.5) + 1e-9, 6) AS p50,
+               round(quantile_cont(value::DOUBLE, 0.9) + 1e-9, 6) AS p90,
+               round(quantile_cont(value::DOUBLE, 0.99) + 1e-9, 6) AS p99
+        FROM events GROUP BY event_type
+    """
+
+    # corr expanded from co-moment sums so the zero-variance guard is
+    # explicit and identical (native corr: NaN in Spark vs NULL in
+    # DuckDB on degenerate input)
+    sql["xcorr_types"] = """
+        WITH hourly AS (
+          SELECT user_id, date_trunc('hour', ts) AS h, event_type,
+                 sum(value::DOUBLE) AS s
+          FROM events GROUP BY 1, 2, 3
+        ), pairs AS (
+          SELECT a.user_id, a.event_type AS type_a, b.event_type AS type_b,
+                 a.s AS sa, b.s AS sb
+          FROM hourly a
+          JOIN hourly b ON a.user_id = b.user_id AND a.h = b.h
+                        AND a.event_type < b.event_type
+        ), per AS (
+          SELECT user_id, type_a, type_b, count(*)::BIGINT AS n_hours,
+                 sum(sa) AS ea, sum(sb) AS eb, sum(sa * sb) AS eab,
+                 sum(sa * sa) AS eaa, sum(sb * sb) AS ebb
+          FROM pairs GROUP BY 1, 2, 3
+        )
+        SELECT user_id, type_a, type_b, n_hours,
+               CASE WHEN n_hours::DOUBLE * eaa - ea * ea > 1e-9
+                     AND n_hours::DOUBLE * ebb - eb * eb > 1e-9
+                    THEN round((n_hours::DOUBLE * eab - ea * eb)
+                               / sqrt((n_hours::DOUBLE * eaa - ea * ea)
+                                      * (n_hours::DOUBLE * ebb - eb * eb))
+                               + 1e-9, 6)
+                    ELSE NULL END AS corr
+        FROM per WHERE n_hours >= 3
+    """
 
     sql["event_transitions"] = """
         WITH p AS (

@@ -2279,3 +2279,136 @@ def test_event_transitions_counts_and_conditionals(spark):
     # the cross-user boundary (1,"b") -> (2,"b") must NOT appear
     assert m[("b", "b")][0] if ("b", "b") in m else True
     assert sum(n for (f, _), (n, _) in m.items()) == len(rows) - 2
+
+
+def test_ewma_level_matches_pandas(spark):
+    """ewma_level == pandas ewm(alpha).mean() (adjust=True) evaluated at
+    the last point, plus the matching weighted std; a constant series
+    clamps variance to exact 0."""
+    import pandas as pd
+
+    from cesium_spark.operators.robust import ewma_level
+
+    rng = np.random.RandomState(3)
+    x = rng.normal(10, 2, 40)
+    rows = [(1, float(i), int(i), float(v)) for i, v in enumerate(x)]
+    rows += [(2, float(i), int(i), 5.0) for i in range(8)]  # constant
+    df = spark.createDataFrame(
+        rows, "user_id int, ts double, event_id int, value double"
+    )
+    out = ewma_level(df, ts_col="ts", alpha=0.3).toPandas().set_index("user_id")
+
+    want_mean = pd.Series(x).ewm(alpha=0.3, adjust=True).mean().iloc[-1]
+    w = 0.7 ** (len(x) - 1 - np.arange(len(x)))
+    m = (w * x).sum() / w.sum()
+    want_std = np.sqrt(max((w * x * x).sum() / w.sum() - m * m, 0.0))
+    assert abs(out.loc[1, "ewma"] - round(want_mean + 1e-9, 6)) < 1e-9
+    assert abs(out.loc[1, "ewm_std"] - round(want_std + 1e-9, 6)) < 1e-9
+    assert out.loc[1, "n"] == 40
+    assert out.loc[2, "ewma"] == 5.0
+    assert out.loc[2, "ewm_std"] == 0.0  # clamped, not sqrt(noise)
+
+
+def test_theilsen_trend_outlier_immune_and_degenerate(spark):
+    """A noiseless line with one gross outlier still recovers the true
+    slope/intercept (median immunity); a single-point series yields
+    NULL slope and 0 pairs."""
+    import datetime as dt
+
+    from cesium_spark.operators.robust import theilsen_trend
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + dt.timedelta(days=k), k, 2.5 * k + 7.0) for k in range(12)
+    ]
+    rows[5] = (1, rows[5][1], 5, 500.0)  # gross outlier
+    rows.append((2, t0, 0, 3.0))  # single point
+    df = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_id int, value double"
+    )
+    out = theilsen_trend(df, t0="2024-01-01").toPandas().set_index("user_id")
+    assert out.loc[1, "slope_per_day"] == 2.5
+    assert out.loc[1, "intercept"] == 7.0
+    assert out.loc[1, "n_pairs"] == 12 * 11 // 2
+    assert out.loc[2, "n_pairs"] == 0
+    assert np.isnan(out.loc[2, "slope_per_day"])
+
+
+def test_theilsen_trend_decimation_stride(spark):
+    """max_points decimation keeps rows (rn-1) % ceil(n/max_points) == 0
+    and the estimate replays numpy's Theil-Sen on that exact subset."""
+    import datetime as dt
+
+    from cesium_spark.operators.robust import theilsen_trend
+
+    rng = np.random.RandomState(9)
+    t0 = dt.datetime(2024, 1, 1)
+    x = np.cumsum(rng.normal(0.5, 1.0, 20))
+    rows = [
+        (1, t0 + dt.timedelta(days=float(k)), k, float(v))
+        for k, v in enumerate(x)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_id int, value double"
+    )
+    out = (
+        theilsen_trend(df, t0="2024-01-01", max_points=5)
+        .toPandas().set_index("user_id")
+    )
+    keep = np.arange(20)[::4]  # stride = ceil(20/5) = 4
+    assert out.loc[1, "n_used"] == len(keep)
+    tt, xx = keep.astype(float), x[keep]
+    slopes = [
+        (xx[j] - xx[i]) / (tt[j] - tt[i])
+        for i in range(len(keep)) for j in range(i + 1, len(keep))
+    ]
+    s = np.median(slopes)
+    icept = np.median(xx - s * tt)
+    assert out.loc[1, "n_pairs"] == len(slopes)
+    assert abs(out.loc[1, "slope_per_day"] - round(s + 1e-9, 6)) < 1e-9
+    assert abs(out.loc[1, "intercept"] - round(icept + 1e-9, 6)) < 1e-9
+
+
+def test_value_percentiles_interpolation(spark):
+    """Exact percentile == numpy linear interpolation at rank p*(n-1)."""
+    from cesium_spark.operators.robust import value_percentiles
+
+    vals = [1.0, 2.0, 3.0, 4.0, 10.0]
+    rows = [("a", v) for v in vals] + [("b", 7.0)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    out = value_percentiles(df).toPandas().set_index("event_type")
+    for p, col in ((50, "p50"), (90, "p90"), (99, "p99")):
+        want = np.percentile(vals, p)  # linear interpolation
+        assert abs(out.loc["a", col] - round(want + 1e-9, 6)) < 1e-9, col
+    assert out.loc["b", "p50"] == 7.0 and out.loc["b", "n"] == 1
+
+
+def test_xcorr_types_alignment_and_guards(spark):
+    """Pairs correlate over COMMON hours only; anti-correlated planted
+    series hit -1; zero-variance partner yields NULL corr; pairs under
+    min_hours are dropped."""
+    import datetime as dt
+
+    from cesium_spark.operators.robust import xcorr_types
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    ups = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+    for h, v in enumerate(ups):
+        rows.append((1, t0 + dt.timedelta(hours=h), "up", v))
+        rows.append((1, t0 + dt.timedelta(hours=h), "down", -2.0 * v))
+        rows.append((1, t0 + dt.timedelta(hours=h), "flat", 3.0))
+    # an hour where only "up" fires: must not enter any pair
+    rows.append((1, t0 + dt.timedelta(hours=10), "up", 99.0))
+    # a type sharing only 2 hours with "up": dropped by min_hours=3
+    rows.append((1, t0, "rare", 1.0))
+    rows.append((1, t0 + dt.timedelta(hours=1), "rare", 2.0))
+    df = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_type string, value double"
+    )
+    out = xcorr_types(df).toPandas()
+    key = out.set_index(["type_a", "type_b"])
+    assert key.loc[("down", "up"), "n_hours"] == 6  # hour 10 excluded
+    assert key.loc[("down", "up"), "corr"] == -1.0
+    assert np.isnan(key.loc[("flat", "up"), "corr"])  # zero variance
+    assert ("rare", "up") not in key.index and ("up", "rare") not in key.index

@@ -334,3 +334,69 @@ def test_script_profile_is_map_only_jvm(spark, tmp_path):
     phys = out._jdf.queryExecution().toString().split("== Physical Plan ==")[-1]
     assert phys.count("Exchange") == 0
     assert "Python" not in phys
+
+
+def test_ewma_level_single_sort_shuffle_jvm(spark, tmp_path):
+    """ewma_level: ONE hash exchange on the series key (the Window's),
+    the groupBy reuses that partitioning (AQE sees the co-partitioning;
+    no second hashpartitioning of the event stream), no Python."""
+    import datetime as dt
+
+    from cesium_spark.operators.robust import ewma_level
+
+    p = str(tmp_path / "ev")
+    t0 = dt.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(i % 5, t0 + dt.timedelta(hours=i), i, float(i)) for i in range(100)],
+        "user_id long, ts timestamp, event_id long, value double",
+    ).write.parquet(p)
+    out = ewma_level(spark.read.parquet(p))
+    phys = out._jdf.queryExecution().toString().split("== Physical Plan ==")[-1]
+    assert phys.count("Exchange hashpartitioning") == 1
+    assert "Python" not in phys
+    assert "Window" in phys
+
+
+def test_theilsen_slopes_broadcast_back(spark, tmp_path):
+    """theilsen_trend: the per-key slope relation joins back onto the
+    decimated points as a BROADCAST join (it is key-cardinality-sized),
+    and the quadratic pair join shuffles each side on the key at most
+    once — no cartesian product anywhere."""
+    import datetime as dt
+
+    from cesium_spark.operators.robust import theilsen_trend
+
+    p = str(tmp_path / "ev")
+    t0 = dt.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(i % 5, t0 + dt.timedelta(hours=i), i, float(i)) for i in range(100)],
+        "user_id long, ts timestamp, event_id long, value double",
+    ).write.parquet(p)
+    out = theilsen_trend(spark.read.parquet(p))
+    phys = out._jdf.queryExecution().toString().split("== Physical Plan ==")[-1]
+    assert "BroadcastHashJoin" in phys or "BroadcastNestedLoop" not in phys
+    assert "CartesianProduct" not in phys
+    assert "Python" not in phys
+
+
+def test_xcorr_types_partial_aggs_no_python(spark, tmp_path):
+    """xcorr_types: hourly rollup and the final co-moment groupBy are
+    both partial-aggregable JVM HashAggregates; the type-pair join is
+    an equi-join on (key, hour) — no cartesian, no Python."""
+    import datetime as dt
+
+    from cesium_spark.operators.robust import xcorr_types
+
+    p = str(tmp_path / "ev")
+    t0 = dt.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [
+            (i % 3, t0 + dt.timedelta(hours=i % 7), "t" + str(i % 2), float(i))
+            for i in range(100)
+        ],
+        "user_id long, ts timestamp, event_type string, value double",
+    ).write.parquet(p)
+    out = xcorr_types(spark.read.parquet(p))
+    phys = out._jdf.queryExecution().toString().split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in phys and "Python" not in phys
+    assert "partial_" in phys
