@@ -1976,6 +1976,27 @@ def q_event_transitions(spark, sf_dir):
     return event_transitions(_events(spark, sf_dir))
 
 
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention matrix: cohort = Monday-truncated week
+    of each user's first event (shared date_trunc rule), cells count
+    distinct active cohort members per weeks-since offset. Per-user
+    min is partial-aggregable; the events join is co-partitioned on
+    the user key; cohort sizes broadcast back."""
+    from cesium_spark.operators.analytics import cohort_retention
+
+    return cohort_retention(_events(spark, sf_dir))
+
+
+def q_hampel_outliers(spark, sf_dir):
+    """Rolling-quantile (Hampel/IQR) outlier flags: |x - rolling
+    median| > 1.5 * rolling IQR over the trailing 25 observations,
+    all three quantiles from ONE fused Window. Exact order statistics
+    — no accumulation-order divergence between engines."""
+    from cesium_spark.operators.analytics import hampel_outliers
+
+    return hampel_outliers(_events(spark, sf_dir))
+
+
 def q_ewma_level(spark, sf_dir):
     """RiskMetrics-style exponentially-weighted level + volatility of
     each user's series as of its last point (pandas ewm adjust=True
@@ -2039,6 +2060,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (r4 VERDICT item 7: clean_corpus_spans shipped in r4 but sat past
     # the 50-slot cap and was never driver-checked).
     return {
+        # --- round 6, analytics batch ---
+        "cohort_retention": q_cohort_retention,
+        "hampel_outliers": q_hampel_outliers,
         # --- round 6, robust-statistics batch ---
         "ewma_level": q_ewma_level,
         "theilsen_trend": q_theilsen_trend,
@@ -4088,6 +4112,55 @@ def oracle_sql() -> dict[str, str]:
     # the streaming head replays the batch operator exactly, so the
     # oracle IS the batch oracle (the event_loops_streamed pattern)
     sql["anomaly_zscore_streamed"] = sql["anomaly_zscore"]
+
+    # both engines truncate weeks to Monday (ISO date_trunc) and the
+    # day-diff between two week-truncated stamps divides by 7 exactly,
+    # so the ::INT offset cast is lossless
+    sql["cohort_retention"] = """
+        WITH first AS (
+          SELECT user_id, date_trunc('week', min(ts)) AS cohort
+          FROM events GROUP BY user_id
+        ), sizes AS (
+          SELECT cohort, count(*)::BIGINT AS cohort_size FROM first GROUP BY 1
+        ), cells AS (
+          SELECT DISTINCT f.cohort,
+                 (date_diff('day', f.cohort,
+                            date_trunc('week', e.ts)) / 7)::INT AS week_offset,
+                 e.user_id
+          FROM events e JOIN first f USING (user_id)
+        ), agg AS (
+          SELECT cohort, week_offset, count(*)::BIGINT AS n_active
+          FROM cells GROUP BY 1, 2
+        )
+        SELECT a.cohort::TIMESTAMP AS cohort_week, a.week_offset,
+               a.n_active, s.cohort_size,
+               round(a.n_active::DOUBLE / s.cohort_size + 1e-9, 6)
+                 AS retention_pct
+        FROM agg a JOIN sizes s USING (cohort)
+    """
+
+    # rolling quantiles are exact interpolated order statistics over the
+    # same trailing 25-row frame (rank p*(n-1) — Spark percentile ==
+    # DuckDB quantile_cont, verified bit-equal incl. the interpolated
+    # cells), so the fence comparison lands identically in both engines
+    sql["hampel_outliers"] = """
+        WITH w AS (
+          SELECT user_id, ts, event_id, value::DOUBLE AS x,
+                 quantile_cont(value::DOUBLE, 0.5) OVER f AS med,
+                 quantile_cont(value::DOUBLE, 0.75) OVER f
+                   - quantile_cont(value::DOUBLE, 0.25) OVER f AS iqr,
+                 count(*) OVER f AS nw
+          FROM events
+          WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)
+        )
+        SELECT user_id, ts, event_id, x AS value,
+               round(med + 1e-9, 6) AS med,
+               round(iqr + 1e-9, 6) AS iqr,
+               round(abs(x - med) / iqr + 1e-9, 6) AS score
+        FROM w
+        WHERE nw >= 9 AND iqr > 0 AND abs(x - med) > 1.5 * iqr
+    """
 
     # EWMA weights are position-based: (1-a)^(n - rn) with rn ordered by
     # (ts, event_id); pow underflow (not overflow) on long series, and

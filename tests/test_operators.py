@@ -2412,3 +2412,63 @@ def test_xcorr_types_alignment_and_guards(spark):
     assert key.loc[("down", "up"), "corr"] == -1.0
     assert np.isnan(key.loc[("flat", "up"), "corr"])  # zero variance
     assert ("rare", "up") not in key.index and ("up", "rare") not in key.index
+
+
+def test_cohort_retention_matrix(spark):
+    """Cohorts form on the Monday-truncated week of first activity;
+    cells count DISTINCT active members; offset 0 is full retention."""
+    import datetime as dt
+
+    from cesium_spark.operators.analytics import cohort_retention
+
+    mon1 = dt.datetime(2024, 1, 1)   # a Monday
+    mon2 = dt.datetime(2024, 1, 8)
+    rows = [
+        # users 1,2 first seen in week1; user 1 returns week2 twice
+        (1, mon1 + dt.timedelta(days=2)),
+        (2, mon1 + dt.timedelta(days=5)),
+        (1, mon2 + dt.timedelta(days=1)),
+        (1, mon2 + dt.timedelta(days=3)),
+        # user 3 first seen week2
+        (3, mon2),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    out = cohort_retention(df).toPandas()
+    m = out.set_index([out.cohort_week.dt.date.astype(str), "week_offset"])
+    assert m.loc[("2024-01-01", 0), "n_active"] == 2
+    assert m.loc[("2024-01-01", 0), "retention_pct"] == 1.0
+    assert m.loc[("2024-01-01", 1), "n_active"] == 1  # distinct, not 2
+    assert m.loc[("2024-01-01", 1), "cohort_size"] == 2
+    assert m.loc[("2024-01-01", 1), "retention_pct"] == 0.5
+    assert m.loc[("2024-01-08", 0), "n_active"] == 1
+    assert len(out) == 3
+
+
+def test_hampel_outliers_flags_spike_not_constant(spark):
+    """A planted spike in a noisy series is flagged with the numpy
+    rolling-quantile replay; a constant series (zero IQR) and the
+    warmup region (frame < min_window) never flag."""
+    from cesium_spark.operators.analytics import hampel_outliers
+
+    rng = np.random.RandomState(4)
+    x = rng.normal(0, 1, 60)
+    x[40] = 25.0  # gross spike
+    rows = [(1, float(i), int(i), float(v)) for i, v in enumerate(x)]
+    rows += [(2, float(i), int(i), 7.0) for i in range(40)]  # constant
+    df = spark.createDataFrame(
+        rows, "user_id int, ts double, event_id int, value double"
+    )
+    out = hampel_outliers(df, ts_col="ts").toPandas()
+    assert (out.user_id == 2).sum() == 0
+    flagged = set(out[out.user_id == 1].event_id)
+    # numpy replay of the trailing-25 frame
+    want = set()
+    for i in range(60):
+        w = x[max(0, i - 24): i + 1]
+        if len(w) < 9:
+            continue
+        med = np.percentile(w, 50)
+        iqr = np.percentile(w, 75) - np.percentile(w, 25)
+        if iqr > 0 and abs(x[i] - med) > 1.5 * iqr:
+            want.add(i)
+    assert flagged == want and 40 in flagged

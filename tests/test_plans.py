@@ -400,3 +400,41 @@ def test_xcorr_types_partial_aggs_no_python(spark, tmp_path):
     phys = out._jdf.queryExecution().toString().split("== Physical Plan ==")[-1]
     assert "CartesianProduct" not in phys and "Python" not in phys
     assert "partial_" in phys
+
+
+def test_hampel_single_fused_window(spark, tmp_path):
+    """hampel_outliers: all three rolling quantiles + the frame count
+    share one frame, so the plan has exactly ONE Window node and ONE
+    sort-shuffle; the fence filter is map-only JVM."""
+    from cesium_spark.operators.analytics import hampel_outliers
+
+    p = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [(i % 3, float(i), i, float(i % 11)) for i in range(90)],
+        "user_id long, ts double, event_id long, value double",
+    ).write.parquet(p)
+    out = hampel_outliers(spark.read.parquet(p), ts_col="ts")
+    phys = out._jdf.queryExecution().toString().split("== Physical Plan ==")[-1]
+    assert phys.count("Window") == 1
+    assert phys.count("Exchange hashpartitioning") == 1
+    assert "Python" not in phys
+
+
+def test_cohort_retention_broadcast_sizes_no_cartesian(spark, tmp_path):
+    """cohort_retention: the cohort-size relation joins back by
+    broadcast; the user-key join is an equi-join (no cartesian); the
+    dedup + cell count are partial-aggregable."""
+    import datetime as dt
+
+    from cesium_spark.operators.analytics import cohort_retention
+
+    p = str(tmp_path / "ev")
+    t0 = dt.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(i % 7, t0 + dt.timedelta(days=i % 21)) for i in range(200)],
+        "user_id long, ts timestamp",
+    ).write.parquet(p)
+    out = cohort_retention(spark.read.parquet(p))
+    phys = out._jdf.queryExecution().toString().split("== Physical Plan ==")[-1]
+    assert "BroadcastHashJoin" in phys
+    assert "CartesianProduct" not in phys and "Python" not in phys
