@@ -1976,6 +1976,63 @@ def q_event_transitions(spark, sf_dir):
     return event_transitions(_events(spark, sf_dir))
 
 
+def q_session_window_streamed(spark, sf_dir):
+    """Gap sessionization on Spark's NATIVE session_window, live:
+    events staged as two event_id-ordered parquet files (ts monotone
+    in event_id) drained as availableNow micro-batches through a
+    watermarked session_window groupBy — merging, state eviction, and
+    exactly-once emission all inside the JVM state store, no Python
+    state. A session emits once its window end (last event + gap)
+    falls at or below the final watermark (max ts - 1s), so the
+    oracle is the batch gaps-and-islands construction (merge iff
+    diff <= gap, the boundary-inclusive rule the native operator was
+    probed to share) filtered by that closure predicate."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from cesium_spark.streaming.stream import streaming_session_window
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts")
+    mid = ev.agg(F.expr("percentile(event_id, 0.5)")).collect()[0][0]
+    work = tempfile.mkdtemp(prefix="sw_stream_")
+    in_dir = f"{work}/in"
+    try:
+        ev.filter(F.col("event_id") <= mid).coalesce(1) \
+            .write.mode("overwrite").parquet(in_dir)
+        first_files = set(glob.glob(f"{in_dir}/*.parquet"))
+        ev.filter(F.col("event_id") > mid).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+        later = time.time() + 10
+        for f in set(glob.glob(f"{in_dir}/*.parquet")) - first_files:
+            os.utime(f, (later, later))
+        src = (
+            spark.readStream
+            .schema("event_id bigint, user_id bigint, ts timestamp")
+            .option("maxFilesPerTrigger", 1).parquet(in_dir)
+        )
+        q = (
+            streaming_session_window(src, gap="12 hours")
+            .writeStream.format("parquet").option("path", f"{work}/out")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True).start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                raise TimeoutError("session stream did not drain in 300s")
+        finally:
+            q.stop()
+        return (
+            spark.read.parquet(f"{work}/out")
+            .select("user_id", "session_start", "session_end", "n_events")
+            .localCheckpoint(eager=True)  # detach from the temp files
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_cohort_retention(spark, sf_dir):
     """Weekly cohort retention matrix: cohort = Monday-truncated week
     of each user's first event (shared date_trunc rule), cells count
@@ -2061,6 +2118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50-slot cap and was never driver-checked).
     return {
         # --- round 6, analytics batch ---
+        "session_window_streamed": q_session_window_streamed,
         "cohort_retention": q_cohort_retention,
         "hampel_outliers": q_hampel_outliers,
         # --- round 6, robust-statistics batch ---
@@ -4112,6 +4170,39 @@ def oracle_sql() -> dict[str, str]:
     # the streaming head replays the batch operator exactly, so the
     # oracle IS the batch oracle (the event_loops_streamed pattern)
     sql["anomaly_zscore_streamed"] = sql["anomaly_zscore"]
+
+    # the native session_window merges iff diff <= gap (probed: an event
+    # exactly gap later still merges — same rule as the batch operator's
+    # "opens on diff > gap") and append-mode emits once window end
+    # (last + gap) <= watermark; under availableNow staging the final
+    # watermark is max(ts) - 1s, so the closed-session set is replayable
+    sql["session_window_streamed"] = """
+        WITH g AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) IS NULL
+                       OR epoch_us(ts) - epoch_us(
+                            lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id))
+                          > 43200000000
+                      THEN 1 ELSE 0 END AS opens,
+                 event_id
+          FROM events
+        ), s AS (
+          SELECT user_id, ts,
+                 sum(opens) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM g
+        ), sess AS (
+          SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                 count(*)::BIGINT AS n_events
+          FROM s GROUP BY user_id, sid
+        )
+        SELECT user_id, session_start, session_end, n_events
+        FROM sess
+        WHERE session_end + INTERVAL 12 HOUR
+              <= (SELECT max(ts) FROM events) - INTERVAL 1 SECOND
+    """
 
     # both engines truncate weeks to Monday (ISO date_trunc) and the
     # day-diff between two week-truncated stamps divides by 7 exactly,

@@ -30,7 +30,7 @@ __all__ = [
     "start_minhash_dedup_stream", "ivf_index_batch_fn",
     "start_ivf_index_stream", "streaming_run_stats", "streaming_psi",
     "contamination_batch_fn", "start_contamination_stream",
-    "streaming_anomaly_zscore",
+    "streaming_anomaly_zscore", "streaming_session_window",
 ]
 
 
@@ -1204,4 +1204,50 @@ def streaming_anomaly_zscore(
         key_col
     ).applyInPandasWithState(
         fn, out_schema, state_schema, "append", "NoTimeout"
+    )
+
+
+def streaming_session_window(
+    stream_df: DataFrame,
+    gap: str = "12 hours",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    delay: str = "1 second",
+) -> DataFrame:
+    """Gap-based sessionization on Spark's NATIVE session_window — the
+    idiomatic Structured Streaming counterpart to the custom
+    applyInPandasWithState `streaming_sessionize`. The built-in merges
+    an event into the open session when its timestamp is within `gap`
+    of the session's last event (boundary-inclusive: an event exactly
+    `gap` later still merges — verified against the batch gaps-and-
+    islands construction, which opens on diff > gap), keeps per-session
+    state in the engine's own state store (RocksDB-capable, no Python
+    state), and EMITS a session exactly once, in the micro-batch whose
+    watermark passes the session's window end:
+
+        emitted  <=>  last_event_ts + gap <= max_seen_ts - delay
+
+    so the trailing open session per key is withheld until later data
+    (or a sentinel) closes it — the same contract as
+    `streaming_sessionize(watermark=...)`, but with merging, state
+    eviction, and late-data handling all inside the JVM. Note the
+    eviction corollary: an event arriving BELOW the watermark is late
+    data and starts a fresh session rather than reopening an evicted
+    one (tests pin this); with globally time-ordered ingest (the
+    engine's staging contract — ts monotone in event_id) no event is
+    ever late and cross-batch merges are exact.
+
+    Returns (key, session_start, session_end, n_events) where
+    session_start/end are the first/last observed event times (the
+    engine's window end is last + gap; subtracting is left to the
+    caller since min/max are cheaper than struct surgery)."""
+    return (
+        stream_df.withWatermark(ts_col, delay)
+        .groupBy(F.col(key_col), F.session_window(F.col(ts_col), gap))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+        )
+        .select(key_col, "session_start", "session_end", "n_events")
     )

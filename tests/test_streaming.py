@@ -794,3 +794,59 @@ def test_streaming_anomaly_zscore_null_values_match_batch(spark, tmp_path):
         got[["user_id", "event_id", "value", "n_base", "z"]], want,
         check_dtype=False,
     )
+
+
+def test_streaming_session_window_merges_across_restart(spark, tmp_path):
+    """Native session_window head: a session whose events straddle an
+    availableNow RESTART merges into one row (JVM state store carries
+    the open session across runs), emission is exactly-once, and the
+    trailing open session per key is withheld until data closes it."""
+    import datetime as dt
+
+    from cesium_spark.streaming.stream import streaming_session_window
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "event_id long, user_id long, ts timestamp"
+
+    # run 1: user 1 opens a session (2 events, 10 min apart); user 2 one
+    # event at 00:05 — run 1's max ts is 00:10, so the watermark stays
+    # BELOW both open windows' ends and neither session evicts early
+    # (an event below the watermark would be late data and start fresh
+    # rather than merge — the eviction contract, not a state bug)
+    b1 = [(0, 1, t0), (1, 1, t0 + dt.timedelta(minutes=10)),
+          (2, 2, t0 + dt.timedelta(minutes=5))]
+    # run 2: user 1's session CONTINUES 20 min after its last event, then
+    # a far-future event closes everything except its own session
+    b2 = [(3, 1, t0 + dt.timedelta(minutes=30)),
+          (4, 2, t0 + dt.timedelta(days=2))]
+    spark.createDataFrame(b1, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(in_dir)
+
+    def drain():
+        src = spark.readStream.schema(schema).parquet(in_dir)
+        q = (streaming_session_window(src, gap="30 minutes")
+             .writeStream.format("parquet").option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+
+    drain()
+    spark.createDataFrame(b2, schema).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+    drain()
+
+    out = spark.read.parquet(out_dir).toPandas() \
+        .sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    # user 1: ONE merged session 00:00 -> 00:30 with 3 events (the
+    # run-2 event arrived within gap of the carried state)
+    u1 = out[out.user_id == 1]
+    assert len(u1) == 1
+    assert u1.iloc[0].n_events == 3
+    assert u1.iloc[0].session_start == t0
+    assert u1.iloc[0].session_end == t0 + dt.timedelta(minutes=30)
+    # user 2: the 00:05 session closed in run 2; the day-2 trailing
+    # session is withheld (its window end is above the final watermark)
+    u2 = out[out.user_id == 2]
+    assert len(u2) == 1 and u2.iloc[0].n_events == 1
+    assert u2.iloc[0].session_start == t0 + dt.timedelta(minutes=5)
