@@ -1976,6 +1976,81 @@ def q_event_transitions(spark, sf_dir):
     return event_transitions(_events(spark, sf_dir))
 
 
+def q_hll_tokens(spark, sf_dir):
+    """Deterministic HyperLogLog (p=10, md5-hex 60-bit hash, exact
+    integer harmonic sum — no float accumulation anywhere) estimating
+    the corpus vocabulary size, cross-joined with the exact distinct
+    count so the sketch's relative error is part of the contract. The
+    sketch pass reduces every partition to <= 1024 bucket rows before
+    its only shuffle; the exact side is the full distinct shuffle the
+    sketch exists to avoid (kept here as the validation yardstick)."""
+    from cesium_spark.operators.sketch import hll_distinct
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(
+            F.filter(F.split(F.trim(F.col("text")), r"\s+"),
+                     lambda x: x != F.lit(""))
+        ).alias("tok")
+    )
+    hll = hll_distinct(toks, "tok", p=10)
+    exact = toks.agg(F.count_distinct("tok").cast("long").alias("exact_distinct"))
+    return hll.crossJoin(exact).select(
+        "m", "n_buckets_observed", "hll_estimate", "exact_distinct",
+        F.round(
+            (F.col("hll_estimate") - F.col("exact_distinct"))
+            / F.col("exact_distinct") + F.lit(1e-9), 4
+        ).alias("rel_error"),
+    )
+
+
+def q_hll_shingles(spark, sf_dir):
+    """The same deterministic HLL over the corpus's distinct 3-token
+    shingles (16k-27k at the test SFs — far above the 2.5*m linear-
+    counting threshold, so this exercises the RAW harmonic-mean branch
+    hll_tokens' 31-token vocabulary cannot reach). Estimates run over
+    the md5 span keys from the shared span relation — distinct
+    shingles == distinct keys, and the keys are the portable hash
+    idiom both engines already share."""
+    from cesium_spark.operators.dedup import _token_span_relations
+    from cesium_spark.operators.sketch import hll_distinct
+
+    _, spans = _token_span_relations(
+        _docs(spark, sf_dir), "doc_id", "text", 3, "md5"
+    )
+    keys = spans.select(F.col("key").alias("tok"))
+    hll = hll_distinct(keys, "tok", p=10)
+    exact = keys.agg(F.count_distinct("tok").cast("long").alias("exact_distinct"))
+    return hll.crossJoin(exact).select(
+        "m", "n_buckets_observed", "hll_estimate", "exact_distinct",
+        F.round(
+            (F.col("hll_estimate") - F.col("exact_distinct"))
+            / F.col("exact_distinct") + F.lit(1e-9), 4
+        ).alias("rel_error"),
+    )
+
+
+def q_ngram_novelty(spark, sf_dir):
+    """Per-document 13-gram novelty: fraction of a doc's distinct
+    shingle keys appearing in no other document (corpus df == 1) —
+    the diversity complement to the contamination screen. Same span
+    relation discipline as dup_spans: text never joins the tall
+    relation, the frequency side is key-cardinality-sized."""
+    from cesium_spark.operators.dedup import ngram_novelty
+
+    return ngram_novelty(_docs(spark, sf_dir), k=13)
+
+
+def q_skew_report(spark, sf_dir):
+    """One-row key-skew profile of user_id over the event stream
+    (cardinality, max/mean/p99 per-key counts, CV, Gini, top-5 share)
+    — the diagnostics that pick between salting, AQE skew splits, and
+    broadcast routes. Everything past the partial-aggregable count
+    runs on the key-cardinality relation."""
+    from cesium_spark.operators.analytics import skew_report
+
+    return skew_report(_events(spark, sf_dir), key_col="user_id")
+
+
 def q_session_window_streamed(spark, sf_dir):
     """Gap sessionization on Spark's NATIVE session_window, live:
     events staged as two event_id-ordered parquet files (ts monotone
@@ -2118,6 +2193,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50-slot cap and was never driver-checked).
     return {
         # --- round 6, analytics batch ---
+        "hll_tokens": q_hll_tokens,
+        "hll_shingles": q_hll_shingles,
+        "ngram_novelty": q_ngram_novelty,
+        "skew_report": q_skew_report,
         "session_window_streamed": q_session_window_streamed,
         "cohort_retention": q_cohort_retention,
         "hampel_outliers": q_hampel_outliers,
@@ -4170,6 +4249,147 @@ def oracle_sql() -> dict[str, str]:
     # the streaming head replays the batch operator exactly, so the
     # oracle IS the batch oracle (the event_loops_streamed pattern)
     sql["anomaly_zscore_streamed"] = sql["anomaly_zscore"]
+
+    # HLL determinism: the harmonic sum is EXACT integer arithmetic in
+    # both engines (sum of 1 << (51 - rho) over <= 1024 buckets + the
+    # empty-bucket term stays under 2^62), converted once to double and
+    # divided by the identical Python-computed constant below; bin()
+    # agrees across engines (no leading zeros, bin(0)='0'). The linear-
+    # counting branch (ln) only fires below 2.5*m, where the 1e-9-eps
+    # round absorbs libm ulp drift.
+    _hll_numer = 0.7213 / (1.0 + 1.079 / 1024) * 1024 * 1024 * float(1 << 51)
+    sql["hll_tokens"] = f"""
+        WITH toks AS (
+          SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                    t -> t <> '')) AS tok
+          FROM documents
+        ), h AS (
+          SELECT CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS hh
+          FROM toks
+        ), b AS (
+          SELECT hh % 1024 AS bk,
+                 CASE WHEN hh // 1024 = 0 THEN 51
+                      ELSE 51 - length(bin(hh // 1024)) END AS rho
+          FROM h
+        ), mx AS (SELECT bk, max(rho) AS rmax FROM b GROUP BY bk),
+        s AS (
+          SELECT count(*)::BIGINT AS n_obs,
+                 sum((1::BIGINT << (51 - rmax)))::BIGINT AS s2
+          FROM mx
+        ), est AS (
+          SELECT 1024::BIGINT AS m, n_obs AS n_buckets_observed,
+                 round(CASE WHEN {_hll_numer!r}
+                              / (s2 + (1024 - n_obs) * (1::BIGINT << 51))::DOUBLE
+                            <= 2560.0 AND n_obs < 1024
+                            THEN 1024.0 * ln(1024.0 / (1024 - n_obs))
+                            ELSE {_hll_numer!r}
+                              / (s2 + (1024 - n_obs) * (1::BIGINT << 51))::DOUBLE
+                       END + 1e-9, 2) AS hll_estimate
+          FROM s
+        ), ex AS (SELECT count(DISTINCT tok)::BIGINT AS exact_distinct FROM toks)
+        SELECT m, n_buckets_observed, hll_estimate, exact_distinct,
+               round((hll_estimate - exact_distinct) / exact_distinct
+                     + 1e-9, 4) AS rel_error
+        FROM est, ex
+    """
+
+    # same HLL chain over the md5 3-shingle keys (cardinality >> 2.5*m
+    # at both SFs -> the raw harmonic branch, no ln anywhere)
+    sql["hll_shingles"] = f"""
+        WITH stl AS (
+          SELECT list_filter(string_split_regex(trim(text), '\\s+'),
+                             t -> t <> '') AS toks
+          FROM documents
+        ), toks AS (
+          SELECT md5(array_to_string(list_slice(toks, g.j, g.j + 2),
+                                     ' ')) AS tok
+          FROM stl, LATERAL unnest(
+            generate_series(1, greatest(len(toks) - 2, 0))) AS g(j)
+        ), h AS (
+          SELECT CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS hh
+          FROM toks
+        ), b AS (
+          SELECT hh % 1024 AS bk,
+                 CASE WHEN hh // 1024 = 0 THEN 51
+                      ELSE 51 - length(bin(hh // 1024)) END AS rho
+          FROM h
+        ), mx AS (SELECT bk, max(rho) AS rmax FROM b GROUP BY bk),
+        s AS (
+          SELECT count(*)::BIGINT AS n_obs,
+                 sum((1::BIGINT << (51 - rmax)))::BIGINT AS s2
+          FROM mx
+        ), est AS (
+          SELECT 1024::BIGINT AS m, n_obs AS n_buckets_observed,
+                 round(CASE WHEN {_hll_numer!r}
+                              / (s2 + (1024 - n_obs) * (1::BIGINT << 51))::DOUBLE
+                            <= 2560.0 AND n_obs < 1024
+                            THEN 1024.0 * ln(1024.0 / (1024 - n_obs))
+                            ELSE {_hll_numer!r}
+                              / (s2 + (1024 - n_obs) * (1::BIGINT << 51))::DOUBLE
+                       END + 1e-9, 2) AS hll_estimate
+          FROM s
+        ), ex AS (SELECT count(DISTINCT tok)::BIGINT AS exact_distinct FROM toks)
+        SELECT m, n_buckets_observed, hll_estimate, exact_distinct,
+               round((hll_estimate - exact_distinct) / exact_distinct
+                     + 1e-9, 4) AS rel_error
+        FROM est, ex
+    """
+
+    # novelty: distinct span keys per doc, corpus document-frequency on
+    # the key relation, df == 1 means "no other doc shares it"; sub-k
+    # docs emit 0 keys and NULL novelty (no evidence, distinct from 0.0)
+    sql["ngram_novelty"] = """
+        WITH stl AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\\s+'),
+                             t -> t <> '') AS toks
+          FROM documents
+        ), sp AS (
+          SELECT DISTINCT doc_id,
+                 md5(array_to_string(list_slice(toks, g.j, g.j + 12),
+                                     ' ')) AS skey
+          FROM stl, LATERAL unnest(
+            generate_series(1, greatest(len(toks) - 12, 0))) AS g(j)
+        ), fr AS (SELECT skey, count(*) AS dfreq FROM sp GROUP BY skey),
+        per AS (
+          SELECT s.doc_id, count(*)::BIGINT AS n_keys,
+                 sum(CASE WHEN dfreq = 1 THEN 1 ELSE 0 END)::BIGINT AS n_novel
+          FROM sp s JOIN fr USING (skey) GROUP BY s.doc_id
+        )
+        SELECT t.doc_id,
+               coalesce(p.n_keys, 0)::BIGINT AS n_keys,
+               coalesce(p.n_novel, 0)::BIGINT AS n_novel,
+               CASE WHEN p.n_keys IS NULL THEN NULL
+                    ELSE round(p.n_novel::DOUBLE / p.n_keys + 1e-9, 6)
+               END AS novelty_frac
+        FROM stl t LEFT JOIN per p USING (doc_id)
+    """
+
+    # every aggregate is an exact integer (or a ratio of exact integers
+    # converted identically to double), so the one-row summary hashes
+    # exactly; rank ties break on the key in both engines
+    sql["skew_report"] = """
+        WITH counts AS (
+          SELECT user_id, count(*)::BIGINT AS c FROM events GROUP BY user_id
+        ), ranked AS (
+          SELECT c,
+                 row_number() OVER (ORDER BY c, user_id) AS i,
+                 row_number() OVER (ORDER BY c DESC, user_id) AS j
+          FROM counts
+        )
+        SELECT count(*)::BIGINT AS n_keys, sum(c)::BIGINT AS n_rows,
+               max(c) AS max_count,
+               round(sum(c)::DOUBLE / count(*) + 1e-9, 6) AS mean_count,
+               round(quantile_cont(c::DOUBLE, 0.99) + 1e-9, 6) AS p99_count,
+               round(sqrt(greatest(sum(c * c)::DOUBLE / count(*)
+                                   - (sum(c)::DOUBLE / count(*)) ^ 2, 0))
+                     / (sum(c)::DOUBLE / count(*)) + 1e-9, 6) AS cv,
+               round(2.0 * sum(i * c) / (count(*) * sum(c))
+                     - (count(*) + 1.0) / count(*) + 1e-9, 6) AS gini,
+               round(sum(CASE WHEN j <= 5 THEN c ELSE 0 END)::DOUBLE / sum(c)
+                     + 1e-9, 6) AS top5_share
+        FROM ranked
+    """
 
     # the native session_window merges iff diff <= gap (probed: an event
     # exactly gap later still merges — same rule as the batch operator's

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cohort_retention", "hampel_outliers"]
+__all__ = ["cohort_retention", "hampel_outliers", "skew_report"]
 
 
 def _r(col, digits: int = 6):
@@ -154,4 +154,62 @@ def hampel_outliers(
             _r(F.col("_iqr"), round_digits).alias("iqr"),
             _r(dev / F.col("_iqr"), round_digits).alias("score"),
         )
+    )
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str = "user_id",
+    top_n: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Partition-planning skew profile of a key: ONE summary row with
+    the key cardinality, row total, max/mean/p99 per-key counts,
+    coefficient of variation, Gini coefficient of the count
+    distribution, and the row share of the top_n heaviest keys — the
+    numbers that decide whether a join/groupBy on this key needs
+    salting, AQE skew splitting, or a broadcast route.
+
+    Gini uses the rank formulation over counts ascending (ties broken
+    on the key for determinism): G = 2*sum(i*c_i)/(n*sum(c)) - (n+1)/n.
+
+    Plan: the per-key count is one partial-aggregable groupBy; every
+    later step runs on the KEY-CARDINALITY relation, not the rows —
+    one sort (the rank window) plus single-row reduces. At extreme key
+    cardinality the sort is the cost; sample the count relation first
+    if an estimate suffices (the summary is diagnostics, not lineage).
+
+    Returns (n_keys, n_rows, max_count, mean_count, p99_count, cv,
+    gini, top{top_n}_share)."""
+    counts = df.groupBy(key_col).agg(F.count("*").cast("long").alias("_c"))
+    w_asc = Window.orderBy(F.col("_c"), F.col(key_col))
+    w_desc = Window.orderBy(F.col("_c").desc(), F.col(key_col))
+    ranked = counts.select(
+        "_c",
+        F.row_number().over(w_asc).alias("_i"),
+        F.row_number().over(w_desc).alias("_j"),
+    )
+    n = F.count("*").cast("long")
+    tot = F.sum("_c")
+    mean = tot / n
+    # population std via co-moments (identical expansion in the oracle)
+    var = F.sum(F.col("_c") * F.col("_c")) / n - mean * mean
+    gini = (
+        F.lit(2.0) * F.sum(F.col("_i") * F.col("_c")) / (n * tot)
+        - (n + F.lit(1.0)) / n
+    )
+    top_share = (
+        F.sum(F.when(F.col("_j") <= top_n, F.col("_c")).otherwise(0)) / tot
+    )
+    return ranked.agg(
+        n.alias("n_keys"),
+        tot.cast("long").alias("n_rows"),
+        F.max("_c").alias("max_count"),
+        _r(mean, round_digits).alias("mean_count"),
+        _r(F.percentile(F.col("_c").cast("double"), F.lit(0.99)),
+           round_digits).alias("p99_count"),
+        _r(F.sqrt(F.greatest(var, F.lit(0.0))) / mean,
+           round_digits).alias("cv"),
+        _r(gini, round_digits).alias("gini"),
+        _r(top_share, round_digits).alias(f"top{top_n}_share"),
     )

@@ -42,6 +42,7 @@ __all__ = [
     "duplicate_token_spans",
     "remove_duplicate_spans",
     "ngram_contamination",
+    "ngram_novelty",
     "dedup_lines",
     "span_index_rows",
     "span_profiles_from_index",
@@ -1055,5 +1056,63 @@ def dedup_lines(
             F.when(F.col("has"), F.col("n_kept")).cast("long").alias("n_kept"),
             F.when(F.col("has"), F.round(frac + F.lit(1e-9), round_digits))
             .alias("removed_frac"),
+        )
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 13,
+    hash_fn: str = "md5",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document n-gram novelty: what fraction of a document's
+    DISTINCT k-token shingles appears in NO other document — the
+    diversity/memorization-risk complement to the contamination screen
+    (same 13-gram granularity as Brown et al. 2020's overlap rule) and
+    to `duplicate_token_spans` (which measures repetition, not
+    uniqueness).
+
+    Shares `_token_span_relations` (cesium has no such operator; the
+    tokenization contract is the engine's own, mirrored by the DuckDB
+    oracles). Per doc the span keys are first deduplicated, each key's
+    corpus document-frequency is counted on the key-cardinality
+    relation, and novelty = |keys with df == 1| / |keys|.
+
+    Scale shape is dup_spans': the tall span relation never joins
+    text, the frequency relation is key-cardinality-sized and
+    Zipf-bounded, and both groupBys are partial-aggregable. Documents
+    shorter than k tokens emit 0 keys and a NULL novelty_frac (no
+    evidence either way — distinct from "all my shingles are shared",
+    which is 0.0).
+
+    Returns (id, n_keys, n_novel, novelty_frac)."""
+    base, spans = _token_span_relations(df, id_col, text_col, k, hash_fn)
+    dk = spans.distinct()
+    freq = dk.groupBy("key").agg(F.count("*").cast("long").alias("_df"))
+    per = (
+        dk.join(freq, on="key")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_keys"),
+            F.sum(F.when(F.col("_df") == 1, 1).otherwise(0))
+            .cast("long").alias("n_novel"),
+        )
+    )
+    frac = F.when(
+        F.col("n_keys").isNull(), F.lit(None).cast("double")
+    ).otherwise(
+        F.round(F.col("n_novel") / F.col("n_keys") + F.lit(1e-9), round_digits)
+    )
+    return (
+        base.select("id")
+        .join(per, on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_keys"), F.lit(0)).cast("long").alias("n_keys"),
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
+            frac.alias("novelty_frac"),
         )
     )

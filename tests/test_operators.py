@@ -2472,3 +2472,65 @@ def test_hampel_outliers_flags_spike_not_constant(spark):
         if iqr > 0 and abs(x[i] - med) > 1.5 * iqr:
             want.add(i)
     assert flagged == want and 40 in flagged
+
+
+def test_hll_distinct_accuracy_and_duplicate_insensitivity(spark):
+    """p=10 HLL lands within ~3x the theoretical 3.25% error on 30k
+    distinct values, duplicates never move the estimate (max-merge
+    idempotence), and a tiny input takes the linear-counting branch
+    to a near-exact answer."""
+    from cesium_spark.operators.sketch import hll_distinct
+
+    vals = [(f"item-{i}",) for i in range(30000)]
+    df = spark.createDataFrame(vals, "tok string")
+    est = hll_distinct(df, "tok").toPandas().iloc[0]
+    assert abs(est.hll_estimate - 30000) / 30000 < 0.10
+    dup = spark.createDataFrame(vals + vals, "tok string")
+    est2 = hll_distinct(dup, "tok").toPandas().iloc[0]
+    assert est2.hll_estimate == est.hll_estimate
+    assert est2.n_buckets_observed == est.n_buckets_observed
+
+    tiny = spark.createDataFrame([(f"t{i}",) for i in range(40)], "tok string")
+    est3 = hll_distinct(tiny, "tok").toPandas().iloc[0]
+    assert abs(est3.hll_estimate - 40) / 40 < 0.10  # linear counting
+
+
+def test_ngram_novelty_shared_vs_unique(spark):
+    """A 13-gram shared between two docs is non-novel in both; a doc of
+    fresh text is fully novel; a sub-13-token doc emits 0 keys and
+    NULL novelty."""
+    from cesium_spark.operators.dedup import ngram_novelty
+
+    shared = " ".join(f"w{i}" for i in range(13))
+    rows = [
+        (1, shared + " alpha beta gamma"),
+        (2, "prefix " + shared),
+        (3, " ".join(f"u{i}" for i in range(20))),
+        (4, "too short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ngram_novelty(df, k=13).toPandas().set_index("doc_id")
+    # doc1: 4 windows; exactly one (the pure shared one) also in doc2
+    assert out.loc[1, "n_keys"] == 4 and out.loc[1, "n_novel"] == 3
+    assert out.loc[2, "n_keys"] == 2 and out.loc[2, "n_novel"] == 1
+    assert out.loc[3, "n_keys"] == 8 and out.loc[3, "n_novel"] == 8
+    assert round(out.loc[3, "novelty_frac"], 6) == 1.0
+    assert out.loc[4, "n_keys"] == 0 and np.isnan(out.loc[4, "novelty_frac"])
+
+
+def test_skew_report_hand_computed(spark):
+    """Known count distribution -> exact hand-computed Gini/CV/shares."""
+    from cesium_spark.operators.analytics import skew_report
+
+    # keys with counts 1, 2, 3, 10
+    rows = [(1,)] + [(2,)] * 2 + [(3,)] * 3 + [(4,)] * 10
+    df = spark.createDataFrame(rows, "user_id long")
+    out = skew_report(df, key_col="user_id", top_n=2).toPandas().iloc[0]
+    c = np.array([1, 2, 3, 10], dtype=float)
+    assert out.n_keys == 4 and out.n_rows == 16 and out.max_count == 10
+    assert out.mean_count == 4.0
+    gini = 2 * (np.arange(1, 5) * np.sort(c)).sum() / (4 * c.sum()) - 5 / 4
+    assert abs(out.gini - round(gini + 1e-9, 6)) < 1e-9
+    cv = np.sqrt((c * c).sum() / 4 - 16.0) / 4.0
+    assert abs(out.cv - round(cv + 1e-9, 6)) < 1e-9
+    assert out.top2_share == round(13 / 16 + 1e-9, 6)

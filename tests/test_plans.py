@@ -438,3 +438,20 @@ def test_cohort_retention_broadcast_sizes_no_cartesian(spark, tmp_path):
     phys = out._jdf.queryExecution().toString().split("== Physical Plan ==")[-1]
     assert "BroadcastHashJoin" in phys
     assert "CartesianProduct" not in phys and "Python" not in phys
+
+
+def test_hll_partial_agg_before_shuffle(spark, tmp_path):
+    """hll_distinct: the bucket groupBy partial-aggregates map-side
+    (every partition reduces to <= 2^p rows before the only exchange)
+    and the whole pass is JVM expressions, no Python."""
+    from cesium_spark.operators.sketch import hll_distinct
+
+    p = str(tmp_path / "toks")
+    spark.createDataFrame(
+        [(f"tok-{i % 500}",) for i in range(5000)], "tok string"
+    ).write.parquet(p)
+    out = hll_distinct(spark.read.parquet(p), "tok")
+    phys = out._jdf.queryExecution().toString().split("== Physical Plan ==")[-1]
+    assert "partial_max" in phys or "partial_" in phys
+    assert "Python" not in phys
+    assert "CartesianProduct" not in phys
