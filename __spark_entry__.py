@@ -1976,6 +1976,28 @@ def q_event_transitions(spark, sf_dir):
     return event_transitions(_events(spark, sf_dir))
 
 
+def q_dim_stats(spark, sf_dir):
+    """Per-dimension mean/std/min/max of the embedding corpus: one
+    posexplode + one partial-aggregable groupBy on the dimension index
+    (64 groups — map-side combine reduces every partition to dim
+    rows). The profile every normalize/whiten/quantize step needs."""
+    from cesium_spark.operators.linalg import dim_stats
+
+    return dim_stats(_emb(spark, sf_dir))
+
+
+def q_pca_power(spark, sf_dir):
+    """Top principal component by matrix-free power iteration (3
+    passes, lowest-id deterministic init, kmeans float discipline):
+    A.w needs only a map-only dot product against the inlined w and
+    one (pos)-keyed partial sum — dim rows per partition per pass, the
+    covariance matrix never materializes. The oracle replays the
+    identical centered/rounded iterations as chained CTEs."""
+    from cesium_spark.operators.linalg import pca_power
+
+    return pca_power(_emb(spark, sf_dir), iters=3)
+
+
 def q_hll_tokens(spark, sf_dir):
     """Deterministic HyperLogLog (p=10, md5-hex 60-bit hash, exact
     integer harmonic sum — no float accumulation anywhere) estimating
@@ -2193,6 +2215,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50-slot cap and was never driver-checked).
     return {
         # --- round 6, analytics batch ---
+        "dim_stats": q_dim_stats,
+        "pca_power": q_pca_power,
         "hll_tokens": q_hll_tokens,
         "hll_shingles": q_hll_shingles,
         "ngram_novelty": q_ngram_novelty,
@@ -4249,6 +4273,69 @@ def oracle_sql() -> dict[str, str]:
     # the streaming head replays the batch operator exactly, so the
     # oracle IS the batch oracle (the event_loops_streamed pattern)
     sql["anomaly_zscore_streamed"] = sql["anomaly_zscore"]
+
+    sql["dim_stats"] = """
+        SELECT g.j::INT - 1 AS pos,
+               round(avg(v[g.j]::DOUBLE) + 1e-9, 6) AS mean,
+               round(stddev_samp(v[g.j]::DOUBLE) + 1e-9, 6) AS std,
+               round(min(v[g.j]::DOUBLE) + 1e-9, 6) AS min,
+               round(max(v[g.j]::DOUBLE) + 1e-9, 6) AS max
+        FROM (SELECT embedding AS v FROM embeddings) e,
+             LATERAL unnest(generate_series(1, len(v))) AS g(j)
+        GROUP BY 1
+    """
+
+    # power-iteration replay: the same centered/rounded dataflow as
+    # operators/linalg.pca_power, three chained (p -> s -> normalize)
+    # CTE blocks; per-row dot products sum in different orders than
+    # Spark's sequential fold, which the +1e-9 round at every stage
+    # boundary absorbs (the kmeans oracle precedent)
+    _pca_iter = """
+        p{i} AS (
+          SELECT c.vec_id, round(sum(c.x * w{j}.w) + 1e-9, 6) AS p
+          FROM c JOIN w{j} USING (pos) GROUP BY c.vec_id
+        ),
+        s{i} AS (
+          SELECT c.pos, round(sum(p{i}.p * c.x) + 1e-9, 6) AS s
+          FROM c JOIN p{i} USING (vec_id) GROUP BY c.pos
+        ),
+        n{i} AS (SELECT sqrt(sum(s * s)) AS nrm FROM s{i}),
+        w{i} AS (
+          SELECT pos, round(s / (SELECT nrm FROM n{i}) + 1e-9, 6) AS w
+          FROM s{i}
+        )"""
+    sql["pca_power"] = (
+        """
+        WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+        ex AS (
+          SELECT vec_id, g.j::INT - 1 AS pos, v[g.j]::DOUBLE AS x
+          FROM e, LATERAL unnest(generate_series(1, len(v))) AS g(j)
+        ),
+        mu AS (
+          SELECT pos, round(avg(x) + 1e-9, 6) AS m, var_samp(x) AS vv
+          FROM ex GROUP BY pos
+        ),
+        tot AS (SELECT sum(vv) AS tv FROM mu),
+        nn AS (SELECT count(*)::BIGINT AS n FROM e),
+        c AS (
+          SELECT ex.vec_id, ex.pos, round(ex.x - mu.m + 1e-9, 6) AS x
+          FROM ex JOIN mu USING (pos)
+        ),
+        c0 AS (SELECT pos, x FROM c
+               WHERE vec_id = (SELECT min(vec_id) FROM e)),
+        n0 AS (SELECT sqrt(sum(x * x)) AS nrm FROM c0),
+        w0 AS (SELECT pos, round(x / (SELECT nrm FROM n0) + 1e-9, 6) AS w
+               FROM c0),"""
+        + ",".join(_pca_iter.format(i=i, j=i - 1) for i in (1, 2, 3))
+        + """
+        SELECT w3.pos, w3.w AS loading,
+               round((SELECT nrm FROM n3) / ((SELECT n FROM nn) - 1)
+                     + 1e-9, 6) AS eigenvalue,
+               round((SELECT nrm FROM n3) / ((SELECT n FROM nn) - 1)
+                     / (SELECT tv FROM tot) + 1e-9, 6) AS explained_var_frac
+        FROM w3
+    """
+    )
 
     # HLL determinism: the harmonic sum is EXACT integer arithmetic in
     # both engines (sum of 1 << (51 - rho) over <= 1024 buckets + the

@@ -1,0 +1,141 @@
+"""Distributed dense linear algebra over an embedding column:
+per-dimension moment statistics and a matrix-free power-iteration
+principal component.
+
+The same design contract as operators/kmeans.py (its docstring carries
+the full float discipline): every driver round-trip moves only
+O(dim)-sized state, every stage is a JVM expression or a
+partial-aggregable groupBy, and every value that crosses a collect
+boundary is rounded (half-up +1e-9 nudge) so an independent engine
+replaying the identical dataflow — the DuckDB oracles chain the same
+iterations as CTEs — lands on the same doubles.
+
+Scale shape: the covariance matrix itself (dim x dim) is NEVER
+materialized. Power iteration needs only A·w = sum_rows (x·w) x,
+which is a map-only dot product against the broadcast/inlined w
+followed by one (pos)-keyed partial sum — dim partial rows per
+partition per pass, independent of corpus size. That is the standard
+matrix-free layout that survives a 100 TB embedding table; more
+components = deflation passes with the same dataflow.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["dim_stats", "pca_power"]
+
+
+def _centered(df: DataFrame, vec_col: str, mu: list, round_digits: int):
+    """round(v - mu) as a JVM zip_with against the inlined mean vector."""
+    muarr = F.array(*[F.lit(float(m)) for m in mu])
+    return F.zip_with(
+        F.col(vec_col).cast("array<double>"), muarr,
+        lambda x, m: F.round(x - m + F.lit(1e-9), round_digits),
+    )
+
+
+def dim_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-dimension mean / sample-std / min / max over an
+    array<float> column — the profile every embedding pipeline checks
+    before normalizing, whitening, or quantizing. posexplode then ONE
+    partial-aggregable groupBy on the dimension index (dim groups, so
+    map-side combine reduces each partition to dim rows).
+
+    Returns (pos, mean, std, min, max), pos 0-based."""
+    ex = df.select(
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x")
+    )
+    return ex.groupBy("pos").agg(
+        F.round(F.avg("x") + F.lit(1e-9), round_digits).alias("mean"),
+        F.round(F.stddev_samp("x") + F.lit(1e-9), round_digits).alias("std"),
+        F.round(F.min("x") + F.lit(1e-9), round_digits).alias("min"),
+        F.round(F.max("x") + F.lit(1e-9), round_digits).alias("max"),
+    )
+
+
+def pca_power(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top principal component by matrix-free power iteration.
+
+    Deterministic dataflow (oracle-replayable):
+    - center on the per-dimension mean (rounded);
+    - init w0 = the centered lowest-id vector, L2-normalized and
+      rounded (no randomness — the kmeans lowest-id convention);
+    - each pass: p = x_c . w (JVM fold, w inlined), then
+      s_j = sum_rows(p * x_cj) via posexplode + ONE (pos)-keyed
+      partial-aggregable sum, s rounded at the collect boundary, then
+      w <- round(s / ||s||) on the driver (O(dim) state);
+    - eigenvalue lambda = ||s|| / (n - 1) from the LAST pass (the
+      Rayleigh quotient of the unit iterate), explained variance
+      fraction = lambda / sum_j var_j.
+
+    Returns one row per dimension: (pos, loading, eigenvalue,
+    explained_var_frac) with the two scalars repeated per row (single
+    hashable relation)."""
+    n = df.count()
+    mu_rows = (
+        df.select(F.posexplode(F.col(vec_col).cast("array<double>"))
+                  .alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.round(F.avg("x") + F.lit(1e-9), round_digits).alias("m"),
+             F.var_samp("x").alias("v"))
+        .collect()
+    )
+    mu_sorted = sorted(mu_rows, key=lambda r: r["pos"])
+    mu = [r["m"] for r in mu_sorted]
+    # pos-ordered sum: a fixed accumulation order keeps the driver-side
+    # total deterministic across collect() partition orders
+    total_var = sum(r["v"] for r in mu_sorted)
+
+    first = df.orderBy(id_col).select(
+        _centered(df, vec_col, mu, round_digits).alias("c")
+    ).first()["c"]
+    nrm = math.sqrt(sum(x * x for x in first))
+    w = [round(x / nrm + 1e-9, round_digits) for x in first]
+
+    lam = 0.0
+    for _ in range(iters):
+        c = _centered(df, vec_col, mu, round_digits)
+        warr = F.array(*[F.lit(float(x)) for x in w])
+        p = F.round(
+            F.aggregate(
+                F.zip_with(c, warr, lambda x, y: x * y),
+                F.lit(0.0), lambda a, x: a + x,
+            ) + F.lit(1e-9),
+            round_digits,
+        )
+        s_rows = (
+            df.select(p.alias("_p"), F.posexplode(c).alias("pos", "x"))
+            .groupBy("pos")
+            .agg(F.round(F.sum(F.col("_p") * F.col("x")) + F.lit(1e-9),
+                         round_digits).alias("s"))
+            .collect()
+        )
+        s = [r["s"] for r in sorted(s_rows, key=lambda r: r["pos"])]
+        nrm = math.sqrt(sum(x * x for x in s))
+        w = [round(x / nrm + 1e-9, round_digits) for x in s]
+        lam = nrm / (n - 1)
+
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        [(i, w[i]) for i in range(len(w))], "pos int, loading double"
+    )
+    return out.select(
+        "pos", "loading",
+        F.lit(round(lam + 1e-9, round_digits)).alias("eigenvalue"),
+        F.lit(round(lam / total_var + 1e-9, round_digits))
+        .alias("explained_var_frac"),
+    )

@@ -2534,3 +2534,50 @@ def test_skew_report_hand_computed(spark):
     cv = np.sqrt((c * c).sum() / 4 - 16.0) / 4.0
     assert abs(out.cv - round(cv + 1e-9, 6)) < 1e-9
     assert out.top2_share == round(13 / 16 + 1e-9, 6)
+
+
+def test_dim_stats_matches_numpy(spark):
+    """Per-dimension moments equal the numpy columns (rounded)."""
+    from cesium_spark.operators.linalg import dim_stats
+
+    rng = np.random.RandomState(7)
+    X = rng.normal(2, 3, (40, 5))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    out = dim_stats(df).toPandas().set_index("pos").sort_index()
+    for j in range(5):
+        assert abs(out.loc[j, "mean"] - round(X[:, j].mean() + 1e-9, 6)) < 2e-6
+        assert abs(out.loc[j, "std"]
+                   - round(X[:, j].std(ddof=1) + 1e-9, 6)) < 2e-6
+        assert out.loc[j, "min"] == round(X[:, j].min() + 1e-9, 6)
+        assert out.loc[j, "max"] == round(X[:, j].max() + 1e-9, 6)
+
+
+def test_pca_power_recovers_dominant_direction(spark):
+    """On data with a planted dominant axis, three power passes align
+    with numpy's top eigenvector (|cos| > 0.999) and the Rayleigh
+    eigenvalue is within a few percent of numpy's."""
+    from cesium_spark.operators.linalg import pca_power
+
+    rng = np.random.RandomState(11)
+    direction = rng.normal(size=8)
+    direction /= np.linalg.norm(direction)
+    X = (rng.normal(0, 3, (120, 1)) * direction  # strong axis
+         + rng.normal(0, 0.3, (120, 8)))         # isotropic noise
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(120)],
+        "vec_id long, embedding array<double>",
+    )
+    out = pca_power(df, iters=3).toPandas().sort_values("pos")
+    w = out.loading.to_numpy()
+
+    Xc = X - X.mean(axis=0)
+    cov = Xc.T @ Xc / (len(X) - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    v1, l1 = evecs[:, -1], evals[-1]
+    cos = abs(np.dot(w, v1)) / np.linalg.norm(w)
+    assert cos > 0.999
+    assert abs(out.eigenvalue.iloc[0] - l1) / l1 < 0.05
+    assert 0.5 < out.explained_var_frac.iloc[0] <= 1.0
