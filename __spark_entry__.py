@@ -1976,6 +1976,37 @@ def q_event_transitions(spark, sf_dir):
     return event_transitions(_events(spark, sf_dir))
 
 
+def q_json_field_stats(spark, sf_dir):
+    """Semi-structured payload profile: get_json_object pulls props.k
+    (JVM path evaluation inlined into the scan — no UDF, no inference
+    pass), then one partial-aggregable groupBy per event_type with
+    presence rate, moments, and exact p50/p95."""
+    from cesium_spark.operators.analytics import json_field_stats
+
+    return json_field_stats(_events(spark, sf_dir))
+
+
+def q_value_histogram(spark, sf_dir):
+    """Equi-width histogram of value per event_type over fixed [0,100)
+    bounds (comparable across groups and rounds; edge bins absorb
+    out-of-range rows so bin sums reconcile with group totals). Pure
+    map + partial-aggregable groupBy; the frac window runs on the
+    groups*bins relation."""
+    from cesium_spark.operators.analytics import value_histogram
+
+    return value_histogram(_events(spark, sf_dir))
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic A-ES weighted sampling without replacement (100
+    docs, weight = n_chars): u from the hash_split md5 idiom, key =
+    ln(u)/w rounded with id tiebreak, TakeOrderedAndProject top-n —
+    the distributed replacement for ORDER BY random() LIMIT n."""
+    from cesium_spark.operators.split import weighted_sample
+
+    return weighted_sample(_docs(spark, sf_dir), n=100)
+
+
 def q_dim_stats(spark, sf_dir):
     """Per-dimension mean/std/min/max of the embedding corpus: one
     posexplode + one partial-aggregable groupBy on the dimension index
@@ -2215,6 +2246,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50-slot cap and was never driver-checked).
     return {
         # --- round 6, analytics batch ---
+        "json_field_stats": q_json_field_stats,
+        "value_histogram": q_value_histogram,
+        "weighted_sample": q_weighted_sample,
         "dim_stats": q_dim_stats,
         "pca_power": q_pca_power,
         "hll_tokens": q_hll_tokens,
@@ -4273,6 +4307,56 @@ def oracle_sql() -> dict[str, str]:
     # the streaming head replays the batch operator exactly, so the
     # oracle IS the batch oracle (the event_loops_streamed pattern)
     sql["anomaly_zscore_streamed"] = sql["anomaly_zscore"]
+
+    sql["json_field_stats"] = """
+        WITH g AS (
+          SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS DOUBLE) AS v
+          FROM events
+        )
+        SELECT event_type, count(*)::BIGINT AS n,
+               count(v)::BIGINT AS n_present,
+               round(count(v)::DOUBLE / count(*) + 1e-9, 6) AS present_rate,
+               round(avg(v) + 1e-9, 6) AS mean,
+               round(stddev_samp(v) + 1e-9, 6) AS std,
+               round(quantile_cont(v, 0.5) + 1e-9, 6) AS p50,
+               round(quantile_cont(v, 0.95) + 1e-9, 6) AS p95,
+               round(min(v) + 1e-9, 6) AS min,
+               round(max(v) + 1e-9, 6) AS max
+        FROM g GROUP BY event_type
+    """
+
+    sql["value_histogram"] = """
+        WITH per AS (
+          SELECT event_type,
+                 least(greatest(floor(value::DOUBLE / 10.0), 0), 9)::INT
+                   AS bin,
+                 count(*)::BIGINT AS n
+          FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, bin,
+               round(bin * 10.0 + 1e-9, 6) AS bin_lo,
+               round((bin + 1) * 10.0 + 1e-9, 6) AS bin_hi, n,
+               round(n::DOUBLE / sum(n) OVER (PARTITION BY event_type)
+                     + 1e-9, 6) AS frac
+        FROM per
+    """
+
+    # A-ES keys: u from the shared md5 idiom, ln(u)/w rounded at 9dp
+    # with the 1e-12 nudge + id tiebreak so a libm ulp on ln cannot
+    # flip ranks at the cut
+    sql["weighted_sample"] = """
+        SELECT doc_id, weight, sample_key
+        FROM (
+          SELECT doc_id, n_chars::DOUBLE AS weight,
+                 round(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                               1, 15)) AS BIGINT)::DOUBLE
+                           + 0.5) / 1152921504606846976.0)
+                       / n_chars::DOUBLE + 1e-12, 9) AS sample_key
+          FROM documents WHERE n_chars > 0
+        )
+        ORDER BY sample_key DESC, doc_id LIMIT 100
+    """
 
     sql["dim_stats"] = """
         SELECT g.j::INT - 1 AS pos,

@@ -21,7 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cohort_retention", "hampel_outliers", "skew_report"]
+__all__ = ["cohort_retention", "hampel_outliers", "skew_report",
+           "json_field_stats", "value_histogram"]
 
 
 def _r(col, digits: int = 6):
@@ -212,4 +213,84 @@ def skew_report(
            round_digits).alias("cv"),
         _r(gini, round_digits).alias("gini"),
         _r(top_share, round_digits).alias(f"top{top_n}_share"),
+    )
+
+
+def json_field_stats(
+    df: DataFrame,
+    json_col: str = "props",
+    field: str = "k",
+    group_col: str = "event_type",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Semi-structured payload profiling: extract one numeric field
+    from a JSON column (get_json_object — JVM path-expression
+    evaluation inlined into the scan, no UDF, no schema inference
+    pass) and aggregate per group: presence rate, mean/std, exact
+    p50/p95, min/max. The everyday "what's inside props" relation; a
+    malformed or missing field extracts NULL and counts against
+    presence, never poisons an aggregate.
+
+    Plan: map-only extraction + ONE partial-aggregable groupBy (the
+    exact percentiles sort within groups — dashboard-tier group
+    cardinality assumed, same trade as value_percentiles).
+
+    Returns (group, n, n_present, present_rate, mean, std, p50, p95,
+    min, max)."""
+    v = F.get_json_object(F.col(json_col), f"$.{field}").cast("double")
+    g = df.select(F.col(group_col), v.alias("_v"))
+    n = F.count("*").cast("long")
+    npres = F.count("_v").cast("long")
+    return g.groupBy(group_col).agg(
+        n.alias("n"),
+        npres.alias("n_present"),
+        _r(npres / n, round_digits).alias("present_rate"),
+        _r(F.avg("_v"), round_digits).alias("mean"),
+        _r(F.stddev_samp("_v"), round_digits).alias("std"),
+        _r(F.percentile(F.col("_v"), F.lit(0.5)), round_digits).alias("p50"),
+        _r(F.percentile(F.col("_v"), F.lit(0.95)), round_digits).alias("p95"),
+        _r(F.min("_v"), round_digits).alias("min"),
+        _r(F.max("_v"), round_digits).alias("max"),
+    )
+
+
+def value_histogram(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    lo: float = 0.0,
+    hi: float = 100.0,
+    n_bins: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Equi-width histogram per group over a FIXED [lo, hi) range:
+    bin = floor((x - lo) / width) clamped into [0, n_bins-1] (the last
+    bin absorbs x == hi; out-of-range rows land in the edge bins, so
+    every row is counted and the per-group bin sums reconcile with the
+    group totals). Fixed bounds — not per-group min/max — keep bins
+    comparable across groups and rounds, and make the operator a pure
+    map + partial-aggregable groupBy with groups*n_bins output rows.
+
+    Returns (group, bin, bin_lo, bin_hi, n, frac)."""
+    width = (hi - lo) / n_bins
+    x = F.col(value_col).cast("double")
+    b = F.least(
+        F.greatest(F.floor((x - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    per = (
+        df.select(F.col(group_col), b.alias("bin"))
+        .groupBy(group_col, "bin")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    wt = Window.partitionBy(group_col)
+    return per.select(
+        group_col,
+        "bin",
+        _r(F.lit(lo) + F.col("bin") * F.lit(width), round_digits)
+        .alias("bin_lo"),
+        _r(F.lit(lo) + (F.col("bin") + 1) * F.lit(width), round_digits)
+        .alias("bin_hi"),
+        "n",
+        _r(F.col("n") / F.sum("n").over(wt), round_digits).alias("frac"),
     )

