@@ -1976,6 +1976,27 @@ def q_event_transitions(spark, sf_dir):
     return event_transitions(_events(spark, sf_dir))
 
 
+def q_hourly_peaks(spark, sf_dir):
+    """Local maxima of per-user hourly activity (strict over both
+    observed neighbors, plateau-safe: comparisons run on rounded sums
+    so a cross-engine summation ulp cannot mint a phantom peak). One
+    bucketing groupBy + one fused lag/lead Window."""
+    from cesium_spark.operators.tsstats import hourly_peaks
+
+    return hourly_peaks(_events(spark, sf_dir))
+
+
+def q_seasonal_anomaly(spark, sf_dir):
+    """Seasonality-aware anomalies: residuals from the classical
+    decomposition scored against each series' own residual spread —
+    a modest 3am spike on a nightly-quiet series flags, the daily
+    rush hour never does. Residuals are rounded at the decomposition
+    surface, so both engines aggregate identical inputs."""
+    from cesium_spark.operators.tsstats import seasonal_anomalies
+
+    return seasonal_anomalies(_events(spark, sf_dir), k=2.0)
+
+
 def q_json_field_stats(spark, sf_dir):
     """Semi-structured payload profile: get_json_object pulls props.k
     (JVM path evaluation inlined into the scan — no UDF, no inference
@@ -2246,6 +2267,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50-slot cap and was never driver-checked).
     return {
         # --- round 6, analytics batch ---
+        "hourly_peaks": q_hourly_peaks,
+        "seasonal_anomaly": q_seasonal_anomaly,
         "json_field_stats": q_json_field_stats,
         "value_histogram": q_value_histogram,
         "weighted_sample": q_weighted_sample,
@@ -4796,6 +4819,41 @@ def oracle_sql() -> dict[str, str]:
                round(s.seas + 1e-9, 6) AS seasonal,
                round(t.y - t.trend - s.seas + 1e-9, 6) AS resid
         FROM t JOIN s ON t.user_id = s.user_id AND t.hod = s.hod
+    """
+
+    # composition over the decomposition's ROUNDED residual surface:
+    # both engines aggregate identical inputs into the per-series std
+    sql["seasonal_anomaly"] = f"""
+        WITH sd AS ({sql["seasonal_decompose"]}),
+        st AS (
+          SELECT user_id, count(*)::BIGINT AS nb,
+                 stddev_samp(resid) AS rs
+          FROM sd GROUP BY user_id
+        )
+        SELECT sd.user_id, sd.hour_bucket, sd.value, sd.resid,
+               round(sd.resid / st.rs + 1e-9, 6) AS z
+        FROM sd JOIN st USING (user_id)
+        WHERE st.nb >= 24 AND st.rs > 1e-9
+          AND abs(sd.resid) > 2.0 * st.rs
+    """
+
+    # peak comparisons on ROUNDED hourly sums: an exact plateau stays a
+    # plateau in both engines (unrounded sums could differ by 1 ulp)
+    sql["hourly_peaks"] = """
+        WITH h AS (
+          SELECT user_id, date_trunc('hour', ts) AS hour_bucket,
+                 round(sum(value::DOUBLE) + 1e-9, 6) AS s
+          FROM events GROUP BY 1, 2
+        ), n AS (
+          SELECT user_id, hour_bucket, s,
+                 lag(s) OVER (PARTITION BY user_id ORDER BY hour_bucket) AS p,
+                 lead(s) OVER (PARTITION BY user_id ORDER BY hour_bucket) AS nx
+          FROM h
+        )
+        SELECT user_id, hour_bucket, s AS height,
+               round(s - greatest(p, nx) + 1e-9, 6) AS prominence
+        FROM n
+        WHERE p IS NOT NULL AND nx IS NOT NULL AND s > p AND s > nx
     """
 
     sql["text_normalize"] = """

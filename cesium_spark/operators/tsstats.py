@@ -28,6 +28,7 @@ __all__ = [
     "series_trend", "hod_profile", "drawdown_stats",
     "burst_stats", "coverage_report", "winsorize_series",
     "seasonal_decompose", "event_transitions",
+    "hourly_peaks", "seasonal_anomalies",
 ]
 
 
@@ -585,4 +586,98 @@ def event_transitions(
     return mat.select(
         "from_type", "to_type", "n",
         _r6(F.col("n") / F.sum("n").over(tot), round_digits).alias("prob"),
+    )
+
+
+def hourly_peaks(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Local maxima of each series' hourly activity: bucket to hourly
+    sums, then a point is a peak when it exceeds BOTH the previous and
+    next observed bucket (strictly — plateaus never peak; series
+    endpoints never peak, having only one neighbor). Neighbors are the
+    adjacent OBSERVED buckets in time order, so a quiet gap doesn't
+    disqualify a genuine burst crest.
+
+    All three comparisons run on the ROUNDED sums: two engines summing
+    the same bucket in different orders can land 1 ulp apart, and an
+    exact plateau must stay a plateau in both (comparing unrounded
+    sums would let that ulp mint a phantom peak).
+
+    Plan: one partial-aggregable bucketing groupBy + ONE Window (lag
+    and lead share the frame) + a map-side filter; output peak-sized.
+
+    Returns (key, hour_bucket, height, prominence) where prominence =
+    height - max(neighbor heights)."""
+    hb = F.date_trunc("HOUR", F.col(ts_col))
+    hourly = (
+        df.select(F.col(key_col), hb.alias("hour_bucket"),
+                  F.col(value_col).cast("double").alias("_x"))
+        .groupBy(key_col, "hour_bucket")
+        .agg(_r6(F.sum("_x"), round_digits).alias("_s"))
+    )
+    w = Window.partitionBy(key_col).orderBy("hour_bucket")
+    n = hourly.select(
+        F.col(key_col), F.col("hour_bucket"), F.col("_s"),
+        F.lag("_s").over(w).alias("_p"), F.lead("_s").over(w).alias("_n"),
+    )
+    return (
+        n.where(
+            F.col("_p").isNotNull() & F.col("_n").isNotNull()
+            & (F.col("_s") > F.col("_p")) & (F.col("_s") > F.col("_n"))
+        )
+        .select(
+            key_col, "hour_bucket",
+            F.col("_s").alias("height"),
+            _r6(F.col("_s") - F.greatest("_p", "_n"), round_digits)
+            .alias("prominence"),
+        )
+    )
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    k: float = 2.5,
+    min_buckets: int = 24,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Seasonality-aware anomaly flags: run the classical decomposition
+    (seasonal_decompose — trend + hour-of-day index removed), then flag
+    hourly buckets whose RESIDUAL sits more than k sample-stds from
+    the series' own residual distribution. A nightly-quiet series whose
+    3am spike is modest in absolute terms still flags; a daily rush
+    hour never does — the advantage over raw z-scores on the value.
+
+    Composition discipline: the residuals entering the std are already
+    rounded at the decomposition surface, so both engines aggregate
+    identical inputs; series with fewer than `min_buckets` observed
+    hours (std is noise) or near-zero residual spread never flag.
+
+    Returns flagged buckets: (key, hour_bucket, value, resid, z)."""
+    sd = seasonal_decompose(
+        df, key_col=key_col, ts_col=ts_col, value_col=value_col,
+        round_digits=round_digits,
+    )
+    stats = sd.groupBy(key_col).agg(
+        F.count("*").cast("long").alias("_nb"),
+        F.stddev_samp("resid").alias("_rs"),
+    )
+    out = sd.join(F.broadcast(stats), on=key_col)
+    return (
+        out.where(
+            (F.col("_nb") >= min_buckets)
+            & (F.col("_rs") > 1e-9)
+            & (F.abs(F.col("resid")) > F.lit(k) * F.col("_rs"))
+        )
+        .select(
+            key_col, "hour_bucket", "value", "resid",
+            _r6(F.col("resid") / F.col("_rs"), round_digits).alias("z"),
+        )
     )

@@ -2646,3 +2646,66 @@ def test_weighted_sample_replay_and_weight_bias(spark):
     assert set(out.doc_id) == want
     heavy = (out.doc_id < 100).sum()
     assert heavy > 35  # weight-20 items dominate a 50-draw sample
+
+
+def test_hourly_peaks_strict_neighbors_and_plateaus(spark):
+    """Interior strict maxima flag with correct prominence; plateaus
+    and endpoints never peak; a gap's neighbors are the adjacent
+    OBSERVED buckets."""
+    import datetime as dt
+
+    from cesium_spark.operators.tsstats import hourly_peaks
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(uid, hour, v):
+        return (uid, t0 + dt.timedelta(hours=hour), v)
+
+    rows = [
+        # user 1: 1, 5, 2 -> peak at hour 1 (prominence 3)
+        ev(1, 0, 1.0), ev(1, 1, 5.0), ev(1, 2, 2.0),
+        # then plateau 4, 4 then 1: no peak at either 4
+        ev(1, 3, 4.0), ev(1, 4, 4.0), ev(1, 5, 1.0),
+        # user 2: rising endpoint only -> no peaks
+        ev(2, 0, 1.0), ev(2, 1, 2.0), ev(2, 2, 3.0),
+        # user 3: gap between buckets; 7 at hour 10 peaks over
+        # observed neighbors hours 2 and 20
+        ev(3, 2, 1.0), ev(3, 10, 7.0), ev(3, 20, 3.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, value double")
+    out = hourly_peaks(df).toPandas()
+    p1 = out[out.user_id == 1]
+    assert len(p1) == 1 and p1.iloc[0].height == 5.0
+    assert p1.iloc[0].prominence == 3.0
+    assert (out.user_id == 2).sum() == 0
+    p3 = out[out.user_id == 3]
+    assert len(p3) == 1 and p3.iloc[0].height == 7.0
+    assert p3.iloc[0].prominence == 4.0
+
+
+def test_seasonal_anomalies_flags_offseason_spike(spark):
+    """A spike injected off-pattern into a strongly diurnal series is
+    flagged; the recurring daily rush itself is absorbed by the
+    seasonal index and never flags at the same magnitude."""
+    import datetime as dt
+
+    from cesium_spark.operators.tsstats import seasonal_anomalies
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for day in range(7):
+        for hour in range(24):
+            base = 100.0 if hour == 9 else 10.0  # daily 9am rush
+            rows.append((1, t0 + dt.timedelta(days=day, hours=hour), base))
+    # off-season spike: 3am on day 5 jumps to 60 (far below the rush
+    # peak in absolute terms, but wildly off-pattern)
+    rows = [r if not (r[1].day == 6 and r[1].hour == 3) else (1, r[1], 60.0)
+            for r in rows]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, value double")
+    out = seasonal_anomalies(df, k=2.5).toPandas()
+    assert len(out) >= 1
+    spike = out[(out.hour_bucket.dt.day == 6) & (out.hour_bucket.dt.hour == 3)]
+    assert len(spike) == 1  # the off-pattern bucket is flagged
+    # no 9am rush bucket outside the spike's neighborhood is flagged
+    rush = out[out.hour_bucket.dt.hour == 9]
+    assert len(rush) == 0
