@@ -1976,6 +1976,25 @@ def q_event_transitions(spark, sf_dir):
     return event_transitions(_events(spark, sf_dir))
 
 
+def q_rollup_summary(spark, sf_dir):
+    """Hierarchical subtotals via native ROLLUP — (type, dow) cells +
+    per-type subtotals + grand total in ONE partial-aggregable pass
+    (Catalyst grouping-set expansion, not three scans). NULL marks
+    the subtotal levels, the rule DuckDB's GROUP BY ROLLUP shares."""
+    from cesium_spark.operators.analytics import rollup_summary
+
+    return rollup_summary(_events(spark, sf_dir))
+
+
+def q_pivot_counts(spark, sf_dir):
+    """Long-to-wide per-user event-type count vector + conversion
+    rate, via conditional aggregation (explicit column contract — no
+    data-dependent pivot schema, no extra inference collect)."""
+    from cesium_spark.operators.analytics import pivot_counts
+
+    return pivot_counts(_events(spark, sf_dir))
+
+
 def q_hourly_peaks(spark, sf_dir):
     """Local maxima of per-user hourly activity (strict over both
     observed neighbors, plateau-safe: comparisons run on rounded sums
@@ -2267,6 +2286,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50-slot cap and was never driver-checked).
     return {
         # --- round 6, analytics batch ---
+        "rollup_summary": q_rollup_summary,
+        "pivot_counts": q_pivot_counts,
         "hourly_peaks": q_hourly_peaks,
         "seasonal_anomaly": q_seasonal_anomaly,
         "json_field_stats": q_json_field_stats,
@@ -4330,6 +4351,41 @@ def oracle_sql() -> dict[str, str]:
     # the streaming head replays the batch operator exactly, so the
     # oracle IS the batch oracle (the event_loops_streamed pattern)
     sql["anomaly_zscore_streamed"] = sql["anomaly_zscore"]
+
+    # GROUP BY ROLLUP: both engines emit NULL as the subtotal marker at
+    # each level and share the grouping-set expansion semantics
+    sql["rollup_summary"] = """
+        SELECT event_type, (dayofweek(ts))::INT AS dow,
+               count(*)::BIGINT AS n,
+               round(sum(value::DOUBLE) + 1e-9, 6) AS sum_value,
+               round(avg(value::DOUBLE) + 1e-9, 6) AS mean_value
+        FROM events
+        GROUP BY ROLLUP (event_type, (dayofweek(ts))::INT)
+    """
+
+    sql["pivot_counts"] = """
+        WITH p AS (
+          SELECT user_id,
+                 sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT
+                   AS n_view,
+                 sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+                   AS n_click,
+                 sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT
+                   AS n_signup,
+                 sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+                   AS n_purchase,
+                 sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+                   AS n_error,
+                 count(*)::BIGINT AS n_total
+          FROM events GROUP BY user_id
+        )
+        SELECT user_id, n_view, n_click, n_signup, n_purchase, n_error,
+               n_total,
+               CASE WHEN n_view > 0
+                    THEN round(n_purchase::DOUBLE / n_view + 1e-9, 6)
+                    ELSE NULL END AS conversion
+        FROM p
+    """
 
     sql["json_field_stats"] = """
         WITH g AS (

@@ -22,7 +22,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["cohort_retention", "hampel_outliers", "skew_report",
-           "json_field_stats", "value_histogram"]
+           "json_field_stats", "value_histogram",
+           "rollup_summary", "pivot_counts"]
 
 
 def _r(col, digits: int = 6):
@@ -294,3 +295,68 @@ def value_histogram(
         "n",
         _r(F.col("n") / F.sum("n").over(wt), round_digits).alias("frac"),
     )
+
+
+def rollup_summary(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Hierarchical subtotals via Catalyst's native ROLLUP: per
+    (event_type, day-of-week) cells PLUS per-type subtotals PLUS the
+    grand total in ONE pass — the OLAP report shape SQL engines share
+    (GROUP BY ROLLUP), with NULL as the subtotal marker at each level.
+    Spark expands the grouping sets inside a single partial-aggregable
+    aggregate: no union of three scans, no three shuffles.
+
+    Returns (event_type, dow, n, sum_value, mean_value) where NULL
+    event_type/dow rows are the subtotal levels."""
+    x = F.col(value_col).cast("double")
+    return (
+        df.select(
+            F.col(type_col),
+            (F.dayofweek(ts_col) - 1).cast("int").alias("dow"),
+            x.alias("_x"),
+        )
+        .rollup(type_col, "dow")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            _r(F.sum("_x"), round_digits).alias("sum_value"),
+            _r(F.avg("_x"), round_digits).alias("mean_value"),
+        )
+    )
+
+
+def pivot_counts(
+    df: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    types: tuple[str, ...] = ("view", "click", "signup", "purchase", "error"),
+    round_digits: int = 6,
+) -> DataFrame:
+    """Long-to-wide pivot: one row per key with a count column per
+    event type plus the total and the purchase-per-view conversion —
+    the feature-vector shape model-training joins expect. Implemented
+    as conditional aggregation (sum(when(...))) rather than
+    DataFrame.pivot so the column set is an explicit contract (pivot
+    infers columns with an extra collect pass and makes the schema
+    data-dependent — the wrong trade for a pipeline stage).
+
+    One partial-aggregable groupBy, map-only conditionals.
+
+    Returns (key, n_<type>..., n_total, conversion)."""
+    aggs = [
+        F.sum(F.when(F.col(type_col) == t, 1).otherwise(0))
+        .cast("long").alias(f"n_{t}")
+        for t in types
+    ]
+    aggs.append(F.count("*").cast("long").alias("n_total"))
+    out = df.groupBy(key_col).agg(*aggs)
+    conv = F.when(
+        F.col("n_view") > 0,
+        F.round(F.col("n_purchase") / F.col("n_view") + F.lit(1e-9),
+                round_digits),
+    ).otherwise(F.lit(None).cast("double"))
+    return out.withColumn("conversion", conv)

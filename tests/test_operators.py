@@ -2709,3 +2709,44 @@ def test_seasonal_anomalies_flags_offseason_spike(spark):
     # no 9am rush bucket outside the spike's neighborhood is flagged
     rush = out[out.hour_bucket.dt.hour == 9]
     assert len(rush) == 0
+
+
+def test_rollup_summary_subtotal_levels(spark):
+    """ROLLUP emits (type, dow) cells, per-type subtotals (dow NULL),
+    and one grand total (both NULL) whose n equals the row count."""
+    import datetime as dt
+
+    from cesium_spark.operators.tsstats import event_transitions  # noqa: F401
+    from cesium_spark.operators.analytics import rollup_summary
+
+    t0 = dt.datetime(2024, 1, 7)  # a Sunday -> dow 0
+    rows = [
+        ("a", t0, 1.0), ("a", t0, 3.0),
+        ("a", t0 + dt.timedelta(days=1), 5.0),
+        ("b", t0, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = rollup_summary(df).toPandas()
+    grand = out[out.event_type.isna() & out.dow.isna()]
+    assert len(grand) == 1 and grand.iloc[0].n == 4
+    assert grand.iloc[0].sum_value == 16.0
+    sub_a = out[(out.event_type == "a") & out.dow.isna()]
+    assert len(sub_a) == 1 and sub_a.iloc[0].n == 3 and sub_a.iloc[0].sum_value == 9.0
+    cell = out[(out.event_type == "a") & (out.dow == 0)]
+    assert len(cell) == 1 and cell.iloc[0].n == 2 and cell.iloc[0].mean_value == 2.0
+
+
+def test_pivot_counts_columns_and_conversion(spark):
+    """Wide per-key counts reconcile with totals; conversion is
+    purchase/view, NULL when the user never viewed."""
+    from cesium_spark.operators.analytics import pivot_counts
+
+    rows = [(1, "view"), (1, "view"), (1, "purchase"), (1, "error"),
+            (2, "click")]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = pivot_counts(df).toPandas().set_index("user_id")
+    assert out.loc[1, "n_view"] == 2 and out.loc[1, "n_purchase"] == 1
+    assert out.loc[1, "n_total"] == 4
+    assert out.loc[1, "conversion"] == 0.5
+    assert out.loc[2, "n_click"] == 1 and out.loc[2, "n_total"] == 1
+    assert np.isnan(out.loc[2, "conversion"])
