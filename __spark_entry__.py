@@ -1976,6 +1976,16 @@ def q_event_transitions(spark, sf_dir):
     return event_transitions(_events(spark, sf_dir))
 
 
+def q_containment(spark, sf_dir):
+    """Directional containment pairs C(a->b) = |K_a ∩ K_b| / |K_a|
+    over distinct 8-token shingles — the asymmetric near-dup measure
+    Jaccard misses (a short doc quoted inside a long one). Hot keys
+    drop before the self-join (jaccard_5gram's cap discipline)."""
+    from cesium_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(_docs(spark, sf_dir), k=8, threshold=0.5)
+
+
 def q_rollup_summary(spark, sf_dir):
     """Hierarchical subtotals via native ROLLUP — (type, dow) cells +
     per-type subtotals + grand total in ONE partial-aggregable pass
@@ -2286,6 +2296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50-slot cap and was never driver-checked).
     return {
         # --- round 6, analytics batch ---
+        "containment": q_containment,
         "rollup_summary": q_rollup_summary,
         "pivot_counts": q_pivot_counts,
         "hourly_peaks": q_hourly_peaks,
@@ -4351,6 +4362,40 @@ def oracle_sql() -> dict[str, str]:
     # the streaming head replays the batch operator exactly, so the
     # oracle IS the batch oracle (the event_loops_streamed pattern)
     sql["anomaly_zscore_streamed"] = sql["anomaly_zscore"]
+
+    # containment: the threshold compares the ROUNDED ratio (an exact
+    # integer ratio before rounding, so no boundary risk in practice);
+    # the hot-key cap replays before the self-join exactly as in Spark
+    sql["containment"] = """
+        WITH stl AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\\s+'),
+                             t -> t <> '') AS toks
+          FROM documents
+        ), ks AS (
+          SELECT DISTINCT doc_id,
+                 md5(array_to_string(list_slice(toks, g.j, g.j + 7),
+                                     ' ')) AS key
+          FROM stl, LATERAL unnest(
+            generate_series(1, greatest(len(toks) - 7, 0))) AS g(j)
+        ), kk AS (
+          SELECT * FROM ks
+          WHERE key NOT IN (
+            SELECT key FROM (SELECT key, count(*) AS c FROM ks GROUP BY key)
+            WHERE c > 1000)
+        ), sizes AS (
+          SELECT doc_id, count(*)::BIGINT AS n FROM kk GROUP BY doc_id
+        ), sh AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 count(*)::BIGINT AS n_shared
+          FROM kk a JOIN kk b ON a.key = b.key AND a.doc_id != b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, s.n AS n_a, n_shared,
+               round(n_shared::DOUBLE / s.n + 1e-9, 6) AS containment
+        FROM sh JOIN sizes s ON s.doc_id = sh.id_a
+        WHERE round(n_shared::DOUBLE / s.n + 1e-9, 6) >= 0.5
+    """
 
     # GROUP BY ROLLUP: both engines emit NULL as the subtotal marker at
     # each level and share the grouping-set expansion semantics

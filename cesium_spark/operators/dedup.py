@@ -43,6 +43,7 @@ __all__ = [
     "remove_duplicate_spans",
     "ngram_contamination",
     "ngram_novelty",
+    "containment_pairs",
     "dedup_lines",
     "span_index_rows",
     "span_profiles_from_index",
@@ -1115,4 +1116,61 @@ def ngram_novelty(
             F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
             frac.alias("novelty_frac"),
         )
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    threshold: float = 0.8,
+    max_key_freq: int | None = 1000,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Directional containment pairs: C(a -> b) = |K_a ∩ K_b| / |K_a|
+    over distinct k-token shingle keys — the ASYMMETRIC near-dup
+    measure Jaccard structurally misses (a short document quoted
+    whole inside a long one has tiny Jaccard but containment ~1).
+    Emits ordered pairs (a != b, both directions scored) with
+    containment >= threshold.
+
+    Same scale discipline as ngram_jaccard_pairs: keys hotter than
+    `max_key_freq` docs drop BEFORE the self-join (AQE-sized anti
+    join, no broadcast hint — the hot set is corpus-sized in the
+    worst case), bounding join fan-out at cap^2 per surviving key;
+    the containment denominator |K_a| counts the doc's SURVIVING
+    keys, so the ratio stays an exact integer ratio of the relation
+    actually joined. Sub-k-token docs have no keys and never pair.
+
+    Returns (id_a, id_b, n_a, n_shared, containment)."""
+    _, spans = _token_span_relations(df, id_col, text_col, k, "md5")
+    keys = spans.distinct()
+    if max_key_freq is not None:
+        hot = (
+            keys.groupBy("key").count()
+            .filter(F.col("count") > max_key_freq)
+        )
+        keys = keys.join(hot.select("key"), "key", "left_anti")
+    sizes = keys.groupBy("id").agg(F.count("*").cast("long").alias("_n"))
+    a = keys.alias("a")
+    b = keys.alias("b")
+    shared = (
+        a.join(b, "key")
+        .filter(F.col("a.id") != F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    return (
+        shared.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("_n").alias("n_a")),
+            "id_a",
+        )
+        .withColumn(
+            "containment",
+            F.round(F.col("n_shared") / F.col("n_a") + F.lit(1e-9),
+                    round_digits),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "n_a", "n_shared", "containment")
     )

@@ -2750,3 +2750,26 @@ def test_pivot_counts_columns_and_conversion(spark):
     assert out.loc[1, "conversion"] == 0.5
     assert out.loc[2, "n_click"] == 1 and out.loc[2, "n_total"] == 1
     assert np.isnan(out.loc[2, "conversion"])
+
+
+def test_containment_asymmetric_quote_inclusion(spark):
+    """A short doc quoted whole inside a long one: containment
+    short->long ~1 while long->short is small (and Jaccard would be
+    tiny); unrelated docs never pair."""
+    from cesium_spark.operators.dedup import containment_pairs
+
+    quote = " ".join(f"q{i}" for i in range(10))          # 10 tokens, 3 keys @ k=8
+    long_doc = (" ".join(f"l{i}" for i in range(40))
+                + " " + quote + " "
+                + " ".join(f"m{i}" for i in range(40)))
+    rows = [(1, quote), (2, long_doc),
+            (3, " ".join(f"z{i}" for i in range(30)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = containment_pairs(df, k=8, threshold=0.5).toPandas()
+    fwd = out[(out.id_a == 1) & (out.id_b == 2)]
+    assert len(fwd) == 1
+    assert fwd.iloc[0].containment == 1.0       # all 3 of doc1's keys shared
+    assert fwd.iloc[0].n_a == 3
+    # reverse direction is below threshold (3 shared / 76 keys of doc2)
+    assert len(out[(out.id_a == 2) & (out.id_b == 1)]) == 0
+    assert (out.id_a == 3).sum() == 0 and (out.id_b == 3).sum() == 0
