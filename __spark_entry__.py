@@ -1976,6 +1976,63 @@ def q_event_transitions(spark, sf_dir):
     return event_transitions(_events(spark, sf_dir))
 
 
+def q_hll_streamed(spark, sf_dir):
+    """LIVE cardinality monitor: the deterministic HLL's bucket state
+    maintained across availableNow micro-batches by foreachBatch —
+    max-merge is idempotent, so at-least-once redelivery needs no
+    transactional sink, and the final state equals the batch sketch of
+    everything ingested. The oracle is the batch HLL chain (estimate
+    columns only)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from cesium_spark.streaming.stream import hll_batch_fn, hll_state_estimate
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    work = tempfile.mkdtemp(prefix="hll_stream_")
+    in_dir = f"{work}/in"
+    try:
+        docs.filter(F.col("doc_id") <= mid).coalesce(1) \
+            .write.mode("overwrite").parquet(in_dir)
+        first_files = set(glob.glob(f"{in_dir}/*.parquet"))
+        docs.filter(F.col("doc_id") > mid).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+        later = time.time() + 10
+        for f in set(glob.glob(f"{in_dir}/*.parquet")) - first_files:
+            os.utime(f, (later, later))
+        src = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1).parquet(in_dir)
+        )
+        toks = src.select(
+            F.explode(
+                F.filter(F.split(F.trim(F.col("text")), r"\s+"),
+                         lambda x: x != F.lit(""))
+            ).alias("tok")
+        )
+        q = (
+            toks.writeStream
+            .foreachBatch(hll_batch_fn(f"{work}/store"))
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True).start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                raise TimeoutError("hll stream did not drain in 300s")
+        finally:
+            q.stop()
+        return (
+            hll_state_estimate(spark, f"{work}/store")
+            .localCheckpoint(eager=True)  # detach from the temp files
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_containment(spark, sf_dir):
     """Directional containment pairs C(a->b) = |K_a ∩ K_b| / |K_a|
     over distinct 8-token shingles — the asymmetric near-dup measure
@@ -2296,6 +2353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50-slot cap and was never driver-checked).
     return {
         # --- round 6, analytics batch ---
+        "hll_streamed": q_hll_streamed,
         "containment": q_containment,
         "rollup_summary": q_rollup_summary,
         "pivot_counts": q_pivot_counts,
@@ -4628,6 +4686,38 @@ def oracle_sql() -> dict[str, str]:
                round((hll_estimate - exact_distinct) / exact_distinct
                      + 1e-9, 4) AS rel_error
         FROM est, ex
+    """
+
+    # the streamed head's state == the batch sketch (max-merge algebra),
+    # so its oracle is the batch chain, estimate columns only
+    sql["hll_streamed"] = f"""
+        WITH toks AS (
+          SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                    t -> t <> '')) AS tok
+          FROM documents
+        ), h AS (
+          SELECT CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS hh
+          FROM toks
+        ), b AS (
+          SELECT hh % 1024 AS bk,
+                 CASE WHEN hh // 1024 = 0 THEN 51
+                      ELSE 51 - length(bin(hh // 1024)) END AS rho
+          FROM h
+        ), mx AS (SELECT bk, max(rho) AS rmax FROM b GROUP BY bk),
+        s AS (
+          SELECT count(*)::BIGINT AS n_obs,
+                 sum((1::BIGINT << (51 - rmax)))::BIGINT AS s2
+          FROM mx
+        )
+        SELECT 1024::BIGINT AS m, n_obs AS n_buckets_observed,
+               round(CASE WHEN {_hll_numer!r}
+                            / (s2 + (1024 - n_obs) * (1::BIGINT << 51))::DOUBLE
+                          <= 2560.0 AND n_obs < 1024
+                          THEN 1024.0 * ln(1024.0 / (1024 - n_obs))
+                          ELSE {_hll_numer!r}
+                            / (s2 + (1024 - n_obs) * (1::BIGINT << 51))::DOUBLE
+                     END + 1e-9, 2) AS hll_estimate
+        FROM s
     """
 
     # novelty: distinct span keys per doc, corpus document-frequency on

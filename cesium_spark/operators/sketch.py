@@ -32,27 +32,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hll_distinct"]
+__all__ = ["hll_distinct", "hll_bucket_rows", "hll_estimate_from_buckets"]
 
 # 50-bit rank word (60-bit hash minus the 10 bucket bits at p=10);
 # rho ranges 1..(W+1)
 _HASH_HEX_CHARS = 15  # 60 bits
 
 
-def hll_distinct(
+def hll_bucket_rows(
     df: DataFrame,
     col: str,
     p: int = 10,
-    round_digits: int = 2,
 ) -> DataFrame:
-    """HyperLogLog distinct-count estimate of ``col`` (NULLs ignored,
-    values hashed as strings). Returns ONE row: (m, n_buckets_observed,
-    hll_estimate).
-
-    Plan: map-only hash/bucket/rank projection -> partial-aggregable
-    groupBy onto at most 2^p buckets (map-side combine reduces every
-    partition to <= 2^p rows before the only shuffle) -> single-row
-    final reduce. Executor state is O(2^p) regardless of input rows."""
+    """The sketch's mergeable state: per-bucket max rank rows
+    (_b int, _rmax int), <= 2^p of them. max is commutative,
+    associative, AND idempotent, so states merge across partitions,
+    batches, or replayed deliveries by a plain groupBy-max — the
+    property the streaming head leans on for exactly-once-free
+    correctness."""
     m = 1 << p
     wbits = 4 * _HASH_HEX_CHARS - p  # rank-word width
     h = F.conv(
@@ -64,14 +61,21 @@ def hll_distinct(
     rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
         F.lit(wbits + 1) - F.length(F.bin(w))
     )
-    per_bucket = (
+    return (
         src.select((F.col("_h") % m).alias("_b"), rho.alias("_rho"))
         .groupBy("_b")
-        .agg(F.max("_rho").alias("_rmax"))
+        .agg(F.max("_rho").cast("int").alias("_rmax"))
     )
-    # exact-integer harmonic sum: observed buckets contribute
-    # 2^(wbits+1-rho); each EMPTY bucket contributes 2^0 scaled by the
-    # same 2^(wbits+1) factor
+
+
+def hll_estimate_from_buckets(
+    per_bucket: DataFrame,
+    p: int = 10,
+    round_digits: int = 2,
+) -> DataFrame:
+    """Single-row estimate from a (merged) bucket-state relation."""
+    m = 1 << p
+    wbits = 4 * _HASH_HEX_CHARS - p
     scale = float(1 << (wbits + 1))
     alpha = 0.7213 / (1.0 + 1.079 / m)
     agg = per_bucket.agg(
@@ -93,4 +97,23 @@ def hll_distinct(
         F.lit(m).cast("long").alias("m"),
         F.col("n_obs").alias("n_buckets_observed"),
         F.round(est + F.lit(1e-9), round_digits).alias("hll_estimate"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    col: str,
+    p: int = 10,
+    round_digits: int = 2,
+) -> DataFrame:
+    """HyperLogLog distinct-count estimate of ``col`` (NULLs ignored,
+    values hashed as strings). Returns ONE row: (m, n_buckets_observed,
+    hll_estimate).
+
+    Plan: map-only hash/bucket/rank projection -> partial-aggregable
+    groupBy onto at most 2^p buckets (map-side combine reduces every
+    partition to <= 2^p rows before the only shuffle) -> single-row
+    final reduce. Executor state is O(2^p) regardless of input rows."""
+    return hll_estimate_from_buckets(
+        hll_bucket_rows(df, col, p), p, round_digits
     )

@@ -31,6 +31,7 @@ __all__ = [
     "start_ivf_index_stream", "streaming_run_stats", "streaming_psi",
     "contamination_batch_fn", "start_contamination_stream",
     "streaming_anomaly_zscore", "streaming_session_window",
+    "hll_batch_fn", "hll_state_estimate",
 ]
 
 
@@ -1251,3 +1252,58 @@ def streaming_session_window(
         )
         .select(key_col, "session_start", "session_end", "n_events")
     )
+
+
+def hll_batch_fn(store_root: str, col: str = "tok", p: int = 10):
+    """foreachBatch function for a LIVE cardinality monitor: maintains
+    the deterministic HLL's bucket state (operators/sketch) across
+    micro-batches, so "how many distinct values have we ever seen"
+    stays answerable in O(2^p) state while the stream grows without
+    bound — the streaming use-case HLL was designed for.
+
+    State discipline: the per-bucket max-rank relation is mergeable by
+    plain groupBy-max, and max is IDEMPOTENT — re-delivering a batch
+    (foreachBatch's at-least-once contract) merges to the identical
+    state, so no transactional sink or dedup ledger is needed; the
+    state after any replay sequence equals the batch sketch of every
+    row ever ingested (tested invariant). The state table is <= 2^p
+    rows, collected driver-side per batch (bounded by construction)
+    and rewritten atomically via overwrite."""
+    import os
+
+    from ..operators.sketch import hll_bucket_rows
+
+    state_dir = os.path.join(store_root, "hll_state")
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sp = batch_df.sparkSession
+        fresh = hll_bucket_rows(batch_df, col, p)
+        if os.path.exists(state_dir):
+            prev = sp.read.parquet(state_dir)
+            merged = (
+                prev.unionByName(fresh)
+                .groupBy("_b").agg(F.max("_rmax").cast("int").alias("_rmax"))
+            )
+        else:
+            merged = fresh
+        # materialize BEFORE overwriting the path being read; <= 2^p
+        # rows by construction, so the driver hop is bounded
+        rows = merged.collect()
+        sp.createDataFrame(rows, "_b long, _rmax int").coalesce(1) \
+            .write.mode("overwrite").parquet(state_dir)
+
+    return _apply
+
+
+def hll_state_estimate(spark, store_root: str, p: int = 10,
+                       round_digits: int = 2) -> DataFrame:
+    """Single-row estimate from the streamed bucket state — equals
+    operators/sketch.hll_distinct over everything ingested."""
+    import os
+
+    from ..operators.sketch import hll_estimate_from_buckets
+
+    state = spark.read.parquet(os.path.join(store_root, "hll_state"))
+    return hll_estimate_from_buckets(state, p, round_digits)

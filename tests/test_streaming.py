@@ -850,3 +850,47 @@ def test_streaming_session_window_merges_across_restart(spark, tmp_path):
     u2 = out[out.user_id == 2]
     assert len(u2) == 1 and u2.iloc[0].n_events == 1
     assert u2.iloc[0].session_start == t0 + dt.timedelta(minutes=5)
+
+
+def test_streaming_hll_state_equals_batch_and_replay_idempotent(spark, tmp_path):
+    """The streamed bucket state after two availableNow runs equals the
+    batch sketch over everything ingested, and re-delivering a batch
+    (at-least-once) leaves the state bit-identical (max-merge
+    idempotence)."""
+    from cesium_spark.operators.sketch import hll_distinct
+    from cesium_spark.streaming.stream import hll_batch_fn, hll_state_estimate
+
+    in_dir, store, ckpt = (str(tmp_path / d) for d in ("in", "store", "ckpt"))
+    b1 = [(f"tok-{i}",) for i in range(0, 800)]
+    b2 = [(f"tok-{i}",) for i in range(600, 1400)]  # overlaps b1
+    spark.createDataFrame(b1, "tok string").coalesce(1) \
+        .write.mode("overwrite").parquet(in_dir)
+
+    def drain():
+        src = spark.readStream.schema("tok string").parquet(in_dir)
+        q = (src.writeStream.foreachBatch(hll_batch_fn(store))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+
+    drain()
+    spark.createDataFrame(b2, "tok string").coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+    drain()
+
+    streamed = hll_state_estimate(spark, store).toPandas().iloc[0]
+    batch = hll_distinct(
+        spark.createDataFrame(b1 + b2, "tok string"), "tok"
+    ).toPandas().iloc[0]
+    assert streamed.hll_estimate == batch.hll_estimate
+    assert streamed.n_buckets_observed == batch.n_buckets_observed
+
+    # replay idempotence: manually re-deliver batch 2's rows
+    fn = hll_batch_fn(store)
+    before = spark.read.parquet(f"{store}/hll_state").toPandas() \
+        .sort_values("_b").reset_index(drop=True)
+    fn(spark.createDataFrame(b2, "tok string"), 999)
+    after = spark.read.parquet(f"{store}/hll_state").toPandas() \
+        .sort_values("_b").reset_index(drop=True)
+    import pandas.testing as pt
+    pt.assert_frame_equal(before, after)
