@@ -1976,6 +1976,26 @@ def q_event_transitions(spark, sf_dir):
     return event_transitions(_events(spark, sf_dir))
 
 
+def q_type_entropy(spark, sf_dir):
+    """Behavioral diversity: Shannon entropy (+ ln(k)-normalized) of
+    each user's event-type mix, computed from counts (H = ln N -
+    sum(c ln c)/N — every ln sees an exact integer). Two chained
+    partial-aggregable groupBys; the entropy sum runs over the
+    types-per-key relation, never the stream."""
+    from cesium_spark.operators.tsstats import type_entropy
+
+    return type_entropy(_events(spark, sf_dir))
+
+
+def q_decorrelation_lag(spark, sf_dir):
+    """Memory horizon per series: smallest lag with sample ACF below
+    0.5 (NULL if correlated at every probed lag). Composes acf_lags on
+    its rounded surface — one more partial-aggregable reduce."""
+    from cesium_spark.operators.tsstats import decorrelation_lag
+
+    return decorrelation_lag(_events(spark, sf_dir))
+
+
 def q_hll_streamed(spark, sf_dir):
     """LIVE cardinality monitor: the deterministic HLL's bucket state
     maintained across availableNow micro-batches by foreachBatch —
@@ -2353,6 +2373,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50-slot cap and was never driver-checked).
     return {
         # --- round 6, analytics batch ---
+        "type_entropy": q_type_entropy,
+        "decorrelation_lag": q_decorrelation_lag,
         "hll_streamed": q_hll_streamed,
         "containment": q_containment,
         "rollup_summary": q_rollup_summary,
@@ -4686,6 +4708,35 @@ def oracle_sql() -> dict[str, str]:
                round((hll_estimate - exact_distinct) / exact_distinct
                      + 1e-9, 4) AS rel_error
         FROM est, ex
+    """
+
+    # entropy from counts — every ln sees an exact integer, the only
+    # float surface is ln itself (1-ulp class, absorbed by the round)
+    sql["type_entropy"] = """
+        WITH per AS (
+          SELECT user_id, event_type, count(*)::BIGINT AS c
+          FROM events GROUP BY 1, 2
+        ), agg AS (
+          SELECT user_id, sum(c)::BIGINT AS n, count(*)::BIGINT AS k_types,
+                 sum(c * ln(c::DOUBLE)) AS clc
+          FROM per GROUP BY 1
+        )
+        SELECT user_id, n, k_types,
+               round(ln(n::DOUBLE) - clc / n + 1e-9, 6) AS entropy,
+               CASE WHEN k_types > 1
+                    THEN round((ln(n::DOUBLE) - clc / n)
+                               / ln(k_types::DOUBLE) + 1e-9, 6)
+                    ELSE NULL END AS entropy_norm
+        FROM agg
+    """
+
+    # composed over the acf oracle's ROUNDED surface (sql["acf_lags"]
+    # is assigned earlier in this function, so the f-string sees it)
+    sql["decorrelation_lag"] = f"""
+        WITH a AS ({sql["acf_lags"]})
+        SELECT user_id,
+               min(CASE WHEN acf < 0.5 THEN lag END)::INT AS decorr_lag
+        FROM a GROUP BY user_id
     """
 
     # the streamed head's state == the batch sketch (max-merge algebra),

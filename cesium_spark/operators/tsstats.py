@@ -28,7 +28,7 @@ __all__ = [
     "series_trend", "hod_profile", "drawdown_stats",
     "burst_stats", "coverage_report", "winsorize_series",
     "seasonal_decompose", "event_transitions",
-    "hourly_peaks", "seasonal_anomalies",
+    "hourly_peaks", "seasonal_anomalies", "type_entropy", "decorrelation_lag",
 ]
 
 
@@ -680,4 +680,69 @@ def seasonal_anomalies(
             key_col, "hour_bucket", "value", "resid",
             _r6(F.col("resid") / F.col("_rs"), round_digits).alias("z"),
         )
+    )
+
+
+def type_entropy(
+    df: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Behavioral diversity per series: Shannon entropy of the
+    event-type distribution, plus the ln(k)-normalized form in [0, 1]
+    (NULL when only one type was ever observed — normalization is
+    undefined, not 0). The probabilities are exact integer ratios, so
+    the only float surface is ln itself (1-ulp class, absorbed by the
+    output round).
+
+    Plan: two partial-aggregable groupBys sharing the key partitioning
+    ((key, type) counts, then the per-key reduce) — the entropy sum
+    runs over the types-per-key relation, never the event stream.
+
+    Returns (key, n, k_types, entropy, entropy_norm)."""
+    per = df.groupBy(key_col, type_col).agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    # entropy from counts: H = ln(N) - sum(c*ln(c))/N  (exact-integer
+    # inputs to every ln; avoids materializing p per row)
+    agg = per.groupBy(key_col).agg(
+        F.sum("_c").cast("long").alias("n"),
+        F.count("*").cast("long").alias("k_types"),
+        F.sum(F.col("_c") * F.log(F.col("_c").cast("double"))).alias("_clc"),
+    )
+    h = F.log(F.col("n").cast("double")) - F.col("_clc") / F.col("n")
+    hn = F.when(
+        F.col("k_types") > 1,
+        F.round(h / F.log(F.col("k_types").cast("double")) + F.lit(1e-9),
+                round_digits),
+    ).otherwise(F.lit(None).cast("double"))
+    return agg.select(
+        key_col, "n", "k_types",
+        F.round(h + F.lit(1e-9), round_digits).alias("entropy"),
+        hn.alias("entropy_norm"),
+    )
+
+
+def decorrelation_lag(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    threshold: float = 0.5,
+    max_lag: int = 5,
+) -> DataFrame:
+    """Memory horizon per series: the smallest lag whose sample ACF
+    drops below `threshold` (NULL if none within max_lag — the series
+    is still correlated at every probed lag, or too short/degenerate
+    to measure). Composes acf_lags, so the comparison runs on the
+    ROUNDED acf surface both engines share; the reduce is one more
+    partial-aggregable groupBy on the (key, lag) relation.
+
+    Returns (key, decorr_lag)."""
+    a = acf_lags(df, key_col=key_col, ts_col=ts_col, value_col=value_col,
+                 max_lag=max_lag)
+    return a.groupBy(key_col).agg(
+        F.min(F.when(F.col("acf") < threshold, F.col("lag")))
+        .cast("int").alias("decorr_lag")
     )

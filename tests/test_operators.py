@@ -2773,3 +2773,38 @@ def test_containment_asymmetric_quote_inclusion(spark):
     # reverse direction is below threshold (3 shared / 76 keys of doc2)
     assert len(out[(out.id_a == 2) & (out.id_b == 1)]) == 0
     assert (out.id_a == 3).sum() == 0 and (out.id_b == 3).sum() == 0
+
+
+def test_type_entropy_known_distributions(spark):
+    """Uniform 2-type mix -> entropy ln 2 and norm 1; single type ->
+    0 and NULL norm; skewed mix matches the numpy value."""
+    from cesium_spark.operators.tsstats import type_entropy
+
+    rows = ([(1, "a")] * 5 + [(1, "b")] * 5
+            + [(2, "a")] * 7
+            + [(3, "a")] * 3 + [(3, "b")] * 1)
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = type_entropy(df).toPandas().set_index("user_id")
+    assert abs(out.loc[1, "entropy"] - round(np.log(2) + 1e-9, 6)) < 1e-9
+    assert out.loc[1, "entropy_norm"] == 1.0
+    assert out.loc[2, "entropy"] == 0.0 and np.isnan(out.loc[2, "entropy_norm"])
+    p = np.array([3, 1]) / 4
+    want = -(p * np.log(p)).sum()
+    assert abs(out.loc[3, "entropy"] - round(want + 1e-9, 6)) < 1e-6
+    assert out.loc[3, "k_types"] == 2 and out.loc[3, "n"] == 4
+
+
+def test_decorrelation_lag_white_noise_vs_trend(spark):
+    """White noise decorrelates at lag 1; a strong trend stays
+    correlated through every probed lag (NULL)."""
+    from cesium_spark.operators.tsstats import decorrelation_lag
+
+    rng = np.random.RandomState(2)
+    rows = [(1, float(i), int(i), float(v))
+            for i, v in enumerate(rng.normal(size=80))]
+    rows += [(2, float(i), int(i), float(i)) for i in range(80)]  # trend
+    df = spark.createDataFrame(
+        rows, "user_id int, ts double, event_id int, value double")
+    out = decorrelation_lag(df, ts_col="ts").toPandas().set_index("user_id")
+    assert out.loc[1, "decorr_lag"] == 1
+    assert np.isnan(out.loc[2, "decorr_lag"])
