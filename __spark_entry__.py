@@ -4515,7 +4515,10 @@ def oracle_sql() -> dict[str, str]:
     sql["json_field_stats"] = """
         WITH g AS (
           SELECT event_type,
-                 CAST(json_extract_string(props, '$.k') AS DOUBLE) AS v
+                 CASE WHEN json_valid(props)
+                      THEN TRY_CAST(json_extract_string(props, '$.k')
+                                    AS DOUBLE)
+                 END AS v
           FROM events
         )
         SELECT event_type, count(*)::BIGINT AS n,
@@ -4633,84 +4636,75 @@ def oracle_sql() -> dict[str, str]:
     # counting branch (ln) only fires below 2.5*m, where the 1e-9-eps
     # round absorbs libm ulp drift.
     _hll_numer = 0.7213 / (1.0 + 1.079 / 1024) * 1024 * 1024 * float(1 << 51)
-    sql["hll_tokens"] = f"""
-        WITH toks AS (
+
+    def _hll_chain(toks_cte: str, with_exact: bool) -> str:
+        """The shared HLL oracle chain (hash -> bucket -> rank ->
+        exact-integer harmonic sum -> small-range correction) over a
+        caller-supplied `toks(tok)` CTE — ONE definition for all three
+        HLL oracles (the _pca_iter composition idiom; a fix to the
+        chain lands everywhere at once)."""
+        est_expr = f"""round(CASE WHEN {_hll_numer!r}
+                            / (s2 + (1024 - n_obs) * (1::BIGINT << 51))::DOUBLE
+                          <= 2560.0 AND n_obs < 1024
+                          THEN 1024.0 * ln(1024.0 / (1024 - n_obs))
+                          ELSE {_hll_numer!r}
+                            / (s2 + (1024 - n_obs) * (1::BIGINT << 51))::DOUBLE
+                     END + 1e-9, 2)"""
+        tail = (
+            """, ex AS (SELECT count(DISTINCT tok)::BIGINT AS exact_distinct
+                 FROM toks)
+        SELECT m, n_buckets_observed, hll_estimate, exact_distinct,
+               round((hll_estimate - exact_distinct) / exact_distinct
+                     + 1e-9, 4) AS rel_error
+        FROM est, ex"""
+            if with_exact
+            else """
+        SELECT m, n_buckets_observed, hll_estimate FROM est"""
+        )
+        return f"""
+        WITH toks AS ({toks_cte}), h AS (
+          SELECT CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS hh
+          FROM toks
+        ), b AS (
+          SELECT hh % 1024 AS bk,
+                 CASE WHEN hh // 1024 = 0 THEN 51
+                      ELSE 51 - length(bin(hh // 1024)) END AS rho
+          FROM h
+        ), mx AS (SELECT bk, max(rho) AS rmax FROM b GROUP BY bk),
+        s AS (
+          SELECT count(*)::BIGINT AS n_obs,
+                 coalesce(sum((1::BIGINT << (51 - rmax)))::BIGINT, 0) AS s2
+          FROM mx
+        ), est AS (
+          SELECT 1024::BIGINT AS m, n_obs AS n_buckets_observed,
+                 {est_expr} AS hll_estimate
+          FROM s
+        ){tail}
+    """
+
+    _word_toks = """
           SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'),
                                     t -> t <> '')) AS tok
           FROM documents
-        ), h AS (
-          SELECT CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS hh
-          FROM toks
-        ), b AS (
-          SELECT hh % 1024 AS bk,
-                 CASE WHEN hh // 1024 = 0 THEN 51
-                      ELSE 51 - length(bin(hh // 1024)) END AS rho
-          FROM h
-        ), mx AS (SELECT bk, max(rho) AS rmax FROM b GROUP BY bk),
-        s AS (
-          SELECT count(*)::BIGINT AS n_obs,
-                 sum((1::BIGINT << (51 - rmax)))::BIGINT AS s2
-          FROM mx
-        ), est AS (
-          SELECT 1024::BIGINT AS m, n_obs AS n_buckets_observed,
-                 round(CASE WHEN {_hll_numer!r}
-                              / (s2 + (1024 - n_obs) * (1::BIGINT << 51))::DOUBLE
-                            <= 2560.0 AND n_obs < 1024
-                            THEN 1024.0 * ln(1024.0 / (1024 - n_obs))
-                            ELSE {_hll_numer!r}
-                              / (s2 + (1024 - n_obs) * (1::BIGINT << 51))::DOUBLE
-                       END + 1e-9, 2) AS hll_estimate
-          FROM s
-        ), ex AS (SELECT count(DISTINCT tok)::BIGINT AS exact_distinct FROM toks)
-        SELECT m, n_buckets_observed, hll_estimate, exact_distinct,
-               round((hll_estimate - exact_distinct) / exact_distinct
-                     + 1e-9, 4) AS rel_error
-        FROM est, ex
-    """
+        """
+    sql["hll_tokens"] = _hll_chain(_word_toks, with_exact=True)
 
     # same HLL chain over the md5 3-shingle keys (cardinality >> 2.5*m
     # at both SFs -> the raw harmonic branch, no ln anywhere)
-    sql["hll_shingles"] = f"""
-        WITH stl AS (
-          SELECT list_filter(string_split_regex(trim(text), '\\s+'),
-                             t -> t <> '') AS toks
-          FROM documents
-        ), toks AS (
+    sql["hll_shingles"] = _hll_chain(
+        """
           SELECT md5(array_to_string(list_slice(toks, g.j, g.j + 2),
                                      ' ')) AS tok
-          FROM stl, LATERAL unnest(
-            generate_series(1, greatest(len(toks) - 2, 0))) AS g(j)
-        ), h AS (
-          SELECT CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS hh
-          FROM toks
-        ), b AS (
-          SELECT hh % 1024 AS bk,
-                 CASE WHEN hh // 1024 = 0 THEN 51
-                      ELSE 51 - length(bin(hh // 1024)) END AS rho
-          FROM h
-        ), mx AS (SELECT bk, max(rho) AS rmax FROM b GROUP BY bk),
-        s AS (
-          SELECT count(*)::BIGINT AS n_obs,
-                 sum((1::BIGINT << (51 - rmax)))::BIGINT AS s2
-          FROM mx
-        ), est AS (
-          SELECT 1024::BIGINT AS m, n_obs AS n_buckets_observed,
-                 round(CASE WHEN {_hll_numer!r}
-                              / (s2 + (1024 - n_obs) * (1::BIGINT << 51))::DOUBLE
-                            <= 2560.0 AND n_obs < 1024
-                            THEN 1024.0 * ln(1024.0 / (1024 - n_obs))
-                            ELSE {_hll_numer!r}
-                              / (s2 + (1024 - n_obs) * (1::BIGINT << 51))::DOUBLE
-                       END + 1e-9, 2) AS hll_estimate
-          FROM s
-        ), ex AS (SELECT count(DISTINCT tok)::BIGINT AS exact_distinct FROM toks)
-        SELECT m, n_buckets_observed, hll_estimate, exact_distinct,
-               round((hll_estimate - exact_distinct) / exact_distinct
-                     + 1e-9, 4) AS rel_error
-        FROM est, ex
-    """
+          FROM (SELECT list_filter(string_split_regex(trim(text), '\\s+'),
+                                   t -> t <> '') AS toks
+                FROM documents) stl,
+               LATERAL unnest(
+                 generate_series(1, greatest(len(toks) - 2, 0))) AS g(j)
+        """,
+        with_exact=True,
+    )
 
-    # entropy from counts — every ln sees an exact integer, the only
+    # entropy from counts -- every ln sees an exact integer, the only
     # float surface is ln itself (1-ulp class, absorbed by the round)
     sql["type_entropy"] = """
         WITH per AS (
@@ -4741,35 +4735,7 @@ def oracle_sql() -> dict[str, str]:
 
     # the streamed head's state == the batch sketch (max-merge algebra),
     # so its oracle is the batch chain, estimate columns only
-    sql["hll_streamed"] = f"""
-        WITH toks AS (
-          SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'),
-                                    t -> t <> '')) AS tok
-          FROM documents
-        ), h AS (
-          SELECT CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS hh
-          FROM toks
-        ), b AS (
-          SELECT hh % 1024 AS bk,
-                 CASE WHEN hh // 1024 = 0 THEN 51
-                      ELSE 51 - length(bin(hh // 1024)) END AS rho
-          FROM h
-        ), mx AS (SELECT bk, max(rho) AS rmax FROM b GROUP BY bk),
-        s AS (
-          SELECT count(*)::BIGINT AS n_obs,
-                 sum((1::BIGINT << (51 - rmax)))::BIGINT AS s2
-          FROM mx
-        )
-        SELECT 1024::BIGINT AS m, n_obs AS n_buckets_observed,
-               round(CASE WHEN {_hll_numer!r}
-                            / (s2 + (1024 - n_obs) * (1::BIGINT << 51))::DOUBLE
-                          <= 2560.0 AND n_obs < 1024
-                          THEN 1024.0 * ln(1024.0 / (1024 - n_obs))
-                          ELSE {_hll_numer!r}
-                            / (s2 + (1024 - n_obs) * (1::BIGINT << 51))::DOUBLE
-                     END + 1e-9, 2) AS hll_estimate
-        FROM s
-    """
+    sql["hll_streamed"] = _hll_chain(_word_toks, with_exact=False)
 
     # novelty: distinct span keys per doc, corpus document-frequency on
     # the key relation, df == 1 means "no other doc shares it"; sub-k
@@ -4920,7 +4886,7 @@ def oracle_sql() -> dict[str, str]:
                  row_number() OVER (PARTITION BY user_id
                                     ORDER BY ts, event_id) AS rn,
                  count(*) OVER (PARTITION BY user_id) AS n
-          FROM events
+          FROM events WHERE value IS NOT NULL
         ), w AS (
           SELECT user_id, x, power(0.7, (n - rn)::DOUBLE) AS wt FROM o
         ), s AS (
@@ -4990,9 +4956,11 @@ def oracle_sql() -> dict[str, str]:
     # DuckDB on degenerate input)
     sql["xcorr_types"] = """
         WITH hourly AS (
-          SELECT user_id, date_trunc('hour', ts) AS h, event_type,
-                 sum(value::DOUBLE) AS s
-          FROM events GROUP BY 1, 2, 3
+          SELECT * FROM (
+            SELECT user_id, date_trunc('hour', ts) AS h, event_type,
+                   sum(value::DOUBLE) AS s
+            FROM events GROUP BY 1, 2, 3
+          ) WHERE s IS NOT NULL
         ), pairs AS (
           SELECT a.user_id, a.event_type AS type_a, b.event_type AS type_b,
                  a.s AS sa, b.s AS sb

@@ -238,7 +238,10 @@ def json_field_stats(
 
     Returns (group, n, n_present, present_rate, mean, std, p50, p95,
     min, max)."""
-    v = F.get_json_object(F.col(json_col), f"$.{field}").cast("double")
+    # try_cast, not cast: ANSI mode is on engine-wide, and a
+    # string-valued field must degrade to NULL (absent), not abort the
+    # job — the oracle mirrors with json_valid + TRY_CAST
+    v = F.get_json_object(F.col(json_col), f"$.{field}").try_cast("double")
     g = df.select(F.col(group_col), v.alias("_v"))
     n = F.count("*").cast("long")
     npres = F.count("_v").cast("long")
@@ -354,9 +357,15 @@ def pivot_counts(
     ]
     aggs.append(F.count("*").cast("long").alias("n_total"))
     out = df.groupBy(key_col).agg(*aggs)
-    conv = F.when(
-        F.col("n_view") > 0,
-        F.round(F.col("n_purchase") / F.col("n_view") + F.lit(1e-9),
-                round_digits),
-    ).otherwise(F.lit(None).cast("double"))
+    # conversion only resolves when both legs are pivoted columns; a
+    # custom `types` tuple without view/purchase gets a NULL column
+    # (stable schema) instead of an unresolvable-column error
+    if "view" in types and "purchase" in types:
+        conv = F.when(
+            F.col("n_view") > 0,
+            F.round(F.col("n_purchase") / F.col("n_view") + F.lit(1e-9),
+                    round_digits),
+        ).otherwise(F.lit(None).cast("double"))
+    else:
+        conv = F.lit(None).cast("double")
     return out.withColumn("conversion", conv)

@@ -84,7 +84,12 @@ def pca_power(
 
     Returns one row per dimension: (pos, loading, eigenvalue,
     explained_var_frac) with the two scalars repeated per row (single
-    hashable relation)."""
+    hashable relation). Degenerate inputs (fewer than two rows, or a
+    zero-variance corpus where every vector equals the mean) have no
+    principal direction: the loadings come back NULL with eigenvalue
+    0 — the NULL-on-degenerate convention the per-series operators
+    use — rather than dividing by zero."""
+    spark = df.sparkSession
     n = df.count()
     mu_rows = (
         df.select(F.posexplode(F.col(vec_col).cast("array<double>"))
@@ -98,13 +103,31 @@ def pca_power(
     mu = [r["m"] for r in mu_sorted]
     # pos-ordered sum: a fixed accumulation order keeps the driver-side
     # total deterministic across collect() partition orders
-    total_var = sum(r["v"] for r in mu_sorted)
+    total_var = sum((r["v"] or 0.0) for r in mu_sorted)
+
+    def _degenerate():
+        rows = [(i,) for i in range(len(mu))]
+        return spark.createDataFrame(rows, "pos int").select(
+            "pos",
+            F.lit(None).cast("double").alias("loading"),
+            F.lit(0.0).alias("eigenvalue"),
+            F.lit(None).cast("double").alias("explained_var_frac"),
+        )
+
+    if n < 2 or total_var <= 0:
+        return _degenerate()
 
     first = df.orderBy(id_col).select(
         _centered(df, vec_col, mu, round_digits).alias("c")
     ).first()["c"]
     nrm = math.sqrt(sum(x * x for x in first))
-    w = [round(x / nrm + 1e-9, round_digits) for x in first]
+    if nrm == 0:
+        # the lowest-id vector IS the mean: fall back to the first
+        # basis direction (any unit vector works as a power-iteration
+        # seed when the corpus has variance somewhere)
+        w = [1.0] + [0.0] * (len(mu) - 1)
+    else:
+        w = [round(x / nrm + 1e-9, round_digits) for x in first]
 
     lam = 0.0
     for _ in range(iters):
@@ -126,10 +149,11 @@ def pca_power(
         )
         s = [r["s"] for r in sorted(s_rows, key=lambda r: r["pos"])]
         nrm = math.sqrt(sum(x * x for x in s))
+        if nrm == 0:  # iterate annihilated (seed orthogonal to the data)
+            return _degenerate()
         w = [round(x / nrm + 1e-9, round_digits) for x in s]
         lam = nrm / (n - 1)
 
-    spark = df.sparkSession
     out = spark.createDataFrame(
         [(i, w[i]) for i in range(len(w))], "pos int, loading double"
     )

@@ -76,9 +76,13 @@ def ewma_level(
     Variances below 1e-9 clamp to exact 0 before the sqrt (cancellation
     noise on a constant series is ~1e-12*x^2, which sqrt would amplify
     straight into the 6th decimal; the clamp keeps both engines on the
-    same side).
+    same side). NULL values are dropped BEFORE weighting (pandas ewm
+    renormalizes over observed points; keeping a NULL row's weight in
+    the denominator would bias the level toward 0), so n counts
+    observed points only.
 
     Returns (key, n, ewma, ewm_std)."""
+    df = df.where(F.col(value_col).isNotNull())
     w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
     wn = Window.partitionBy(key_col)
     x = F.col(value_col).cast("double")
@@ -158,16 +162,17 @@ def theilsen_trend(
         F.count("*").cast("long").alias("n_pairs"),
         F.expr("percentile((_x2 - _x1) / (_t2 - _t1), 0.5)").alias("_slope"),
     )
-    used = pts.groupBy(key_col).agg(F.count("*").cast("long").alias("n_used"))
+    # the left join preserves exactly one row per decimated point, so
+    # n_used is just count(*) here — no separate `used` relation/join
     return (
         pts.join(F.broadcast(slopes), on=key_col, how="left")
         .groupBy(key_col)
         .agg(
+            F.count("*").cast("long").alias("n_used"),
             F.first("n_pairs").alias("_np"),
             F.first("_slope").alias("_s"),
             F.expr("percentile(_x - _slope * _t, 0.5)").alias("_icept"),
         )
-        .join(F.broadcast(used), on=key_col)
         .select(
             key_col,
             "n_used",
@@ -243,6 +248,10 @@ def xcorr_types(
             F.col(type_col),
         )
         .agg(F.sum(F.col(value_col).cast("double")).alias("_s"))
+        # an all-NULL hour sums to NULL: drop it BEFORE pairing — the
+        # co-moment sums would skip it while count(*) kept it in
+        # n_hours, yielding a mathematically invalid correlation
+        .where(F.col("_s").isNotNull())
     )
     a = hourly.select(
         F.col(key_col), "_h",

@@ -78,10 +78,15 @@ def hll_estimate_from_buckets(
     wbits = 4 * _HASH_HEX_CHARS - p
     scale = float(1 << (wbits + 1))
     alpha = 0.7213 / (1.0 + 1.079 / m)
+    # coalesce: an EMPTY bucket relation (no input ever seen) must land
+    # in the linear-counting branch with estimate 0, not a NULL sum
     agg = per_bucket.agg(
         F.count("*").cast("long").alias("n_obs"),
-        F.expr(
-            f"sum(shiftleft(cast(1 as bigint), cast({wbits + 1} - _rmax as int)))"
+        F.coalesce(
+            F.expr(
+                f"sum(shiftleft(cast(1 as bigint), cast({wbits + 1} - _rmax as int)))"
+            ),
+            F.lit(0).cast("long"),
         ).alias("_s2"),
     )
     zeros = F.lit(m) - F.col("n_obs")

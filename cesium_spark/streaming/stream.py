@@ -1264,35 +1264,37 @@ def hll_batch_fn(store_root: str, col: str = "tok", p: int = 10):
     State discipline: the per-bucket max-rank relation is mergeable by
     plain groupBy-max, and max is IDEMPOTENT — re-delivering a batch
     (foreachBatch's at-least-once contract) merges to the identical
-    state, so no transactional sink or dedup ledger is needed; the
-    state after any replay sequence equals the batch sketch of every
-    row ever ingested (tested invariant). The state table is <= 2^p
-    rows, collected driver-side per batch (bounded by construction)
-    and rewritten atomically via overwrite."""
+    state, so no dedup ledger is needed. Durability: the state lives
+    in a SnapshotTable (manifest-first commits, the engine's table
+    layer) — a crash mid-write leaves the previous committed snapshot
+    intact, so the merged state can never be lost to a half-written
+    overwrite (a bare parquet overwrite deletes before it writes).
+    The state table is <= 2^p rows, collected driver-side per batch
+    (bounded by construction)."""
     import os
 
     from ..operators.sketch import hll_bucket_rows
+    from ..sources.table import SnapshotTable
 
-    state_dir = os.path.join(store_root, "hll_state")
+    table = SnapshotTable(os.path.join(store_root, "hll_state"))
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         sp = batch_df.sparkSession
         fresh = hll_bucket_rows(batch_df, col, p)
-        if os.path.exists(state_dir):
-            prev = sp.read.parquet(state_dir)
+        if table.current_snapshot_id() is not None:
+            prev = table.read(sp)
             merged = (
                 prev.unionByName(fresh)
                 .groupBy("_b").agg(F.max("_rmax").cast("int").alias("_rmax"))
             )
         else:
             merged = fresh
-        # materialize BEFORE overwriting the path being read; <= 2^p
+        # materialize BEFORE overwriting the relation being read; <= 2^p
         # rows by construction, so the driver hop is bounded
         rows = merged.collect()
-        sp.createDataFrame(rows, "_b long, _rmax int").coalesce(1) \
-            .write.mode("overwrite").parquet(state_dir)
+        table.overwrite(sp.createDataFrame(rows, "_b long, _rmax int"))
 
     return _apply
 
@@ -1300,10 +1302,17 @@ def hll_batch_fn(store_root: str, col: str = "tok", p: int = 10):
 def hll_state_estimate(spark, store_root: str, p: int = 10,
                        round_digits: int = 2) -> DataFrame:
     """Single-row estimate from the streamed bucket state — equals
-    operators/sketch.hll_distinct over everything ingested."""
+    operators/sketch.hll_distinct over everything ingested. A stream
+    that never saw a non-empty batch has no state yet: that is the
+    defined empty sketch (estimate 0), not an error."""
     import os
 
     from ..operators.sketch import hll_estimate_from_buckets
+    from ..sources.table import SnapshotTable
 
-    state = spark.read.parquet(os.path.join(store_root, "hll_state"))
+    table = SnapshotTable(os.path.join(store_root, "hll_state"))
+    if table.current_snapshot_id() is None:
+        state = spark.createDataFrame([], "_b long, _rmax int")
+    else:
+        state = table.read(spark)
     return hll_estimate_from_buckets(state, p, round_digits)

@@ -2598,7 +2598,8 @@ def test_json_field_stats_missing_and_malformed(spark):
     assert out.loc["a", "present_rate"] == 0.5
     assert out.loc["a", "mean"] == 15.0
     assert out.loc["a", "p50"] == 15.0  # interpolated over [10, 20]
-    assert out.loc["b", "n_present"] == 1 and out.loc["b", "std"] != out.loc["b", "std"] or True
+    assert out.loc["b", "n_present"] == 1
+    assert np.isnan(out.loc["b", "std"])  # stddev_samp of one row
     assert out.loc["b", "mean"] == 5.0
 
 
@@ -2808,3 +2809,67 @@ def test_decorrelation_lag_white_noise_vs_trend(spark):
     out = decorrelation_lag(df, ts_col="ts").toPandas().set_index("user_id")
     assert out.loc[1, "decorr_lag"] == 1
     assert np.isnan(out.loc[2, "decorr_lag"])
+
+
+def test_review_fixes_null_and_degenerate_paths(spark):
+    """Round-6 review-pass regressions: (1) ewma_level drops NULL
+    values (pandas-ewm renormalization, not weight-biased-to-zero);
+    (2) xcorr_types drops all-NULL hours before pairing; (3)
+    pivot_counts with custom types lacking view/purchase yields a
+    NULL conversion column, not an AnalysisException; (4)
+    json_field_stats survives a string-valued field under ANSI; (5)
+    pca_power returns NULL loadings (not a crash) on degenerate
+    input; (6) hll_distinct of an empty relation estimates 0."""
+    import datetime as dt
+
+    from cesium_spark.operators.analytics import (json_field_stats,
+                                                  pivot_counts)
+    from cesium_spark.operators.linalg import pca_power
+    from cesium_spark.operators.robust import ewma_level, xcorr_types
+    from cesium_spark.operators.sketch import hll_distinct
+
+    # (1) NULL mid-series: ewma over [10, NULL, 10] must be 10
+    df = spark.createDataFrame(
+        [(1, 0.0, 0, 10.0), (1, 1.0, 1, None), (1, 2.0, 2, 10.0)],
+        "user_id int, ts double, event_id int, value double")
+    out = ewma_level(df, ts_col="ts").toPandas().iloc[0]
+    assert out.ewma == 10.0 and out.n == 2
+
+    # (2) an hour where one type is all-NULL never enters a pair
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for h in range(4):
+        rows.append((1, t0 + dt.timedelta(hours=h), "a", float(h)))
+        rows.append((1, t0 + dt.timedelta(hours=h), "b", float(h * 2)))
+    rows.append((1, t0 + dt.timedelta(hours=9), "a", None))
+    rows.append((1, t0 + dt.timedelta(hours=9), "b", 5.0))
+    df2 = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_type string, value double")
+    x = xcorr_types(df2, min_hours=3).toPandas()
+    assert x.iloc[0].n_hours == 4  # hour 9 excluded (a-side NULL sum)
+
+    # (3) custom types without view/purchase: stable schema, NULL conv
+    df3 = spark.createDataFrame(
+        [(1, "login"), (1, "logout")], "user_id long, event_type string")
+    p = pivot_counts(df3, types=("login", "logout")).toPandas()
+    assert "conversion" in p.columns and p.conversion.isna().all()
+
+    # (4) string-valued field -> NULL under ANSI, not an abort
+    df4 = spark.createDataFrame(
+        [("a", '{"k": "abc"}'), ("a", '{"k": 3}')],
+        "event_type string, props string")
+    j = json_field_stats(df4).toPandas().iloc[0]
+    assert j["n_present"] == 1 and j["mean"] == 3.0  # ["mean"]: .mean is the Series method
+
+    # (5) identical vectors: NULL loadings, eigenvalue 0
+    df5 = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0]) for i in range(5)],
+        "vec_id long, embedding array<double>")
+    pc = pca_power(df5).toPandas()
+    assert len(pc) == 3 and pc.loading.isna().all()
+    assert (pc.eigenvalue == 0.0).all()
+
+    # (6) empty input -> defined empty sketch
+    df6 = spark.createDataFrame([], "tok string")
+    h = hll_distinct(df6, "tok").toPandas().iloc[0]
+    assert h.hll_estimate == 0.0 and h.n_buckets_observed == 0

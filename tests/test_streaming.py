@@ -885,12 +885,17 @@ def test_streaming_hll_state_equals_batch_and_replay_idempotent(spark, tmp_path)
     assert streamed.hll_estimate == batch.hll_estimate
     assert streamed.n_buckets_observed == batch.n_buckets_observed
 
-    # replay idempotence: manually re-deliver batch 2's rows
+    # replay idempotence: manually re-deliver batch 2's rows; the state
+    # lives in a SnapshotTable (manifest-first durability), so read
+    # through the table layer
+    from cesium_spark.sources.table import SnapshotTable
+
+    table = SnapshotTable(f"{store}/hll_state")
     fn = hll_batch_fn(store)
-    before = spark.read.parquet(f"{store}/hll_state").toPandas() \
+    before = table.read(spark).toPandas() \
         .sort_values("_b").reset_index(drop=True)
     fn(spark.createDataFrame(b2, "tok string"), 999)
-    after = spark.read.parquet(f"{store}/hll_state").toPandas() \
+    after = table.read(spark).toPandas() \
         .sort_values("_b").reset_index(drop=True)
     import pandas.testing as pt
     pt.assert_frame_equal(before, after)
