@@ -1987,6 +1987,97 @@ def q_type_entropy(spark, sf_dir):
     return type_entropy(_events(spark, sf_dir))
 
 
+def q_conv_turn_stats(spark, sf_dir):
+    """Per-conversation turn-taking profile (the graft payload's
+    monitoring surface, events-as-transcripts): turns, speaker
+    diversity, alternation rate (low = monologue/tool loop), inter-turn
+    gap stats, duration. ONE Exchange (lag window) reused by the
+    same-key partial-aggregable groupBy; gaps are exact integer
+    microseconds divided once into doubles."""
+    from cesium_spark.operators.turns import turn_stats
+
+    return turn_stats(_events(spark, sf_dir), key_col="user_id",
+                      role_col="event_type", ts_col="ts", id_col="event_id")
+
+
+def q_reply_latency(spark, sf_dir):
+    """Role-pair reply-latency matrix (user->assistant = answer SLO;
+    assistant->tool vs tool->assistant separates model from tool time):
+    per adjacent (from, to) role pair, count + mean/p50/p95 gap. The
+    stream sees one Exchange; exact percentiles sort only within the
+    |roles|^2 pair groups."""
+    from cesium_spark.operators.turns import reply_latency
+
+    return reply_latency(_events(spark, sf_dir), key_col="user_id",
+                         role_col="event_type", ts_col="ts", id_col="event_id")
+
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-Min sketch calibration report: top-20 exact tokens with
+    their d=4 x w=128 CMS estimates and the (always >= 0) overcount —
+    deterministic md5 row-hashes, so the sketch is engine-replayable
+    bit-for-bit. w deliberately small at this SF so collisions are
+    exercised, not dodged. Counter state is <= d*w rows regardless of
+    corpus size (the 100 TB deployment keeps only that state)."""
+    from cesium_spark.operators.sketch import cms_heavy_hitters
+
+    return cms_heavy_hitters(_docs(spark, sf_dir), d=4, w=128, k=20)
+
+
+def q_zorder_cells(spark, sf_dir):
+    """Morton-curve layout report for an Iceberg-style zorder rewrite:
+    events bucketed on (hour % 32, user % 32), bit-interleaved, grouped
+    into 16-z-value cells — per cell count / distinct keys / time span /
+    share, the skew histogram a rewrite_data_files maintenance job
+    inspects. Pure JVM bit arithmetic; map + ONE groupBy onto <= 64
+    cells."""
+    from cesium_spark.operators.layout import zorder_cells
+
+    return zorder_cells(_events(spark, sf_dir), bits=5, cell_shift=4)
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified eval-set sampling: ~30 rows per
+    event_type via the growth-stable md5 bucket (membership is a pure
+    function of id — re-ingest never reshuffles the eval set). Reported
+    as per-stratum aggregates. Count relation broadcast back; the
+    stream itself is never shuffled."""
+    from cesium_spark.operators.split import stratified_sample
+
+    s = stratified_sample(_events(spark, sf_dir), group_col="event_type",
+                          id_col="event_id", n_per_group=30)
+    return s.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_sampled"),
+        F.round(F.avg("value") + F.lit(1e-9), 6).alias("mean_value"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+def q_inverted_index(spark, sf_dir):
+    """df-banded posting-list inverted index: token -> document
+    frequency + canonical sorted posting string (zero-padded ids,
+    comma-joined — byte-stable across engines). The df band [5, 400]
+    is what bounds per-token state at scale (stopwords would otherwise
+    carry corpus-sized lists). explode -> distinct -> ONE groupBy."""
+    from cesium_spark.operators.text import inverted_index
+
+    return inverted_index(_docs(spark, sf_dir), min_df=5, max_df=400)
+
+
+def q_histogram_quantiles(spark, sf_dir):
+    """Mergeable fixed-bin quantile sketch vs exact percentiles: per
+    event_type, p50/p90/p99 estimated from a 64-bin histogram over
+    [0, 256) with the exact value and abs error alongside — the
+    calibration readout before dropping the exact path at full scale.
+    Sketch state is n_bins counters per group, mergeable by addition
+    across partitions/batches/retention tiers."""
+    from cesium_spark.operators.analytics import histogram_quantiles
+
+    return histogram_quantiles(_events(spark, sf_dir), lo=0.0, hi=256.0,
+                               n_bins=64)
+
+
 def q_decorrelation_lag(spark, sf_dir):
     """Memory horizon per series: smallest lag with sample ACF below
     0.5 (NULL if correlated at every probed lag). Composes acf_lags on
@@ -2372,6 +2463,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (r4 VERDICT item 7: clean_corpus_spans shipped in r4 but sat past
     # the 50-slot cap and was never driver-checked).
     return {
+        # --- round 6, session-3 batch ---
+        "conv_turn_stats": q_conv_turn_stats,
+        "reply_latency": q_reply_latency,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "zorder_cells": q_zorder_cells,
+        "stratified_sample": q_stratified_sample,
+        "inverted_index": q_inverted_index,
+        "histogram_quantiles": q_histogram_quantiles,
         # --- round 6, analytics batch ---
         "type_entropy": q_type_entropy,
         "decorrelation_lag": q_decorrelation_lag,
@@ -5521,6 +5620,193 @@ def oracle_sql() -> dict[str, str]:
 
     # the streaming head accumulates the identical per-doc verdicts
     sql["contamination_streamed"] = sql["contamination"]
+
+    # shared lag CTE for the two turn-taking oracles: per-user
+    # (ts, event_id)-ordered previous role + exact-microsecond gap
+    _turn_lag_cte = """
+        o AS (
+          SELECT user_id, event_type AS role,
+                 lag(event_type) OVER w AS prev_role,
+                 epoch_us(ts) AS us,
+                 (epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1e6 AS gap_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+    """
+
+    sql["conv_turn_stats"] = f"""
+        WITH {_turn_lag_cte}
+        SELECT user_id,
+               count(*)::BIGINT AS n_turns,
+               count(DISTINCT role)::BIGINT AS n_roles,
+               sum(CASE WHEN prev_role IS NOT NULL AND prev_role <> role
+                        THEN 1 ELSE 0 END)::BIGINT AS n_switches,
+               CASE WHEN count(*) > 1 THEN
+                 round(sum(CASE WHEN prev_role IS NOT NULL AND prev_role <> role
+                                THEN 1 ELSE 0 END)::DOUBLE / (count(*) - 1)
+                       + {EPS}, {R}) END AS alternation,
+               CASE WHEN count(*) > 1
+                    THEN round(avg(gap_s) + {EPS}, {R}) END AS mean_gap_s,
+               CASE WHEN count(*) > 1
+                    THEN round(max(gap_s) + {EPS}, {R}) END AS max_gap_s,
+               round((max(us) - min(us)) / 1e6 + {EPS}, {R}) AS duration_s
+        FROM o GROUP BY user_id
+    """
+
+    sql["reply_latency"] = f"""
+        WITH {_turn_lag_cte}
+        SELECT prev_role AS from_role, role AS to_role,
+               count(*)::BIGINT AS n,
+               round(avg(gap_s) + {EPS}, {R}) AS mean_gap_s,
+               round(quantile_cont(gap_s, 0.5) + {EPS}, {R}) AS p50_gap_s,
+               round(quantile_cont(gap_s, 0.95) + {EPS}, {R}) AS p95_gap_s
+        FROM o WHERE prev_role IS NOT NULL
+        GROUP BY 1, 2
+    """
+
+    # Count-Min replay: same md5('row:token') % w buckets, min over rows
+    _CMS_D, _CMS_W = 4, 128
+    sql["cms_heavy_hitters"] = f"""
+        WITH tok AS (
+          SELECT u.tok AS token
+          FROM documents,
+               LATERAL unnest(string_split_regex(lower(text), '\\s+')) AS u(tok)
+          WHERE u.tok <> ''
+        ),
+        cnt AS (SELECT token, count(*)::BIGINT AS n_exact FROM tok GROUP BY 1),
+        top AS (
+          SELECT row_number() OVER (ORDER BY n_exact DESC, token) AS rank,
+                 token, n_exact
+          FROM cnt QUALIFY rank <= 20
+        ),
+        rows_ AS (SELECT unnest(range({_CMS_D})) AS r),
+        cells AS (
+          SELECT r.r,
+                 ('0x' || substr(md5(r.r::VARCHAR || ':' || t.token), 1, 8))::BIGINT
+                   % {_CMS_W} AS b,
+                 count(*)::BIGINT AS n
+          FROM tok t, rows_ r
+          GROUP BY 1, 2
+        )
+        SELECT t.rank, t.token, t.n_exact,
+               min(c.n)::BIGINT AS n_est,
+               (min(c.n) - t.n_exact)::BIGINT AS overcount
+        FROM top t
+        JOIN rows_ r ON true
+        JOIN cells c
+          ON c.r = r.r
+         AND c.b = ('0x' || substr(md5(r.r::VARCHAR || ':' || t.token), 1, 8))::BIGINT
+                   % {_CMS_W}
+        GROUP BY t.rank, t.token, t.n_exact
+    """
+
+    # Morton interleave replayed as the closed-form masked-shift sum
+    _zbits = 5
+    _zsum = " + ".join(
+        f"(((hx >> {i}) & 1) << {2 * i}) + (((ky >> {i}) & 1) << {2 * i + 1})"
+        for i in range(_zbits)
+    )
+    sql["zorder_cells"] = f"""
+        WITH b AS (
+          SELECT ((epoch_us(ts) // 3600000000) % 32) AS hx,
+                 (user_id % 32) AS ky,
+                 user_id, epoch_us(ts) AS us
+          FROM events
+        ),
+        z AS (SELECT user_id, us, ({_zsum}) AS zv FROM b)
+        SELECT (zv >> 4)::BIGINT AS z_cell,
+               count(*)::BIGINT AS n,
+               count(DISTINCT user_id)::BIGINT AS n_keys,
+               round((max(us) - min(us)) / 1e6 + {EPS}, {R}) AS span_s,
+               round(count(*)::DOUBLE / (sum(count(*)) OVER ())::DOUBLE
+                     + {EPS}, {R}) AS share
+        FROM z GROUP BY 1
+    """
+
+    sql["stratified_sample"] = f"""
+        WITH g AS (
+          SELECT event_type, count(*)::BIGINT AS gn FROM events GROUP BY 1
+        ),
+        thr AS (
+          SELECT event_type,
+                 least(10000, round(30 * 10000.0 / gn)::BIGINT) AS t
+          FROM g
+        ),
+        sel AS (
+          SELECT e.event_type, e.event_id, e.value
+          FROM events e JOIN thr ON e.event_type = thr.event_type
+          WHERE ('0x' || substr(md5(e.event_id::VARCHAR || 'strat'), 1, 8))::BIGINT
+                  % 10000 < thr.t
+        )
+        SELECT event_type,
+               count(*)::BIGINT AS n_sampled,
+               round(avg(value) + {EPS}, {R}) AS mean_value,
+               min(event_id) AS min_id,
+               max(event_id) AS max_id
+        FROM sel GROUP BY event_type
+    """
+
+    sql["inverted_index"] = """
+        WITH tok AS (
+          SELECT DISTINCT doc_id, u.tok AS token
+          FROM documents,
+               LATERAL unnest(string_split_regex(lower(text), '\\s+')) AS u(tok)
+          WHERE u.tok <> ''
+        ),
+        agg AS (
+          SELECT token, count(*)::BIGINT AS df,
+                 string_agg(lpad(doc_id::VARCHAR, 12, '0'), ','
+                            ORDER BY lpad(doc_id::VARCHAR, 12, '0')) AS postings
+          FROM tok GROUP BY 1
+        )
+        SELECT token, df, postings FROM agg WHERE df BETWEEN 5 AND 400
+    """
+
+    # fixed-bin quantile sketch replay: identical floor-bin arithmetic,
+    # identical continuous-rank q*(n-1) interpolation inside the bin
+    _hq_lo, _hq_w, _hq_nb = 0.0, 4.0, 64
+    sql["histogram_quantiles"] = f"""
+        WITH b AS (
+          SELECT event_type,
+                 least(greatest(floor((value::DOUBLE - {_hq_lo}) / {_hq_w}), 0),
+                       {_hq_nb - 1})::INT AS bin
+          FROM events
+        ),
+        bins AS (SELECT event_type, bin, count(*)::BIGINT AS c FROM b GROUP BY 1, 2),
+        cum AS (
+          SELECT event_type, bin, c,
+                 (sum(c) OVER (PARTITION BY event_type ORDER BY bin
+                               ROWS UNBOUNDED PRECEDING) - c)::BIGINT AS cum_before,
+                 (sum(c) OVER (PARTITION BY event_type))::BIGINT AS n
+          FROM bins
+        ),
+        qs AS (SELECT unnest([0.5, 0.9, 0.99])::DOUBLE AS q),
+        inb AS (
+          SELECT event_type, q, n, bin, c, cum_before,
+                 q * (n - 1) AS target
+          FROM cum, qs
+          WHERE q * (n - 1) >= cum_before
+            AND (q * (n - 1) < cum_before + c OR cum_before + c = n)
+          QUALIFY row_number() OVER (PARTITION BY event_type, q ORDER BY bin) = 1
+        ),
+        ex AS (
+          SELECT event_type, 0.5::DOUBLE AS q,
+                 quantile_cont(value::DOUBLE, 0.5) AS exact FROM events GROUP BY 1
+          UNION ALL
+          SELECT event_type, 0.9::DOUBLE,
+                 quantile_cont(value::DOUBLE, 0.9) FROM events GROUP BY 1
+          UNION ALL
+          SELECT event_type, 0.99::DOUBLE,
+                 quantile_cont(value::DOUBLE, 0.99) FROM events GROUP BY 1
+        )
+        SELECT i.event_type, i.q, i.n,
+               round({_hq_lo} + (i.bin + (i.target - i.cum_before) / i.c)
+                     * {_hq_w} + {EPS}, {R}) AS approx,
+               round(ex.exact + {EPS}, {R}) AS exact,
+               round(abs(({_hq_lo} + (i.bin + (i.target - i.cum_before) / i.c)
+                          * {_hq_w}) - ex.exact) + {EPS}, {R}) AS abs_err
+        FROM inb i JOIN ex ON i.event_type = ex.event_type AND i.q = ex.q
+    """
 
     # golden-bridge oracles: the vendored reference constants, emitted as
     # literals (ok=TRUE) — the Spark side recomputes `ok` from live engine

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["cohort_retention", "hampel_outliers", "skew_report",
            "json_field_stats", "value_histogram",
-           "rollup_summary", "pivot_counts"]
+           "rollup_summary", "pivot_counts", "histogram_quantiles"]
 
 
 def _r(col, digits: int = 6):
@@ -369,3 +369,101 @@ def pivot_counts(
     else:
         conv = F.lit(None).cast("double")
     return out.withColumn("conversion", conv)
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    lo: float = 0.0,
+    hi: float = 100.0,
+    n_bins: int = 64,
+    qs: tuple = (0.5, 0.9, 0.99),
+    round_digits: int = 6,
+) -> DataFrame:
+    """Mergeable approximate quantiles from the fixed-bin histogram,
+    with the exact quantile and absolute error alongside — the
+    calibration readout that says whether n_bins is sized right before
+    the exact path is dropped at full scale.
+
+    The sketch IS `value_histogram`'s state: n_bins counters per group,
+    partial-aggregable, mergeable across partitions/batches/tiers by
+    plain addition. The estimate interpolates linearly inside the bin
+    containing rank q*(n-1) (the same 1+q*(n-1) continuous-rank
+    definition the exact percentile uses), so error is bounded by the
+    bin width — deterministic, engine-replayable arithmetic, unlike
+    t-digest whose centroid layout is merge-order-dependent.
+
+    Returns (group, q, n, approx, exact, abs_err). Plan: ONE
+    partial-aggregable groupBy onto groups*n_bins rows for the sketch;
+    the exact percentile sorts within groups (the value_percentiles
+    trade, present here only for the calibration column); the
+    interpolation window runs on the bin relation."""
+    width = (hi - lo) / n_bins
+    x = F.col(value_col).cast("double")
+    b = F.least(
+        F.greatest(F.floor((x - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    bins = (
+        df.select(F.col(group_col), b.alias("bin"))
+        .groupBy(group_col, "bin")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    wq = (
+        Window.partitionBy(group_col)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy(group_col)
+    cum = bins.select(
+        group_col,
+        "bin",
+        "c",
+        (F.sum("c").over(wq) - F.col("c")).alias("cum_before"),
+        F.sum("c").over(wt).alias("n"),
+    )
+    q_rows = F.explode(
+        F.array(*[F.lit(float(q)) for q in qs])
+    ).alias("q")
+    # rank in continuous [0, n-1] space; the target bin is the one whose
+    # [cum_before, cum_before + c) count-interval contains it
+    probes = cum.select(group_col, "bin", "c", "cum_before", "n", q_rows)
+    target = F.col("q") * (F.col("n") - 1)
+    inb = probes.where(
+        (target >= F.col("cum_before"))
+        & ((target < F.col("cum_before") + F.col("c")) | (F.col("cum_before") + F.col("c") == F.col("n")))
+    )
+    # several bins can satisfy the clause only at the n-boundary; keep
+    # the first (lowest bin) deterministically
+    wfirst = Window.partitionBy(group_col, "q").orderBy("bin")
+    inb = inb.withColumn("_rn", F.row_number().over(wfirst)).where(F.col("_rn") == 1)
+    frac = (target - F.col("cum_before")) / F.col("c")
+    approx = F.lit(lo) + (F.col("bin") + frac) * F.lit(width)
+    exact = df.groupBy(group_col).agg(
+        *[
+            F.expr(f"percentile({value_col}, {float(q)})").alias(f"_e{i}")
+            for i, q in enumerate(qs)
+        ]
+    )
+    exact_long = exact.select(
+        group_col,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(float(q)).alias("q"), F.col(f"_e{i}").alias("exact"))
+                for i, q in enumerate(qs)
+            ])
+        ).alias("s"),
+    ).select(group_col, "s.q", "s.exact")
+    return (
+        inb.select(group_col, "q", "n", approx.alias("_a"))
+        .join(exact_long, [group_col, "q"])
+        .select(
+            group_col,
+            "q",
+            "n",
+            _r(F.col("_a"), round_digits).alias("approx"),
+            _r(F.col("exact"), round_digits).alias("exact"),
+            _r(F.abs(F.col("_a") - F.col("exact")), round_digits).alias("abs_err"),
+        )
+    )

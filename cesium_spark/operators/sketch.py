@@ -32,7 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hll_distinct", "hll_bucket_rows", "hll_estimate_from_buckets"]
+__all__ = ["hll_distinct", "hll_bucket_rows", "hll_estimate_from_buckets",
+           "cms_counter_rows", "cms_estimate", "cms_heavy_hitters"]
 
 # 50-bit rank word (60-bit hash minus the 10 bucket bits at p=10);
 # rho ranges 1..(W+1)
@@ -121,4 +122,126 @@ def hll_distinct(
     final reduce. Executor state is O(2^p) regardless of input rows."""
     return hll_estimate_from_buckets(
         hll_bucket_rows(df, col, p), p, round_digits
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005): point-frequency
+# estimation in d*w counters. Same determinism discipline as the HLL
+# above — row-i bucket = parse(md5(i || ':' || value)[:8]) % w, so any
+# md5-capable engine replays the sketch bit-for-bit. The estimate
+# min_i(counter[i][h_i(x)]) NEVER undercounts (each counter sums the
+# true count plus non-negative collision mass) — the one-sided error
+# the heavy-hitters report asserts per row.
+#
+# Merge semantics: counter states merge by SUM — commutative and
+# associative but NOT idempotent, so a replayed delivery double-counts.
+# Batch unions may simply groupBy-sum; the streaming head must make
+# writes idempotent per source batch (store per-batch partials keyed by
+# batch id and overwrite on replay — see streaming/stream.py's CMS
+# head), unlike the HLL whose max-merge tolerates replay natively.
+# ---------------------------------------------------------------------------
+
+def _cms_bucket(col, row_i: int, w: int):
+    """Row-i bucket of a string column: first 32 hash bits of
+    md5(i ':' value), mod w — the split.py:46 portable-hash idiom with
+    a per-row seed prefix (pairwise-independent enough in practice;
+    the classic construction's (a*x+b) mod p needs a numeric x, which
+    tokens are not)."""
+    key = F.concat(F.lit(f"{row_i}:"), col.cast("string"))
+    return (F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+            % F.lit(w)).cast("int")
+
+
+def cms_counter_rows(
+    df: DataFrame,
+    col: str,
+    d: int = 4,
+    w: int = 512,
+) -> DataFrame:
+    """The sketch's mergeable state: (_row, _b, _n) counter rows,
+    <= d*w of them regardless of input size. One map-only projection
+    fans each value into its d (row, bucket) cells via an inline
+    posexplode of the d bucket expressions (JVM codegen, no UDF), then
+    ONE partial-aggregable groupBy — map-side combine collapses every
+    partition to <= d*w rows before the only shuffle."""
+    src = df.where(F.col(col).isNotNull()).select(F.col(col).alias("_v"))
+    cells = F.array(*[
+        F.struct(F.lit(i).alias("_row"), _cms_bucket(F.col("_v"), i, w).alias("_b"))
+        for i in range(d)
+    ])
+    return (
+        src.select(F.explode(cells).alias("c"))
+        .select("c._row", "c._b")
+        .groupBy("_row", "_b")
+        .agg(F.count("*").cast("long").alias("_n"))
+    )
+
+
+def cms_estimate(
+    candidates: DataFrame,
+    counters: DataFrame,
+    col: str,
+    d: int = 4,
+    w: int = 512,
+) -> DataFrame:
+    """Point-frequency estimates for a candidate relation: each
+    candidate joins its d counter cells (broadcast — the counter state
+    is <= d*w rows by construction) and takes the min. Missing cells
+    read as 0 (a value never inserted). Adds ``cms_est`` to the
+    candidate columns."""
+    from pyspark.sql.functions import broadcast
+
+    probes = candidates.select(
+        "*",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("_row"),
+                     _cms_bucket(F.col(col), i, w).alias("_b"))
+            for i in range(d)
+        ])).alias("_c"),
+    ).select("*", "_c._row", "_c._b").drop("_c")
+    keep = [c for c in candidates.columns]
+    return (
+        probes.join(broadcast(counters), ["_row", "_b"], "left")
+        .fillna({"_n": 0})
+        .groupBy(*keep)
+        .agg(F.min("_n").alias("cms_est"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    d: int = 4,
+    w: int = 512,
+    k: int = 20,
+) -> DataFrame:
+    """Heavy-hitters report: the corpus's top-k tokens by exact count,
+    each with its Count-Min estimate and the (always >= 0) overcount —
+    the calibration readout that tells an operator whether d*w is
+    sized right before trusting the sketch alone at full scale.
+
+    Returns (rank, token, n_exact, n_est, overcount). The exact
+    count relation exists for the report (and the oracle); the
+    100 TB deployment keeps only the d*w counter state + a candidate
+    stream, exactly what `cms_counter_rows` + `cms_estimate` compose.
+    Ranks tie-break lexicographically; top-k via orderBy().limit()
+    (TakeOrderedAndProject — per-partition heaps, never a global
+    sort)."""
+    from cesium_spark.operators.text import _tokens
+    from pyspark.sql.window import Window
+
+    toks = df.select(F.explode(_tokens(text_col)).alias("token"))
+    exact = toks.groupBy("token").agg(F.count("*").cast("long").alias("n_exact"))
+    top = exact.orderBy(F.col("n_exact").desc(), F.col("token").asc()).limit(k)
+    state = cms_counter_rows(toks, "token", d, w)
+    est = cms_estimate(top, state, "token", d, w)
+    rank_w = Window.orderBy(F.col("n_exact").desc(), F.col("token").asc())
+    return (
+        est.withColumn("rank", F.row_number().over(rank_w))
+        .select(
+            "rank", "token", "n_exact",
+            F.col("cms_est").alias("n_est"),
+            (F.col("cms_est") - F.col("n_exact")).alias("overcount"),
+        )
     )

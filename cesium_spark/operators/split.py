@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["hash_split", "split_column", "source_mix", "temperature_mix",
-           "weighted_sample"]
+           "weighted_sample", "stratified_sample"]
 
 _BUCKETS = 10_000
 
@@ -235,4 +235,53 @@ def weighted_sample(
         .select(F.col(id_col), w.alias("weight"), key.alias("sample_key"))
         .orderBy(F.col("sample_key").desc(), F.col(id_col))
         .limit(n)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str = "event_type",
+    id_col: str = "event_id",
+    n_per_group: int = 50,
+    salt: str = "strat",
+) -> DataFrame:
+    """Deterministic stratified sampling: approximately ``n_per_group``
+    rows from EACH group, selected by the same growth-stable md5 bucket
+    as `hash_split` — a row's membership is a pure function of
+    (id, salt) and its group's total, never a per-run random draw.
+    The eval-set construction idiom: equal-size strata from wildly
+    skewed group sizes (uniform sampling would drown rare groups).
+
+    Per-group keep fraction = min(1, n_per_group / group_count),
+    honored to 1e-4 by the bucket grid, so expected stratum size is
+    n_per_group with binomial-not-exact membership (exact-n would need
+    a per-group rank — a |group|-sized sort; the hash threshold is
+    map-only and growth-stable, the right trade at corpus scale).
+
+    Plan: one partial-aggregable count onto the |groups| relation,
+    broadcast back onto the stream (group cardinality is small by
+    definition of stratification), then a map-only threshold filter —
+    the stream itself is never shuffled."""
+    from pyspark.sql.functions import broadcast
+
+    counts = df.groupBy(group_col).agg(F.count("*").cast("long").alias("_gn"))
+    thresh = F.least(
+        F.lit(_BUCKETS),
+        F.round(F.lit(float(n_per_group * _BUCKETS)) / F.col("_gn"), 0)
+        .cast("long"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8
+            ),
+            16, 10,
+        ).cast("long")
+        % _BUCKETS
+    )
+    return (
+        df.join(broadcast(counts.select(group_col, thresh.alias("_thr"))),
+                group_col)
+        .where(bucket < F.col("_thr"))
+        .drop("_thr")
     )

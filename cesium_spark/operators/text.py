@@ -15,7 +15,7 @@ __all__ = [
     "text_stats", "quality_score", "lang_id", "fingerprint",
     "token_topk", "tfidf_top_terms", "repetition_stats", "bm25_topk",
     "c4_line_filter", "gopher_quality_filter", "normalize_text",
-    "script_profile",
+    "script_profile", "inverted_index",
 ]
 
 # Small per-language stopword vocabularies for the n-gram voting heuristic.
@@ -744,3 +744,42 @@ def script_profile(
         frac(ws).alias("ws_frac"),
         main.alias("main_script"),
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    min_df: int = 2,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Posting-list inverted index over the corpus: one row per
+    retained token with its document frequency and the SORTED posting
+    list (comma-joined string — a canonical, order-stable serialization
+    any engine reproduces byte-for-byte). Tokens below ``min_df`` are
+    hapax noise; tokens above ``max_df`` are stopwords whose posting
+    lists approach the corpus size — both pruned, which is what keeps
+    per-token state bounded (the same df-band discipline tfidf and the
+    dedup shingle ops use).
+
+    Plan: explode -> distinct (doc, token) pairs (map-side combined)
+    -> ONE groupBy token building df + sort_array(collect_list) in the
+    same aggregate. At 100 TB the posting list of a mid-band token is
+    thousands of ids — executor-resident per group; the df band is the
+    knob that keeps it so (an unbanded index would put the full corpus
+    id list under every stopword)."""
+    pairs = (
+        df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("token"))
+        .distinct()
+    )
+    agg = pairs.groupBy("token").agg(
+        F.count("*").cast("long").alias("df"),
+        F.array_join(
+            F.sort_array(F.collect_list(F.lpad(F.col(id_col).cast("string"), 12, "0"))),
+            ",",
+        ).alias("postings"),
+    )
+    cond = F.col("df") >= min_df
+    if max_df is not None:
+        cond = cond & (F.col("df") <= max_df)
+    return agg.where(cond)

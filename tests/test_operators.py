@@ -2873,3 +2873,166 @@ def test_review_fixes_null_and_degenerate_paths(spark):
     df6 = spark.createDataFrame([], "tok string")
     h = hll_distinct(df6, "tok").toPandas().iloc[0]
     assert h.hll_estimate == 0.0 and h.n_buckets_observed == 0
+
+
+# ---------------------------------------------------------------------------
+# round-6 session-3 batch: turn analytics, CMS, z-order layout,
+# stratified sampling, inverted index, histogram quantiles
+# ---------------------------------------------------------------------------
+
+
+def _mk_turns(spark):
+    from datetime import datetime
+
+    rows = [
+        # conv 1: u a u a — perfect alternation, 10s gaps
+        (1, 0, "user", datetime(2024, 1, 1, 0, 0, 0)),
+        (1, 1, "assistant", datetime(2024, 1, 1, 0, 0, 10)),
+        (1, 2, "user", datetime(2024, 1, 1, 0, 0, 20)),
+        (1, 3, "assistant", datetime(2024, 1, 1, 0, 0, 30)),
+        # conv 2: a a a — monologue (tool-loop signature)
+        (2, 0, "assistant", datetime(2024, 1, 1, 1, 0, 0)),
+        (2, 1, "assistant", datetime(2024, 1, 1, 1, 0, 5)),
+        (2, 2, "assistant", datetime(2024, 1, 1, 1, 0, 35)),
+        # conv 3: single turn
+        (3, 0, "user", datetime(2024, 1, 1, 2, 0, 0)),
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id long, turn_idx int, role string, ts timestamp")
+
+
+def test_turn_stats_alternation_and_gaps(spark):
+    from cesium_spark.operators.turns import turn_stats
+
+    out = turn_stats(_mk_turns(spark)).toPandas().set_index("conv_id")
+    c1 = out.loc[1]
+    assert c1.n_turns == 4 and c1.n_roles == 2 and c1.n_switches == 3
+    assert c1.alternation == 1.0
+    assert c1.mean_gap_s == 10.0 and c1.max_gap_s == 10.0 and c1.duration_s == 30.0
+    c2 = out.loc[2]
+    assert c2.n_switches == 0 and c2.alternation == 0.0
+    assert c2.mean_gap_s == 17.5 and c2.max_gap_s == 30.0
+    c3 = out.loc[3]
+    assert c3.n_turns == 1
+    # single-turn conversations: rate/gap stats are undefined, not 0
+    import pandas as pd
+    assert pd.isna(c3.alternation) and pd.isna(c3.mean_gap_s)
+    assert c3.duration_s == 0.0
+
+
+def test_turn_stats_on_generated_transcripts(spark):
+    """The operator's native shape: real generate_transcripts output
+    keyed by (conv_id, turn_idx) with the proper role column."""
+    from cesium_spark.datagen import generate_transcripts
+    from cesium_spark.operators.turns import turn_stats
+
+    tr = generate_transcripts(spark, n_convs=20, seed=7, max_turns=500)
+    out = turn_stats(tr).toPandas()
+    assert len(out) == 20
+    assert (out.n_turns >= 1).all()
+    ok = out[out.n_turns > 1]
+    assert ((ok.alternation >= 0) & (ok.alternation <= 1)).all()
+    assert (ok.max_gap_s >= ok.mean_gap_s - 1e-9).all()
+    assert (out.duration_s >= 0).all()
+
+
+def test_reply_latency_pairs(spark):
+    from cesium_spark.operators.turns import reply_latency
+
+    out = reply_latency(_mk_turns(spark)).toPandas()
+    out = out.set_index(["from_role", "to_role"])
+    # conv1 contributes u->a (x2), a->u (x1); conv2 a->a (x2)
+    assert out.loc[("user", "assistant")].n == 2
+    assert out.loc[("user", "assistant")].mean_gap_s == 10.0
+    assert out.loc[("assistant", "assistant")].n == 2
+    assert out.loc[("assistant", "assistant")].p50_gap_s == 17.5  # interp of 5,30
+    assert ("user", "user") not in out.index
+
+
+def test_cms_never_undercounts_and_exact_at_width(spark):
+    from cesium_spark.operators.sketch import (
+        cms_counter_rows, cms_estimate, cms_heavy_hitters)
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta " * (i + 1) + "gamma") for i in range(10)],
+        "doc_id long, text string")
+    # tight width -> collisions likely; the one-sided bound must hold
+    hh = cms_heavy_hitters(docs, d=2, w=4, k=10).toPandas()
+    assert (hh.overcount >= 0).all()
+    assert (hh.n_est >= hh.n_exact).all()
+    # generous width -> estimates exact
+    hh2 = cms_heavy_hitters(docs, d=4, w=4096, k=10).toPandas()
+    assert (hh2.overcount == 0).all()
+    # counter state is bounded by d*w regardless of input
+    st = cms_counter_rows(
+        docs.selectExpr("explode(split(text, ' ')) AS tok"), "tok", d=2, w=4)
+    assert st.count() <= 8
+    # estimate for a never-inserted value reads 0
+    cand = spark.createDataFrame([("zzz_never",)], "tok string")
+    est = cms_estimate(cand, st, "tok", d=2, w=4).toPandas()
+    assert est.cms_est.iloc[0] >= 0  # collision mass only
+
+
+def test_zorder_key_interleave_and_cells(spark):
+    from pyspark.sql import functions as F
+
+    from cesium_spark.operators.layout import zorder_cells, zorder_key
+
+    df = spark.createDataFrame([(5, 3)], "x long, y long")  # 0b101, 0b011
+    z = df.select(zorder_key(F.col("x"), F.col("y"), bits=3).alias("z")).head().z
+    # interleave x even / y odd: bits x=101, y=011 ->
+    # z = x0<<0 | y0<<1 | x1<<2 | y1<<3 | x2<<4 | y2<<5
+    #   = 1 | 2 | 0 | 8 | 16 | 0 = 27
+    assert z == 27
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    cells = zorder_cells(ev, bits=5, cell_shift=4).toPandas()
+    assert len(cells) <= 64 and abs(cells.share.sum() - 1.0) < 1e-3
+    assert (cells.n_keys >= 1).all() and (cells.n >= 1).all()
+
+
+def test_stratified_sample_deterministic_and_sized(spark):
+    from cesium_spark.operators.split import stratified_sample
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    a = stratified_sample(ev, "event_type", "event_id", 30).toPandas()
+    b = stratified_sample(ev, "event_type", "event_id", 30).toPandas()
+    assert sorted(a.event_id) == sorted(b.event_id)  # pure function of id
+    per = a.groupby("event_type").size()
+    # binomial around 30 — generous band, deterministic data so stable
+    assert ((per > 10) & (per < 60)).all()
+    # a group smaller than the target keeps everything
+    tiny = ev.limit(5)
+    kept = stratified_sample(tiny, "event_type", "event_id", 1000).count()
+    assert kept == 5
+
+
+def test_inverted_index_bands_and_postings(spark):
+    from cesium_spark.operators.text import inverted_index
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana"), (2, "apple banana"), (3, "apple cherry"),
+         (10, "apple date date")],
+        "doc_id long, text string")
+    out = inverted_index(docs, min_df=2, max_df=3).toPandas().set_index("token")
+    # apple df=4 > max_df, cherry/date df=1 < min_df -> only banana
+    assert list(out.index) == ["banana"]
+    assert out.loc["banana"].df == 2
+    assert out.loc["banana"].postings == "000000000001,000000000002"
+    # duplicate tokens within a doc counted once (distinct pairs)
+    out2 = inverted_index(docs, min_df=1, max_df=10).toPandas().set_index("token")
+    assert out2.loc["date"].df == 1
+
+
+def test_histogram_quantiles_error_bounded_by_bin(spark):
+    from cesium_spark.operators.analytics import histogram_quantiles
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = histogram_quantiles(ev, lo=0.0, hi=256.0, n_bins=64,
+                              qs=(0.5, 0.9)).toPandas()
+    width = 256.0 / 64
+    # in-range quantiles: the interpolated estimate sits within one bin
+    # of the exact value (the sketch's design bound)
+    inr = out[(out.exact >= 0) & (out.exact < 256.0)]
+    assert len(inr) > 0
+    assert (inr.abs_err <= width + 1e-6).all()
+    assert (out.n > 0).all()
