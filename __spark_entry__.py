@@ -2024,6 +2024,77 @@ def q_cms_heavy_hitters(spark, sf_dir):
     return cms_heavy_hitters(_docs(spark, sf_dir), d=4, w=128, k=20)
 
 
+def q_cms_streamed(spark, sf_dir):
+    """LIVE heavy-hitters monitor: Count-Min counter state maintained
+    across availableNow micro-batches. CMS sum-merge is NOT idempotent
+    (unlike the HLL's max), so the head stores per-batch partials keyed
+    by batch_id — replay rewrites the same directory byte-identically
+    and the read side sums across batches: at-least-once in,
+    exactly-once state out. Final readout probes the STREAMED state for
+    the batch top-20's estimates; the oracle is the exact same SQL as
+    `cms_heavy_hitters`, so a hash match proves streamed state == batch
+    sketch."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql.window import Window
+
+    from cesium_spark.operators.sketch import cms_estimate
+    from cesium_spark.operators.text import _tokens
+    from cesium_spark.streaming.stream import cms_batch_fn, cms_state_counters
+
+    D, W = 4, 128
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    work = tempfile.mkdtemp(prefix="cms_stream_")
+    in_dir = f"{work}/in"
+    try:
+        docs.filter(F.col("doc_id") <= mid).coalesce(1) \
+            .write.mode("overwrite").parquet(in_dir)
+        first_files = set(glob.glob(f"{in_dir}/*.parquet"))
+        docs.filter(F.col("doc_id") > mid).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+        later = time.time() + 10
+        for f in set(glob.glob(f"{in_dir}/*.parquet")) - first_files:
+            os.utime(f, (later, later))
+        src = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1).parquet(in_dir)
+        )
+        toks = src.select(F.explode(_tokens("text")).alias("tok"))
+        q = (
+            toks.writeStream
+            .foreachBatch(cms_batch_fn(f"{work}/store", d=D, w=W))
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True).start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                raise TimeoutError("cms stream did not drain in 300s")
+        finally:
+            q.stop()
+        state = cms_state_counters(spark, f"{work}/store")
+        exact = (
+            docs.select(F.explode(_tokens("text")).alias("token"))
+            .groupBy("token").agg(F.count("*").cast("long").alias("n_exact"))
+            .orderBy(F.col("n_exact").desc(), F.col("token").asc()).limit(20)
+        )
+        est = cms_estimate(exact, state, "token", d=D, w=W)
+        rank_w = Window.orderBy(F.col("n_exact").desc(), F.col("token").asc())
+        out = (
+            est.withColumn("rank", F.row_number().over(rank_w))
+            .select("rank", "token", "n_exact",
+                    F.col("cms_est").alias("n_est"),
+                    (F.col("cms_est") - F.col("n_exact")).alias("overcount"))
+        )
+        return out.localCheckpoint(eager=True)  # detach from the temp files
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_zorder_cells(spark, sf_dir):
     """Morton-curve layout report for an Iceberg-style zorder rewrite:
     events bucketed on (hour % 32, user % 32), bit-interleaved, grouped
@@ -2467,6 +2538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_turn_stats": q_conv_turn_stats,
         "reply_latency": q_reply_latency,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "cms_streamed": q_cms_streamed,
         "zorder_cells": q_zorder_cells,
         "stratified_sample": q_stratified_sample,
         "inverted_index": q_inverted_index,
@@ -5699,6 +5771,9 @@ def oracle_sql() -> dict[str, str]:
                    % {_CMS_W}
         GROUP BY t.rank, t.token, t.n_exact
     """
+
+    # the streaming head must converge to the identical sketch state
+    sql["cms_streamed"] = sql["cms_heavy_hitters"]
 
     # Morton interleave replayed as the closed-form masked-shift sum
     _zbits = 5

@@ -32,6 +32,7 @@ __all__ = [
     "contamination_batch_fn", "start_contamination_stream",
     "streaming_anomaly_zscore", "streaming_session_window",
     "hll_batch_fn", "hll_state_estimate",
+    "cms_batch_fn", "cms_state_counters",
 ]
 
 
@@ -1316,3 +1317,56 @@ def hll_state_estimate(spark, store_root: str, p: int = 10,
     else:
         state = table.read(spark)
     return hll_estimate_from_buckets(state, p, round_digits)
+
+
+def cms_batch_fn(store_root: str, col: str = "tok", d: int = 4, w: int = 512):
+    """foreachBatch function for a LIVE token-frequency monitor:
+    maintains the deterministic Count-Min counter state
+    (operators/sketch) across micro-batches — point-frequency and
+    heavy-hitter queries stay answerable in O(d*w) state while the
+    stream grows without bound.
+
+    State discipline — the OTHER exactly-once pattern: CMS counters
+    merge by SUM, which (unlike the HLL's max) is NOT idempotent, so a
+    replayed delivery would double-count if batches were merged into
+    one running total. Instead each micro-batch's partial counter
+    relation (<= d*w rows, deterministic content) is written to its own
+    ``batch=<id>`` directory with overwrite semantics: foreachBatch
+    retries re-deliver the SAME batch_id, the rewrite is byte-identical,
+    and the read side sums across batch directories — at-least-once
+    delivery converges to exactly-once state without a transactional
+    sink. A crash mid-write leaves one torn batch directory that the
+    restart's redelivery of that same batch_id rewrites whole."""
+    import os
+
+    from ..operators.sketch import cms_counter_rows
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        fresh = cms_counter_rows(batch_df, col, d, w)
+        # <= d*w rows by construction; coalesce(1) keeps the batch dir a
+        # single deterministic file so replay rewrites are byte-stable
+        fresh.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(store_root, f"batch={batch_id}")
+        )
+
+    return _apply
+
+
+def cms_state_counters(spark, store_root: str) -> DataFrame:
+    """The merged counter state from every committed batch partial —
+    equals operators/sketch.cms_counter_rows over everything ingested.
+    A stream that never saw a non-empty batch has the defined empty
+    sketch (every estimate reads 0)."""
+    import glob
+    import os
+
+    dirs = sorted(glob.glob(os.path.join(store_root, "batch=*")))
+    if not dirs:
+        return spark.createDataFrame([], "_row int, _b int, _n long")
+    return (
+        spark.read.parquet(*dirs)
+        .groupBy("_row", "_b")
+        .agg(F.sum("_n").cast("long").alias("_n"))
+    )

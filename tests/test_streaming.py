@@ -899,3 +899,39 @@ def test_streaming_hll_state_equals_batch_and_replay_idempotent(spark, tmp_path)
         .sort_values("_b").reset_index(drop=True)
     import pandas.testing as pt
     pt.assert_frame_equal(before, after)
+
+
+def test_cms_streamed_replay_idempotent_and_equals_batch(spark, tmp_path):
+    """CMS sum-merge is not idempotent, so the head's exactly-once
+    discipline is per-batch-id partial directories: (1) re-delivering
+    the same batch_id leaves the merged state bit-identical, (2) the
+    merged streamed state equals the one-shot batch sketch."""
+    import pandas.testing as pt
+
+    from cesium_spark.operators.sketch import cms_counter_rows
+    from cesium_spark.streaming.stream import cms_batch_fn, cms_state_counters
+
+    store = str(tmp_path / "cms_store")
+    b1 = [("alpha",), ("beta",), ("alpha",)]
+    b2 = [("beta",), ("gamma",)]
+    fn = cms_batch_fn(store, d=2, w=8)
+    fn(spark.createDataFrame(b1, "tok string"), 0)
+    fn(spark.createDataFrame(b2, "tok string"), 1)
+    merged = cms_state_counters(spark, store).toPandas() \
+        .sort_values(["_row", "_b"]).reset_index(drop=True)
+
+    # (1) replay batch 1 (same id): state unchanged
+    fn(spark.createDataFrame(b2, "tok string"), 1)
+    replayed = cms_state_counters(spark, store).toPandas() \
+        .sort_values(["_row", "_b"]).reset_index(drop=True)
+    pt.assert_frame_equal(merged, replayed)
+
+    # (2) streamed state == batch sketch over the full input
+    full = spark.createDataFrame(b1 + b2, "tok string")
+    batch = cms_counter_rows(full, "tok", d=2, w=8).toPandas() \
+        .sort_values(["_row", "_b"]).reset_index(drop=True)
+    pt.assert_frame_equal(merged, batch)
+
+    # (3) empty store: defined empty sketch, not an error
+    empty = cms_state_counters(spark, str(tmp_path / "nowhere"))
+    assert empty.count() == 0
