@@ -2024,6 +2024,46 @@ def q_cms_heavy_hitters(spark, sf_dir):
     return cms_heavy_hitters(_docs(spark, sf_dir), d=4, w=128, k=20)
 
 
+def q_action_trigrams(spark, sf_dir):
+    """Top-25 three-step action sequences (sequential-pattern mining
+    over the event stream): a runaway agent retry loop surfaces as an
+    (x, x, x) triple near the top. One fused double-lag window + a
+    partial-aggregable groupBy onto the |types|^3 triple relation;
+    top-k via TakeOrderedAndProject."""
+    from cesium_spark.operators.tsstats import event_trigrams
+
+    return event_trigrams(_events(spark, sf_dir), k=25)
+
+
+def q_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift per event_type (ref = first
+    half by event_id, cur = second half — psi_drift's split): the exact
+    binning-free sup-distance between the two value ECDFs, the standard
+    second opinion on a PSI alarm. Events reduce to distinct-value
+    count rows BEFORE the cumulative window, so ties can't order-drift
+    and the sort touches distinct values only."""
+    from cesium_spark.operators.drift import ks_by_group
+
+    ev = _events(spark, sf_dir)
+    mid = ev.agg(F.expr("percentile(event_id, 0.5)")).collect()[0][0]
+    return ks_by_group(
+        ev.filter(F.col("event_id") <= mid),
+        ev.filter(F.col("event_id") > mid),
+    )
+
+
+def q_label_centroids(spark, sf_dir):
+    """Per-class embedding geometry: member count, centroid norm, mean
+    cosine of members to their own centroid — the cohesion readout
+    before trusting labels for SemDeDup buckets or contrastive
+    sampling. posexplode -> partial-aggregable component sums; the
+    labels*dim centroid relation broadcasts back onto the member
+    pass."""
+    from cesium_spark.operators.linalg import label_centroids
+
+    return label_centroids(_emb(spark, sf_dir))
+
+
 def q_cms_streamed(spark, sf_dir):
     """LIVE heavy-hitters monitor: Count-Min counter state maintained
     across availableNow micro-batches. CMS sum-merge is NOT idempotent
@@ -2535,6 +2575,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50-slot cap and was never driver-checked).
     return {
         # --- round 6, session-3 batch ---
+        "action_trigrams": q_action_trigrams,
+        "ks_drift": q_ks_drift,
+        "label_centroids": q_label_centroids,
         "conv_turn_stats": q_conv_turn_stats,
         "reply_latency": q_reply_latency,
         "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -5692,6 +5735,89 @@ def oracle_sql() -> dict[str, str]:
 
     # the streaming head accumulates the identical per-doc verdicts
     sql["contamination_streamed"] = sql["contamination"]
+
+    sql["action_trigrams"] = """
+        WITH o AS (
+          SELECT user_id,
+                 lag(event_type, 2) OVER w AS t1,
+                 lag(event_type, 1) OVER w AS t2,
+                 event_type AS t3,
+                 row_number() OVER w AS pos
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        cnt AS (
+          SELECT t1, t2, t3, count(*)::BIGINT AS n
+          FROM o WHERE pos > 2 GROUP BY 1, 2, 3
+        )
+        SELECT rank, t1, t2, t3, n FROM (
+          SELECT row_number() OVER (ORDER BY n DESC, t1, t2, t3) AS rank,
+                 t1, t2, t3, n
+          FROM cnt
+        ) WHERE rank <= 25
+    """
+
+    sql["ks_drift"] = f"""
+        WITH mid AS (SELECT quantile_cont(event_id, 0.5) AS m FROM events),
+        per AS (
+          SELECT event_type, value::DOUBLE AS v,
+                 sum(CASE WHEN event_id <= m THEN 1 ELSE 0 END)::BIGINT AS r,
+                 sum(CASE WHEN event_id > m THEN 1 ELSE 0 END)::BIGINT AS c
+          FROM events, mid GROUP BY 1, 2
+        ),
+        cum AS (
+          SELECT event_type,
+                 (sum(r) OVER (PARTITION BY event_type ORDER BY v
+                               ROWS UNBOUNDED PRECEDING))::BIGINT AS cr,
+                 (sum(c) OVER (PARTITION BY event_type ORDER BY v
+                               ROWS UNBOUNDED PRECEDING))::BIGINT AS cc,
+                 (sum(r) OVER (PARTITION BY event_type))::BIGINT AS nr,
+                 (sum(c) OVER (PARTITION BY event_type))::BIGINT AS nc
+          FROM per
+        )
+        SELECT event_type,
+               any_value(nr) AS n_ref,
+               any_value(nc) AS n_cur,
+               round(max(abs(cr::DOUBLE / nr - cc::DOUBLE / nc)) + {EPS}, {R})
+                 AS ks_d,
+               round(max(abs(cr::DOUBLE / nr - cc::DOUBLE / nc)) + {EPS}, {R})
+                 > 0.1 AS drifted
+        FROM cum WHERE nr > 0 AND nc > 0
+        GROUP BY event_type
+    """
+
+    # centroid components then member cosine, double-promoted once like
+    # the engine; unnest ordinality replays posexplode
+    sql["label_centroids"] = f"""
+        WITH comps AS (
+          SELECT label, vec_id, g.j AS dim, embedding[g.j]::DOUBLE AS x
+          FROM embeddings,
+               LATERAL unnest(generate_series(1, len(embedding))) AS g(j)
+        ),
+        cent AS (
+          SELECT label, dim, avg(x) AS c, count(*)::BIGINT AS cnt
+          FROM comps GROUP BY 1, 2
+        ),
+        member AS (
+          SELECT m.label, m.vec_id,
+                 sum(m.x * ct.c) AS dot,
+                 sqrt(sum(m.x * m.x)) AS mn
+          FROM comps m JOIN cent ct ON m.label = ct.label AND m.dim = ct.dim
+          GROUP BY 1, 2
+        ),
+        cnorm AS (
+          SELECT label, sqrt(sum(c * c)) AS cn, any_value(cnt) AS n
+          FROM cent GROUP BY 1
+        )
+        SELECT mem.label,
+               any_value(cn2.n)::BIGINT AS n,
+               round(any_value(cn2.cn) + {EPS}, {R}) AS centroid_norm,
+               round(avg(CASE WHEN mem.mn > 0 AND cn2.cn > 0
+                              THEN mem.dot / (mem.mn * cn2.cn) END)
+                     + {EPS}, {R}) AS mean_cos_to_centroid
+        FROM member mem JOIN cnorm cn2 ON mem.label = cn2.label
+        GROUP BY mem.label
+    """
 
     # shared lag CTE for the two turn-taking oracles: per-user
     # (ts, event_id)-ordered previous role + exact-microsecond gap

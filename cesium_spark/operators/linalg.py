@@ -26,7 +26,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["dim_stats", "pca_power"]
+__all__ = ["dim_stats", "pca_power", "label_centroids"]
 
 
 def _centered(df: DataFrame, vec_col: str, mu: list, round_digits: int):
@@ -162,4 +162,73 @@ def pca_power(
         F.lit(round(lam + 1e-9, round_digits)).alias("eigenvalue"),
         F.lit(round(lam / total_var + 1e-9, round_digits))
         .alias("explained_var_frac"),
+    )
+
+
+def label_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-class embedding geometry: member count, centroid L2 norm,
+    and the mean cosine similarity of members to their own centroid
+    (intra-class cohesion) — the class-separation readout an embedding
+    pipeline checks before trusting labels for SemDeDup buckets,
+    contrastive sampling, or classifier features (cohesion near 0 =
+    labels carry no geometry).
+
+    Plan: posexplode -> ONE partial-aggregable groupBy building the
+    per-(label, dim) component sums (map-side combine reduces each
+    partition to labels*dim rows), then the member-side pass joins the
+    BROADCAST centroid components back on (label, dim) and reduces
+    per member, then per label — everything partial-aggregable, no
+    per-row Python, centroid state is labels*dim rows no matter how
+    many vectors. Sums are promoted to double once (float32 inputs)
+    so both engines accumulate identical doubles."""
+    from pyspark.sql.functions import broadcast
+
+    comps = df.select(
+        F.col(label_col).alias("label"),
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.col(vec_col)).alias("dim", "x"),
+    ).withColumn("x", F.col("x").cast("double"))
+    cent = comps.groupBy("label", "dim").agg(
+        F.avg("x").alias("c"), F.count("*").alias("_cnt")
+    )
+    member = (
+        comps.join(broadcast(cent.select("label", "dim", "c")), ["label", "dim"])
+        .groupBy("label", "_id")
+        .agg(
+            F.sum(F.col("x") * F.col("c")).alias("dot"),
+            F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("mn"),
+        )
+    )
+    cnorm = cent.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cn"),
+        (F.first("_cnt")).cast("long").alias("n"),
+    )
+    cos = (
+        member.join(broadcast(cnorm), "label")
+        .select(
+            "label", "n",
+            F.when((F.col("mn") > 0) & (F.col("cn") > 0),
+                   F.col("dot") / (F.col("mn") * F.col("cn"))).alias("cos"),
+        )
+    )
+    return (
+        cos.groupBy("label")
+        .agg(
+            F.first("n").alias("n"),
+            F.round(F.avg("cos") + F.lit(1e-9), round_digits)
+            .alias("mean_cos_to_centroid"),
+        )
+        .join(
+            cnorm.select("label",
+                         F.round(F.col("cn") + F.lit(1e-9), round_digits)
+                         .alias("centroid_norm")),
+            "label",
+        )
+        .select("label", "n", "centroid_norm", "mean_cos_to_centroid")
     )

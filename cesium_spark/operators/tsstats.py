@@ -27,7 +27,7 @@ __all__ = [
     "acf_lags", "cusum_changepoint", "rolling_zscore_anomalies",
     "series_trend", "hod_profile", "drawdown_stats",
     "burst_stats", "coverage_report", "winsorize_series",
-    "seasonal_decompose", "event_transitions",
+    "seasonal_decompose", "event_transitions", "event_trigrams",
     "hourly_peaks", "seasonal_anomalies", "type_entropy", "decorrelation_lag",
 ]
 
@@ -745,4 +745,49 @@ def decorrelation_lag(
     return a.groupBy(key_col).agg(
         F.min(F.when(F.col("acf") < threshold, F.col("lag")))
         .cast("int").alias("decorr_lag")
+    )
+
+
+def event_trigrams(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    k: int = 25,
+) -> DataFrame:
+    """Top-k three-step action sequences across the corpus: consecutive
+    (t1, t2, t3) type triples within each series in (ts, tiebreak)
+    order, counted globally — the sequential-pattern readout that
+    surfaces dominant tool chains in agent transcripts (a runaway
+    retry loop shows up as an (x, x, x) triple near the top).
+
+    Same physical shape as `event_transitions` one lag deeper: ONE
+    sort-shuffle for the fused double-lag window, a partial-aggregable
+    groupBy onto the <= |types|^3 triple relation, then
+    orderBy().limit(k) (TakeOrderedAndProject — per-partition heaps,
+    never a global sort). Returns (rank, t1, t2, t3, n), ties broken
+    lexicographically."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    triples = (
+        df.select(
+            F.lag(F.col(type_col), 2).over(w).alias("t1"),
+            F.lag(F.col(type_col), 1).over(w).alias("t2"),
+            F.col(type_col).alias("t3"),
+            F.row_number().over(w).alias("_pos"),
+        )
+        .filter(F.col("_pos") > 2)  # rows 1-2 have no full predecessor
+        # chain; NULL types beyond them are real states, not boundaries
+    )
+    counts = triples.groupBy("t1", "t2", "t3").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    top = counts.orderBy(
+        F.col("n").desc(), F.col("t1"), F.col("t2"), F.col("t3")
+    ).limit(k)
+    rank_w = Window.orderBy(
+        F.col("n").desc(), F.col("t1"), F.col("t2"), F.col("t3")
+    )
+    return top.withColumn("rank", F.row_number().over(rank_w)).select(
+        "rank", "t1", "t2", "t3", "n"
     )

@@ -3036,3 +3036,63 @@ def test_histogram_quantiles_error_bounded_by_bin(spark):
     assert len(inr) > 0
     assert (inr.abs_err <= width + 1e-6).all()
     assert (out.n > 0).all()
+
+
+def test_event_trigrams_counts_and_boundaries(spark):
+    from datetime import datetime
+
+    from cesium_spark.operators.tsstats import event_trigrams
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # user 1: a b a b a -> triples (a,b,a) x2, (b,a,b) x1
+    for i, ty in enumerate(["a", "b", "a", "b", "a"]):
+        rows.append((1, i, t0.replace(minute=i), ty))
+    # user 2: only 2 events -> no triple crosses users
+    rows += [(2, 10, t0.replace(hour=1), "a"), (2, 11, t0.replace(hour=1, minute=1), "b")]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, event_type string")
+    out = event_trigrams(df, k=10).toPandas()
+    out = out.set_index(["t1", "t2", "t3"])
+    assert out.loc[("a", "b", "a")].n == 2
+    assert out.loc[("b", "a", "b")].n == 1
+    assert len(out) == 2  # user 2 contributed nothing
+
+
+def test_ks_by_group_identical_and_disjoint(spark):
+    from cesium_spark.operators.drift import ks_by_group
+
+    same = spark.createDataFrame(
+        [("a", float(i % 10)) for i in range(100)], "event_type string, value double")
+    out = ks_by_group(same, same).toPandas().iloc[0]
+    assert out.ks_d == 0.0 and not out.drifted
+    assert out.n_ref == 100 and out.n_cur == 100
+    lo = spark.createDataFrame([("a", float(i)) for i in range(50)],
+                               "event_type string, value double")
+    hi = spark.createDataFrame([("a", float(i + 1000)) for i in range(50)],
+                               "event_type string, value double")
+    out2 = ks_by_group(lo, hi).toPandas().iloc[0]
+    assert out2.ks_d == 1.0 and out2.drifted  # fully separated ECDFs
+    # group present on one side only is dropped
+    onlyref = spark.createDataFrame([("b", 1.0)], "event_type string, value double")
+    out3 = ks_by_group(lo.union(onlyref), hi).toPandas()
+    assert set(out3.event_type) == {"a"}
+
+
+def test_label_centroids_geometry(spark):
+    from cesium_spark.operators.linalg import label_centroids
+
+    rows = [
+        # label 0: all identical -> cohesion exactly 1
+        (0, 0, [1.0, 0.0]), (1, 0, [1.0, 0.0]), (2, 0, [1.0, 0.0]),
+        # label 1: opposite vectors -> centroid zero-ish, cos NULL-guarded
+        (3, 1, [0.0, 2.0]), (4, 1, [0.0, -2.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    out = label_centroids(df).toPandas().set_index("label")
+    assert out.loc[0].n == 3
+    assert out.loc[0].centroid_norm == 1.0
+    assert out.loc[0].mean_cos_to_centroid == 1.0
+    # exact cancellation: centroid is the zero vector, cosine undefined
+    assert out.loc[1].centroid_norm == 0.0
+    import pandas as pd
+    assert pd.isna(out.loc[1].mean_cos_to_centroid)
