@@ -471,3 +471,44 @@ def test_weighted_sample_take_ordered_not_global_sort(spark, tmp_path):
     phys = out._jdf.queryExecution().toString().split("== Physical Plan ==")[-1]
     assert "TakeOrderedAndProject" in phys
     assert "Python" not in phys
+
+
+def test_turn_stats_single_exchange_no_python(spark):
+    """The turn-analytics lag window's hash partitioning must be reused
+    by the same-key groupBy: exactly ONE Exchange, zero Python."""
+    from cesium_spark.operators.turns import turn_stats
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = _plan(turn_stats(ev, key_col="user_id", role_col="event_type",
+                            ts_col="ts", id_col="event_id"))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_cms_counter_state_broadcast_not_cartesian(spark):
+    """The d*w counter relation must reach the candidate probe as a
+    broadcast (it is bounded by construction); no cartesian product,
+    and the top-k must be distributed TakeOrderedAndProject."""
+    from cesium_spark.operators.sketch import cms_heavy_hitters
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(cms_heavy_hitters(docs, d=4, w=128, k=20))
+    assert "BroadcastHashJoin" in plan
+    assert "Cartesian" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ks_by_group_reduces_before_shuffle(spark):
+    """Both event streams must collapse to distinct-value count rows
+    map-side (partial aggregation) before any join/window; no
+    broadcast of a stream-sized relation is required for correctness,
+    but partial_count must appear under the first aggregate."""
+    from pyspark.sql import functions as F
+
+    from cesium_spark.operators.drift import ks_by_group
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = _plan(ks_by_group(ev.filter(F.col("event_id") % 2 == 0),
+                             ev.filter(F.col("event_id") % 2 == 1)))
+    assert "partial_count" in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
