@@ -2024,6 +2024,80 @@ def q_cms_heavy_hitters(spark, sf_dir):
     return cms_heavy_hitters(_docs(spark, sf_dir), d=4, w=128, k=20)
 
 
+def q_incremental_refresh(spark, sf_dir):
+    """Incremental continuous-aggregate maintenance on the NON-mergeable
+    path (median in the feature set): base rollup from the first half
+    (by event_id), then a late batch (second half) arrives — only the
+    dirty (series, window) pairs are recomputed (raw table semi-joined
+    down by the broadcast dirty set) and unioned with the untouched old
+    windows. The oracle is the FULL recompute over everything, so a
+    hash match proves incremental == full — the invariant that lets a
+    10^12-turn table absorb late data without re-rolling history."""
+    from cesium_spark.operators.incremental import incremental_rollup
+    from cesium_spark.operators.rollup import rollup_kernel
+
+    ev = _events(spark, sf_dir)
+    mid = ev.agg(F.expr("percentile(event_id, 0.5)")).collect()[0][0]
+    base = ev.filter(F.col("event_id") <= mid)
+    late = ev.filter(F.col("event_id") > mid)
+    feats = ["n_epochs", "mean", "std", "amplitude", "median"]
+    kw = dict(key_col="user_id", ts_col="ts", tiebreak_col="event_id",
+              m="value")
+    old = rollup_kernel(base, feats, "1h", **kw)
+    out = incremental_rollup(old, ev, late, feats, "1h", **kw)
+    return out.select(
+        "user_id", "window_start", *[_r(F.col(f)).alias(f) for f in feats]
+    )
+
+
+def q_vocab_growth(spark, sf_dir):
+    """Heaps-law vocabulary growth curve: cumulative distinct tokens
+    after each decile of the corpus (by doc_id order) — the corpus-
+    health readout that says whether new data still adds vocabulary.
+    Computed in ONE pass: each token's FIRST document (groupBy-min, the
+    shuffle carries distinct tokens), bucketed into deciles, cumulative
+    summed over the 10-row decile relation — never ten scans."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    from cesium_spark.operators.text import _tokens
+
+    qs = [i / 10.0 for i in range(1, 11)]
+    cuts = docs.agg(*[
+        F.expr(f"percentile(doc_id, {q})").alias(f"c{i}")
+        for i, q in enumerate(qs)
+    ]).collect()[0]
+    first = (
+        docs.select("doc_id", F.explode(_tokens("text")).alias("token"))
+        .groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+    )
+    decile = None
+    for i in range(10):
+        cond = F.col("first_doc") <= F.lit(float(cuts[f"c{i}"]))
+        decile = F.when(cond, F.lit(i + 1)) if decile is None \
+            else decile.when(cond, F.lit(i + 1))
+    per = (
+        first.select(decile.alias("decile"))
+        .where(F.col("decile").isNotNull())
+        .groupBy("decile").agg(F.count("*").cast("long").alias("new_tokens"))
+    )
+    # full 10-decile frame: a saturated corpus (all vocabulary seen in
+    # decile 1 — the Heaps-curve plateau) must still report every decile
+    frame = spark.range(1, 11).select(F.col("id").cast("int").alias("decile"))
+    per = (
+        frame.join(per, "decile", "left")
+        .select("decile",
+                F.coalesce("new_tokens", F.lit(0)).cast("long")
+                .alias("new_tokens"))
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding,
+                                             Window.currentRow)
+    return per.select(
+        "decile", "new_tokens",
+        F.sum("new_tokens").over(w).cast("long").alias("vocab_size"),
+    )
+
+
 def q_action_trigrams(spark, sf_dir):
     """Top-25 three-step action sequences (sequential-pattern mining
     over the event stream): a runaway agent retry loop surfaces as an
@@ -2173,7 +2247,13 @@ def q_inverted_index(spark, sf_dir):
     carry corpus-sized lists). explode -> distinct -> ONE groupBy."""
     from cesium_spark.operators.text import inverted_index
 
-    return inverted_index(_docs(spark, sf_dir), min_df=5, max_df=400)
+    docs = _docs(spark, sf_dir)
+    # bigram index units (the whole-word vocabulary here is ~31 tokens,
+    # all stopword-common — phrases are what the df band can rank) with
+    # a fractional upper cut: a fixed max_df stops scaling with the
+    # corpus; 40% of n_docs is the standard stopword-phrase cut
+    max_df = int(0.4 * docs.count())
+    return inverted_index(docs, min_df=5, max_df=max_df, ngram=2)
 
 
 def q_histogram_quantiles(spark, sf_dir):
@@ -2575,6 +2655,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50-slot cap and was never driver-checked).
     return {
         # --- round 6, session-3 batch ---
+        "incremental_refresh": q_incremental_refresh,
+        "vocab_growth": q_vocab_growth,
         "action_trigrams": q_action_trigrams,
         "ks_drift": q_ks_drift,
         "label_centroids": q_label_centroids,
@@ -5736,6 +5818,49 @@ def oracle_sql() -> dict[str, str]:
     # the streaming head accumulates the identical per-doc verdicts
     sql["contamination_streamed"] = sql["contamination"]
 
+    # incremental refresh must equal the FULL recompute — the oracle IS
+    # the full 1h kernel rollup over every event
+    sql["incremental_refresh"] = f"""
+        SELECT user_id, date_trunc('hour', ts) AS window_start,
+               round(CAST(count(*) AS DOUBLE) + {EPS}, {R}) AS n_epochs,
+               round(avg(value) + {EPS}, {R}) AS mean,
+               round(stddev_pop(value) + {EPS}, {R}) AS std,
+               round((max(value) - min(value)) / 2.0 + {EPS}, {R}) AS amplitude,
+               round(median(value) + {EPS}, {R}) AS median
+        FROM events GROUP BY user_id, date_trunc('hour', ts)
+    """
+
+    sql["vocab_growth"] = """
+        WITH cuts AS (
+          SELECT quantile_cont(doc_id, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9,1.0])
+                 AS cs
+          FROM documents
+        ),
+        first_occ AS (
+          SELECT u.tok AS token, min(doc_id) AS first_doc
+          FROM documents,
+               LATERAL unnest(string_split_regex(lower(text), '\\s+')) AS u(tok)
+          WHERE u.tok <> ''
+          GROUP BY 1
+        ),
+        dec AS (
+          SELECT (SELECT min(g.j) FROM LATERAL unnest(generate_series(1, 10)) AS g(j)
+                  WHERE f.first_doc <= cuts.cs[g.j]) AS decile
+          FROM first_occ f, cuts
+        ),
+        per AS (
+          SELECT decile, count(*)::BIGINT AS new_tokens
+          FROM dec WHERE decile IS NOT NULL GROUP BY 1
+        ),
+        frame AS (SELECT unnest(generate_series(1, 10))::INT AS decile)
+        SELECT f.decile,
+               coalesce(per.new_tokens, 0)::BIGINT AS new_tokens,
+               (sum(coalesce(per.new_tokens, 0))
+                  OVER (ORDER BY f.decile ROWS UNBOUNDED PRECEDING))::BIGINT
+                 AS vocab_size
+        FROM frame f LEFT JOIN per ON f.decile = per.decile
+    """
+
     sql["action_trigrams"] = """
         WITH o AS (
           SELECT user_id,
@@ -5948,11 +6073,17 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["inverted_index"] = """
-        WITH tok AS (
-          SELECT DISTINCT doc_id, u.tok AS token
-          FROM documents,
-               LATERAL unnest(string_split_regex(lower(text), '\\s+')) AS u(tok)
-          WHERE u.tok <> ''
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             t -> t <> '') AS ts
+          FROM documents
+        ),
+        tok AS (
+          SELECT DISTINCT doc_id, ts[g.j] || ' ' || ts[g.j + 1] AS token
+          FROM toks,
+               LATERAL unnest(generate_series(1, len(ts) - 1)) AS g(j)
+          WHERE len(ts) >= 2
         ),
         agg AS (
           SELECT token, count(*)::BIGINT AS df,
@@ -5960,7 +6091,9 @@ def oracle_sql() -> dict[str, str]:
                             ORDER BY lpad(doc_id::VARCHAR, 12, '0')) AS postings
           FROM tok GROUP BY 1
         )
-        SELECT token, df, postings FROM agg WHERE df BETWEEN 5 AND 400
+        SELECT token, df, postings FROM agg
+        WHERE df >= 5
+          AND df <= (SELECT (count(*) * 4) // 10 FROM documents)
     """
 
     # fixed-bin quantile sketch replay: identical floor-bin arithmetic,

@@ -752,6 +752,7 @@ def inverted_index(
     min_df: int = 2,
     max_df: int | None = None,
     id_col: str = "doc_id",
+    ngram: int = 1,
 ) -> DataFrame:
     """Posting-list inverted index over the corpus: one row per
     retained token with its document frequency and the SORTED posting
@@ -768,8 +769,24 @@ def inverted_index(
     thousands of ids — executor-resident per group; the df band is the
     knob that keeps it so (an unbanded index would put the full corpus
     id list under every stopword)."""
+    toks = _tokens(text_col)
+    if ngram > 1:
+        # word n-grams as the index unit: JVM transform over the token
+        # array (no UDF); n-grams spread a small whole-word vocabulary
+        # across the df spectrum, which is what gives the band teeth
+        unit = F.transform(
+            F.sequence(F.lit(0), F.size(toks) - ngram),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(ngram)]
+            ),
+        )
+        unit = F.when(F.size(toks) >= ngram, unit).otherwise(
+            F.array().cast("array<string>")
+        )
+    else:
+        unit = toks
     pairs = (
-        df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("token"))
+        df.select(F.col(id_col), F.explode(unit).alias("token"))
         .distinct()
     )
     agg = pairs.groupBy("token").agg(

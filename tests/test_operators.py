@@ -3096,3 +3096,17 @@ def test_label_centroids_geometry(spark):
     assert out.loc[1].centroid_norm == 0.0
     import pandas as pd
     assert pd.isna(out.loc[1].mean_cos_to_centroid)
+
+
+def test_inverted_index_bigram_units(spark):
+    from cesium_spark.operators.text import inverted_index
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b x"), (3, "one")],
+        "doc_id long, text string")
+    out = inverted_index(docs, min_df=1, max_df=10, ngram=2) \
+        .toPandas().set_index("token")
+    assert out.loc["a b"].df == 2
+    assert out.loc["b c"].df == 1
+    # a doc shorter than the gram order contributes nothing (no NULLs)
+    assert "one" not in out.index and len(out) == 3
