@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["zorder_key", "zorder_cells"]
+__all__ = ["zorder_key", "zorder_cells", "compaction_plan", "rewrite_zordered"]
 
 
 def zorder_key(x: Column, y: Column, bits: int = 8) -> Column:
@@ -92,3 +92,72 @@ def zorder_cells(
         F.round(F.col("n") / F.sum("n").over(wt) + F.lit(1e-9), round_digits)
         .alias("share"),
     )
+
+
+def compaction_plan(
+    cells: DataFrame,
+    target_rows: int,
+    cell_col: str = "z_cell",
+    n_col: str = "n",
+) -> DataFrame:
+    """Greedy sequential bin-packing of layout cells into rewrite
+    groups of ~``target_rows`` rows: group = floor(cum_rows_before /
+    target). Deterministic in cell order, so the plan is replayable by
+    any engine — the file-compaction half of an Iceberg
+    `rewrite_data_files` maintenance pass (small neighboring z-cells
+    coalesce into one file; a huge cell keeps its own group(s)).
+
+    Returns (grp, n_cells, rows, z_min, z_max). Runs entirely on the
+    cell relation (bounded by the curve resolution, never by data):
+    one cumulative window + one groupBy."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.orderBy(cell_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    assigned = cells.select(
+        F.col(cell_col),
+        F.col(n_col),
+        F.floor(
+            (F.sum(n_col).over(w) - F.col(n_col)) / F.lit(target_rows)
+        ).cast("long").alias("grp"),
+    )
+    return assigned.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum(n_col).cast("long").alias("rows"),
+        F.min(cell_col).alias("z_min"),
+        F.max(cell_col).alias("z_max"),
+    )
+
+
+def rewrite_zordered(
+    table,
+    spark,
+    ts_col: str = "ts",
+    key_col: str = "conv_id",
+    bits: int = 8,
+    n_files: int = 8,
+):
+    """Sort-rewrite a SnapshotTable by the Morton key of (hour, key):
+    range-repartition on the z-key (each output file covers a DISJOINT
+    z range) then sort within partitions, committed as a new snapshot
+    through the table's manifest-first overwrite — the maintenance pass
+    that turns a write-ordered table into one where both time-range and
+    key-range scans touch O(boundary) files. Returns the new snapshot
+    id. Rows are preserved exactly (the rewrite is a permutation; the
+    caller's reader sees identical data at the new snapshot)."""
+    m = 1 << bits
+    df = table.read(spark)
+    hour = F.floor(
+        F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(3_600_000_000)
+    ) % m
+    key = F.abs(F.xxhash64(F.col(key_col))) % m
+    z = zorder_key(hour, key, bits)
+    ordered = (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    return table.overwrite(ordered)

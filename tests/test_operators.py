@@ -3110,3 +3110,81 @@ def test_inverted_index_bigram_units(spark):
     assert out.loc["b c"].df == 1
     # a doc shorter than the gram order contributes nothing (no NULLs)
     assert "one" not in out.index and len(out) == 3
+
+
+def test_compaction_plan_greedy_packing(spark):
+    from cesium_spark.operators.layout import compaction_plan
+
+    cells = spark.createDataFrame(
+        [(0, 40), (1, 40), (2, 40), (3, 500), (4, 10)],
+        "z_cell long, n long")
+    out = compaction_plan(cells, target_rows=100).toPandas() \
+        .sort_values("grp").reset_index(drop=True)
+    # cum-before: 0,40,80,120,620 -> grp 0,0,0,1,6
+    assert list(out.grp) == [0, 1, 6]
+    g0 = out[out.grp == 0].iloc[0]
+    assert g0.n_cells == 3 and g0.rows == 120 and g0.z_min == 0 and g0.z_max == 2
+    assert out[out.grp == 1].iloc[0].z_min == 3  # the huge cell stands alone
+    assert out.rows.sum() == 630  # every cell assigned exactly once
+
+
+def test_rewrite_zordered_preserves_data_disjoint_ranges(spark, tmp_path):
+    """The z-order maintenance rewrite is a pure permutation committed
+    through the snapshot layer: identical rows, disjoint per-file
+    z-ranges, previous snapshot still readable."""
+    from pyspark.sql import functions as F
+
+    from cesium_spark.datagen import generate_transcripts
+    from cesium_spark.operators.layout import rewrite_zordered, zorder_key
+    from cesium_spark.sources.table import SnapshotTable
+
+    tr = generate_transcripts(spark, n_convs=30, seed=5, max_turns=300)
+    table = SnapshotTable(str(tmp_path / "t"))
+    table.append(tr)
+    before = table.read(spark)
+    n = before.count()
+    snap0 = table.current_snapshot_id()
+
+    rewrite_zordered(table, spark, ts_col="ts", key_col="conv_id",
+                     bits=8, n_files=4)
+    after = table.read(spark)
+    assert after.count() == n
+    # permutation: no row lost or duplicated
+    assert before.exceptAll(after).count() == 0
+    assert after.exceptAll(before).count() == 0
+
+    # disjoint z-ranges per physical file
+    m = 1 << 8
+    hour = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(3_600_000_000)) % m
+    key = F.abs(F.xxhash64(F.col("conv_id"))) % m
+    spans = (
+        after.withColumn("_z", zorder_key(hour, key, 8))
+        .withColumn("_f", F.input_file_name())
+        .groupBy("_f").agg(F.min("_z").alias("lo"), F.max("_z").alias("hi"))
+        .toPandas().sort_values("lo").reset_index(drop=True)
+    )
+    assert len(spans) > 1
+    for i in range(1, len(spans)):
+        assert spans.lo[i] > spans.hi[i - 1]  # no overlap between files
+
+    # time travel: the pre-rewrite snapshot still reads
+    assert table.read(spark, as_of=snap0).count() == n
+
+
+def test_maintenance_job_end_to_end(spark, tmp_path):
+    import sys
+    sys.path.insert(0, "/root/repo")
+
+    from cesium_spark.datagen import generate_transcripts
+    from cesium_spark.sources.table import SnapshotTable
+    from jobs.maintenance_job import main
+
+    tr = generate_transcripts(spark, n_convs=10, seed=9, max_turns=200)
+    root = str(tmp_path / "t2")
+    table = SnapshotTable(root)
+    table.append(tr)
+    n = table.read(spark).count()
+    main(["--table", root, "--n-files", "2", "--keep-last", "1"])
+    assert table.read(spark).count() == n
+    assert len(table.snapshots()) >= 1
