@@ -2024,6 +2024,27 @@ def q_cms_heavy_hitters(spark, sf_dir):
     return cms_heavy_hitters(_docs(spark, sf_dir), d=4, w=128, k=20)
 
 
+def q_textrank(spark, sf_dir):
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the token co-occurrence graph, 8 fixed rounds, scores rounded
+    per round so DuckDB replays the identical recursion as chained
+    CTEs. Corpus scanned once; every round is a join+groupBy on the
+    vocabulary-bounded edge relation only."""
+    from cesium_spark.operators.pagerank import textrank_keywords
+
+    return textrank_keywords(_docs(spark, sf_dir), min_pair_docs=5, k=30)
+
+
+def q_token_pmi(spark, sf_dir):
+    """Top-30 token collocations by document-frequency PMI — the
+    phrase-structure readout of the corpus. Distinct (doc, token) pairs
+    map-side, self-join fan-out bounded by per-doc vocabulary (never
+    corpus size), df relations broadcast."""
+    from cesium_spark.operators.text import token_pmi
+
+    return token_pmi(_docs(spark, sf_dir), min_pair_docs=5, k=30)
+
+
 def q_incremental_refresh(spark, sf_dir):
     """Incremental continuous-aggregate maintenance on the NON-mergeable
     path (median in the feature set): base rollup from the first half
@@ -2654,7 +2675,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (r4 VERDICT item 7: clean_corpus_spans shipped in r4 but sat past
     # the 50-slot cap and was never driver-checked).
     return {
+        # --- round 6, session-4 batch ---
+        "textrank": q_textrank,
         # --- round 6, session-3 batch ---
+        "token_pmi": q_token_pmi,
         "incremental_refresh": q_incremental_refresh,
         "vocab_growth": q_vocab_growth,
         "action_trigrams": q_action_trigrams,
@@ -5817,6 +5841,78 @@ def oracle_sql() -> dict[str, str]:
 
     # the streaming head accumulates the identical per-doc verdicts
     sql["contamination_streamed"] = sql["contamination"]
+
+    sql["token_pmi"] = f"""
+        WITH tok AS (
+          SELECT DISTINCT doc_id AS d, u.tok AS t
+          FROM documents,
+               LATERAL unnest(string_split_regex(lower(text), '\\s+')) AS u(tok)
+          WHERE u.tok <> ''
+        ),
+        nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+        dfs AS (SELECT t, count(*)::BIGINT AS df1 FROM tok GROUP BY 1),
+        co AS (
+          SELECT x.t AS a, y.t AS b, count(*)::BIGINT AS df_ab
+          FROM tok x JOIN tok y ON x.d = y.d AND x.t < y.t
+          GROUP BY 1, 2 HAVING count(*) >= 5
+        ),
+        scored AS (
+          SELECT co.a, co.b, co.df_ab,
+                 da.df1 AS df_a, db.df1 AS df_b,
+                 round(ln(nd.n::DOUBLE * co.df_ab / (da.df1 * db.df1))
+                       + {EPS}, {R}) AS pmi
+          FROM co
+          JOIN dfs da ON co.a = da.t
+          JOIN dfs db ON co.b = db.t
+          CROSS JOIN nd
+        )
+        SELECT rank, a, b, df_ab, df_a, df_b, pmi FROM (
+          SELECT row_number() OVER (ORDER BY pmi DESC, a, b) AS rank, *
+          FROM scored
+        ) WHERE rank <= 30
+    """
+
+    # TextRank: DuckDB replays the identical 8 rounded PageRank rounds
+    # as chained CTEs over the same co-occurrence graph (the
+    # kmeans_clusters iteration-replay idiom)
+    _pr_iter = """
+        r{i} AS (
+          SELECT n.node,
+                 round((1.0 - 0.85) + 0.85 * coalesce(c.inflow, 0)
+                       + {EPS}, {R}) AS score
+          FROM pr_nodes n LEFT JOIN (
+            SELECT fr.dst AS node, sum(fr.f * r{j}.score) AS inflow
+            FROM fr JOIN r{j} ON fr.src = r{j}.node GROUP BY 1
+          ) c ON n.node = c.node
+        )"""
+    sql["textrank"] = f"""
+        WITH tok AS (
+          SELECT DISTINCT doc_id AS d, u.tok AS t
+          FROM documents,
+               LATERAL unnest(string_split_regex(lower(text), '\\s+')) AS u(tok)
+          WHERE u.tok <> ''
+        ),
+        co AS (
+          SELECT x.t AS a, y.t AS b, count(*)::DOUBLE AS w
+          FROM tok x JOIN tok y ON x.d = y.d AND x.t < y.t
+          GROUP BY 1, 2 HAVING count(*) >= 5
+        ),
+        ed AS (
+          SELECT a AS src, b AS dst, w FROM co
+          UNION ALL
+          SELECT b AS src, a AS dst, w FROM co
+        ),
+        fr AS (
+          SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS f FROM ed
+        ),
+        pr_nodes AS (SELECT DISTINCT src AS node FROM ed),
+        r0 AS (SELECT node, 1.0::DOUBLE AS score FROM pr_nodes),
+        {",".join(_pr_iter.format(i=i, j=i - 1, EPS=EPS, R=R) for i in range(1, 9))}
+        SELECT rank, node AS token, score FROM (
+          SELECT row_number() OVER (ORDER BY score DESC, node) AS rank, *
+          FROM r8
+        ) WHERE rank <= 30
+    """
 
     # incremental refresh must equal the FULL recompute — the oracle IS
     # the full 1h kernel rollup over every event

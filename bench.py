@@ -277,6 +277,38 @@ def main():
     extras["ivfpq_rerank_sec"] = round(dt, 3)
     extras["ivfpq_rerank_trials_sec"] = trials
 
+    # round-6: incremental continuous-aggregate maintenance vs full
+    # recompute on the transcript table — a 1%-of-rows late batch should
+    # cost far less than re-rolling history (THE maintenance win; both
+    # paths share the kernel, so the ratio is plan-shape, not codegen)
+    from cesium_spark.operators.incremental import incremental_rollup
+
+    inc_feats = ["n_epochs", "mean", "std", "amplitude", "median"]
+    cutoff = tr.selectExpr("percentile(unix_micros(ts), 0.99)").collect()[0][0]
+    base_tr = tr.filter(F.unix_micros("ts") <= cutoff)
+    late_tr = tr.filter(F.unix_micros("ts") > cutoff)
+    old_rollup = rollup_kernel(base_tr, inc_feats, "1h")
+    old_rollup.write.mode("overwrite").parquet(f"{tpath}_oldroll")
+    old_rollup = spark.read.parquet(f"{tpath}_oldroll")
+
+    dt, trials = _best_of(
+        lambda: _force(
+            incremental_rollup(old_rollup, tr, late_tr, inc_feats, "1h")
+        ),
+        n=2, label="incremental",
+    )
+    extras["incremental_refresh_sec"] = round(dt, 3)
+    extras["incremental_refresh_trials_sec"] = trials
+    dt, trials = _best_of(
+        lambda: _force(rollup_kernel(tr, inc_feats, "1h")), n=2,
+        label="full_recompute",
+    )
+    extras["full_recompute_sec"] = round(dt, 3)
+    extras["full_recompute_trials_sec"] = trials
+    extras["incremental_speedup"] = round(
+        extras["full_recompute_sec"] / max(extras["incremental_refresh_sec"], 1e-9), 2
+    )
+
     # round-5 continuation: Gopher repetition filters (one-Exchange
     # plan) and the oracle-replayable distributed k-means
     from cesium_spark.operators.kmeans import kmeans_assignments

@@ -15,7 +15,7 @@ __all__ = [
     "text_stats", "quality_score", "lang_id", "fingerprint",
     "token_topk", "tfidf_top_terms", "repetition_stats", "bm25_topk",
     "c4_line_filter", "gopher_quality_filter", "normalize_text",
-    "script_profile", "inverted_index",
+    "script_profile", "inverted_index", "token_pmi",
 ]
 
 # Small per-language stopword vocabularies for the n-gram voting heuristic.
@@ -800,3 +800,62 @@ def inverted_index(
     if max_df is not None:
         cond = cond & (F.col("df") <= max_df)
     return agg.where(cond)
+
+
+def token_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_pair_docs: int = 5,
+    k: int = 30,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-k token collocations by pointwise mutual information over
+    document co-occurrence: PMI(a,b) = ln(N * df_ab / (df_a * df_b))
+    with document frequencies as the probability estimates — the
+    phrase-mining / stopword-structure readout of a corpus (high PMI =
+    tokens that appear together far more than chance).
+
+    Scale shape: the corpus reduces to DISTINCT (doc, token) pairs
+    map-side; the pair join is a self-equi-join on doc_id whose fan-out
+    is per-doc-distinct-vocabulary squared — bounded by document length,
+    NOT corpus size (the a < b ordering halves it). df relations are
+    token-cardinality-sized and broadcast. min_pair_docs prunes the
+    noise tail before ranking; ties break lexicographically."""
+    from pyspark.sql.functions import broadcast
+    from pyspark.sql.window import Window
+
+    pairs = (
+        df.select(F.col(id_col).alias("_d"), F.explode(_tokens(text_col)).alias("t"))
+        .distinct()
+    )
+    n_docs = df.select(F.count("*").cast("long").alias("nd"))
+    dfs = pairs.groupBy("t").agg(F.count("*").cast("long").alias("df1"))
+    co = (
+        pairs.alias("x")
+        .join(pairs.alias("y"), "_d")
+        .where(F.col("x.t") < F.col("y.t"))
+        .groupBy(F.col("x.t").alias("a"), F.col("y.t").alias("b"))
+        .agg(F.count("*").cast("long").alias("df_ab"))
+        .where(F.col("df_ab") >= min_pair_docs)
+    )
+    scored = (
+        co.join(broadcast(dfs.select(F.col("t").alias("a"),
+                                     F.col("df1").alias("df_a"))), "a")
+        .join(broadcast(dfs.select(F.col("t").alias("b"),
+                                   F.col("df1").alias("df_b"))), "b")
+        .crossJoin(broadcast(n_docs))
+        .select(
+            "a", "b", "df_ab", "df_a", "df_b",
+            F.round(
+                F.log(F.col("nd").cast("double") * F.col("df_ab")
+                      / (F.col("df_a") * F.col("df_b")))
+                + F.lit(1e-9), round_digits,
+            ).alias("pmi"),
+        )
+    )
+    top = scored.orderBy(F.col("pmi").desc(), F.col("a"), F.col("b")).limit(k)
+    w = Window.orderBy(F.col("pmi").desc(), F.col("a"), F.col("b"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "a", "b", "df_ab", "df_a", "df_b", "pmi"
+    )

@@ -3188,3 +3188,80 @@ def test_maintenance_job_end_to_end(spark, tmp_path):
     main(["--table", root, "--n-files", "2", "--keep-last", "1"])
     assert table.read(spark).count() == n
     assert len(table.snapshots()) >= 1
+
+
+def test_token_pmi_known_collocation(spark):
+    from cesium_spark.operators.text import token_pmi
+
+    # "north pole" always together (5 docs); "the" everywhere
+    rows = [(i, "north pole the") for i in range(5)]
+    rows += [(10 + i, "the filler words") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = token_pmi(docs, min_pair_docs=5, k=10).toPandas()
+    out = out.set_index(["a", "b"])
+    import math
+    # PMI(north, pole) = ln(10 * 5 / (5 * 5)) = ln 2
+    assert abs(out.loc[("north", "pole")].pmi - round(math.log(2) + 1e-9, 6)) < 1e-9
+    # ubiquitous "the" with half-corpus tokens: ln(10*5/(10*5)) = 0
+    assert out.loc[("pole", "the")].pmi == 0.0
+    # ties break lexicographically: (filler, words) shares ln 2
+    assert out.loc[("filler", "words")]["rank"] == 1  # ["rank"]: .rank is the Series method
+    assert out.loc[("north", "pole")]["rank"] == 2
+
+
+def test_pagerank_regular_graph_fixed_point_and_path(spark):
+    from cesium_spark.operators.pagerank import pagerank
+
+    # regular graph (triangle, symmetrized): inflow per node is exactly
+    # 1.0, so r = 1.0 is the fixed point and every round must stay there
+    tri = [("a", "b"), ("b", "c"), ("a", "c")]
+    edges = spark.createDataFrame(
+        [(s, d) for s, d in tri] + [(d, s) for s, d in tri], "src string, dst string"
+    )
+    out = pagerank(edges).toPandas().set_index("node")["score"]
+    assert set(out.index) == {"a", "b", "c"}
+    assert (out == 1.0).all()
+
+    # path a-b-c: the center accumulates, endpoints shed — replay the
+    # identical rounded recursion in pure python and demand exactness
+    path = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")]
+    edges = spark.createDataFrame(path, "src string, dst string")
+    got = pagerank(edges, n_iter=8).toPandas().set_index("node")["score"]
+    r = {"a": 1.0, "b": 1.0, "c": 1.0}
+    frac = {("a", "b"): 1.0, ("b", "a"): 0.5, ("b", "c"): 0.5, ("c", "b"): 1.0}
+    for _ in range(8):
+        inflow = {n: 0.0 for n in r}
+        for (s, d), f in frac.items():
+            inflow[d] += f * r[s]
+        r = {n: round(0.15 + 0.85 * inflow[n] + 1e-9, 6) for n in r}
+    assert r["b"] > r["a"] == r["c"]
+    for n in r:
+        assert got[n] == r[n]
+
+
+def test_pagerank_dangling_node_gets_base_score(spark):
+    from cesium_spark.operators.pagerank import pagerank
+
+    # directed edge a->b only: a has no inflow, lands at 1-d exactly
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    out = pagerank(edges, n_iter=3).toPandas().set_index("node")["score"]
+    assert out["a"] == round(0.15 + 1e-9, 6)
+    assert out["b"] > out["a"]
+
+
+def test_textrank_keywords_hub_token_wins(spark):
+    from cesium_spark.operators.pagerank import textrank_keywords
+
+    # "hub" co-occurs with every satellite (5 docs each); satellites
+    # never co-occur with each other -> star graph, hub must rank 1
+    rows = []
+    for i, sat in enumerate(["sat1", "sat2", "sat3"]):
+        rows += [(100 * i + j, f"hub {sat}") for j in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textrank_keywords(docs, min_pair_docs=5, k=10).toPandas()
+    assert list(out["rank"]) == [1, 2, 3, 4]
+    assert out.iloc[0]["token"] == "hub"
+    # satellites are symmetric: identical scores, lexicographic order
+    sats = out[out.token.str.startswith("sat")]
+    assert len(set(sats["score"])) == 1
+    assert list(sats["token"]) == ["sat1", "sat2", "sat3"]
