@@ -2035,6 +2035,33 @@ def q_textrank(spark, sf_dir):
     return textrank_keywords(_docs(spark, sf_dir), min_pair_docs=5, k=30)
 
 
+def q_bloom_prune(spark, sf_dir):
+    """Bloom-pruned semi-join: events of error-prone users (>= 15
+    error events), the fact stream pruned MAP-ONLY through k broadcast
+    semi-joins on the m-bounded bit-position relation before the exact
+    refine join. Result is exactly the semi-join (Bloom adds no error
+    after refine), so plain IN-subquery SQL is the oracle. m is sized
+    small here (2^14) so false positives are actually exercised."""
+    from cesium_spark.operators.bloomjoin import bloom_semi_join
+
+    ev = _events(spark, sf_dir)
+    flagged = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy("user_id").agg(F.count("*").alias("n"))
+        .where(F.col("n") >= 15)
+    )
+    pruned = bloom_semi_join(ev, flagged, on="user_id", m_bits=1 << 14)
+    return (
+        pruned.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("event_type").cast("long").alias("n_types"),
+            F.round(F.sum("value") + EPS, R).alias("sum_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def q_token_pmi(spark, sf_dir):
     """Top-30 token collocations by document-frequency PMI — the
     phrase-structure readout of the corpus. Distinct (doc, token) pairs
@@ -2676,6 +2703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50-slot cap and was never driver-checked).
     return {
         # --- round 6, session-4 batch ---
+        "bloom_prune": q_bloom_prune,
         "textrank": q_textrank,
         # --- round 6, session-3 batch ---
         "token_pmi": q_token_pmi,
@@ -5870,6 +5898,20 @@ def oracle_sql() -> dict[str, str]:
           SELECT row_number() OVER (ORDER BY pmi DESC, a, b) AS rank, *
           FROM scored
         ) WHERE rank <= 30
+    """
+
+    # Bloom-pruned semi-join is EXACT after the refine stage, so the
+    # oracle is the plain IN-subquery semi-join
+    sql["bloom_prune"] = f"""
+        WITH flagged AS (
+          SELECT user_id FROM events WHERE event_type = 'error'
+          GROUP BY 1 HAVING count(*) >= 15
+        )
+        SELECT user_id, count(*)::BIGINT AS n_events,
+               count(DISTINCT event_type)::BIGINT AS n_types,
+               round(sum(value) + {EPS}, {R}) AS sum_value
+        FROM events WHERE user_id IN (SELECT user_id FROM flagged)
+        GROUP BY 1 ORDER BY user_id
     """
 
     # TextRank: DuckDB replays the identical 8 rounded PageRank rounds

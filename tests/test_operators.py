@@ -3265,3 +3265,44 @@ def test_textrank_keywords_hub_token_wins(spark):
     sats = out[out.token.str.startswith("sat")]
     assert len(set(sats["score"])) == 1
     assert list(sats["token"]) == ["sat1", "sat2", "sat3"]
+
+
+def test_bloom_semi_join_exact_and_superset(spark):
+    from cesium_spark.operators.bloomjoin import bloom_semi_join
+
+    probe = spark.createDataFrame(
+        [(i, f"p{i}") for i in range(500)] + [(None, "pnull")],
+        "k long, payload string",
+    )
+    build = spark.createDataFrame(
+        [(i,) for i in range(0, 500, 7)] + [(None,), (9999,)], "k long"
+    )
+    exact = probe.join(build.select("k").distinct(), "k", "left_semi")
+
+    # refined result == exact semi-join, even with a tiny m forcing FPs
+    got = bloom_semi_join(probe, build, on="k", m_bits=64, k_hashes=2)
+    assert got.exceptAll(exact).count() == 0
+    assert exact.exceptAll(got).count() == 0
+    # NULL probe keys never match (SQL semi-join semantics)
+    assert got.where(F.col("k").isNull()).count() == 0
+
+    # unrefined candidates: superset with false positives at m=64,
+    # and no false negatives
+    cand = bloom_semi_join(probe, build, on="k", m_bits=64, k_hashes=2,
+                           refine=False)
+    assert exact.exceptAll(cand).count() == 0
+    assert cand.count() >= exact.count()
+
+
+def test_bloom_semi_join_plan_probe_side_map_only(spark):
+    from cesium_spark.operators.bloomjoin import bloom_semi_join
+
+    probe = spark.range(0, 10000).select(F.col("id").alias("k"))
+    build = spark.range(0, 100).select((F.col("id") * 3).alias("k"))
+    cand = bloom_semi_join(probe, build, on="k", k_hashes=3, refine=False)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    # all three membership tests are broadcast semi-joins: the probe
+    # stream is pruned without ever shuffling
+    assert plan.count("BroadcastHashJoin") == 3
+    assert plan.count("LeftSemi") >= 3
+    assert "SortMergeJoin" not in plan
