@@ -2035,6 +2035,20 @@ def q_textrank(spark, sf_dir):
     return textrank_keywords(_docs(spark, sf_dir), min_pair_docs=5, k=30)
 
 
+def q_seasonal_backtest(spark, sf_dir):
+    """Persistence vs seasonal-naive forecast backtest on the hourly
+    event-rate grid per event type — the routing decision (does this
+    series have exploitable daily seasonality?) every monitoring stack
+    makes before fitting anything. Both forecasters score on the
+    identical eval sample; raw stream collapses to the rollup relation
+    in one shuffle, both forecasts are co-partitioned self-joins."""
+    from cesium_spark.operators.tsstats import seasonal_naive_backtest
+
+    return seasonal_naive_backtest(
+        _events(spark, sf_dir), key_col="event_type", season_hours=24
+    )
+
+
 def q_bloom_prune(spark, sf_dir):
     """Bloom-pruned semi-join: events of error-prone users (>= 15
     error events), the fact stream pruned MAP-ONLY through k broadcast
@@ -2703,6 +2717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50-slot cap and was never driver-checked).
     return {
         # --- round 6, session-4 batch ---
+        "seasonal_backtest": q_seasonal_backtest,
         "bloom_prune": q_bloom_prune,
         "textrank": q_textrank,
         # --- round 6, session-3 batch ---
@@ -5898,6 +5913,29 @@ def oracle_sql() -> dict[str, str]:
           SELECT row_number() OVER (ORDER BY pmi DESC, a, b) AS rank, *
           FROM scored
         ) WHERE rank <= 30
+    """
+
+    sql["seasonal_backtest"] = f"""
+        WITH b AS (
+          SELECT event_type AS k, date_trunc('hour', ts) AS h,
+                 count(*)::DOUBLE AS y
+          FROM events GROUP BY 1, 2
+        ),
+        e AS (
+          SELECT base.k, base.y, per.y AS p, sea.y AS s
+          FROM b base
+          JOIN b per ON per.k = base.k AND per.h = base.h - INTERVAL 1 HOUR
+          JOIN b sea ON sea.k = base.k AND sea.h = base.h - INTERVAL 24 HOUR
+        )
+        SELECT k AS event_type, count(*)::BIGINT AS n_eval,
+               round(avg(abs(y - p)) + {EPS}, {R}) AS mae_naive,
+               round(sqrt(avg((y - p) * (y - p))) + {EPS}, {R}) AS rmse_naive,
+               round(avg(abs(y - s)) + {EPS}, {R}) AS mae_seasonal,
+               round(sqrt(avg((y - s) * (y - s))) + {EPS}, {R}) AS rmse_seasonal,
+               round(CASE WHEN avg(abs(y - p)) > 0
+                     THEN 1.0 - avg(abs(y - s)) / avg(abs(y - p)) END
+                     + {EPS}, {R}) AS skill
+        FROM e GROUP BY 1
     """
 
     # Bloom-pruned semi-join is EXACT after the refine stage, so the

@@ -29,6 +29,7 @@ __all__ = [
     "burst_stats", "coverage_report", "winsorize_series",
     "seasonal_decompose", "event_transitions", "event_trigrams",
     "hourly_peaks", "seasonal_anomalies", "type_entropy", "decorrelation_lag",
+    "seasonal_naive_backtest",
 ]
 
 
@@ -790,4 +791,80 @@ def event_trigrams(
     )
     return top.withColumn("rank", F.row_number().over(rank_w)).select(
         "rank", "t1", "t2", "t3", "n"
+    )
+
+
+def seasonal_naive_backtest(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str | None = None,
+    season_hours: int = 24,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Backtest the two zero-parameter forecasters every monitoring
+    stack starts from, per series, on the hourly rollup grid:
+
+      - persistence (naive-1): yhat(t) = y(t - 1h)
+      - seasonal naive:        yhat(t) = y(t - season_hours)
+
+    ``value_col=None`` forecasts the hourly EVENT RATE (count per
+    bucket) — the ops-traffic case; otherwise the hourly mean of the
+    column. Evaluation is restricted to buckets where BOTH reference
+    buckets exist, so the two forecasters are scored on the identical
+    sample and the skill ratio is fair:
+
+      skill = 1 - mae_seasonal / mae_naive   (NULL when mae_naive = 0)
+
+    skill > 0 reads "the series has real daily seasonality — route it
+    to the seasonal forecaster"; skill <= 0 reads "persistence wins".
+
+    Scale shape: the raw stream collapses to the (key, hour) rollup
+    relation in one shuffle; both forecasts are self-equi-joins of
+    that rollup on (key, hour - Δ) — co-partitioned, rollup-sized, and
+    cheap regardless of raw row count. Exact bucket arithmetic; floats
+    surface only in the error means (rounded).
+
+    Returns (key, n_eval, mae_naive, rmse_naive, mae_seasonal,
+    rmse_seasonal, skill)."""
+    val = (
+        F.count("*").cast("double")
+        if value_col is None
+        else F.avg(F.col(value_col).cast("double"))
+    )
+    b = (
+        df.select(F.col(key_col).alias("_k"),
+                  F.date_trunc("HOUR", F.col(ts_col)).alias("_h"),
+                  *([F.col(value_col)] if value_col else []))
+        .groupBy("_k", "_h")
+        .agg(val.alias("_y"))
+    )
+    base, per, sea = b.alias("base"), b.alias("per"), b.alias("sea")
+    evaled = (
+        base
+        .join(per, (F.col("per._k") == F.col("base._k"))
+              & (F.col("per._h") == F.col("base._h") - F.expr("INTERVAL 1 HOUR")))
+        .join(sea, (F.col("sea._k") == F.col("base._k"))
+              & (F.col("sea._h") == F.col("base._h")
+                 - F.expr(f"INTERVAL {int(season_hours)} HOUR")))
+        .select(
+            F.col("base._k").alias("_k"),
+            F.col("base._y").alias("_y"),
+            F.col("per._y").alias("_p"),
+            F.col("sea._y").alias("_s"),
+        )
+    )
+    r = lambda c: _r6(c, round_digits)  # noqa: E731
+    mae_n = F.avg(F.abs(F.col("_y") - F.col("_p")))
+    mae_s = F.avg(F.abs(F.col("_y") - F.col("_s")))
+    return (
+        evaled.groupBy(F.col("_k").alias(key_col))
+        .agg(
+            F.count("*").cast("long").alias("n_eval"),
+            r(mae_n).alias("mae_naive"),
+            r(F.sqrt(F.avg(F.pow(F.col("_y") - F.col("_p"), 2)))).alias("rmse_naive"),
+            r(mae_s).alias("mae_seasonal"),
+            r(F.sqrt(F.avg(F.pow(F.col("_y") - F.col("_s"), 2)))).alias("rmse_seasonal"),
+            r(F.when(mae_n > 0, F.lit(1.0) - mae_s / mae_n)).alias("skill"),
+        )
     )

@@ -3306,3 +3306,42 @@ def test_bloom_semi_join_plan_probe_side_map_only(spark):
     assert plan.count("BroadcastHashJoin") == 3
     assert plan.count("LeftSemi") >= 3
     assert "SortMergeJoin" not in plan
+
+
+def test_seasonal_naive_backtest_perfect_seasonality(spark):
+    from cesium_spark.operators.tsstats import seasonal_naive_backtest
+    import datetime as dt
+
+    # series "s": value exactly periodic with period 24h -> seasonal MAE
+    # is 0 and skill = 1; persistence errs whenever adjacent hours differ
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for hour in range(72):
+        v = [10.0, 20.0][hour % 2]  # alternating hours, period divides 24
+        rows.append(("s", t0 + dt.timedelta(hours=hour), v))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = seasonal_naive_backtest(
+        df, key_col="event_type", value_col="value", season_hours=24
+    ).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["n_eval"] == 48  # hours 24..71 have both references
+    assert r["mae_seasonal"] == 0.0
+    assert r["mae_naive"] == 10.0
+    assert r["skill"] == 1.0
+
+
+def test_seasonal_naive_backtest_constant_series_null_skill(spark):
+    from cesium_spark.operators.tsstats import seasonal_naive_backtest
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("c", t0 + dt.timedelta(hours=h), 5.0) for h in range(30)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = seasonal_naive_backtest(
+        df, key_col="event_type", value_col="value", season_hours=24
+    ).toPandas()
+    r = out.iloc[0]
+    # both forecasters are exact -> mae 0, skill undefined (NULL)
+    assert r["mae_naive"] == 0.0 and r["mae_seasonal"] == 0.0
+    assert r["skill"] is None or (r["skill"] != r["skill"])
