@@ -2035,6 +2035,18 @@ def q_textrank(spark, sf_dir):
     return textrank_keywords(_docs(spark, sf_dir), min_pair_docs=5, k=30)
 
 
+def q_cluster_keywords(spark, sf_dir):
+    """Topic discovery (BERTopic's c-TF-IDF recipe): label each
+    k-means embedding cluster with its top class-TF-IDF terms.
+    Composition of the adjudicated Lloyd's fit and the JVM tokenizer;
+    the oracle replays kmeans iterations AND the c-TF-IDF chain."""
+    from cesium_spark.operators.topics import cluster_keywords
+
+    return cluster_keywords(
+        _docs(spark, sf_dir), _emb(spark, sf_dir), k=4, iters=2, top_terms=5
+    )
+
+
 def q_seasonal_backtest(spark, sf_dir):
     """Persistence vs seasonal-naive forecast backtest on the hourly
     event-rate grid per event type — the routing decision (does this
@@ -2717,6 +2729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50-slot cap and was never driver-checked).
     return {
         # --- round 6, session-4 batch ---
+        "cluster_keywords": q_cluster_keywords,
         "seasonal_backtest": q_seasonal_backtest,
         "bloom_prune": q_bloom_prune,
         "textrank": q_textrank,
@@ -5913,6 +5926,39 @@ def oracle_sql() -> dict[str, str]:
           SELECT row_number() OVER (ORDER BY pmi DESC, a, b) AS rank, *
           FROM scored
         ) WHERE rank <= 30
+    """
+
+    # cluster_keywords replays the FULL composition: the kmeans
+    # iteration CTEs (shared verbatim with the kmeans_clusters oracle)
+    # followed by the c-TF-IDF chain on the assigned classes
+    sql["cluster_keywords"] = f"""
+        WITH {kmeans_cte},
+        asg AS (
+          SELECT vec_id, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM df
+          ) WHERE rn = 1
+        ),
+        tk AS (
+          SELECT a.cid, u.tok AS t
+          FROM documents d JOIN asg a ON a.vec_id = d.doc_id,
+               LATERAL unnest(string_split_regex(lower(d.text), '\\s+')) AS u(tok)
+          WHERE u.tok <> ''
+        ),
+        cnt AS (SELECT cid, t, count(*)::BIGINT AS n_tok FROM tk GROUP BY 1, 2),
+        tot AS (SELECT cid, sum(n_tok)::BIGINT AS tot FROM cnt GROUP BY 1),
+        ft AS (SELECT t, sum(n_tok)::BIGINT AS f FROM cnt GROUP BY 1),
+        aa AS (SELECT avg(tot::DOUBLE) AS a FROM tot),
+        scored AS (
+          SELECT cnt.cid, cnt.t, cnt.n_tok,
+                 round((cnt.n_tok::DOUBLE / tot.tot) * ln(1.0 + aa.a / ft.f)
+                       + {EPS}, {R}) AS score
+          FROM cnt JOIN tot USING (cid) JOIN ft ON cnt.t = ft.t CROSS JOIN aa
+        )
+        SELECT cid AS cluster, rank, t AS token, n_tok, score FROM (
+          SELECT *, row_number() OVER (PARTITION BY cid ORDER BY score DESC, t) AS rank
+          FROM scored
+        ) WHERE rank <= 5
     """
 
     sql["seasonal_backtest"] = f"""

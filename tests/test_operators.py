@@ -3345,3 +3345,25 @@ def test_seasonal_naive_backtest_constant_series_null_skill(spark):
     # both forecasters are exact -> mae 0, skill undefined (NULL)
     assert r["mae_naive"] == 0.0 and r["mae_seasonal"] == 0.0
     assert r["skill"] is None or (r["skill"] != r["skill"])
+
+
+def test_cluster_keywords_separated_topics(spark):
+    from cesium_spark.operators.topics import cluster_keywords
+
+    # two well-separated embedding clusters with distinctive vocab plus
+    # a shared ubiquitous token; c-TF-IDF must label each cluster by
+    # its own term, not the shared one
+    emb_rows, doc_rows = [], []
+    for i in range(6):
+        emb_rows.append((i, [0.0, 0.0 + i * 0.01]))
+        doc_rows.append((i, "common spark spark"))
+    for i in range(6, 12):
+        emb_rows.append((i, [10.0, 10.0 + (i - 6) * 0.01]))
+        doc_rows.append((i, "common flink flink"))
+    emb = spark.createDataFrame(emb_rows, "vec_id long, embedding array<float>")
+    docs = spark.createDataFrame(doc_rows, "doc_id long, text string")
+    out = cluster_keywords(docs, emb, k=2, iters=2, top_terms=2).toPandas()
+    top = out[out["rank"] == 1].set_index("cluster")["token"]
+    assert set(top.values) == {"spark", "flink"}
+    # the shared token never outranks the distinctive one
+    assert (out[out.token == "common"]["rank"] > 1).all()
