@@ -2035,6 +2035,79 @@ def q_textrank(spark, sf_dir):
     return textrank_keywords(_docs(spark, sf_dir), min_pair_docs=5, k=30)
 
 
+def q_perm_entropy(spark, sf_dir):
+    """Order-3 permutation entropy per event-type series (Bandt &
+    Pompe 2002) on the zero-filled hourly count grid — the amplitude-
+    free complexity monitor. Single sort window per key after the
+    rollup; at most 6 pattern rows per key survive to the entropy
+    aggregate."""
+    from cesium_spark.operators.symbolic import perm_entropy
+
+    return perm_entropy(_events(spark, sf_dir))
+
+
+def q_sax_motifs(spark, sf_dir):
+    """SAX motif discovery (Lin/Keogh et al. 2003): z-normalize the
+    hourly grid per series, PAA 8-hour windows to 4 segments, bucket
+    through the gaussian breakpoints into a..d words, rank recurring
+    words — "which 8-hour shapes does this series keep repeating?".
+    Z-scores and PAA means rounded before bucketing so the SQL chain
+    replays hash-exactly."""
+    from cesium_spark.operators.symbolic import sax_motifs
+
+    return sax_motifs(_events(spark, sf_dir), win=8, paa=4, top=3)
+
+
+def q_leadlag_xcorr(spark, sf_dir):
+    """Lead-lag cross-correlation screen between every event-type
+    pair: Pearson r of the hourly grids at shifts of ±6 hours, best
+    lag per pair (ties: |lag| then lag). Correlations come from raw
+    sums — exact integer arithmetic in doubles — so both engines round
+    the identical r. One grid shuffle + a 13-row broadcast shift dim +
+    one co-partitioned hour equi-join."""
+    from cesium_spark.operators.tsstats import leadlag_xcorr
+
+    return leadlag_xcorr(_events(spark, sf_dir), max_lag=6)
+
+
+def q_holt_forecast(spark, sf_dir):
+    """Holt linear (double exponential) smoothing per event-type
+    series on the hourly grid: level/trend recursion with per-step
+    rounding (the kmeans oracle-replay discipline) folded JVM-side via
+    `aggregate`; DuckDB replays the identical fold with list_reduce.
+    Emits the fitted state, a 24 h forecast, and the one-step RMSE."""
+    from cesium_spark.operators.tsstats import holt_linear
+
+    return holt_linear(_events(spark, sf_dir), alpha=0.5, beta=0.3,
+                       horizon=24)
+
+
+def q_asof_nearest(spark, sf_dir):
+    """Nearest as-of join (pandas merge_asof direction="nearest"):
+    every non-marker event picks up the CLOSEST marker value within
+    ±6 h per user, ties to the backward match. Union-window
+    construction — one shuffle, two Window passes, no join node; the
+    oracle replays the same construction with IGNORE NULLS windows."""
+    from cesium_spark.operators.asof import asof_nearest
+
+    ev = _events(spark, sf_dir)
+    # deduplicated mark stream, same convention as q_asof_join (ties
+    # at an identical (user, ts) resolve to the greatest value tuple)
+    right = (
+        ev.filter(F.col("event_id") % 37 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("mark"))
+    )
+    left = ev.filter(F.col("event_id") % 37 != 0).select(
+        "user_id", "event_id", "ts", "value"
+    )
+    return asof_nearest(left, right, key_col="user_id", ts_col="ts",
+                        value_cols=["mark"],
+                        tolerance_seconds=6 * 3600).select(
+        "user_id", "event_id", "value", "mark_asof", "asof_dt_us"
+    )
+
+
 def q_cluster_keywords(spark, sf_dir):
     """Topic discovery (BERTopic's c-TF-IDF recipe): label each
     k-means embedding cluster with its top class-TF-IDF terms.
@@ -2728,6 +2801,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (r4 VERDICT item 7: clean_corpus_spans shipped in r4 but sat past
     # the 50-slot cap and was never driver-checked).
     return {
+        # --- round 6, session-5 batch ---
+        "perm_entropy": q_perm_entropy,
+        "sax_motifs": q_sax_motifs,
+        "leadlag_xcorr": q_leadlag_xcorr,
+        "holt_forecast": q_holt_forecast,
+        "asof_nearest": q_asof_nearest,
         # --- round 6, session-4 batch ---
         "cluster_keywords": q_cluster_keywords,
         "seasonal_backtest": q_seasonal_backtest,
@@ -5959,6 +6038,206 @@ def oracle_sql() -> dict[str, str]:
           SELECT *, row_number() OVER (PARTITION BY cid ORDER BY score DESC, t) AS rank
           FROM scored
         ) WHERE rank <= 5
+    """
+
+    # shared zero-filled hourly event-count grid per event_type (the
+    # symbolic.hourly_count_grid twin): spine = sequence(min, max) hour,
+    # absent hour = 0 events; i is the 0-based hour index
+    hourly_grid_cte = """hv AS (
+          SELECT event_type AS k, date_trunc('hour', ts) AS h,
+                 count(*)::BIGINT AS c
+          FROM events GROUP BY 1, 2
+        ),
+        span AS (SELECT k, min(h) AS h0, max(h) AS h1 FROM hv GROUP BY 1),
+        spine AS (
+          SELECT s.k, g.h
+          FROM span s, LATERAL (
+            SELECT unnest(generate_series(s.h0, s.h1, INTERVAL 1 HOUR)) AS h
+          ) g
+        ),
+        grid AS (
+          SELECT spine.k, spine.h, coalesce(hv.c, 0)::DOUBLE AS y,
+                 row_number() OVER (PARTITION BY spine.k ORDER BY spine.h) - 1 AS i
+          FROM spine LEFT JOIN hv ON hv.k = spine.k AND hv.h = spine.h
+        )"""
+
+    sql["perm_entropy"] = f"""
+        WITH {hourly_grid_cte},
+        tri AS (
+          SELECT k, y AS a,
+                 lead(y, 1) OVER (PARTITION BY k ORDER BY i) AS b,
+                 lead(y, 2) OVER (PARTITION BY k ORDER BY i) AS c
+          FROM grid
+        ),
+        pc AS (
+          SELECT k,
+            (CASE WHEN b < a THEN 1 ELSE 0 END + CASE WHEN c < a THEN 1 ELSE 0 END) * 100
+            + (CASE WHEN a <= b THEN 1 ELSE 0 END + CASE WHEN c < b THEN 1 ELSE 0 END) * 10
+            + (CASE WHEN a <= c THEN 1 ELSE 0 END + CASE WHEN b <= c THEN 1 ELSE 0 END) AS pat,
+            count(*)::DOUBLE AS n
+          FROM tri WHERE c IS NOT NULL GROUP BY 1, 2
+        ),
+        t AS (SELECT k, n, n / sum(n) OVER (PARTITION BY k) AS p FROM pc)
+        SELECT k AS event_type, sum(n)::BIGINT AS n_windows,
+               count(*)::BIGINT AS n_patterns,
+               round(sum(-p * ln(p)) + 1e-9, 6) AS h_perm,
+               round(sum(-p * ln(p)) / ln(6.0) + 1e-9, 6) AS h_norm
+        FROM t GROUP BY 1
+    """
+
+    sql["sax_motifs"] = f"""
+        WITH {hourly_grid_cte},
+        stats AS (
+          SELECT k, avg(y) AS m, stddev_samp(y) AS sd FROM grid GROUP BY 1
+        ),
+        zz AS (
+          SELECT g.k, g.i // 8 AS w, (g.i % 8) // 2 AS s,
+                 round((g.y - st.m) / st.sd + 1e-9, 6) AS z
+          FROM grid g JOIN stats st ON st.k = g.k
+          WHERE st.sd > 0
+        ),
+        seg AS (
+          SELECT k, w, s, round(avg(z) + 1e-9, 6) AS pm,
+                 count(*)::BIGINT AS cnt
+          FROM zz GROUP BY 1, 2, 3
+        ),
+        symd AS (
+          SELECT k, w, s, cnt,
+                 CASE WHEN pm < -0.6745 THEN 'a' WHEN pm < 0.0 THEN 'b'
+                      WHEN pm < 0.6745 THEN 'c' ELSE 'd' END AS sym
+          FROM seg
+        ),
+        wordsd AS (
+          SELECT k, w, string_agg(sym, '' ORDER BY s) AS word
+          FROM symd GROUP BY 1, 2 HAVING sum(cnt) = 8
+        ),
+        cnts AS (
+          SELECT k, word, count(*)::BIGINT AS n_windows FROM wordsd GROUP BY 1, 2
+        )
+        SELECT k AS event_type, rank, word, n_windows FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY k ORDER BY n_windows DESC, word) AS rank
+          FROM cnts
+        ) WHERE rank <= 3
+    """
+
+    sql["leadlag_xcorr"] = f"""
+        WITH {hourly_grid_cte},
+        lags AS (SELECT unnest(generate_series(-6, 6)) AS lag),
+        shifted AS (
+          SELECT g.k AS kb, l.lag, g.y AS yb,
+                 g.h + l.lag * INTERVAL 1 HOUR AS h
+          FROM grid g CROSS JOIN lags l
+        ),
+        j AS (
+          SELECT a.k AS ka, s.kb, s.lag, a.y AS ya, s.yb
+          FROM grid a JOIN shifted s ON s.h = a.h AND a.k < s.kb
+        ),
+        cc AS (
+          SELECT ka, kb, lag, count(*)::DOUBLE AS n,
+                 sum(ya) AS sx, sum(yb) AS sy,
+                 sum(ya * ya) AS sxx, sum(yb * yb) AS syy,
+                 sum(ya * yb) AS sxy
+          FROM j GROUP BY 1, 2, 3
+        ),
+        r AS (
+          SELECT ka, kb, lag, n::BIGINT AS nn,
+            round(CASE WHEN (n*sxx - sx*sx) * (n*syy - sy*sy) > 0
+              THEN (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy))
+              ELSE NULL END + 1e-9, 6) AS rr
+          FROM cc
+        ),
+        best AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY ka, kb
+              ORDER BY rr DESC NULLS LAST, abs(lag), lag) AS rk
+            FROM r
+          ) WHERE rk = 1
+        )
+        SELECT b.ka AS key_a, b.kb AS key_b, b.lag::INT AS best_lag,
+               b.rr AS r_best, b.nn AS n_best, z.rr AS r_zero
+        FROM best b JOIN r z ON z.ka = b.ka AND z.kb = b.kb AND z.lag = 0
+    """
+
+    # the Holt recursion replays EXACTLY the Spark `aggregate` fold as
+    # a recursive CTE over the hour index (the kmeans chained-iteration
+    # pattern): per-step rounding makes the (level, trend) state a
+    # 6-decimal fixed point both engines agree on; the SSE accumulates
+    # the identical pre-update forecast errors in the identical order.
+    # (DuckDB's list_reduce with a struct lambda evaluates fields
+    # against an inconsistently-updated accumulator across iterations,
+    # so the fold is NOT expressible there directly.)
+    sql["holt_forecast"] = f"""
+        WITH RECURSIVE {hourly_grid_cte},
+        nper AS (SELECT k, count(*)::BIGINT AS n FROM grid GROUP BY 1),
+        rec AS (
+          SELECT g0.k, 1::BIGINT AS t,
+                 g1.y AS l, g1.y - g0.y AS b, 0.0::DOUBLE AS sse
+          FROM (SELECT k, y FROM grid WHERE i = 0) g0
+          JOIN (SELECT k, y FROM grid WHERE i = 1) g1 USING (k)
+          UNION ALL
+          SELECT r.k, r.t + 1,
+            round(0.5 * g.y + 0.5 * (r.l + r.b) + 1e-9, 6),
+            round(0.3 * (round(0.5 * g.y + 0.5 * (r.l + r.b) + 1e-9, 6)
+                         - r.l) + 0.7 * r.b + 1e-9, 6),
+            r.sse + (g.y - (r.l + r.b)) * (g.y - (r.l + r.b))
+          FROM rec r JOIN grid g ON g.k = r.k AND g.i = r.t + 1
+        )
+        SELECT r.k AS event_type, np.n AS n_hours,
+               r.l AS level, r.b AS trend,
+               round(r.l + 24.0 * r.b + 1e-9, 6) AS forecast_h,
+               round(sqrt(r.sse / (np.n - 2)) + 1e-9, 6) AS rmse_1step
+        FROM rec r JOIN nper np ON np.k = r.k
+        WHERE np.n >= 3 AND r.t = np.n - 1
+    """
+
+    sql["asof_nearest"] = """
+        WITH mk AS (
+          SELECT user_id, ts, max(value) AS mark
+          FROM events WHERE event_id % 37 = 0 GROUP BY 1, 2
+        ),
+        lf AS (
+          SELECT user_id, event_id, ts, value
+          FROM events WHERE event_id % 37 <> 0
+        ),
+        u AS (
+          SELECT user_id, ts, 1 AS side, event_id, value,
+                 NULL::DOUBLE AS mark, NULL::TIMESTAMP AS rts FROM lf
+          UNION ALL
+          SELECT user_id, ts, 0 AS side, NULL, NULL, mark, ts FROM mk
+        ),
+        c AS (
+          SELECT *,
+            last_value(mark IGNORE NULLS) OVER wb AS bmark,
+            last_value(rts IGNORE NULLS) OVER wb AS bts,
+            first_value(mark IGNORE NULLS) OVER wf AS fmark,
+            first_value(rts IGNORE NULLS) OVER wf AS fts
+          FROM u
+          WINDOW
+            wb AS (PARTITION BY user_id ORDER BY ts, side, mark
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+            wf AS (PARTITION BY user_id ORDER BY ts, side DESC, mark DESC
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        ),
+        d AS (
+          SELECT user_id, event_id, value,
+                 epoch_us(ts) - epoch_us(bts) AS db,
+                 epoch_us(fts) - epoch_us(ts) AS df,
+                 bmark, fmark
+          FROM c WHERE side = 1
+        )
+        SELECT user_id, event_id, value,
+          CASE WHEN db IS NOT NULL AND db <= 21600000000
+                    AND (df IS NULL OR df > 21600000000 OR db <= df)
+               THEN bmark
+               WHEN df IS NOT NULL AND df <= 21600000000 THEN fmark
+               ELSE NULL END AS mark_asof,
+          CASE WHEN db IS NOT NULL AND db <= 21600000000
+                    AND (df IS NULL OR df > 21600000000 OR db <= df)
+               THEN -db
+               WHEN df IS NOT NULL AND df <= 21600000000 THEN df
+               ELSE NULL END AS asof_dt_us
+        FROM d
     """
 
     sql["seasonal_backtest"] = f"""

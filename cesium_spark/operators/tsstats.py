@@ -29,7 +29,7 @@ __all__ = [
     "burst_stats", "coverage_report", "winsorize_series",
     "seasonal_decompose", "event_transitions", "event_trigrams",
     "hourly_peaks", "seasonal_anomalies", "type_entropy", "decorrelation_lag",
-    "seasonal_naive_backtest",
+    "seasonal_naive_backtest", "leadlag_xcorr", "holt_linear",
 ]
 
 
@@ -867,4 +867,158 @@ def seasonal_naive_backtest(
             r(F.sqrt(F.avg(F.pow(F.col("_y") - F.col("_s"), 2)))).alias("rmse_seasonal"),
             r(F.when(mae_n > 0, F.lit(1.0) - mae_s / mae_n)).alias("skill"),
         )
+    )
+
+
+def leadlag_xcorr(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    max_lag: int = 6,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Lead-lag cross-correlation between every pair of series: which
+    series MOVES FIRST? For each ordered pair (a < b) compute the
+    Pearson correlation of a's hourly rate against b's rate shifted by
+    L hours for L in [-max_lag, +max_lag] and report the lag that
+    maximizes it — positive best_lag reads "b leads a by L hours".
+    The classic causality screen run before any pairwise model.
+
+    Correlation is computed from raw sums (n, Σx, Σy, Σxx, Σyy, Σxy) —
+    counts are exact in doubles, so both engines produce bit-identical
+    sums and the rounded r replays exactly. Best lag breaks ties on
+    rounded r desc, then |lag| asc, then lag asc. NULL r (zero
+    variance in the overlap) never wins over a defined r.
+
+    Scale shape: the raw stream collapses once to the zero-filled
+    hourly grid; the ±max_lag shift enumeration is a broadcast
+    crossJoin with a (2·max_lag+1)-row dimension; the pair join is a
+    single equi-join on the HOUR (co-partitioned, grid-sized × lags);
+    the per-(pair, lag) sums are partial-aggregable, leaving a
+    pairs×lags relation that is key-cardinality², never data-sized.
+    Returns (key_a, key_b, best_lag, r_best, n_best, r_zero).
+    """
+    from .symbolic import hourly_count_grid
+
+    g = hourly_count_grid(df, key_col, ts_col)
+    lags = g.sparkSession.range(-max_lag, max_lag + 1).select(
+        F.col("id").cast("int").alias("_lag"))
+    b_shift = g.select(
+        F.col("_k").alias("_kb"), F.col("_h"), F.col("_y").alias("_yb")
+    ).crossJoin(F.broadcast(lags)).select(
+        "_kb", "_lag", "_yb",
+        F.expr("_h + make_interval(0, 0, 0, 0, _lag, 0, 0)").alias("_h"),
+    )
+    joined = (
+        g.select(F.col("_k").alias("_ka"), "_h", F.col("_y").alias("_ya"))
+        .join(b_shift, "_h")
+        .where(F.col("_ka") < F.col("_kb"))
+    )
+    cc = (
+        joined.groupBy("_ka", "_kb", "_lag")
+        .agg(
+            F.count("*").cast("double").alias("_n"),
+            F.sum("_ya").alias("_sx"),
+            F.sum("_yb").alias("_sy"),
+            F.sum(F.col("_ya") * F.col("_ya")).alias("_sxx"),
+            F.sum(F.col("_yb") * F.col("_yb")).alias("_syy"),
+            F.sum(F.col("_ya") * F.col("_yb")).alias("_sxy"),
+        )
+    )
+    num = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    den = F.sqrt(
+        (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
+        * (F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy"))
+    )
+    cc = cc.select(
+        "_ka", "_kb", "_lag",
+        F.col("_n").cast("long").alias("_nn"),
+        _r6(F.when(den > 0, num / den), round_digits).alias("_r"),
+    )
+    w = Window.partitionBy("_ka", "_kb").orderBy(
+        F.col("_r").desc_nulls_last(), F.abs("_lag").asc(), F.col("_lag").asc())
+    best = cc.withColumn("_rk", F.row_number().over(w)).where(F.col("_rk") == 1)
+    zero = cc.where(F.col("_lag") == 0).select(
+        "_ka", "_kb", F.col("_r").alias("r_zero"))
+    return (
+        best.join(zero, ["_ka", "_kb"])
+        .select(
+            F.col("_ka").alias("key_a"), F.col("_kb").alias("key_b"),
+            F.col("_lag").alias("best_lag"), F.col("_r").alias("r_best"),
+            F.col("_nn").alias("n_best"), "r_zero",
+        )
+    )
+
+
+def holt_linear(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    horizon: int = 24,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Holt's linear (double exponential) smoothing per series on the
+    zero-filled hourly count grid — the first parametric forecaster
+    after the `seasonal_naive_backtest` baselines: level l and trend b
+    via
+
+        l_t = α·y_t + (1-α)·(l_{t-1} + b_{t-1})
+        b_t = β·(l_t - l_{t-1}) + (1-β)·b_{t-1}
+
+    initialized l₁=y₁, b₁=y₁-y₀ and iterated for t ≥ 2, with the
+    one-step SSE accumulated against the pre-update forecast l+b
+    (Hyndman & Athanasopoulos, FPP §8.2). l and b are rounded to
+    `round_digits` EACH step (the kmeans oracle-replay discipline), so
+    a DuckDB `list_reduce` fold replays the recursion hash-exactly.
+
+    Scale shape: the recursion is inherently sequential per series, so
+    it runs as a JVM `aggregate` fold over the per-key ordered array —
+    the array is bounded by the series TIME SPAN (hours between first
+    and last event), never by raw row count, and series are
+    independent, so parallelism is across keys. No Python, no collect.
+    Series with fewer than 3 grid hours emit nothing. Returns
+    (key, n_hours, level, trend, forecast_h, rmse_1step).
+    """
+    from .symbolic import hourly_count_grid
+
+    a1, a0 = float(alpha), float(1.0 - alpha)
+    # pass 1-beta explicitly so both engines parse the SAME literal
+    b1, b0 = float(beta), round(1.0 - beta, 12)
+    g = hourly_count_grid(df, key_col, ts_col)
+    ser = (
+        g.groupBy(F.col("_k").alias(key_col))
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("_i", "_y"))),
+            lambda s: s["_y"],
+        ).alias("_ys"))
+        .where(F.size("_ys") >= 3)
+    )
+
+    def step(acc, y):
+        pred = acc["l"] + acc["b"]
+        l2 = F.round(F.lit(a1) * y + F.lit(a0) * pred + F.lit(1e-9),
+                     round_digits)
+        bb = F.round(F.lit(b1) * (l2 - acc["l"]) + F.lit(b0) * acc["b"]
+                     + F.lit(1e-9), round_digits)
+        return F.struct(
+            l2.alias("l"), bb.alias("b"),
+            (acc["sse"] + (y - pred) * (y - pred)).alias("sse"),
+        )
+
+    init = F.struct(
+        F.element_at("_ys", 2).alias("l"),
+        (F.element_at("_ys", 2) - F.element_at("_ys", 1)).alias("b"),
+        F.lit(0.0).alias("sse"),
+    )
+    st = F.aggregate(F.slice("_ys", 3, F.size("_ys") - 2), init, step)
+    r = lambda c: _r6(c, round_digits)  # noqa: E731
+    return ser.select(
+        key_col,
+        F.size("_ys").cast("long").alias("n_hours"),
+        st["l"].alias("level"),
+        st["b"].alias("trend"),
+        r(st["l"] + F.lit(float(horizon)) * st["b"]).alias("forecast_h"),
+        r(F.sqrt(st["sse"] / (F.size("_ys") - 2))).alias("rmse_1step"),
     )

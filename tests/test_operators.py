@@ -3367,3 +3367,121 @@ def test_cluster_keywords_separated_topics(spark):
     assert set(top.values) == {"spark", "flink"}
     # the shared token never outranks the distinctive one
     assert (out[out.token == "common"]["rank"] > 1).all()
+
+
+def _hourly_events(spark, spec):
+    """spec: list of (key, hour, count) -> events-shaped df where hour h
+    of key k holds `count` rows."""
+    import pyspark.sql.functions as F
+
+    rows = []
+    for k, h, c in spec:
+        for j in range(c):
+            rows.append((k, float(h * 3600 + j)))
+    df = spark.createDataFrame(rows, "event_type string, sec double")
+    return df.select("event_type", F.timestamp_seconds("sec").alias("ts"))
+
+
+def test_perm_entropy_monotone_is_zero(spark):
+    from cesium_spark.operators.symbolic import perm_entropy
+
+    ev = _hourly_events(spark, [("up", h, h + 1) for h in range(6)])
+    r = perm_entropy(ev).collect()[0]
+    # strictly increasing counts -> a single ordinal pattern -> H = 0
+    assert r["n_windows"] == 4 and r["n_patterns"] == 1
+    assert r["h_perm"] == 0.0 and r["h_norm"] == 0.0
+
+
+def test_perm_entropy_tie_ranks_by_position(spark):
+    from cesium_spark.operators.symbolic import perm_entropy
+
+    # constant series: every triple is all-ties -> earlier position
+    # ranks first -> the same single "ascending" pattern, entropy 0
+    ev = _hourly_events(spark, [("flat", h, 3) for h in range(5)])
+    r = perm_entropy(ev).collect()[0]
+    assert r["n_patterns"] == 1 and r["h_perm"] == 0.0
+
+
+def test_sax_motifs_square_wave_word(spark):
+    from cesium_spark.operators.symbolic import sax_motifs
+
+    # 8-hour shape [1,1,9,9,9,9,1,1] repeated 4x: PAA segments z-map to
+    # a/d/d/a in every window
+    shape = [1, 1, 9, 9, 9, 9, 1, 1]
+    ev = _hourly_events(
+        spark, [("sq", h, shape[h % 8]) for h in range(32)])
+    out = sax_motifs(ev, win=8, paa=4, top=3).collect()
+    assert len(out) == 1
+    assert out[0]["word"] == "adda" and out[0]["n_windows"] == 4
+
+
+def test_sax_motifs_constant_series_empty(spark):
+    from cesium_spark.operators.symbolic import sax_motifs
+
+    ev = _hourly_events(spark, [("flat", h, 2) for h in range(16)])
+    assert sax_motifs(ev).count() == 0  # sd = 0 -> shape undefined
+
+
+def test_leadlag_xcorr_recovers_shift(spark):
+    from cesium_spark.operators.tsstats import leadlag_xcorr
+
+    # B(h) = A(h+2): B leads A by 2 hours -> best_lag == +2, r == 1
+    base = [1, 5, 2, 7, 3, 8, 4, 9, 2, 6, 1, 7, 5, 3, 8, 2, 9, 4, 6, 1,
+            7, 2, 8, 3, 5, 9, 1, 6, 4, 8, 2, 7, 3, 9, 5, 1, 6, 2, 8, 4, 7]
+    spec = [("aaa", h, base[h]) for h in range(41)]
+    spec += [("bbb", h, base[h + 2]) for h in range(39)]
+    r = leadlag_xcorr(_hourly_events(spark, spec), max_lag=4).collect()[0]
+    assert (r["key_a"], r["key_b"]) == ("aaa", "bbb")
+    assert r["best_lag"] == 2 and r["r_best"] == 1.0
+    assert r["r_zero"] < 1.0
+
+
+def test_holt_linear_exact_on_linear_series(spark):
+    from cesium_spark.operators.tsstats import holt_linear
+
+    # y = h + 1: one-step forecasts are exact, so level tracks y, trend
+    # stays 1, SSE stays 0
+    ev = _hourly_events(spark, [("lin", h, h + 1) for h in range(10)])
+    r = holt_linear(ev, alpha=0.5, beta=0.3, horizon=24).collect()[0]
+    assert r["n_hours"] == 10
+    assert r["level"] == 10.0 and r["trend"] == 1.0
+    assert r["forecast_h"] == 34.0 and r["rmse_1step"] == 0.0
+
+
+def test_holt_linear_short_series_skipped(spark):
+    from cesium_spark.operators.tsstats import holt_linear
+
+    ev = _hourly_events(spark, [("s2", 0, 1), ("s2", 1, 2)])
+    assert holt_linear(ev).count() == 0
+
+
+def test_asof_nearest_directions_and_tolerance(spark):
+    import pyspark.sql.functions as F
+    from cesium_spark.operators.asof import asof_nearest
+
+    mk_ts = lambda s: F.timestamp_seconds(F.col(s)).alias("ts")  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, 10.0, "fwd_wins"), (1, 4.0, "exact"), (1, 20.0, "tie"),
+         (2, 100.0, "no_match")],
+        "k int, sec double, tag string").select("k", mk_ts("sec"), "tag")
+    right = spark.createDataFrame(
+        [(1, 7.0, 70.0), (1, 12.0, 120.0), (1, 4.0, 40.0),
+         (1, 18.0, 180.0), (1, 22.0, 220.0)],
+        "k int, sec double, mark double").select("k", mk_ts("sec"), "mark")
+    out = {
+        r["tag"]: r
+        for r in asof_nearest(left, right, key_col="k",
+                              value_cols=["mark"],
+                              tolerance_seconds=5).collect()
+    }
+    # 10 -> candidates 7 (-3s) and 12 (+2s): forward is nearer
+    assert out["fwd_wins"]["mark_asof"] == 120.0
+    assert out["fwd_wins"]["asof_dt_us"] == 2_000_000
+    # exact-timestamp match counts as backward with dt 0
+    assert out["exact"]["mark_asof"] == 40.0 and out["exact"]["asof_dt_us"] == 0
+    # 20 -> 18 (-2s) vs 22 (+2s): equal distance -> backward wins
+    assert out["tie"]["mark_asof"] == 180.0
+    assert out["tie"]["asof_dt_us"] == -2_000_000
+    # key 2 has no right rows within tolerance
+    assert out["no_match"]["mark_asof"] is None
+    assert out["no_match"]["asof_dt_us"] is None
