@@ -512,3 +512,64 @@ def test_ks_by_group_reduces_before_shuffle(spark):
                              ev.filter(F.col("event_id") % 2 == 1)))
     assert "partial_count" in plan
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_asof_nearest_one_exchange_no_join(spark):
+    """Nearest as-of is the union-window construction: ONE exchange on
+    the series key feeding both Window passes, no join node, no
+    Python."""
+    from pyspark.sql import functions as F
+
+    from cesium_spark.operators.asof import asof_nearest
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    right = (ev.filter(F.col("event_id") % 37 == 0)
+             .groupBy("user_id", "ts").agg(F.max("value").alias("mark")))
+    left = ev.filter(F.col("event_id") % 37 != 0).select(
+        "user_id", "event_id", "ts", "value")
+    plan = _plan(asof_nearest(left, right, key_col="user_id",
+                              value_cols=["mark"]))
+    # union side aggregates once (partial+final pair may add its own
+    # exchange); the as-of itself must add exactly one key exchange and
+    # never a join
+    assert "Join" not in plan and "Cartesian" not in plan
+    assert plan.count("Exchange hashpartitioning(user_id") <= 2
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_leadlag_lag_dimension_broadcasts(spark):
+    """The ±max_lag shift enumeration must reach the hour join as a
+    broadcast (13-row dimension), never a shuffle side; no cartesian
+    on data-sized relations; all JVM."""
+    from cesium_spark.operators.tsstats import leadlag_xcorr
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = _plan(leadlag_xcorr(ev, max_lag=6))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_holt_fold_stays_jvm(spark):
+    """The Holt recursion is a JVM `aggregate` over per-key ordered
+    arrays: no Python evaluator anywhere in the plan."""
+    from cesium_spark.operators.tsstats import holt_linear
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = _plan(holt_linear(ev))
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_perm_entropy_single_sort_window_jvm(spark):
+    """Both leads must fuse into ONE Window node over one sort; the
+    pattern aggregate is partial-aggregable; no Python."""
+    from cesium_spark.operators.symbolic import perm_entropy
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    df = perm_entropy(ev)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    # grid row_number + the fused lead pair + the pattern-total sum:
+    # exactly three Window nodes, the two leads in ONE of them
+    assert phys.count("Window [") == 3
+    assert phys.count("lead(") == 2
+    plan = _plan(df)
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
