@@ -2035,6 +2035,36 @@ def q_textrank(spark, sf_dir):
     return textrank_keywords(_docs(spark, sf_dir), min_pair_docs=5, k=30)
 
 
+def q_ar1_fit(spark, sf_dir):
+    """AR(1) persistence fit per event-type series on the hourly grid:
+    φ, intercept, innovation variance, shock half-life — all from raw
+    pair sums (exact integer arithmetic), one sort window + one
+    partial-aggregable groupBy."""
+    from cesium_spark.operators.tsstats import ar1_fit
+
+    return ar1_fit(_events(spark, sf_dir))
+
+
+def q_seasonal_strength(spark, sf_dir):
+    """Wang-Hyndman-Smith strength-of-trend / strength-of-seasonality
+    per user series, computed on the `seasonal_decompose` components —
+    the one-number routing summary for the forecaster choice. The
+    oracle reuses the decompose CTE chain verbatim and aggregates the
+    identical rounded columns."""
+    from cesium_spark.operators.tsstats import seasonal_strength
+
+    return seasonal_strength(_events(spark, sf_dir))
+
+
+def q_doc_chunks(spark, sf_dir):
+    """RAG-style sliding-window chunking of the document corpus
+    (400-char windows every 300 chars): map-only JVM sequence+explode+
+    substring — the indexing front-end for the ANN/embedding path."""
+    from cesium_spark.operators.text import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), window=400, stride=300)
+
+
 def q_perm_entropy(spark, sf_dir):
     """Order-3 permutation entropy per event-type series (Bandt &
     Pompe 2002) on the zero-filled hourly count grid — the amplitude-
@@ -2802,6 +2832,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50-slot cap and was never driver-checked).
     return {
         # --- round 6, session-5 batch ---
+        "ar1_fit": q_ar1_fit,
+        "seasonal_strength": q_seasonal_strength,
+        "doc_chunks": q_doc_chunks,
         "perm_entropy": q_perm_entropy,
         "sax_motifs": q_sax_motifs,
         "leadlag_xcorr": q_leadlag_xcorr,
@@ -6060,6 +6093,73 @@ def oracle_sql() -> dict[str, str]:
                  row_number() OVER (PARTITION BY spine.k ORDER BY spine.h) - 1 AS i
           FROM spine LEFT JOIN hv ON hv.k = spine.k AND hv.h = spine.h
         )"""
+
+    sql["ar1_fit"] = f"""
+        WITH {hourly_grid_cte},
+        pairs AS (
+          SELECT k, y AS yt,
+                 lag(y, 1) OVER (PARTITION BY k ORDER BY i) AS xp
+          FROM grid
+        ),
+        per AS (
+          SELECT k, count(*)::DOUBLE AS n, sum(xp) AS sx, sum(yt) AS sy,
+                 sum(xp * xp) AS sxx, sum(yt * yt) AS syy,
+                 sum(xp * yt) AS sxy
+          FROM pairs WHERE xp IS NOT NULL GROUP BY 1
+        ),
+        c1 AS (
+          SELECT *, CASE WHEN n * sxx - sx * sx > 0
+                         THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                    END AS phi
+          FROM per
+        ),
+        c2 AS (SELECT *, (sy - phi * sx) / n AS c FROM c1)
+        SELECT k AS event_type, n::BIGINT AS n_pairs,
+          round(phi + 1e-9, 6) AS phi,
+          round(c + 1e-9, 6) AS intercept,
+          CASE WHEN n > 2 THEN round(
+            (syy + n*c*c + phi*phi*sxx - 2*c*sy - 2*phi*sxy + 2*c*phi*sx)
+            / (n - 2) + 1e-9, 6) END AS resid_var,
+          CASE WHEN round(phi + 1e-9, 6) > 0 AND round(phi + 1e-9, 6) < 1
+               THEN round(ln(2.0) / -ln(round(phi + 1e-9, 6)) + 1e-9, 6)
+          END AS half_life
+        FROM c2
+    """
+
+    sql["seasonal_strength"] = f"""
+        WITH sd AS ({sql["seasonal_decompose"]}),
+        per AS (
+          SELECT user_id, count(*)::DOUBLE AS n,
+                 sum(resid) AS sr, sum(resid * resid) AS srr,
+                 sum(value - seasonal) AS sds,
+                 sum((value - seasonal) * (value - seasonal)) AS sdd,
+                 sum(value - trend) AS sdt,
+                 sum((value - trend) * (value - trend)) AS stt
+          FROM sd GROUP BY 1
+        )
+        SELECT user_id, n::BIGINT AS n_buckets,
+          CASE WHEN (sdd - sds*sds/n)/(n-1) > 0 THEN
+            round(greatest(0.0, 1 - ((srr - sr*sr/n)/(n-1))
+                                    / ((sdd - sds*sds/n)/(n-1))) + 1e-9, 6)
+          END AS trend_strength,
+          CASE WHEN (stt - sdt*sdt/n)/(n-1) > 0 THEN
+            round(greatest(0.0, 1 - ((srr - sr*sr/n)/(n-1))
+                                    / ((stt - sdt*sdt/n)/(n-1))) + 1e-9, 6)
+          END AS seasonal_strength
+        FROM per WHERE n >= 3
+    """
+
+    sql["doc_chunks"] = """
+        SELECT d.doc_id, (s.start // 300)::BIGINT AS chunk_id,
+               s.start::BIGINT AS start_char,
+               length(substr(d.text, (s.start + 1)::INT, 400))::BIGINT AS n_chars,
+               substr(d.text, (s.start + 1)::INT, 400) AS chunk_text
+        FROM documents d, LATERAL (
+          SELECT unnest(generate_series(
+            0, ((length(d.text) - 1) // 300) * 300, 300)) AS start
+        ) s
+        WHERE d.text IS NOT NULL AND length(d.text) > 0
+    """
 
     sql["perm_entropy"] = f"""
         WITH {hourly_grid_cte},

@@ -15,7 +15,7 @@ __all__ = [
     "text_stats", "quality_score", "lang_id", "fingerprint",
     "token_topk", "tfidf_top_terms", "repetition_stats", "bm25_topk",
     "c4_line_filter", "gopher_quality_filter", "normalize_text",
-    "script_profile", "inverted_index", "token_pmi",
+    "script_profile", "inverted_index", "token_pmi", "chunk_documents",
 ]
 
 # Small per-language stopword vocabularies for the n-gram voting heuristic.
@@ -858,4 +858,53 @@ def token_pmi(
     w = Window.orderBy(F.col("pmi").desc(), F.col("a"), F.col("b"))
     return top.withColumn("rank", F.row_number().over(w)).select(
         "rank", "a", "b", "df_ab", "df_a", "df_b", "pmi"
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 400,
+    stride: int = 300,
+) -> DataFrame:
+    """Sliding-window document chunking — the retrieval/context-window
+    preprocessing step every embedding or RAG pipeline runs before
+    indexing: character windows of `window` chars every `stride` chars
+    (so consecutive chunks overlap by window - stride), the final
+    chunk keeping whatever tail remains. Chunk starts are
+    0, stride, 2·stride, … up to the last start < length, so every
+    character lands in at least one chunk and short documents yield
+    exactly one.
+
+    Pure map-only JVM explode — sequence() builds the start offsets,
+    substring() cuts the windows; no shuffle, no Python, output size
+    ≈ input × window/stride regardless of SF. NULL/empty documents
+    emit nothing. Returns (doc_id, chunk_id, start_char, n_chars,
+    chunk_text) with chunk_id 0-based.
+    """
+    if stride <= 0 or window <= 0 or stride > window:
+        raise ValueError("need 0 < stride <= window")
+    ln = F.length(F.col(text_col))
+    starts = F.sequence(
+        F.lit(0),
+        F.floor((ln - 1) / stride).cast("int") * stride,
+        F.lit(stride),
+    )
+    out = (
+        df.where(F.col(text_col).isNotNull() & (ln > 0))
+        .select(id_col, text_col, F.explode(starts).alias("start_char"))
+        .select(
+            id_col,
+            (F.col("start_char") / stride).cast("long").alias("chunk_id"),
+            F.col("start_char").cast("long").alias("start_char"),
+            F.col(text_col).substr(
+                F.col("start_char") + 1, F.lit(window)
+            ).alias("chunk_text"),
+        )
+    )
+    return out.select(
+        id_col, "chunk_id", "start_char",
+        F.length("chunk_text").cast("long").alias("n_chars"),
+        "chunk_text",
     )

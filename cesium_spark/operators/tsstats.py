@@ -29,7 +29,8 @@ __all__ = [
     "burst_stats", "coverage_report", "winsorize_series",
     "seasonal_decompose", "event_transitions", "event_trigrams",
     "hourly_peaks", "seasonal_anomalies", "type_entropy", "decorrelation_lag",
-    "seasonal_naive_backtest", "leadlag_xcorr", "holt_linear",
+    "seasonal_naive_backtest", "leadlag_xcorr", "holt_linear", "ar1_fit",
+    "seasonal_strength",
 ]
 
 
@@ -1021,4 +1022,114 @@ def holt_linear(
         st["b"].alias("trend"),
         r(st["l"] + F.lit(float(horizon)) * st["b"]).alias("forecast_h"),
         r(F.sqrt(st["sse"] / (F.size("_ys") - 2))).alias("rmse_1step"),
+    )
+
+
+def ar1_fit(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    round_digits: int = 6,
+) -> DataFrame:
+    """AR(1) fit per series on the zero-filled hourly count grid via
+    OLS of x_t on x_{t-1}: x_t = c + φ·x_{t-1} + ε. Emits the mean-
+    reversion diagnostics every monitoring stack wants — φ (persistence),
+    the intercept, the innovation variance, and the half-life of a
+    shock ln(2)/(-ln φ) (NULL unless 0 < φ < 1; also NULL when fewer
+    than 3 pairs leave the residual variance undefined).
+
+    Everything comes from raw pair sums (n, Σx, Σy, Σxx, Σyy, Σxy) —
+    exact integer arithmetic in doubles, so both engines round the
+    identical statistics. One sort window per key builds the lag pairs;
+    one partial-aggregable groupBy finishes. Returns
+    (key, n_pairs, phi, intercept, resid_var, half_life).
+    """
+    from .symbolic import hourly_count_grid
+
+    g = hourly_count_grid(df, key_col, ts_col)
+    w = Window.partitionBy("_k").orderBy("_i")
+    pairs = (
+        g.select("_k", F.col("_y").alias("_yt"),
+                 F.lag("_y", 1).over(w).alias("_xp"))
+        .where(F.col("_xp").isNotNull())
+    )
+    per = pairs.groupBy(F.col("_k").alias(key_col)).agg(
+        F.count("*").cast("double").alias("_n"),
+        F.sum("_xp").alias("_sx"),
+        F.sum("_yt").alias("_sy"),
+        F.sum(F.col("_xp") * F.col("_xp")).alias("_sxx"),
+        F.sum(F.col("_yt") * F.col("_yt")).alias("_syy"),
+        F.sum(F.col("_xp") * F.col("_yt")).alias("_sxy"),
+    )
+    n, sx, sy = F.col("_n"), F.col("_sx"), F.col("_sy")
+    sxx, syy, sxy = F.col("_sxx"), F.col("_syy"), F.col("_sxy")
+    den = n * sxx - sx * sx
+    phi = F.when(den > 0, (n * sxy - sx * sy) / den)
+    c = (sy - phi * sx) / n
+    # Σ(y - c - φx)² expanded to the already-computed sums
+    sse = (syy + n * c * c + phi * phi * sxx
+           - 2 * c * sy - 2 * phi * sxy + 2 * c * phi * sx)
+    r = lambda col: _r6(col, round_digits)  # noqa: E731
+    phi_r = r(phi)
+    return per.select(
+        key_col,
+        n.cast("long").alias("n_pairs"),
+        phi_r.alias("phi"),
+        r(c).alias("intercept"),
+        F.when(n > 2, r(sse / (n - 2))).alias("resid_var"),
+        F.when((phi_r > 0) & (phi_r < 1),
+               r(F.log(F.lit(2.0)) / -F.log(phi_r))).alias("half_life"),
+    )
+
+
+def seasonal_strength(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    trend_halfwidth_hours: int = 12,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Strength-of-trend and strength-of-seasonality per series (Wang,
+    Hyndman & Smith 2006; the tsfeatures definitions):
+
+        F_trend = max(0, 1 - Var(resid) / Var(trend + resid))
+        F_seas  = max(0, 1 - Var(resid) / Var(seasonal + resid))
+
+    computed on the components of `seasonal_decompose` (trend + resid
+    = value - seasonal, the deseasonalized series; seasonal + resid =
+    value - trend, the detrended series). Both land in [0, 1]: ~0
+    reads "no structure", ~1 reads "the component explains the
+    series". The one-number routing summary for the backtest/Holt
+    forecaster choice.
+
+    Variances come from raw sums of the ROUNDED decompose columns
+    (shared with the oracle), so both engines divide the identical
+    quantities. Series with zero variance in a denominator emit NULL
+    for that strength. One extra partial-aggregable groupBy on the
+    bucket relation — nothing data-sized moves.
+
+    Returns (key, n_buckets, trend_strength, seasonal_strength)."""
+    sd = seasonal_decompose(df, key_col, ts_col, value_col,
+                            trend_halfwidth_hours, round_digits)
+    rr = F.col("resid")
+    ds = F.col("value") - F.col("seasonal")   # trend + resid
+    dt = F.col("value") - F.col("trend")      # seasonal + resid
+    per = sd.groupBy(key_col).agg(
+        F.count("*").cast("double").alias("_n"),
+        F.sum(rr).alias("_sr"), F.sum(rr * rr).alias("_srr"),
+        F.sum(ds).alias("_sd"), F.sum(ds * ds).alias("_sdd"),
+        F.sum(dt).alias("_st"), F.sum(dt * dt).alias("_stt"),
+    )
+    n = F.col("_n")
+    var = lambda s, ss: (F.col(ss) - F.col(s) * F.col(s) / n) / (n - 1)  # noqa: E731
+    vr, vds, vdt = var("_sr", "_srr"), var("_sd", "_sdd"), var("_st", "_stt")
+    r = lambda c: _r6(c, round_digits)  # noqa: E731
+    return per.where(n >= 3).select(
+        key_col,
+        n.cast("long").alias("n_buckets"),
+        F.when(vds > 0, r(F.greatest(F.lit(0.0), 1 - vr / vds))
+               ).alias("trend_strength"),
+        F.when(vdt > 0, r(F.greatest(F.lit(0.0), 1 - vr / vdt))
+               ).alias("seasonal_strength"),
     )

@@ -3485,3 +3485,66 @@ def test_asof_nearest_directions_and_tolerance(spark):
     # key 2 has no right rows within tolerance
     assert out["no_match"]["mark_asof"] is None
     assert out["no_match"]["asof_dt_us"] is None
+
+
+def test_ar1_fit_alternating_and_linear(spark):
+    from cesium_spark.operators.tsstats import ar1_fit
+
+    # alternating 1,2,1,2,... -> exact phi = -1, c = 3, zero residual,
+    # no half-life (phi <= 0); linear ramp -> phi = 1 (unit root), no
+    # half-life either
+    spec = [("alt", h, 1 if h % 2 == 0 else 2) for h in range(10)]
+    spec += [("lin", h, h + 1) for h in range(10)]
+    out = {r["event_type"]: r
+           for r in ar1_fit(_hourly_events(spark, spec)).collect()}
+    a = out["alt"]
+    assert a["n_pairs"] == 9 and a["phi"] == -1.0 and a["intercept"] == 3.0
+    assert a["resid_var"] == 0.0 and a["half_life"] is None
+    l = out["lin"]
+    assert l["phi"] == 1.0 and l["resid_var"] == 0.0
+    assert l["half_life"] is None
+
+
+def test_seasonal_strength_separates_regimes(spark):
+    import pyspark.sql.functions as F
+
+    from cesium_spark.operators.tsstats import seasonal_strength
+
+    rows = []
+    pat = [5.0, 1.0, 8.0, 2.0, 9.0, 3.0, 7.0, 1.0, 6.0, 2.0, 8.0, 4.0,
+           9.0, 1.0, 5.0, 3.0, 7.0, 2.0, 6.0, 4.0, 8.0, 1.0, 9.0, 3.0]
+    for h in range(96):
+        rows.append((1, float(h * 3600), pat[h % 24]))   # purely seasonal
+        rows.append((2, float(h * 3600), float(h)))       # pure ramp
+    ev = spark.createDataFrame(rows, "user_id int, sec double, value double") \
+        .select("user_id", F.timestamp_seconds("sec").alias("ts"), "value")
+    out = {r["user_id"]: r for r in seasonal_strength(ev).collect()}
+    assert out[1]["seasonal_strength"] > out[1]["trend_strength"]
+    assert out[1]["seasonal_strength"] > 0.8
+    assert out[2]["trend_strength"] > 0.9
+    assert out[2]["trend_strength"] > out[2]["seasonal_strength"]
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    import pytest as _pytest
+
+    from cesium_spark.operators.text import chunk_documents
+
+    text = "".join(chr(ord("a") + (i % 26)) for i in range(1000))
+    docs = spark.createDataFrame(
+        [(1, text), (2, "short"), (3, ""), (4, None)],
+        "doc_id long, text string")
+    out = chunk_documents(docs, window=400, stride=300).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["start_char"] for r in c1] == [0, 300, 600, 900]
+    assert [r["n_chars"] for r in c1] == [400, 400, 400, 100]
+    # consecutive chunks overlap by window - stride chars
+    assert c1[0]["chunk_text"][300:] == c1[1]["chunk_text"][:100]
+    assert c1[3]["chunk_text"] == text[900:]
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "short"
+    assert 3 not in by_doc and 4 not in by_doc   # empty/NULL emit nothing
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, window=100, stride=200)
