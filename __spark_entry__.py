@@ -2035,6 +2035,68 @@ def q_textrank(spark, sf_dir):
     return textrank_keywords(_docs(spark, sf_dir), min_pair_docs=5, k=30)
 
 
+def q_holt_forecast_streamed(spark, sf_dir):
+    """The LIVE Holt forecaster end-to-end: the event stream staged as
+    two time-ordered parquet files and drained as micro-batches
+    through the applyInPandasWithState recursion carrier (open-hour
+    partial counts and gap zero-fill handled across batch
+    boundaries); the latest cumulative row per event type must equal
+    the BATCH holt_linear — so the oracle is the exact same SQL as
+    `holt_forecast`, and a hash match proves the carried (level,
+    trend, SSE) state reproduces the batch fold."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from cesium_spark.streaming.stream import streaming_holt
+
+    ev = _events(spark, sf_dir).select("event_id", "ts", "event_type")
+    mid = ev.agg(F.expr("percentile(event_id, 0.5)")).collect()[0][0]
+    work = tempfile.mkdtemp(prefix="holt_stream_")
+    in_dir = f"{work}/in"
+    try:
+        ev.filter(F.col("event_id") <= mid).coalesce(1) \
+            .write.mode("overwrite").parquet(in_dir)
+        # the recursion is ORDER-LOAD-BEARING (the run-stats head's
+        # staging discipline): pin the second half strictly later so
+        # FileStreamSource drains the halves in event-time order
+        first_files = set(glob.glob(f"{in_dir}/*.parquet"))
+        ev.filter(F.col("event_id") > mid).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+        later = time.time() + 10
+        for f in set(glob.glob(f"{in_dir}/*.parquet")) - first_files:
+            os.utime(f, (later, later))
+        schema = "event_id bigint, ts timestamp, event_type string"
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(in_dir)
+        )
+        q = (
+            streaming_holt(src).writeStream
+            .format("parquet").option("path", f"{work}/out")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True).start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                raise TimeoutError("holt stream did not drain in 300s")
+        finally:
+            q.stop()
+        emitted = spark.read.parquet(f"{work}/out")
+        return (
+            emitted.groupBy("event_type")
+            .agg(F.max(F.struct("n_events", "n_hours", "level", "trend",
+                                "forecast_h", "rmse_1step")).alias("s"))
+            .select("event_type", "s.n_hours", "s.level", "s.trend",
+                    "s.forecast_h", "s.rmse_1step")
+            .localCheckpoint(eager=True)  # detach from the temp files
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_ar1_fit(spark, sf_dir):
     """AR(1) persistence fit per event-type series on the hourly grid:
     φ, intercept, innovation variance, shock half-life — all from raw
@@ -2832,6 +2894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50-slot cap and was never driver-checked).
     return {
         # --- round 6, session-5 batch ---
+        "holt_forecast_streamed": q_holt_forecast_streamed,
         "ar1_fit": q_ar1_fit,
         "seasonal_strength": q_seasonal_strength,
         "doc_chunks": q_doc_chunks,
@@ -6290,6 +6353,9 @@ def oracle_sql() -> dict[str, str]:
         FROM rec r JOIN nper np ON np.k = r.k
         WHERE np.n >= 3 AND r.t = np.n - 1
     """
+
+    # the streamed head must converge to the batch fold exactly
+    sql["holt_forecast_streamed"] = sql["holt_forecast"]
 
     sql["asof_nearest"] = """
         WITH mk AS (

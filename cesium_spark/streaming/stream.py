@@ -32,7 +32,7 @@ __all__ = [
     "contamination_batch_fn", "start_contamination_stream",
     "streaming_anomaly_zscore", "streaming_session_window",
     "hll_batch_fn", "hll_state_estimate",
-    "cms_batch_fn", "cms_state_counters",
+    "cms_batch_fn", "cms_state_counters", "streaming_holt",
 ]
 
 
@@ -1369,4 +1369,138 @@ def cms_state_counters(spark, store_root: str) -> DataFrame:
         spark.read.parquet(*dirs)
         .groupBy("_row", "_b")
         .agg(F.sum("_n").cast("long").alias("_n"))
+    )
+
+
+def streaming_holt(
+    stream_df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    horizon: int = 24,
+    round_digits: int = 6,
+):
+    """LIVE Holt forecaster: the stateful streaming twin of
+    operators/tsstats.holt_linear. Per-key state carries the recursion
+    (open hour bucket + its partial count, the last committed level/
+    trend/SSE, and the y-history needed for initialization) across
+    micro-batch boundaries via applyInPandasWithState, so an hour
+    split across batches folds ONCE with its full count and the gap
+    hours between events fold as the zero-filled grid does in batch.
+
+    After each batch the operator emits the key's cumulative fitted
+    row — (n_hours, level, trend, forecast_h, rmse_1step) over
+    everything ingested so far INCLUDING the still-open hour (folded
+    provisionally for emission, committed only when a later hour
+    arrives) — so the latest row per key equals the batch operator
+    over the same prefix, and the final row matches `holt_forecast`'s
+    SQL oracle exactly. `n_events` (cumulative, strictly increasing)
+    is emitted so downstream can pick the latest row per key without
+    relying on ties.
+
+    Ordering: per-key ingestion must be event-time ordered ACROSS
+    batches (the run-stats head's assumption; bound it with source
+    ordering). State is one tiny tuple per key, NoTimeout. Keys with
+    fewer than 3 grid hours so far emit nothing (matching batch).
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    HOUR_US = 3_600_000_000
+    a1, a0 = float(alpha), float(1.0 - alpha)
+    b1, b0 = float(beta), round(1.0 - beta, 12)
+
+    key_type = stream_df.schema[key_col].dataType
+    out_schema = StructType([
+        StructField(key_col, key_type),
+        StructField("n_events", LongType()),
+        StructField("n_hours", LongType()),
+        StructField("level", DoubleType()),
+        StructField("trend", DoubleType()),
+        StructField("forecast_h", DoubleType()),
+        StructField("rmse_1step", DoubleType()),
+    ])
+    state_schema = StructType([
+        StructField("cur_hour_us", LongType()),
+        StructField("cur_cnt", LongType()),
+        StructField("n_hours", LongType()),   # committed grid hours
+        StructField("y_prev", DoubleType()),  # last committed y (for init)
+        StructField("l", DoubleType()),
+        StructField("b", DoubleType()),
+        StructField("sse", DoubleType()),
+        StructField("n_events", LongType()),
+    ])
+
+    def r6(v):
+        return round(v + 1e-9, round_digits)
+
+    def commit(st, y):
+        """Fold one completed grid hour into (n, y_prev, l, b, sse)."""
+        n, y_prev, l, b, sse = st
+        if n == 0:
+            return (1, y, l, b, sse)
+        if n == 1:
+            # l1 = y1, b1 = y1 - y0 (the batch init)
+            return (2, y, y, y - y_prev, 0.0)
+        pred = l + b
+        e = y - pred
+        l2 = r6(a1 * y + a0 * pred)
+        b2 = r6(b1 * (l2 - l) + b0 * b)
+        return (n + 1, y, l2, b2, sse + e * e)
+
+    def fn(key, pdfs, state):
+        parts = [p for p in pdfs]
+        if not parts:
+            return
+        pdf = pd.concat(parts)
+        if len(pdf) == 0:
+            return
+        hours = (pdf["_ts_us"] // HOUR_US) * HOUR_US
+        counts = hours.value_counts().sort_index()
+
+        if state.exists:
+            (cur_hour, cur_cnt, n, y_prev, l, b, sse, n_events) = state.get
+        else:
+            cur_hour, cur_cnt, n = None, 0, 0
+            y_prev, l, b, sse, n_events = 0.0, 0.0, 0.0, 0.0, 0
+
+        st = (n, y_prev, l, b, sse)
+        for h, c in counts.items():
+            h = int(h)
+            if cur_hour is None:
+                cur_hour, cur_cnt = h, int(c)
+                continue
+            if h == cur_hour:
+                cur_cnt += int(c)
+                continue
+            # h > cur_hour: the open hour is complete -> fold it, then
+            # fold the zero hours of the gap (the batch grid's fill)
+            st = commit(st, float(cur_cnt))
+            for _ in range((h - cur_hour) // HOUR_US - 1):
+                st = commit(st, 0.0)
+            cur_hour, cur_cnt = h, int(c)
+        n_events += len(pdf)
+        n, y_prev, l, b, sse = st
+        state.update((cur_hour, cur_cnt, n, y_prev, l, b, sse, n_events))
+
+        # provisional fold of the still-open hour for emission
+        pn, _, pl, pb, psse = commit(st, float(cur_cnt))
+        if pn >= 3:
+            yield pd.DataFrame({
+                key_col: [key[0]],
+                "n_events": [n_events],
+                "n_hours": [pn],
+                "level": [pl],
+                "trend": [pb],
+                "forecast_h": [r6(pl + float(horizon) * pb)],
+                "rmse_1step": [r6((psse / (pn - 2)) ** 0.5)],
+            })
+
+    narrow = stream_df.select(
+        F.col(key_col), ts_micros(F.col(ts_col)).alias("_ts_us"))
+    return narrow.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "NoTimeout"
     )

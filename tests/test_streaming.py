@@ -935,3 +935,60 @@ def test_cms_streamed_replay_idempotent_and_equals_batch(spark, tmp_path):
     # (3) empty store: defined empty sketch, not an error
     empty = cms_state_counters(spark, str(tmp_path / "nowhere"))
     assert empty.count() == 0
+
+
+def test_streaming_holt_matches_batch_across_restart(spark, tmp_path):
+    """Live Holt forecaster: an hour split across the batch boundary
+    folds ONCE with its full count, gap hours fold as zeros, and after
+    an availableNow restart the latest emitted row per key equals the
+    batch holt_linear over everything ingested."""
+    import pandas as pd
+
+    from cesium_spark.operators.tsstats import holt_linear
+    from cesium_spark.streaming.stream import streaming_holt
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    t0 = pd.Timestamp("2025-03-01")
+    schema = "event_id long, ts timestamp, event_type string"
+
+    def rows(specs, base_eid):
+        # specs: (key, hour, within_hour_minute)
+        out = []
+        for i, (k, h, mi) in enumerate(specs):
+            out.append((base_eid + i,
+                        (t0 + pd.Timedelta(hours=h, minutes=mi)).to_pydatetime(),
+                        k))
+        return out
+
+    # hour 2 of key "s" is split across the boundary (2 events in b1,
+    # 1 in b2); hours 3-4 are silent (zero-filled by the gap logic)
+    b1 = rows([("s", 0, 1), ("s", 0, 2), ("s", 1, 0), ("s", 2, 10),
+               ("s", 2, 20)], 0)
+    b2 = rows([("s", 2, 40), ("s", 5, 0), ("s", 6, 0), ("s", 6, 30)], 100)
+    spark.createDataFrame(b1, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(in_dir)
+
+    def drain():
+        src = spark.readStream.schema(schema).parquet(in_dir)
+        q = (streaming_holt(src).writeStream
+             .format("parquet").option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drain()
+    spark.createDataFrame(b2, schema).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+    drain()
+
+    emitted = spark.read.parquet(out_dir).toPandas()
+    latest = emitted.sort_values("n_events").groupby("event_type").last()
+
+    full = spark.createDataFrame(b1 + b2, schema)
+    want = holt_linear(full).toPandas().set_index("event_type")
+    assert latest.loc["s", "n_hours"] == 7  # hours 0..6 incl. zeros
+    for c in ("n_hours", "level", "trend", "forecast_h", "rmse_1step"):
+        assert latest.loc["s", c] == want.loc["s", c], c
+    # the intermediate emission (after batch 1) covered hours 0..2 only
+    first = emitted.sort_values("n_events").groupby("event_type").first()
+    assert first.loc["s", "n_hours"] == 3
