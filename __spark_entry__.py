@@ -2035,6 +2035,26 @@ def q_textrank(spark, sf_dir):
     return textrank_keywords(_docs(spark, sf_dir), min_pair_docs=5, k=30)
 
 
+def q_sax_discords(spark, sf_dir):
+    """SAX discord screening (HOT SAX at word granularity): the RAREST
+    8-hour shapes per series with their first occurrence hour — the
+    anomaly-candidate complement of `sax_motifs`, sharing its word
+    relation."""
+    from cesium_spark.operators.symbolic import sax_discords
+
+    return sax_discords(_events(spark, sf_dir), win=8, paa=4, top=3)
+
+
+def q_label_outliers(spark, sf_dir):
+    """Label-noise screening: the 5 members farthest from their own
+    label centroid, z-scored within the label (d² = Σx² - 2Σxc + Σc²
+    from the same partial-aggregable sums as label_centroids; centroid
+    relation broadcast)."""
+    from cesium_spark.operators.linalg import label_outliers
+
+    return label_outliers(_emb(spark, sf_dir), k=5)
+
+
 def q_holt_forecast_streamed(spark, sf_dir):
     """The LIVE Holt forecaster end-to-end: the event stream staged as
     two time-ordered parquet files and drained as micro-batches
@@ -2894,6 +2914,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50-slot cap and was never driver-checked).
     return {
         # --- round 6, session-5 batch ---
+        "sax_discords": q_sax_discords,
+        "label_outliers": q_label_outliers,
         "holt_forecast_streamed": q_holt_forecast_streamed,
         "ar1_fit": q_ar1_fit,
         "seasonal_strength": q_seasonal_strength,
@@ -6282,6 +6304,93 @@ def oracle_sql() -> dict[str, str]:
             PARTITION BY k ORDER BY n_windows DESC, word) AS rank
           FROM cnts
         ) WHERE rank <= 3
+    """
+
+    # motifs and discords share the word relation; discords additionally
+    # carry the earliest window-start hour per word
+    sax_words_cte = f"""{hourly_grid_cte},
+        stats AS (
+          SELECT k, avg(y) AS m, stddev_samp(y) AS sd FROM grid GROUP BY 1
+        ),
+        zz AS (
+          SELECT g.k, g.i // 8 AS w, (g.i % 8) // 2 AS s, g.h,
+                 round((g.y - st.m) / st.sd + 1e-9, 6) AS z
+          FROM grid g JOIN stats st ON st.k = g.k
+          WHERE st.sd > 0
+        ),
+        seg AS (
+          SELECT k, w, s, round(avg(z) + 1e-9, 6) AS pm,
+                 count(*)::BIGINT AS cnt, min(h) AS h0
+          FROM zz GROUP BY 1, 2, 3
+        ),
+        symd AS (
+          SELECT k, w, s, cnt, h0,
+                 CASE WHEN pm < -0.6745 THEN 'a' WHEN pm < 0.0 THEN 'b'
+                      WHEN pm < 0.6745 THEN 'c' ELSE 'd' END AS sym
+          FROM seg
+        ),
+        wordsd AS (
+          SELECT k, w, string_agg(sym, '' ORDER BY s) AS word,
+                 min(h0) AS wstart
+          FROM symd GROUP BY 1, 2 HAVING sum(cnt) = 8
+        ),
+        cnts AS (
+          SELECT k, word, count(*)::BIGINT AS n_windows,
+                 min(wstart) AS first_win_start
+          FROM wordsd GROUP BY 1, 2
+        )"""
+
+    sql["sax_discords"] = f"""
+        WITH {sax_words_cte}
+        SELECT k AS event_type, rank, word, n_windows, first_win_start
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY k ORDER BY n_windows ASC, word) AS rank
+          FROM cnts
+        ) WHERE rank <= 3
+    """
+
+    sql["label_outliers"] = """
+        WITH comps AS (
+          SELECT label, vec_id, g.j AS dim, embedding[g.j]::DOUBLE AS x
+          FROM embeddings,
+               LATERAL unnest(generate_series(1, len(embedding))) AS g(j)
+        ),
+        cent AS (
+          SELECT label, dim, avg(x) AS c FROM comps GROUP BY 1, 2
+        ),
+        cnsq AS (SELECT label, sum(c * c) AS cc FROM cent GROUP BY 1),
+        member AS (
+          SELECT m.label, m.vec_id,
+                 sum(m.x * ct.c) AS xc, sum(m.x * m.x) AS xx
+          FROM comps m JOIN cent ct ON m.label = ct.label AND m.dim = ct.dim
+          GROUP BY 1, 2
+        ),
+        dd AS (
+          SELECT mem.label, mem.vec_id,
+                 sqrt(greatest(0.0, mem.xx - 2 * mem.xc + q.cc)) AS d
+          FROM member mem JOIN cnsq q ON q.label = mem.label
+        ),
+        st AS (
+          SELECT label, count(*)::DOUBLE AS n, sum(d) AS sd,
+                 sum(d * d) AS sdd
+          FROM dd GROUP BY 1
+        ),
+        scored AS (
+          SELECT dd.label, dd.vec_id,
+                 round(dd.d + 1e-9, 6) AS dist,
+                 round((dd.d - st.sd / st.n)
+                       / sqrt((st.sdd - st.sd * st.sd / st.n) / (st.n - 1))
+                       + 1e-9, 6) AS z
+          FROM dd JOIN st ON st.label = dd.label
+          WHERE st.n >= 3
+            AND (st.sdd - st.sd * st.sd / st.n) / (st.n - 1) > 0
+        )
+        SELECT label, rank, vec_id, dist, z FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY label ORDER BY z DESC, vec_id) AS rank
+          FROM scored
+        ) WHERE rank <= 5
     """
 
     sql["leadlag_xcorr"] = f"""

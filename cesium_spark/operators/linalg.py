@@ -26,7 +26,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["dim_stats", "pca_power", "label_centroids"]
+__all__ = ["dim_stats", "pca_power", "label_centroids", "label_outliers"]
 
 
 def _centered(df: DataFrame, vec_col: str, mu: list, round_digits: int):
@@ -231,4 +231,79 @@ def label_centroids(
             "label",
         )
         .select("label", "n", "centroid_norm", "mean_cos_to_centroid")
+    )
+
+
+def label_outliers(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Label-noise screening: the k members FARTHEST from their own
+    label centroid, z-scored within the label — the standard
+    mislabeled-example detector run before trusting labels for
+    curation (a member several σ from its class centroid is either
+    noise or label error).
+
+    Distance comes from the same partial-aggregable sums as
+    `label_centroids` (d² = Σx² - 2Σxc + Σc², with the labels×dim
+    centroid relation broadcast), the per-label mean/σ of d from raw
+    sums, so both engines round the identical z. Ranking is rounded z
+    desc, then id asc; labels with zero distance spread emit nothing.
+
+    Returns (label, rank, vec_id, dist, z)."""
+    from pyspark.sql.functions import broadcast
+
+    comps = df.select(
+        F.col(label_col).alias("label"),
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.col(vec_col)).alias("dim", "x"),
+    ).withColumn("x", F.col("x").cast("double"))
+    cent = comps.groupBy("label", "dim").agg(F.avg("x").alias("c"))
+    cnsq = cent.groupBy("label").agg(F.sum(F.col("c") * F.col("c")).alias("_cc"))
+    member = (
+        comps.join(broadcast(cent), ["label", "dim"])
+        .groupBy("label", "_id")
+        .agg(
+            F.sum(F.col("x") * F.col("c")).alias("_xc"),
+            F.sum(F.col("x") * F.col("x")).alias("_xx"),
+        )
+        .join(broadcast(cnsq), "label")
+        .select(
+            "label", "_id",
+            F.sqrt(F.greatest(
+                F.lit(0.0),
+                F.col("_xx") - 2 * F.col("_xc") + F.col("_cc"),
+            )).alias("_d"),
+        )
+    )
+    stats = member.groupBy("label").agg(
+        F.count("*").cast("double").alias("_n"),
+        F.sum("_d").alias("_sd"),
+        F.sum(F.col("_d") * F.col("_d")).alias("_sdd"),
+    )
+    n = F.col("_n")
+    var = (F.col("_sdd") - F.col("_sd") * F.col("_sd") / n) / (n - 1)
+    scored = (
+        member.join(broadcast(stats), "label")
+        .where((n >= 3) & (var > 0))
+        .select(
+            "label", "_id",
+            F.round(F.col("_d") + F.lit(1e-9), round_digits).alias("dist"),
+            F.round(
+                (F.col("_d") - F.col("_sd") / n) / F.sqrt(var) + F.lit(1e-9),
+                round_digits,
+            ).alias("z"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("label").orderBy(F.col("z").desc(), F.col("_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("label", "rank", F.col("_id").alias(id_col), "dist", "z")
     )

@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["hourly_count_grid", "perm_entropy", "sax_motifs"]
+__all__ = ["hourly_count_grid", "perm_entropy", "sax_motifs", "sax_discords"]
 
 
 def _r6(col: Column, digits: int = 6) -> Column:
@@ -162,6 +162,28 @@ def sax_motifs(
     (key, window) words → one to (key, word) counts → a bounded
     row_number window. Everything after the grid is sub-rollup-sized.
     """
+    counts = _sax_word_counts(df, key_col, ts_col, win, paa, round_digits)
+    rw = Window.partitionBy("_k").orderBy(
+        F.col("n_windows").desc(), F.col("word"))
+    return (
+        counts.withColumn("rank", F.row_number().over(rw))
+        .where(F.col("rank") <= top)
+        .select(F.col("_k").alias(key_col), "rank", "word", "n_windows")
+    )
+
+
+def _sax_word_counts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    win: int,
+    paa: int,
+    round_digits: int,
+) -> DataFrame:
+    """(_k, word, n_windows, first_win_start): SAX word frequencies per
+    key plus the earliest window start hour carrying each word —
+    shared by the motif (most frequent) and discord (rarest) readouts.
+    """
     if win % paa != 0:
         raise ValueError("win must be a multiple of paa")
     g = hourly_count_grid(df, key_col, ts_col)
@@ -175,11 +197,13 @@ def sax_motifs(
             F.floor(F.col("_i") / win).alias("_w"),
             F.floor((F.col("_i") % win) / (win // paa)).alias("_s"),
             _r6(z, round_digits).alias("_z"),
+            F.col("_h"),
         )
         .where(F.col("_z").isNotNull())
         .groupBy("_k", "_w", "_s")
         .agg(_r6(F.avg("_z"), round_digits).alias("_m"),
-             F.count("*").cast("long").alias("_cnt"))
+             F.count("*").cast("long").alias("_cnt"),
+             F.min("_h").alias("_h0"))
     )
     sym = (
         F.when(F.col("_m") < _SAX_BREAKS[0], _SAX_SYMS[0])
@@ -188,7 +212,7 @@ def sax_motifs(
         .otherwise(_SAX_SYMS[3])
     )
     words = (
-        seg.select("_k", "_w", "_s", sym.alias("_sym"), "_cnt")
+        seg.select("_k", "_w", "_s", sym.alias("_sym"), "_cnt", "_h0")
         .groupBy("_k", "_w")
         .agg(
             F.concat_ws(
@@ -199,15 +223,39 @@ def sax_motifs(
                 ),
             ).alias("word"),
             F.sum("_cnt").alias("_hrs"),
+            F.min("_h0").alias("_wstart"),
         )
         .where(F.col("_hrs") == win)  # full windows only
     )
-    counts = words.groupBy("_k", "word").agg(
-        F.count("*").cast("long").alias("n_windows"))
+    return words.groupBy("_k", "word").agg(
+        F.count("*").cast("long").alias("n_windows"),
+        F.min("_wstart").alias("first_win_start"),
+    )
+
+
+def sax_discords(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    win: int = 8,
+    paa: int = 4,
+    top: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """SAX discord screening (the HOT SAX intuition at word
+    granularity — Keogh, Lin & Fu 2005): the RAREST SAX words per
+    series, i.e. the 8-hour shapes the series almost never produces —
+    anomaly candidates a monitoring pipeline inspects first. Same
+    word relation as `sax_motifs`, ranked by count ASC (ties: word
+    asc), each with the earliest hour at which the shape occurred.
+
+    Returns (key, rank, word, n_windows, first_win_start)."""
+    counts = _sax_word_counts(df, key_col, ts_col, win, paa, round_digits)
     rw = Window.partitionBy("_k").orderBy(
-        F.col("n_windows").desc(), F.col("word"))
+        F.col("n_windows").asc(), F.col("word"))
     return (
         counts.withColumn("rank", F.row_number().over(rw))
         .where(F.col("rank") <= top)
-        .select(F.col("_k").alias(key_col), "rank", "word", "n_windows")
+        .select(F.col("_k").alias(key_col), "rank", "word", "n_windows",
+                "first_win_start")
     )

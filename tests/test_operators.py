@@ -3548,3 +3548,34 @@ def test_chunk_documents_overlap_and_tail(spark):
     assert 3 not in by_doc and 4 not in by_doc   # empty/NULL emit nothing
     with _pytest.raises(ValueError):
         chunk_documents(docs, window=100, stride=200)
+
+
+def test_sax_discords_flags_rare_shape(spark):
+    from cesium_spark.operators.symbolic import sax_discords
+
+    # 3 windows of the common square shape, 1 window inverted -> the
+    # inverted word is the rank-1 discord, stamped with its start hour
+    common = [1, 1, 9, 9, 9, 9, 1, 1]
+    rare = [9, 9, 1, 1, 1, 1, 9, 9]
+    vals = common * 2 + rare + common
+    ev = _hourly_events(spark, [("sq", h, vals[h]) for h in range(32)])
+    out = sorted(sax_discords(ev, win=8, paa=4, top=2).collect(),
+                 key=lambda r: r["rank"])
+    assert out[0]["word"] == "daad" and out[0]["n_windows"] == 1
+    assert out[0]["first_win_start"].hour == 16
+    assert out[1]["word"] == "adda" and out[1]["n_windows"] == 3
+
+
+def test_label_outliers_flags_planted_outlier(spark):
+    from cesium_spark.operators.linalg import label_outliers
+
+    rows = [(i, [1.0 + 0.01 * i, 2.0], 0) for i in range(8)]
+    rows.append((99, [50.0, -40.0], 0))           # planted outlier
+    rows += [(100 + i, [0.0, float(i)], 1) for i in range(4)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    out = label_outliers(emb, k=3).collect()
+    top = {r["label"]: r for r in out if r["rank"] == 1}
+    assert top[0]["vec_id"] == 99 and top[0]["z"] > 2.0
+    # label 1's spread is real but small; its top outlier is an endpoint
+    assert top[1]["vec_id"] in (100, 103)
