@@ -2035,6 +2035,17 @@ def q_textrank(spark, sf_dir):
     return textrank_keywords(_docs(spark, sf_dir), min_pair_docs=5, k=30)
 
 
+def q_chunk_dedup(spark, sf_dir):
+    """Chunk-granular boilerplate measure: per document, the fraction
+    of its non-overlapping 200-char blocks occurring >= 2 times
+    anywhere in the corpus — the block-level analogue of dedup_lines.
+    Hash-frequency is an aggregate (not a window) so hot boilerplate
+    absorbs map-side."""
+    from cesium_spark.operators.text import chunk_dup_stats
+
+    return chunk_dup_stats(_docs(spark, sf_dir), block=200)
+
+
 def q_sax_discords(spark, sf_dir):
     """SAX discord screening (HOT SAX at word granularity): the RAREST
     8-hour shapes per series with their first occurrence hour — the
@@ -2914,6 +2925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50-slot cap and was never driver-checked).
     return {
         # --- round 6, session-5 batch ---
+        "chunk_dedup": q_chunk_dedup,
         "sax_discords": q_sax_discords,
         "label_outliers": q_label_outliers,
         "holt_forecast_streamed": q_holt_forecast_streamed,
@@ -6339,6 +6351,25 @@ def oracle_sql() -> dict[str, str]:
                  min(wstart) AS first_win_start
           FROM wordsd GROUP BY 1, 2
         )"""
+
+    sql["chunk_dedup"] = """
+        WITH ch AS (
+          SELECT d.doc_id,
+                 md5(substr(d.text, (s.start + 1)::INT, 200)) AS h
+          FROM documents d, LATERAL (
+            SELECT unnest(generate_series(
+              0, ((length(d.text) - 1) // 200) * 200, 200)) AS start
+          ) s
+          WHERE d.text IS NOT NULL AND length(d.text) > 0
+        ),
+        freq AS (SELECT h, count(*)::BIGINT AS f FROM ch GROUP BY 1)
+        SELECT ch.doc_id, count(*)::BIGINT AS n_chunks,
+               sum(CASE WHEN freq.f >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+               round(sum(CASE WHEN freq.f >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                     / count(*) + 1e-9, 6) AS dup_frac
+        FROM ch JOIN freq ON freq.h = ch.h
+        GROUP BY 1
+    """
 
     sql["sax_discords"] = f"""
         WITH {sax_words_cte}

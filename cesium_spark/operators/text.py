@@ -16,6 +16,7 @@ __all__ = [
     "token_topk", "tfidf_top_terms", "repetition_stats", "bm25_topk",
     "c4_line_filter", "gopher_quality_filter", "normalize_text",
     "script_profile", "inverted_index", "token_pmi", "chunk_documents",
+    "chunk_dup_stats",
 ]
 
 # Small per-language stopword vocabularies for the n-gram voting heuristic.
@@ -907,4 +908,44 @@ def chunk_documents(
         id_col, "chunk_id", "start_char",
         F.length("chunk_text").cast("long").alias("n_chars"),
         "chunk_text",
+    )
+
+
+def chunk_dup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block: int = 200,
+) -> DataFrame:
+    """Chunk-granular boilerplate measure: cut every document into
+    non-overlapping `block`-char chunks, hash them, and report per
+    document how many of its chunks occur ≥2 times ANYWHERE in the
+    corpus — the block-level analogue of `dedup_lines` that catches
+    templated spans line splitting misses (the preprocessing signal
+    RefinedWeb/CCNet act on before MinHash).
+
+    Scale shape: chunking is map-only (`chunk_documents` with stride =
+    window); the global hash-frequency relation is ONE partial-
+    aggregable groupBy on the chunk hash (an aggregate, not a window —
+    a hot boilerplate hash is absorbed map-side instead of
+    concentrating its rows in one task); the join back is a
+    co-partitioned equi-join on the same hash. Returns
+    (doc_id, n_chunks, n_dup, dup_frac)."""
+    chunks = chunk_documents(df, id_col, text_col,
+                             window=block, stride=block) \
+        .select(id_col, F.md5("chunk_text").alias("_h"))
+    freq = chunks.groupBy("_h").agg(F.count("*").cast("long").alias("_f"))
+    return (
+        chunks.join(freq, "_h")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("_f") >= 2, 1).otherwise(0))
+            .cast("long").alias("n_dup"),
+        )
+        .select(
+            id_col, "n_chunks", "n_dup",
+            F.round(F.col("n_dup") / F.col("n_chunks") + F.lit(1e-9), 6)
+            .alias("dup_frac"),
+        )
     )

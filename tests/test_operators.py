@@ -3579,3 +3579,18 @@ def test_label_outliers_flags_planted_outlier(spark):
     assert top[0]["vec_id"] == 99 and top[0]["z"] > 2.0
     # label 1's spread is real but small; its top outlier is an endpoint
     assert top[1]["vec_id"] in (100, 103)
+
+
+def test_chunk_dup_stats_cross_doc_blocks(spark):
+    from cesium_spark.operators.text import chunk_dup_stats
+
+    boiler = "x" * 10
+    docs = spark.createDataFrame(
+        [(1, boiler + "uniqueAAAA"), (2, boiler + "uniqueBBBB"),
+         (3, "totally-diff")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in chunk_dup_stats(docs, block=10).collect()}
+    # docs 1 and 2 share their first 10-char block; their tails differ
+    assert out[1]["n_chunks"] == 2 and out[1]["n_dup"] == 1
+    assert out[1]["dup_frac"] == 0.5 and out[2]["dup_frac"] == 0.5
+    assert out[3]["n_dup"] == 0 and out[3]["dup_frac"] == 0.0
