@@ -2035,6 +2035,27 @@ def q_textrank(spark, sf_dir):
     return textrank_keywords(_docs(spark, sf_dir), min_pair_docs=5, k=30)
 
 
+def q_intermittency(spark, sf_dir):
+    """Syntetos-Boylan demand-pattern quadrant per event-type series:
+    ADI / CV2 from raw sums on the zero-filled grid, classified on the
+    ROUNDED statistics — the router between classical smoothing and
+    Croston."""
+    from cesium_spark.operators.intermittent import intermittency_profile
+
+    return intermittency_profile(_events(spark, sf_dir))
+
+
+def q_croston(spark, sf_dir):
+    """Croston's intermittent-demand forecaster with the SBA
+    correction: separate per-step-rounded SES folds over the non-zero
+    demand sizes and the inter-demand intervals (JVM aggregate over
+    per-key demand arrays); DuckDB replays the recursion as a
+    recursive CTE over the demand index."""
+    from cesium_spark.operators.intermittent import croston_forecast
+
+    return croston_forecast(_events(spark, sf_dir), alpha=0.1)
+
+
 def q_chunk_dedup(spark, sf_dir):
     """Chunk-granular boilerplate measure: per document, the fraction
     of its non-overlapping 200-char blocks occurring >= 2 times
@@ -2925,6 +2946,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50-slot cap and was never driver-checked).
     return {
         # --- round 6, session-5 batch ---
+        "intermittency": q_intermittency,
+        "croston": q_croston,
         "chunk_dedup": q_chunk_dedup,
         "sax_discords": q_sax_discords,
         "label_outliers": q_label_outliers,
@@ -6351,6 +6374,59 @@ def oracle_sql() -> dict[str, str]:
                  min(wstart) AS first_win_start
           FROM wordsd GROUP BY 1, 2
         )"""
+
+    # the non-zero demand subsequence shared by the intermittent pair
+    demand_cte = """dmd AS (
+          SELECT k, row_number() OVER (PARTITION BY k ORDER BY i) AS pos,
+                 (i - lag(i, 1) OVER (PARTITION BY k ORDER BY i))::DOUBLE AS q,
+                 y AS s
+          FROM grid WHERE y > 0
+        )"""
+
+    sql["intermittency"] = f"""
+        WITH {hourly_grid_cte},
+        hrs AS (SELECT k, count(*)::BIGINT AS n_hours FROM grid GROUP BY 1),
+        {demand_cte},
+        per AS (
+          SELECT k, count(*)::DOUBLE AS n, sum(q) AS sq,
+                 count(q)::DOUBLE AS nq, sum(s) AS ss, sum(s * s) AS sss
+          FROM dmd GROUP BY 1
+        ),
+        calc AS (
+          SELECT k, n, round(sq / nq + 1e-9, 6) AS adi,
+                 round(((sss - ss * ss / n) / (n - 1))
+                       / ((ss / n) * (ss / n)) + 1e-9, 6) AS cv2
+          FROM per WHERE nq >= 1
+        )
+        SELECT c.k AS event_type, h.n_hours, c.n::BIGINT AS n_demands,
+               c.adi, c.cv2,
+          CASE WHEN adi < 1.32 AND cv2 < 0.49 THEN 'smooth'
+               WHEN adi >= 1.32 AND cv2 < 0.49 THEN 'intermittent'
+               WHEN adi < 1.32 AND cv2 >= 0.49 THEN 'erratic'
+               ELSE 'lumpy' END AS pattern
+        FROM calc c JOIN hrs h ON h.k = c.k
+    """
+
+    sql["croston"] = f"""
+        WITH RECURSIVE {hourly_grid_cte},
+        {demand_cte},
+        nn AS (SELECT k, count(*)::BIGINT AS n FROM dmd GROUP BY 1),
+        rec AS (
+          SELECT d1.k, 2::BIGINT AS t, d1.s AS z, d2.q AS p
+          FROM (SELECT k, s FROM dmd WHERE pos = 1) d1
+          JOIN (SELECT k, q FROM dmd WHERE pos = 2) d2 USING (k)
+          UNION ALL
+          SELECT r.k, r.t + 1,
+            round(0.1 * d.s + 0.9 * r.z + 1e-9, 6),
+            round(0.1 * d.q + 0.9 * r.p + 1e-9, 6)
+          FROM rec r JOIN dmd d ON d.k = r.k AND d.pos = r.t + 1
+        )
+        SELECT r.k AS event_type, nn.n AS n_demands, r.z, r.p,
+               round(r.z / r.p + 1e-9, 6) AS croston_rate,
+               round(0.95 * (r.z / r.p) + 1e-9, 6) AS sba_rate
+        FROM rec r JOIN nn ON nn.k = r.k
+        WHERE nn.n >= 2 AND r.t = nn.n
+    """
 
     sql["chunk_dedup"] = """
         WITH ch AS (

@@ -3594,3 +3594,40 @@ def test_chunk_dup_stats_cross_doc_blocks(spark):
     assert out[1]["n_chunks"] == 2 and out[1]["n_dup"] == 1
     assert out[1]["dup_frac"] == 0.5 and out[2]["dup_frac"] == 0.5
     assert out[3]["n_dup"] == 0 and out[3]["dup_frac"] == 0.0
+
+
+def test_intermittency_quadrants(spark):
+    from cesium_spark.operators.intermittent import intermittency_profile
+
+    spec = []
+    # smooth: a demand every hour, near-constant sizes
+    spec += [("sm", h, 3 if h % 2 == 0 else 4) for h in range(20)]
+    # intermittent: every 3rd hour, constant size
+    spec += [("it", h, 2) for h in range(0, 30, 3)]
+    # erratic: every hour, wildly varying sizes
+    spec += [("er", h, 1 if h % 2 == 0 else 20) for h in range(20)]
+    # lumpy: sparse AND wildly varying
+    spec += [("lu", h, 1 if (h // 3) % 2 == 0 else 25)
+             for h in range(0, 36, 3)]
+    out = {r["event_type"]: r
+           for r in intermittency_profile(_hourly_events(spark, spec)).collect()}
+    assert out["sm"]["pattern"] == "smooth" and out["sm"]["adi"] == 1.0
+    assert out["it"]["pattern"] == "intermittent" and out["it"]["adi"] == 3.0
+    assert out["it"]["cv2"] == 0.0
+    assert out["er"]["pattern"] == "erratic"
+    assert out["lu"]["pattern"] == "lumpy"
+
+
+def test_croston_constant_demand_exact(spark):
+    from cesium_spark.operators.intermittent import croston_forecast
+
+    # size 2 every 4 hours: z stays 2, p stays 4 -> rate exactly 0.5,
+    # SBA = 0.95 * 0.5
+    ev = _hourly_events(spark, [("c", h, 2) for h in range(0, 40, 4)])
+    r = croston_forecast(ev, alpha=0.1).collect()[0]
+    assert r["n_demands"] == 10
+    assert r["z"] == 2.0 and r["p"] == 4.0
+    assert r["croston_rate"] == 0.5 and r["sba_rate"] == 0.475
+    # single-demand series emit nothing
+    one = _hourly_events(spark, [("x", 5, 3)])
+    assert croston_forecast(one).count() == 0
