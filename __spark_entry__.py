@@ -2035,6 +2035,18 @@ def q_textrank(spark, sf_dir):
     return textrank_keywords(_docs(spark, sf_dir), min_pair_docs=5, k=30)
 
 
+def q_spectral_power(spark, sf_dir):
+    """Known-period periodogram screening (Goertzel single-bin): the
+    normalized power at the daily and weekly frequencies per series —
+    1.0 for a pure tone, ~0 for noise; one partial-aggregable pass
+    with map-side cos/sin projections. The frequency-domain complement
+    of seasonal_strength (and of the Lomb-Scargle block, which answers
+    the UNKNOWN-period question on irregular grids)."""
+    from cesium_spark.operators.symbolic import spectral_power
+
+    return spectral_power(_events(spark, sf_dir), periods_hours=(24, 168))
+
+
 def q_intermittency(spark, sf_dir):
     """Syntetos-Boylan demand-pattern quadrant per event-type series:
     ADI / CV2 from raw sums on the zero-filled grid, classified on the
@@ -2946,6 +2958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50-slot cap and was never driver-checked).
     return {
         # --- round 6, session-5 batch ---
+        "spectral_power": q_spectral_power,
         "intermittency": q_intermittency,
         "croston": q_croston,
         "chunk_dedup": q_chunk_dedup,
@@ -6382,6 +6395,40 @@ def oracle_sql() -> dict[str, str]:
                  y AS s
           FROM grid WHERE y > 0
         )"""
+
+    sql["spectral_power"] = f"""
+        WITH {hourly_grid_cte},
+        per AS (
+          SELECT k, count(*)::DOUBLE AS n, sum(y) AS sy,
+                 sum(y * y) AS syy,
+                 sum(y * cos(i * (2 * pi() / 24.0))) AS yc24,
+                 sum(y * sin(i * (2 * pi() / 24.0))) AS ys24,
+                 sum(cos(i * (2 * pi() / 24.0))) AS c24,
+                 sum(sin(i * (2 * pi() / 24.0))) AS s24,
+                 sum(y * cos(i * (2 * pi() / 168.0))) AS yc168,
+                 sum(y * sin(i * (2 * pi() / 168.0))) AS ys168,
+                 sum(cos(i * (2 * pi() / 168.0))) AS c168,
+                 sum(sin(i * (2 * pi() / 168.0))) AS s168
+          FROM grid GROUP BY 1
+        ),
+        calc AS (
+          SELECT k, n, syy / n - (sy / n) * (sy / n) AS varp,
+                 yc24 - (sy / n) * c24 AS cc24, ys24 - (sy / n) * s24 AS ss24,
+                 yc168 - (sy / n) * c168 AS cc168,
+                 ys168 - (sy / n) * s168 AS ss168
+          FROM per
+        )
+        SELECT k AS event_type, n::BIGINT AS n_hours, period_hours,
+               power_frac
+        FROM calc, LATERAL (VALUES
+          (24::INT, CASE WHEN varp > 0 THEN round(
+             2.0 * (cc24 * cc24 + ss24 * ss24) / (n * n * varp) + 1e-9, 6)
+           END),
+          (168::INT, CASE WHEN varp > 0 THEN round(
+             2.0 * (cc168 * cc168 + ss168 * ss168) / (n * n * varp) + 1e-9, 6)
+           END)
+        ) AS v(period_hours, power_frac)
+    """
 
     sql["intermittency"] = f"""
         WITH {hourly_grid_cte},

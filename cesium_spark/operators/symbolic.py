@@ -30,7 +30,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["hourly_count_grid", "perm_entropy", "sax_motifs", "sax_discords"]
+__all__ = ["hourly_count_grid", "perm_entropy", "sax_motifs", "sax_discords",
+           "spectral_power"]
 
 
 def _r6(col: Column, digits: int = 6) -> Column:
@@ -259,3 +260,73 @@ def sax_discords(
         .select(F.col("_k").alias(key_col), "rank", "word", "n_windows",
                 "first_win_start")
     )
+
+
+def spectral_power(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    periods_hours: tuple = (24, 168),
+    round_digits: int = 6,
+) -> DataFrame:
+    """Periodogram ordinates at KNOWN candidate periods (the Goertzel
+    single-bin evaluation — no FFT, no resampling): for each period P
+    the normalized power
+
+        frac(P) = 2 * (C² + S²) / (n² * σ²_pop),
+        C = Σ (y_i - ȳ) cos(2πi/P),  S = Σ (y_i - ȳ) sin(2πi/P)
+
+    which is 1.0 for a pure tone at P and ~0 for white noise — the
+    frequency-domain complement of `seasonal_strength` when the
+    candidate periods are known a priori (daily / weekly here). This
+    is the screening pass a monitoring stack runs before committing to
+    a seasonal model; cesium's Lomb-Scargle block answers the
+    UNKNOWN-period question on irregular grids (features/lomb.py),
+    this answers the known-period one on the regular grid at aggregate
+    cost.
+
+    Everything is ONE partial-aggregable groupBy over the grid with
+    cos/sin projections computed map-side (the centered form expands
+    to raw sums, so no second pass for the mean). Returns
+    (key, n_hours, period_hours, power_frac) — one row per
+    (key, period); zero-variance series emit NULL power."""
+    import math
+
+    g = hourly_count_grid(df, key_col, ts_col)
+    aggs = [
+        F.count("*").cast("double").alias("_n"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+    ]
+    for p in periods_hours:
+        w = 2.0 * math.pi / float(p)
+        cos_i = F.cos(F.col("_i").cast("double") * F.lit(w))
+        sin_i = F.sin(F.col("_i").cast("double") * F.lit(w))
+        aggs += [
+            F.sum(F.col("_y") * cos_i).alias(f"_yc{p}"),
+            F.sum(F.col("_y") * sin_i).alias(f"_ys{p}"),
+            F.sum(cos_i).alias(f"_c{p}"),
+            F.sum(sin_i).alias(f"_s{p}"),
+        ]
+    per = g.groupBy(F.col("_k").alias(key_col)).agg(*aggs)
+    n, sy = F.col("_n"), F.col("_sy")
+    m = sy / n
+    varp = F.col("_syy") / n - m * m  # population variance
+    rows = []
+    for p in periods_hours:
+        c = F.col(f"_yc{p}") - m * F.col(f"_c{p}")
+        s = F.col(f"_ys{p}") - m * F.col(f"_s{p}")
+        frac = F.when(
+            varp > 0,
+            F.round(2.0 * (c * c + s * s) / (n * n * varp) + F.lit(1e-9),
+                    round_digits),
+        )
+        rows.append(F.struct(
+            F.lit(int(p)).cast("int").alias("period_hours"),
+            frac.alias("power_frac"),
+        ))
+    return per.select(
+        key_col,
+        n.cast("long").alias("n_hours"),
+        F.explode(F.array(*rows)).alias("_r"),
+    ).select(key_col, "n_hours", "_r.period_hours", "_r.power_frac")

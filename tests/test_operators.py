@@ -3631,3 +3631,18 @@ def test_croston_constant_demand_exact(spark):
     # single-demand series emit nothing
     one = _hourly_events(spark, [("x", 5, 3)])
     assert croston_forecast(one).count() == 0
+
+
+def test_spectral_power_pure_daily_tone(spark):
+    import math
+
+    from cesium_spark.operators.symbolic import spectral_power
+
+    # counts follow a pure 24 h cosine (offset to stay positive):
+    # daily power ~1, weekly power ~0
+    spec = [("tone", h, 10 + round(5 * math.cos(2 * math.pi * h / 24)))
+            for h in range(96)]
+    out = {r["period_hours"]: r
+           for r in spectral_power(_hourly_events(spark, spec)).collect()}
+    assert out[24]["power_frac"] > 0.95
+    assert out[168]["power_frac"] < 0.2
