@@ -2035,6 +2035,18 @@ def q_textrank(spark, sf_dir):
     return textrank_keywords(_docs(spark, sf_dir), min_pair_docs=5, k=30)
 
 
+def q_forecast_tournament(spark, sf_dir):
+    """The empirical forecaster router: fit persistence-mean, the
+    hour-of-day profile, Holt, and Croston/SBA on each series' head,
+    score one-shot multi-step forecasts on the held-out 48 h tail,
+    emit per-series MAEs + the winner (ties resolve in contestant
+    order). The oracle replays BOTH per-step-rounded folds as
+    recursive CTEs over the head."""
+    from cesium_spark.operators.forecast_eval import forecast_tournament
+
+    return forecast_tournament(_events(spark, sf_dir), holdout_hours=48)
+
+
 def q_spectral_power(spark, sf_dir):
     """Known-period periodogram screening (Goertzel single-bin): the
     normalized power at the daily and weekly frequencies per series —
@@ -2958,6 +2970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50-slot cap and was never driver-checked).
     return {
         # --- round 6, session-5 batch ---
+        "forecast_tournament": q_forecast_tournament,
         "spectral_power": q_spectral_power,
         "intermittency": q_intermittency,
         "croston": q_croston,
@@ -6395,6 +6408,98 @@ def oracle_sql() -> dict[str, str]:
                  y AS s
           FROM grid WHERE y > 0
         )"""
+
+    sql["forecast_tournament"] = f"""
+        WITH RECURSIVE {hourly_grid_cte},
+        nk AS (
+          SELECT k, count(*)::BIGINT AS n FROM grid GROUP BY 1
+          HAVING count(*) >= 72
+        ),
+        gg AS (
+          SELECT g.k, g.i, g.h, g.y, nk.n, nk.n - 48 AS c
+          FROM grid g JOIN nk ON nk.k = g.k
+        ),
+        head AS (SELECT * FROM gg WHERE i < c),
+        tail AS (SELECT * FROM gg WHERE i >= c),
+        mfit AS (
+          SELECT k, sum(y) / count(*) AS rate,
+                 count(*)::BIGINT AS n_head
+          FROM head GROUP BY 1
+        ),
+        hodfit AS (
+          SELECT k, hour(h)::INT AS hod, sum(y) / count(*) AS hod_rate
+          FROM head GROUP BY 1, 2
+        ),
+        hrec AS (
+          SELECT g0.k, 1::BIGINT AS t, g1.y AS l, g1.y - g0.y AS b
+          FROM (SELECT k, y FROM head WHERE i = 0) g0
+          JOIN (SELECT k, y FROM head WHERE i = 1) g1 USING (k)
+          UNION ALL
+          SELECT r.k, r.t + 1,
+            round(0.5 * g.y + 0.5 * (r.l + r.b) + 1e-9, 6),
+            round(0.3 * (round(0.5 * g.y + 0.5 * (r.l + r.b) + 1e-9, 6)
+                         - r.l) + 0.7 * r.b + 1e-9, 6)
+          FROM hrec r JOIN head g ON g.k = r.k AND g.i = r.t + 1
+        ),
+        hfit AS (
+          SELECT h.k, h.l AS hl, h.b AS hb
+          FROM hrec h JOIN nk ON nk.k = h.k
+          WHERE h.t = nk.n - 48 - 1
+        ),
+        dmd AS (
+          SELECT k, row_number() OVER (PARTITION BY k ORDER BY i) AS pos,
+                 (i - lag(i, 1) OVER (PARTITION BY k ORDER BY i))::DOUBLE AS q,
+                 y AS s
+          FROM head WHERE y > 0
+        ),
+        ndm AS (SELECT k, count(*)::BIGINT AS nd FROM dmd GROUP BY 1),
+        crec AS (
+          SELECT d1.k, 2::BIGINT AS t, d1.s AS z, d2.q AS p
+          FROM (SELECT k, s FROM dmd WHERE pos = 1) d1
+          JOIN (SELECT k, q FROM dmd WHERE pos = 2) d2 USING (k)
+          UNION ALL
+          SELECT r.k, r.t + 1,
+            round(0.1 * d.s + 0.9 * r.z + 1e-9, 6),
+            round(0.1 * d.q + 0.9 * r.p + 1e-9, 6)
+          FROM crec r JOIN dmd d ON d.k = r.k AND d.pos = r.t + 1
+        ),
+        cfit AS (
+          SELECT c2.k, 0.95 * c2.z / c2.p AS cro_rate
+          FROM crec c2 JOIN ndm ON ndm.k = c2.k
+          WHERE ndm.nd >= 2 AND c2.t = ndm.nd
+        ),
+        scored AS (
+          SELECT t.k, mfit.n_head, t.y,
+                 abs(t.y - mfit.rate) AS e_mean,
+                 abs(t.y - hf.hod_rate) AS e_hod,
+                 abs(t.y - (hfit.hl + (t.i - (t.c - 1)) * hfit.hb)) AS e_holt,
+                 abs(t.y - cfit.cro_rate) AS e_cro
+          FROM tail t
+          JOIN mfit ON mfit.k = t.k
+          JOIN hodfit hf ON hf.k = t.k AND hf.hod = hour(t.h)::INT
+          JOIN hfit ON hfit.k = t.k
+          LEFT JOIN cfit ON cfit.k = t.k
+        ),
+        per AS (
+          SELECT k AS event_type, any_value(n_head) AS n_head,
+                 count(*)::BIGINT AS n_tail,
+                 round(avg(e_mean) + 1e-9, 6) AS mae_persistence,
+                 round(avg(e_hod) + 1e-9, 6) AS mae_hod,
+                 round(avg(e_holt) + 1e-9, 6) AS mae_holt,
+                 round(avg(e_cro) + 1e-9, 6) AS mae_croston
+          FROM scored GROUP BY 1
+        )
+        SELECT *,
+          CASE WHEN mae_persistence = least(mae_persistence, mae_hod,
+                                            mae_holt, mae_croston)
+               THEN 'persistence_mean'
+               WHEN mae_hod = least(mae_persistence, mae_hod, mae_holt,
+                                    mae_croston) THEN 'seasonal_hod'
+               WHEN mae_holt = least(mae_persistence, mae_hod, mae_holt,
+                                     mae_croston) THEN 'holt'
+               ELSE 'croston' END AS winner
+        FROM per
+    """
 
     sql["spectral_power"] = f"""
         WITH {hourly_grid_cte},

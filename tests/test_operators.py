@@ -3646,3 +3646,20 @@ def test_spectral_power_pure_daily_tone(spark):
            for r in spectral_power(_hourly_events(spark, spec)).collect()}
     assert out[24]["power_frac"] > 0.95
     assert out[168]["power_frac"] < 0.2
+
+
+def test_forecast_tournament_hod_wins_on_periodic(spark):
+    from cesium_spark.operators.forecast_eval import forecast_tournament
+
+    # strong 24h pattern sustained through the tail -> the HOD profile
+    # must beat the flat forecasters; a short series emits nothing
+    pat = [1, 1, 1, 1, 1, 1, 9, 9, 9, 9, 9, 9] * 2
+    spec = [("per", h, pat[h % 24]) for h in range(24 * 6)]
+    spec += [("short", h, 2) for h in range(30)]
+    out = forecast_tournament(_hourly_events(spark, spec),
+                              holdout_hours=48).collect()
+    assert [r["event_type"] for r in out] == ["per"]
+    r = out[0]
+    assert r["winner"] == "seasonal_hod" and r["mae_hod"] == 0.0
+    assert r["n_head"] == 96 and r["n_tail"] == 48
+    assert r["mae_persistence"] > 0 and r["mae_holt"] > 0
