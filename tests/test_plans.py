@@ -573,3 +573,75 @@ def test_perm_entropy_single_sort_window_jvm(spark):
     assert phys.count("lead(") == 2
     plan = _plan(df)
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_markov_nll_matrix_broadcasts_no_python(spark):
+    """The |types|^2 matrix must broadcast onto the per-actor count
+    relation (never shuffle the tall side on the pair key), and the
+    whole scorer stays JVM-side."""
+    from cesium_spark.operators.markov import markov_nll
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = _plan(markov_nll(ev))
+    assert "BroadcastHashJoin" in plan
+    assert "Cartesian" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_survival_horizon_dim_broadcasts_no_python(spark):
+    """The horizons dim is a handful of literal rows: it must reach the
+    gap relation as a broadcast nested-loop (no shuffle of the tall side),
+    and the whole operator is ONE scan + lag window + ONE bounded agg —
+    censored waits are counted inside the same aggregate, never via a
+    second pass over the stream."""
+    from cesium_spark.operators.survival import interevent_survival
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = _plan(interevent_survival(ev))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 2  # lag window +
+    # (type, horizon) agg; the tall side never reshuffles on the horizon key
+    assert plan.count("FileScan parquet") == 1  # single pass
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_benford_digit_spine_broadcasts_no_python(spark):
+    """Digit extraction is a map-only projection; the 9-row spine and
+    the per-group MAD relation must broadcast; zero Python."""
+    from cesium_spark.operators.analytics import benford_screen
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = _plan(benford_screen(ev))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Cartesian" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_session_concurrency_no_global_window(spark):
+    """The sweep must never form a totally-ordered single partition:
+    every Window in the plan carries a partitionBy (the minute
+    aggregation bounds rows per hour, the prefix scan partitions by
+    hour). A global ORDER BY sweep would die at fleet scale."""
+    from cesium_spark.operators.sessionize import session_concurrency
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = _plan(session_concurrency(
+        ev, gap_minutes=30, key_col="user_id", ts_col="ts",
+        tiebreak_col="event_id"))
+    # a partition-less Window prints as "Window [...], [...]" with no
+    # partition spec -> its Exchange shows SinglePartition
+    assert "SinglePartition" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_lb_keogh_is_jvm_only_position_join(spark):
+    """The LB_Keogh bound is one position equi-join + partial-aggregable
+    groupBy: no Python, no cartesian; the exact DP (applyInPandas) only
+    enters in dtw_nearest, strictly after the shortlist cut."""
+    from cesium_spark.operators.dtw import daily_z_grid, lb_keogh_pairs
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = _plan(lb_keogh_pairs(daily_z_grid(ev), band=7, shortlist=5))
+    assert "Cartesian" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
