@@ -2970,6 +2970,81 @@ def q_markov_nll(spark, sf_dir):
     return markov_nll(_events(spark, sf_dir))
 
 
+def q_markov_nll_streamed(spark, sf_dir):
+    """The LIVE sequence-anomaly head end-to-end: the transition matrix
+    is trained batch-side over the full table and FROZEN (rounded probs,
+    so the scorer sees exactly the values the batch operator uses), then
+    the event stream drains as two time-ordered availableNow micro-
+    batches through the applyInPandasWithState scorer; the latest
+    cumulative row per actor must equal the BATCH markov_nll — the
+    oracle is the exact same SQL, so a hash match proves the carried
+    (last_type, pair-count) state reproduces the batch lag-window
+    result across the boundary."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from cesium_spark.operators.tsstats import event_transitions
+    from cesium_spark.streaming.stream import streaming_markov_nll
+
+    ev = (
+        _events(spark, sf_dir)
+        .where(F.col("event_type").isNotNull())
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+    matrix = {
+        (r["from_type"], r["to_type"]): r["prob"]
+        for r in event_transitions(ev).where(
+            F.col("from_type").isNotNull() & F.col("to_type").isNotNull()
+        ).collect()
+    }
+    mid = ev.agg(F.expr("percentile(event_id, 0.5)")).collect()[0][0]
+    work = tempfile.mkdtemp(prefix="mnll_stream_")
+    in_dir = f"{work}/in"
+    try:
+        ev.filter(F.col("event_id") <= mid).coalesce(1) \
+            .write.mode("overwrite").parquet(in_dir)
+        # ordering is load-bearing (carried last_type): pin the second
+        # half's mtime strictly later so FileStreamSource drains halves
+        # in time order (see q_event_loops_streamed)
+        first_files = set(glob.glob(f"{in_dir}/*.parquet"))
+        ev.filter(F.col("event_id") > mid).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+        later = time.time() + 10
+        for f in set(glob.glob(f"{in_dir}/*.parquet")) - first_files:
+            os.utime(f, (later, later))
+        schema = "event_id bigint, ts timestamp, user_id bigint, event_type string"
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(in_dir)
+        )
+        q = (
+            streaming_markov_nll(src, matrix).writeStream
+            .format("parquet").option("path", f"{work}/out")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True).start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                raise TimeoutError("markov-nll stream did not drain in 300s")
+        finally:
+            q.stop()
+        emitted = spark.read.parquet(f"{work}/out")
+        return (
+            emitted.groupBy("user_id")
+            .agg(F.max(F.struct(
+                "n_transitions", "nll_bits", "max_surprise_bits",
+                "surprise_from", "surprise_to",
+            )).alias("s"))
+            .select("user_id", "s.*")
+            .localCheckpoint(eager=True)  # detach from the temp files
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_markov_entropy(spark, sf_dir):
     """Entropy rate of the fleet's action chain: bits/event floor for
     any next-action model, as sum_f pi(f) H(.|f) over the stationary
@@ -3074,6 +3149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_stationary": q_markov_stationary,
         "markov_nll": q_markov_nll,
         "markov_entropy": q_markov_entropy,
+        "markov_nll_streamed": q_markov_nll_streamed,
         "gap_burstiness": q_gap_burstiness,
         "interevent_survival": q_interevent_survival,
         "benford_screen": q_benford_screen,
@@ -7460,6 +7536,8 @@ def oracle_sql() -> dict[str, str]:
                k.from_type AS surprise_from, k.to_type AS surprise_to
         FROM agg a JOIN pick k ON k.user_id = a.user_id AND k.rk = 1
     """
+    # the streamed head's latest row per actor == the batch operator
+    sql["markov_nll_streamed"] = sql["markov_nll"]
 
     sql["interevent_survival"] = f"""
         WITH g AS (

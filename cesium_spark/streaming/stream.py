@@ -33,6 +33,7 @@ __all__ = [
     "streaming_anomaly_zscore", "streaming_session_window",
     "hll_batch_fn", "hll_state_estimate",
     "cms_batch_fn", "cms_state_counters", "streaming_holt",
+    "streaming_markov_nll",
 ]
 
 
@@ -1501,6 +1502,128 @@ def streaming_holt(
 
     narrow = stream_df.select(
         F.col(key_col), ts_micros(F.col(ts_col)).alias("_ts_us"))
+    return narrow.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "NoTimeout"
+    )
+
+
+def streaming_markov_nll(
+    stream_df: DataFrame,
+    matrix: dict,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    round_digits: int = 6,
+):
+    """LIVE sequence-anomaly scoring: the stateful streaming twin of
+    operators/markov.markov_nll against a FROZEN transition matrix
+    (``matrix``: {(from, to): prob} — train it batch-side with
+    event_transitions and freeze; the reference-edges discipline the
+    PSI head uses). Per-key state carries the last event type plus the
+    per-(from, to) transition counts — a |types|^2-bounded pair of
+    arrays, NOT the stream — so a transition spanning a micro-batch
+    boundary scores exactly once. After each batch the key emits its
+    cumulative (n_transitions, nll_bits, max_surprise_bits, surprise
+    pair) row; the latest row per key equals the batch operator over
+    everything ingested (same rounded argmax tie-break: bits desc,
+    then lexicographic (from, to)).
+
+    Pairs absent from the frozen matrix (never seen in training) carry
+    no defined probability; they are counted in ``n_unseen`` and
+    excluded from the score — at 100 TB the alternative (a pseudo-count
+    floor) is a caller decision, not a silent default.
+
+    State is one small struct per key, NoTimeout (actor-bounded)."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StringType, StructField,
+        StructType,
+    )
+
+    key_type = stream_df.schema[key_col].dataType
+    ttype = stream_df.schema[type_col].dataType
+    out_schema = StructType([
+        StructField(key_col, key_type),
+        StructField("n_transitions", LongType()),
+        StructField("nll_bits", DoubleType()),
+        StructField("max_surprise_bits", DoubleType()),
+        StructField("surprise_from", StringType()),
+        StructField("surprise_to", StringType()),
+        StructField("n_unseen", LongType()),
+    ])
+    state_schema = StructType([
+        StructField("last_type", ttype),
+        StructField("pair_keys", ArrayType(StringType())),
+        StructField("pair_counts", ArrayType(LongType())),
+        StructField("n_unseen", LongType()),
+    ])
+    q = 10.0 ** round_digits
+    eps = 1e-9
+    sep = "\x1f"  # unit separator — cannot appear in event-type names
+
+    def fn(key, pdfs, state):
+        parts = [p for p in pdfs]
+        if not parts:
+            return
+        pdf = pd.concat(parts).sort_values(["_ts_us", "_tb"])
+        types = [t for t in pdf[type_col] if t is not None]
+        if not types:
+            return
+        if state.exists:
+            last_type, pair_keys, pair_counts, n_unseen = state.get
+            counts = dict(zip(list(pair_keys), [int(c) for c in pair_counts]))
+            n_unseen = int(n_unseen)
+        else:
+            last_type, counts, n_unseen = None, {}, 0
+        seq = ([last_type] + types) if last_type is not None else types
+        for f, t in zip(seq, seq[1:]):
+            if (f, t) in matrix:
+                k = f + sep + t
+                counts[k] = counts.get(k, 0) + 1
+            else:
+                n_unseen += 1
+        last_type = types[-1]
+        state.update(
+            (last_type, list(counts), [counts[k] for k in counts], n_unseen)
+        )
+        n = sum(counts.values())
+        if n == 0:
+            yield pd.DataFrame({
+                key_col: [key[0]], "n_transitions": [0], "nll_bits": [None],
+                "max_surprise_bits": [None], "surprise_from": [None],
+                "surprise_to": [None], "n_unseen": [n_unseen],
+            })
+            return
+        tot = 0.0
+        best = None  # (-rbits, f, t): min == bits desc, then pair asc
+        for k in sorted(counts):  # deterministic summation order
+            f, t = k.split(sep)
+            bits = -math.log2(matrix[(f, t)])
+            tot += counts[k] * bits
+            # half-up rounding, matching Spark/DuckDB round() for
+            # non-negative inputs (python round() is banker's)
+            rbits = math.floor((bits + eps) * q + 0.5) / q
+            cand = (-rbits, f, t)
+            if best is None or cand < best:
+                best = cand
+        yield pd.DataFrame({
+            key_col: [key[0]],
+            "n_transitions": [n],
+            "nll_bits": [math.floor((tot / n + eps) * q + 0.5) / q],
+            "max_surprise_bits": [-best[0]],
+            "surprise_from": [best[1]],
+            "surprise_to": [best[2]],
+            "n_unseen": [n_unseen],
+        })
+
+    narrow = stream_df.select(
+        F.col(key_col), F.col(type_col),
+        ts_micros(F.col(ts_col)).alias("_ts_us"),
+        F.col(tiebreak_col).alias("_tb"),
+    )
     return narrow.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", "NoTimeout"
     )

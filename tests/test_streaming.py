@@ -992,3 +992,79 @@ def test_streaming_holt_matches_batch_across_restart(spark, tmp_path):
     # the intermediate emission (after batch 1) covered hours 0..2 only
     first = emitted.sort_values("n_events").groupby("event_type").first()
     assert first.loc["s", "n_hours"] == 3
+
+
+def test_streaming_markov_nll_matches_batch_across_restart(spark, tmp_path):
+    """Live sequence surprisal vs a frozen matrix: a transition spanning
+    the batch boundary scores exactly once (state carries last_type),
+    pairs absent from the matrix land in n_unseen not the score, and
+    after an availableNow restart the latest row per key equals the
+    batch markov_nll over everything ingested."""
+    import pandas as pd
+
+    from cesium_spark.operators.markov import markov_nll
+    from cesium_spark.operators.tsstats import event_transitions
+    from cesium_spark.streaming.stream import streaming_markov_nll
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    t0 = pd.Timestamp("2025-01-01")
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+
+    def rows(specs, base_eid):
+        out = []
+        for i, (u, ty) in enumerate(specs):
+            out.append((base_eid + i,
+                        (t0 + pd.Timedelta(seconds=base_eid + i)).to_pydatetime(),
+                        u, ty))
+        return out
+
+    # boundary transition: user 7 ends batch 1 on "a", opens batch 2 on
+    # "b" -> the a->b transition must score once. user 9 appears only in
+    # batch 2.
+    b1 = rows([(7, "a"), (7, "b"), (7, "a"), (8, "a"), (8, "a")], 0)
+    b2 = rows([(7, "b"), (7, "a"), (8, "b"), (9, "a"), (9, "a")], 100)
+    full = spark.createDataFrame(b1 + b2, schema)
+    matrix = {
+        (r["from_type"], r["to_type"]): r["prob"]
+        for r in event_transitions(full).collect()
+    }
+
+    spark.createDataFrame(b1, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(in_dir)
+
+    def drain():
+        src = spark.readStream.schema(schema).parquet(in_dir)
+        q = (streaming_markov_nll(src, matrix).writeStream
+             .format("parquet").option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drain()
+    spark.createDataFrame(b2, schema).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+    drain()
+
+    emitted = spark.read.parquet(out_dir).toPandas()
+    latest = emitted.sort_values("n_transitions").groupby("user_id").last()
+    want = markov_nll(full).toPandas().set_index("user_id")
+    for u in want.index:
+        for c in ("n_transitions", "nll_bits", "max_surprise_bits",
+                  "surprise_from", "surprise_to"):
+            assert latest.loc[u, c] == want.loc[u, c], (u, c)
+    assert (latest["n_unseen"] == 0).all()  # matrix trained on the data
+
+    # unseen pairs: score against a matrix missing a->b entirely
+    m2 = {k: v for k, v in matrix.items() if k != ("a", "b")}
+    out2, ck2 = str(tmp_path / "out2"), str(tmp_path / "ckpt2")
+    src = spark.readStream.schema(schema).parquet(in_dir)
+    q = (streaming_markov_nll(src, m2).writeStream
+         .format("parquet").option("path", out2)
+         .option("checkpointLocation", ck2)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    e2 = spark.read.parquet(out2).toPandas()
+    l2 = e2.sort_values("n_transitions").groupby("user_id").last()
+    # user 7 took a->b twice (once across the boundary): both excluded
+    assert l2.loc[7, "n_unseen"] == 2
+    assert l2.loc[7, "n_transitions"] == want.loc[7, "n_transitions"] - 2
