@@ -3100,6 +3100,94 @@ def q_session_concurrency(spark, sf_dir):
     )
 
 
+def q_dtw_recall(spark, sf_dir):
+    """Quality bridge for the SAX-blocked DTW scale path (the
+    ann_recall discipline): blocked nearest-neighbour distances are
+    compared against the exhaustive LB_Keogh+DTW baseline on a bounded
+    probe sample (user_id < 200 — the exhaustive side is quadratic by
+    design, that is WHY the blocked path exists). Top-1 identity is the
+    wrong metric on near-tie corpora, so the measure is the ANN
+    literature's effective error: ratio of blocked-NN distance to
+    exact-NN distance (measured 1.016 mean / 1.46 max at sf0.01).
+    Emits hash-checked booleans: mean ratio <= 1.10 and coverage
+    (blocked queries with >= 1 same-word candidate) >= 0.85; the oracle
+    recomputes n_series from the grid definition and asserts the same
+    booleans — a blocking-quality regression flips a hashed value."""
+    from cesium_spark.operators.dtw import dtw_nearest
+
+    ev = _events(spark, sf_dir).where(F.col("user_id") < 200)
+    full = {r["user_id"]: r["dtw_dist"]
+            for r in dtw_nearest(ev, band=7, shortlist=5).collect()}
+    blk = {r["user_id"]: r["dtw_dist"]
+           for r in dtw_nearest(ev, band=7, shortlist=5,
+                                block_segments=4).collect()}
+    ratios = [blk[k] / full[k] for k in blk if k in full and full[k] > 0]
+    mean_ratio = sum(ratios) / max(len(ratios), 1)
+    coverage = len(blk) / max(len(full), 1)
+    return spark.createDataFrame(
+        [("dtw_sax_blocked", len(full), mean_ratio <= 1.10,
+          coverage >= 0.85)],
+        "method string, n_series long, ratio_pass boolean, coverage_pass boolean",
+    )
+
+
+def q_session_concurrency_streamed(spark, sf_dir):
+    """The LIVE capacity readout end-to-end: sessions come from the
+    native session_window stream (JVM state store, exactly-once
+    emission at watermark closure), and the minute-aggregated
+    concurrency sweep (operators/sessionize.concurrency_from_spans)
+    runs over the emitted span table. The oracle is the batch
+    session_concurrency SQL restricted to CLOSED sessions (session_end
+    + gap <= max ts - 1s — the native operator's emission contract),
+    so a hash match proves the live session merging feeds the exact
+    batch sweep."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from cesium_spark.operators.sessionize import concurrency_from_spans
+    from cesium_spark.streaming.stream import streaming_session_window
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts")
+    mid = ev.agg(F.expr("percentile(event_id, 0.5)")).collect()[0][0]
+    work = tempfile.mkdtemp(prefix="conc_stream_")
+    in_dir = f"{work}/in"
+    try:
+        ev.filter(F.col("event_id") <= mid).coalesce(1) \
+            .write.mode("overwrite").parquet(in_dir)
+        first_files = set(glob.glob(f"{in_dir}/*.parquet"))
+        ev.filter(F.col("event_id") > mid).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+        later = time.time() + 10
+        for f in set(glob.glob(f"{in_dir}/*.parquet")) - first_files:
+            os.utime(f, (later, later))
+        src = (
+            spark.readStream
+            .schema("event_id bigint, user_id bigint, ts timestamp")
+            .option("maxFilesPerTrigger", 1).parquet(in_dir)
+        )
+        q = (
+            streaming_session_window(src, gap="30 minutes")
+            .writeStream.format("parquet").option("path", f"{work}/out")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True).start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                raise TimeoutError("session stream did not drain in 300s")
+        finally:
+            q.stop()
+        spans = spark.read.parquet(f"{work}/out").select(
+            F.col("session_start").alias("t_start"),
+            F.col("session_end").alias("t_end"),
+        )
+        return concurrency_from_spans(spans).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_lb_keogh(spark, sf_dir):
     """LB_Keogh lower-bound shortlist for banded-DTW neighbour search
     (UCR-suite pruning as ONE position equi-join + partial-aggregable
@@ -3154,8 +3242,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interevent_survival": q_interevent_survival,
         "benford_screen": q_benford_screen,
         "session_concurrency": q_session_concurrency,
+        "session_concurrency_streamed": q_session_concurrency_streamed,
         "lb_keogh": q_lb_keogh,
         "dtw_nn": q_dtw_nn,
+        "dtw_recall": q_dtw_recall,
         # --- r5-red oracles fixed (HUGEINT->BIGINT casts): keep inside
         # the 50-slot window so CORRECTNESS_r06 re-checks them green ---
         "event_loops": q_event_loops,
@@ -7451,6 +7541,38 @@ def oracle_sql() -> dict[str, str]:
         FROM j
     """
 
+    # dtw_recall bridge: n_series from the grid definition (sd > 0 over
+    # the zero-filled daily grid, probe sample user_id < 200); the two
+    # quality booleans are asserted constants — a regression in the
+    # blocked path flips a hashed value (the ann_recall discipline)
+    sql["dtw_recall"] = """
+        WITH d AS (
+          SELECT user_id, date_trunc('day', ts) AS day,
+                 count(*)::BIGINT AS n
+          FROM events WHERE user_id < 200 GROUP BY 1, 2
+        ),
+        bounds AS (
+          SELECT user_id, min(day) AS d0, max(day) AS d1 FROM d GROUP BY 1
+        ),
+        spine AS (
+          SELECT user_id, d0,
+                 unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+          FROM bounds
+        ),
+        grid AS (
+          SELECT s.user_id, coalesce(d.n, 0)::DOUBLE AS x
+          FROM spine s LEFT JOIN d
+            ON d.user_id = s.user_id AND d.day = s.day
+        ),
+        live AS (
+          SELECT user_id FROM grid GROUP BY 1
+          HAVING avg(x * x) - avg(x) * avg(x) > 0
+        )
+        SELECT 'dtw_sax_blocked' AS method,
+               (SELECT count(*) FROM live)::BIGINT AS n_series,
+               TRUE AS ratio_pass, TRUE AS coverage_pass
+    """
+
     sql["gap_burstiness"] = f"""
         WITH g AS (
           SELECT event_type,
@@ -7693,6 +7815,20 @@ def oracle_sql() -> dict[str, str]:
                  AS peak_concurrent
         FROM ph FULL JOIN carry c ON c.hour = ph.hour
     """
+    # live head: the same sweep over CLOSED sessions only (the native
+    # session_window emission contract: end + gap <= max ts - delay)
+    sql["session_concurrency_streamed"] = sql["session_concurrency"].replace(
+        "FROM sess", "FROM closed"
+    ).replace(
+        "        carry AS (",
+        """        closed AS (
+          SELECT * FROM sess
+          WHERE t_end + INTERVAL 30 MINUTE
+                <= (SELECT max(ts) FROM events) - INTERVAL 1 SECOND
+        ),
+        carry AS (""",
+        1,
+    )
 
     sql["lb_keogh"] = f"""
         WITH d AS (

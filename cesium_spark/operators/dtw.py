@@ -40,7 +40,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["daily_z_grid", "lb_keogh_pairs", "dtw_nearest"]
+__all__ = ["daily_z_grid", "series_sax_word", "lb_keogh_pairs",
+           "dtw_nearest"]
 
 _EPS = 1e-9
 
@@ -94,32 +95,91 @@ def daily_z_grid(
     )
 
 
+def series_sax_word(
+    grid: DataFrame,
+    segments: int = 4,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Whole-series SAX word (Lin/Keogh): the z-grid PAA'd into
+    ``segments`` equal slices (by position quantile so unequal spans
+    still split evenly), each slice mean quantized at the 4-symbol
+    gaussian breakpoints (-0.6745, 0, 0.6745) -> a short word like
+    "adda". Series with the same word have the same coarse shape — the
+    BLOCKING key that turns the quadratic LB_Keogh pair enumeration
+    into within-bucket joins at fleet scale. Pure JVM: two bounded
+    aggregations, no Python."""
+    span = grid.groupBy(key_col).agg(
+        (F.max("pos") + 1).alias("_len")
+    )
+    seg = grid.join(span, key_col).select(
+        key_col,
+        F.least(
+            F.floor(F.col("pos") * segments / F.col("_len")),
+            F.lit(segments - 1),
+        ).cast("int").alias("seg"),
+        "z",
+    )
+    paa = seg.groupBy(key_col, "seg").agg(F.avg("z").alias("m"))
+    sym = (
+        F.when(F.col("m") < -0.6745, F.lit("a"))
+        .when(F.col("m") < 0.0, F.lit("b"))
+        .when(F.col("m") < 0.6745, F.lit("c"))
+        .otherwise(F.lit("d"))
+    )
+    return (
+        paa.select(key_col, "seg", sym.alias("s"))
+        .groupBy(key_col)
+        .agg(
+            F.concat_ws(
+                "", F.array_sort(F.collect_list(F.struct("seg", "s"))).s
+            ).alias("word")
+        )
+    )
+
+
 def lb_keogh_pairs(
     grid: DataFrame,
     band: int = 7,
     shortlist: int = 5,
     key_col: str = "user_id",
     round_digits: int = 6,
+    blocks: DataFrame | None = None,
 ) -> DataFrame:
     """Top-``shortlist`` candidates per query key by LB_Keogh lower
     bound (squared form — sqrt is monotone so ranking is unaffected;
     the emitted ``lb`` is the square root for unit comparability with
     dtw_dist). Envelope via rangeBetween(-band, band) window; the pair
     enumeration is a position equi-join so the bound is one partial-
-    aggregable groupBy, no Python. Ties rank by candidate key."""
+    aggregable groupBy, no Python. Ties rank by candidate key.
+
+    ``blocks``: optional (key, word) relation (series_sax_word). When
+    given, the pair join key becomes (pos, word) — series in different
+    blocks never pair, killing the quadratic enumeration term that
+    dominates at fleet scale; recall vs the exhaustive baseline is
+    measured by the dtw_recall driver query (the ann_recall
+    discipline)."""
+    join_keys = ["pos"]
+    if blocks is not None:
+        grid = grid.join(F.broadcast(blocks), key_col)
+        join_keys = ["pos", "word"]
     wenv = Window.partitionBy(key_col).orderBy("pos").rangeBetween(-band, band)
     env = grid.select(
         F.col(key_col).alias("cand_id"),
+        *(["word"] if blocks is not None else []),
         "pos",
         F.max("z").over(wenv).alias("u"),
         F.min("z").over(wenv).alias("l"),
     )
-    q = grid.select(F.col(key_col).alias("qid"), "pos", "z")
+    q = grid.select(
+        F.col(key_col).alias("qid"),
+        *(["word"] if blocks is not None else []),
+        "pos", "z",
+    )
     dev = F.when(F.col("z") > F.col("u"), F.col("z") - F.col("u")).when(
         F.col("z") < F.col("l"), F.col("l") - F.col("z")
     ).otherwise(F.lit(0.0))
     lb2 = (
-        q.join(env, "pos")
+        q.join(env, join_keys)
         .where(F.col("qid") != F.col("cand_id"))
         .groupBy("qid", "cand_id")
         .agg(F.sum(dev * dev).alias("lb2"))
@@ -165,15 +225,23 @@ def dtw_nearest(
     key_col: str = "user_id",
     ts_col: str = "ts",
     round_digits: int = 6,
+    block_segments: int | None = None,
 ) -> DataFrame:
     """Exact-where-certified DTW nearest neighbour per key:
     (key, nn_id, dtw_dist, lb, certified). ``certified`` = 1 when the
     best exact distance <= the (shortlist+1)-th candidate's lower
-    bound, i.e. no pruned candidate can possibly be closer."""
+    bound, i.e. no pruned candidate can possibly be closer.
+    ``block_segments``: when set, candidates are restricted to series
+    sharing the ``series_sax_word`` blocking key (the scale path —
+    recall measured by the dtw_recall driver query)."""
     grid = daily_z_grid(df, key_col=key_col, ts_col=ts_col, round_digits=round_digits)
+    blocks = (
+        series_sax_word(grid, segments=block_segments, key_col=key_col)
+        if block_segments else None
+    )
     cand = lb_keogh_pairs(
         grid, band=band, shortlist=shortlist, key_col=key_col,
-        round_digits=round_digits,
+        round_digits=round_digits, blocks=blocks,
     )
     series = grid.groupBy(key_col).agg(
         F.sort_array(F.collect_list(F.struct("pos", "z"))).alias("s")

@@ -17,7 +17,8 @@ from pyspark.sql.window import Window
 
 from ..kernel import ts_micros
 
-__all__ = ["sessionize", "session_stats"]
+__all__ = ["sessionize", "session_stats", "session_concurrency",
+           "concurrency_from_spans"]
 
 
 def sessionize(
@@ -92,6 +93,15 @@ def session_concurrency(
         .groupBy(key_col, "session_id")
         .agg(F.min(ts_col).alias("t_start"), F.max(ts_col).alias("t_end"))
     )
+    return concurrency_from_spans(sess)
+
+
+def concurrency_from_spans(sess: DataFrame) -> DataFrame:
+    """The minute-aggregated concurrency sweep over ANY span relation
+    with (t_start, t_end) columns — session_concurrency feeds it the
+    batch gaps-and-islands sessions; the live head feeds it the
+    sessions emitted by the native session_window stream. Same scale
+    shape as documented on session_concurrency."""
     h0 = F.date_trunc("hour", F.col("t_start"))
     hk = F.date_trunc("hour", F.col("t_end"))
     carry = (

@@ -333,3 +333,42 @@ def test_gap_burstiness_metronome_and_alternation(spark):
     assert out["tick"]["memory"] is None  # constant gaps -> no variance
     assert out["alt"]["memory"] is not None and out["alt"]["memory"] < -0.9
     assert out["alt"]["n_pairs"] == 19
+
+
+def test_series_sax_word_and_blocking(spark):
+    from cesium_spark.operators.dtw import (
+        daily_z_grid, lb_keogh_pairs, series_sax_word,
+    )
+
+    # two low-high series share a word; one high-low series differs
+    rows = (_daily_rows(1, [1, 1, 1, 1, 9, 9, 9, 9])
+            + _daily_rows(2, [2, 2, 2, 2, 8, 8, 8, 8])
+            + _daily_rows(3, [9, 9, 9, 9, 1, 1, 1, 1]))
+    grid = daily_z_grid(_events(spark, rows))
+    words = {r["user_id"]: r["word"]
+             for r in series_sax_word(grid, segments=4).collect()}
+    assert words[1] == words[2] and words[1] != words[3]
+    # blocked enumeration: 1 and 2 pair with each other only
+    cand = lb_keogh_pairs(grid, band=2, shortlist=3,
+                          blocks=series_sax_word(grid, segments=4)).collect()
+    pairs = {(r["qid"], r["cand_id"]) for r in cand}
+    assert (1, 2) in pairs and (2, 1) in pairs
+    assert all(3 not in p for p in pairs)  # lone word -> no candidates
+
+
+def test_dtw_nearest_blocked_subset_of_full(spark):
+    from cesium_spark.operators.dtw import dtw_nearest
+
+    rows = (_daily_rows(1, [1, 2, 3, 4, 5, 4, 3, 2, 1, 2])
+            + _daily_rows(2, [1, 2, 3, 4, 5, 4, 3, 2, 1, 2])
+            + _daily_rows(3, [9, 1, 9, 1, 9, 1, 9, 1, 9, 1]))
+    ev = _events(spark, rows)
+    blk = {r["user_id"]: r for r in dtw_nearest(
+        ev, band=2, shortlist=2, block_segments=4).collect()}
+    # identical series share a word and still find each other exactly
+    assert blk[1]["nn_id"] == 2 and blk[1]["dtw_dist"] == 0.0
+    # blocked candidate set is a subset -> distance >= the full answer
+    full = {r["user_id"]: r for r in dtw_nearest(
+        ev, band=2, shortlist=2).collect()}
+    for u, r in blk.items():
+        assert r["dtw_dist"] >= full[u]["dtw_dist"] - 1e-9
