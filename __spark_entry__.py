@@ -3076,6 +3076,27 @@ def q_interevent_survival(spark, sf_dir):
     return interevent_survival(_events(spark, sf_dir))
 
 
+def q_km_survival(spark, sf_dir):
+    """Proper Kaplan-Meier wait-to-next-event curves per opening type:
+    right-censored final waits enter the risk set (not just a count),
+    durations discretize to ceil-seconds and the step relation is
+    (types x max_horizon)-bounded — the at-scale form of the survival
+    readout. Oracle replays the step products as exp(sum ln) windows."""
+    from cesium_spark.operators.survival import km_survival
+
+    return km_survival(_events(spark, sf_dir))
+
+
+def q_weibull_fit(spark, sf_dir):
+    """Weibull(k, lambda) fit of the inter-event wait via probability-
+    plot OLS on the KM step grid: shape k < 1 = cooling hazard (stuck
+    agents get stucker), k = 1 = memoryless, k > 1 = aging. Raw-sum
+    regression over the bounded grid — exactly SQL-replayable."""
+    from cesium_spark.operators.survival import weibull_fit
+
+    return weibull_fit(_events(spark, sf_dir))
+
+
 def q_benford_screen(spark, sf_dir):
     """Benford first-digit conformance per event type (Nigrini MAD
     bands): leading-digit mix vs log10(1 + 1/d) flags synthetic or
@@ -3240,6 +3261,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_nll_streamed": q_markov_nll_streamed,
         "gap_burstiness": q_gap_burstiness,
         "interevent_survival": q_interevent_survival,
+        "km_survival": q_km_survival,
+        "weibull_fit": q_weibull_fit,
         "benford_screen": q_benford_screen,
         "session_concurrency": q_session_concurrency,
         "session_concurrency_streamed": q_session_concurrency_streamed,
@@ -7691,6 +7714,100 @@ def oracle_sql() -> dict[str, str]:
                a.n_surviving, a.s_frac, a.mean_gap_s
         FROM agg a LEFT JOIN cen ON cen.event_type = a.event_type
     """
+
+    # KM machinery shared by km_survival and weibull_fit oracles
+    _km_steps_sql = f"""
+        WITH base AS MATERIALIZED (
+          SELECT event_type,
+                 ceil(coalesce(
+                        lead(epoch_us(ts)) OVER w - epoch_us(ts),
+                        (SELECT max(epoch_us(ts)) FROM events)
+                          - epoch_us(ts))
+                      / 1000000.0)::BIGINT AS dur_s,
+                 CASE WHEN lead(epoch_us(ts)) OVER w IS NOT NULL
+                      THEN 1 ELSE 0 END AS is_event
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        totals AS MATERIALIZED (
+          SELECT event_type, count(*)::BIGINT AS n_total
+          FROM base GROUP BY 1
+        ),
+        grid AS (
+          SELECT event_type, dur_s, sum(is_event)::BIGINT AS d,
+                 count(*)::BIGINT AS dropped
+          FROM base WHERE dur_s <= 3600 GROUP BY 1, 2
+        ),
+        curve AS (
+          SELECT g.event_type, g.dur_s, g.d, t.n_total,
+                 t.n_total - coalesce(
+                   sum(g.dropped) OVER (PARTITION BY g.event_type
+                                        ORDER BY g.dur_s
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0) AS n_risk
+          FROM grid g JOIN totals t USING (event_type)
+        ),
+        steps AS MATERIALIZED (
+          SELECT event_type, dur_s, d, n_total,
+                 exp(sum(ln(1.0 - d::DOUBLE / n_risk))
+                     OVER (PARTITION BY event_type ORDER BY dur_s
+                           ROWS UNBOUNDED PRECEDING)) AS s_at
+          FROM curve WHERE d > 0
+        )"""
+
+    sql["km_survival"] = f"""{{_km}},
+        h AS (SELECT unnest([60, 300, 900, 3600])::BIGINT AS horizon_s),
+        agg AS (
+          SELECT s.event_type, h.horizon_s,
+                 sum(s.d)::BIGINT AS n_events_used,
+                 round(arg_max(s.s_at, s.dur_s) + {EPS}, {R}) AS km_s
+          FROM steps s JOIN h ON s.dur_s <= h.horizon_s
+          GROUP BY 1, 2
+        )
+        SELECT t.event_type, h.horizon_s, t.n_total,
+               coalesce(a.n_events_used, 0)::BIGINT AS n_events_used,
+               a.km_s
+        FROM totals t CROSS JOIN h
+        LEFT JOIN agg a
+          ON a.event_type = t.event_type AND a.horizon_s = h.horizon_s
+    """.replace("{_km}", _km_steps_sql)
+
+    sql["weibull_fit"] = f"""{{_km}},
+        pts AS (
+          SELECT event_type, ln(dur_s::DOUBLE) AS x, ln(-ln(s_at)) AS y
+          FROM steps WHERE s_at > 0 AND s_at < 1 AND dur_s >= 1
+        ),
+        a AS (
+          SELECT event_type, count(*)::BIGINT AS n,
+                 sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+                 sum(y * y) AS syy, sum(x * y) AS sxy
+          FROM pts GROUP BY 1
+        )
+        SELECT event_type, n AS n_points,
+               round(CASE WHEN n >= 3
+                           AND sxx / n - (sx / n) * (sx / n) > 0
+                     THEN (sxy / n - (sx / n) * (sy / n))
+                          / (sxx / n - (sx / n) * (sx / n)) END + {EPS}, {R})
+                 AS k_shape,
+               round(CASE WHEN n >= 3
+                           AND sxx / n - (sx / n) * (sx / n) > 0
+                     THEN exp(-(sy / n
+                                - (sxy / n - (sx / n) * (sy / n))
+                                  / (sxx / n - (sx / n) * (sx / n))
+                                  * (sx / n))
+                              / ((sxy / n - (sx / n) * (sy / n))
+                                 / (sxx / n - (sx / n) * (sx / n)))) END
+                     + {EPS}, {R}) AS lambda_s,
+               round(CASE WHEN n >= 3
+                           AND sxx / n - (sx / n) * (sx / n) > 0
+                           AND syy / n - (sy / n) * (sy / n) > 0
+                     THEN (sxy / n - (sx / n) * (sy / n))
+                          * (sxy / n - (sx / n) * (sy / n))
+                          / ((sxx / n - (sx / n) * (sx / n))
+                             * (syy / n - (sy / n) * (sy / n))) END
+                     + {EPS}, {R}) AS r2
+        FROM a
+    """.replace("{_km}", _km_steps_sql)
 
     sql["benford_screen"] = f"""
         WITH src AS (

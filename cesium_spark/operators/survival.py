@@ -28,7 +28,8 @@ from pyspark.sql.window import Window
 
 from ..kernel import ts_micros
 
-__all__ = ["interevent_survival", "gap_burstiness"]
+__all__ = ["interevent_survival", "gap_burstiness", "km_survival",
+           "weibull_fit"]
 
 _EPS = 1e-9
 
@@ -170,4 +171,209 @@ def gap_burstiness(
             + F.lit(_EPS),
             round_digits,
         ).alias("memory"),
+    )
+
+
+def _km_steps(df, h_max, key_col, ts_col, type_col, tiebreak_col):
+    """Shared KM machinery: (stepped, totals) where stepped holds the
+    (type, dur_s, d, n_total, s_at) step curve up to h_max seconds and
+    totals the per-type duration counts. See km_survival for the
+    discretization and censoring conventions; the curve relation is
+    (types x h_max)-bounded."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    us = ts_micros(F.col(ts_col))
+    t_end = df.select(F.max(ts_micros(F.col(ts_col))).alias("m"))
+    durs = (
+        df.select(F.col(type_col), us.alias("us"),
+                  F.lead(us).over(w).alias("nxt"))
+        .crossJoin(F.broadcast(t_end))
+        .select(
+            type_col,
+            F.ceil(
+                F.coalesce(F.col("nxt") - F.col("us"),
+                           F.col("m") - F.col("us"))
+                / F.lit(1_000_000.0)
+            ).cast("long").alias("dur_s"),
+            F.col("nxt").isNotNull().cast("long").alias("is_event"),
+        )
+    )
+    totals = durs.groupBy(type_col).agg(
+        F.count("*").cast("long").alias("n_total")
+    )
+    grid = (
+        durs.where(F.col("dur_s") <= h_max)
+        .groupBy(type_col, "dur_s")
+        .agg(
+            F.sum("is_event").cast("long").alias("d"),
+            F.count("*").cast("long").alias("dropped"),
+        )
+    )
+    wt = Window.partitionBy(type_col).orderBy("dur_s")
+    prior = F.coalesce(
+        F.sum("dropped").over(wt.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    curve = (
+        grid.join(F.broadcast(totals), type_col)
+        .select(
+            type_col, "dur_s", "d",
+            (F.col("n_total") - prior).alias("n_risk"),
+            "n_total",
+        )
+        .where(F.col("d") > 0)  # censoring-only times don't step S(t)
+        .select(
+            type_col, "dur_s", "d", "n_total",
+            F.log(1.0 - F.col("d") / F.col("n_risk")).alias("lnf"),
+        )
+    )
+    ws = Window.partitionBy(type_col).orderBy("dur_s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    stepped = curve.select(
+        type_col, "dur_s", "d", "n_total",
+        F.exp(F.sum("lnf").over(ws)).alias("s_at"),
+    )
+    return stepped, totals
+
+
+def km_survival(
+    df: DataFrame,
+    horizons_s: tuple[int, ...] = (60, 300, 900, 3600),
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Kaplan-Meier survival of the wait to the actor's next event per
+    opening type, with the right-censored final waits entering the risk
+    set properly (Kaplan & Meier 1958) — unlike interevent_survival's
+    empirical curve, which can only COUNT censored waits, KM uses them:
+    a censored wait says "survived at least this long", so dropping it
+    biases S(t) downward.
+
+        S(t) = prod_{t_i <= t} (1 - d_i / n_i)
+
+    over event times t_i, with d_i events and n_i at-risk (duration >=
+    t_i, observed or censored; the censored-last convention: a wait
+    censored AT t_i is still at risk at t_i). Censoring is
+    administrative: each actor's final wait is censored at the table's
+    max timestamp.
+
+    Scale shape: durations discretize to CEIL SECONDS and event times
+    are kept only up to max(horizons) — so the windowed relation is
+    (types x max_horizon_s)-bounded regardless of stream size; at-risk
+    counts come from each type's total minus the cumulative drop-out,
+    never from re-scanning. One lead window (shared actor-key shuffle)
+    + one bounded groupBy + one bounded window.
+
+    Returns (event_type, horizon_s, n_total, n_events_used, km_s) —
+    km_s NULL when no event time falls at or below the horizon (S = 1
+    there; NULL distinguishes "no information" from a measured 1.0,
+    and the oracle replays the same rule).
+    """
+    if not horizons_s:
+        raise ValueError("horizons_s must be non-empty")
+    h_max = int(max(horizons_s))
+    stepped, totals = _km_steps(
+        df, h_max, key_col=key_col, ts_col=ts_col, type_col=type_col,
+        tiebreak_col=tiebreak_col,
+    )
+    horizons = F.explode(
+        F.array(*[F.lit(int(h)).cast("long") for h in horizons_s])
+    ).alias("horizon_s")
+    hdim = df.sparkSession.range(1).select(horizons)
+    # S at horizon h = the step value at the LAST event time <= h
+    return (
+        stepped.join(F.broadcast(hdim), F.col("dur_s") <= F.col("horizon_s"))
+        .groupBy(type_col, "horizon_s")
+        .agg(
+            F.any_value("n_total").alias("n_total"),
+            F.sum("d").cast("long").alias("n_events_used"),
+            F.round(
+                F.min(F.struct((-F.col("dur_s")).alias("k"),
+                               F.col("s_at").alias("v"))).v + F.lit(_EPS),
+                round_digits,
+            ).alias("km_s"),
+        )
+        .join(
+            F.broadcast(
+                totals.crossJoin(F.broadcast(hdim)).select(
+                    type_col, "horizon_s", F.col("n_total").alias("_nt")
+                )
+            ),
+            [type_col, "horizon_s"],
+            "right",
+        )
+        .select(
+            type_col, "horizon_s",
+            F.col("_nt").alias("n_total"),
+            F.coalesce("n_events_used", F.lit(0)).cast("long")
+            .alias("n_events_used"),
+            "km_s",
+        )
+    )
+
+
+def weibull_fit(
+    df: DataFrame,
+    h_max: int = 3600,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Weibull fit of the wait-to-next-event distribution per opening
+    type via the probability-plot regression on the KM curve (the
+    standard reliability recipe: under Weibull(k, lambda),
+    ln(-ln S(t)) is linear in ln t with slope k and intercept
+    -k ln lambda). Shape k is the engine's hazard diagnostic:
+    k < 1 = cooling (the longer silent, the likelier to stay silent —
+    retry storms then abandonment), k = 1 = memoryless Poisson,
+    k > 1 = aging (a response becomes MORE imminent as the wait grows).
+
+    OLS runs from raw sums over the (types x h_max)-bounded KM step
+    grid (points with 0 < S < 1 and t >= 1 s), so the fit is exactly
+    replayable in SQL and adds nothing stream-sized.
+
+    Returns (event_type, n_points, k_shape, lambda_s, r2).
+    """
+    stepped, _ = _km_steps(
+        df, int(h_max), key_col=key_col, ts_col=ts_col, type_col=type_col,
+        tiebreak_col=tiebreak_col,
+    )
+    pts = stepped.where(
+        (F.col("s_at") > 0) & (F.col("s_at") < 1) & (F.col("dur_s") >= 1)
+    ).select(
+        type_col,
+        F.log(F.col("dur_s").cast("double")).alias("x"),
+        F.log(-F.log("s_at")).alias("y"),
+    )
+    n = F.count("*")
+    sx, sy = F.sum("x"), F.sum("y")
+    sxx, syy = F.sum(F.col("x") * F.col("x")), F.sum(F.col("y") * F.col("y"))
+    sxy = F.sum(F.col("x") * F.col("y"))
+    vx = sxx / n - (sx / n) * (sx / n)
+    vy = syy / n - (sy / n) * (sy / n)
+    cov = sxy / n - (sx / n) * (sy / n)
+    k = cov / vx
+    b = sy / n - k * (sx / n)
+    return (
+        pts.groupBy(type_col)
+        .agg(
+            n.cast("long").alias("n_points"),
+            F.round(
+                F.when((n >= 3) & (vx > 0), k) + F.lit(_EPS), round_digits
+            ).alias("k_shape"),
+            F.round(
+                F.when((n >= 3) & (vx > 0), F.exp(-b / k)) + F.lit(_EPS),
+                round_digits,
+            ).alias("lambda_s"),
+            F.round(
+                F.when((n >= 3) & (vx > 0) & (vy > 0), cov * cov / (vx * vy))
+                + F.lit(_EPS),
+                round_digits,
+            ).alias("r2"),
+        )
     )

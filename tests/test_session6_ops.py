@@ -372,3 +372,66 @@ def test_dtw_nearest_blocked_subset_of_full(spark):
         ev, band=2, shortlist=2).collect()}
     for u, r in blk.items():
         assert r["dtw_dist"] >= full[u]["dtw_dist"] - 1e-9
+
+
+def test_km_survival_hand_computed_with_censoring(spark):
+    from cesium_spark.operators.survival import km_survival
+
+    # observed gaps 10/20/30 s; censored waits 0/10/985 s (administrative
+    # at the global max ts = 995). KM at 60 s:
+    #   t=10: risk 5 (the 0 s censor dropped; the at-10 censor still at
+    #   risk), d=1 -> 4/5; t=20: risk 3 -> 2/3; t=30: risk 2 -> 1/2
+    #   S(60) = 4/5 * 2/3 * 1/2 = 4/15
+    rows = [(1, 0, "e", 1.0), (1, 10, "e", 1.0),
+            (2, 975, "e", 1.0), (2, 995, "e", 1.0),
+            (3, 955, "e", 1.0), (3, 985, "e", 1.0)]
+    out = {r["horizon_s"]: r for r in km_survival(
+        _events(spark, rows), horizons_s=(5, 15, 60)).collect()}
+    assert out[60]["n_total"] == 6
+    assert out[60]["n_events_used"] == 3
+    assert abs(out[60]["km_s"] - 4.0 / 15.0) < 1e-6
+    assert abs(out[15]["km_s"] - 0.8) < 1e-6 and out[15]["n_events_used"] == 1
+    # horizon below the first event time: no information, NULL not 1.0
+    assert out[5]["km_s"] is None and out[5]["n_events_used"] == 0
+
+
+def test_km_censored_at_zero_still_at_risk_at_zero(spark):
+    from cesium_spark.operators.survival import km_survival
+
+    # every actor's last event sits AT the global max -> 4 censored
+    # waits of 0 s. Censored-at-t stays at risk AT t, so they are in
+    # the t=0 risk set (with the one observed 0 s gap) and drop only
+    # after it:
+    #   t=0:  risk 12, d=1 -> 11/12   (obs gaps incl. actor 4's 0 gap)
+    #   t=10: risk 7,  d=2 -> 5/7
+    #   t=20: risk 5,  d=2 -> 3/5
+    #   S(25) = 11/12 * 5/7 * 3/5 = 11/28
+    rows = []
+    for u, g in enumerate((10, 20, 30, 40), start=1):
+        rows += [(u, 0, "e", 1.0), (u, g, "e", 1.0), (u, 40, "e", 1.0)]
+    out = {r["horizon_s"]: r for r in km_survival(
+        _events(spark, rows), horizons_s=(25,)).collect()}
+    r = out[25]
+    assert r["n_total"] == 12  # 8 observed + 4 censored
+    assert abs(r["km_s"] - 11.0 / 28.0) < 1e-6
+    assert r["n_events_used"] == 5  # steps at 0, 10, 10, 20, 20
+
+
+def test_weibull_fit_recovers_exponential_shape(spark):
+    import math as m
+
+    from cesium_spark.operators.survival import weibull_fit
+
+    # gaps drawn at exponential quantiles (lambda = 100 s): the Weibull
+    # plot regression must recover k ~ 1 and lambda ~ 100
+    n = 60
+    t, rows = 0, []
+    for i in range(n + 1):
+        rows.append((1, int(t), "e", 1.0))
+        u = (i + 0.5) / (n + 1)
+        t += -m.log(1.0 - u) * 100.0
+    out = weibull_fit(_events(spark, rows)).collect()[0]
+    assert out["n_points"] >= 30
+    assert abs(out["k_shape"] - 1.0) < 0.15
+    assert abs(out["lambda_s"] - 100.0) < 25.0
+    assert out["r2"] > 0.97
