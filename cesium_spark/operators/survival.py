@@ -197,17 +197,30 @@ def _km_steps(df, h_max, key_col, ts_col, type_col, tiebreak_col):
             F.col("nxt").isNotNull().cast("long").alias("is_event"),
         )
     )
-    totals = durs.groupBy(type_col).agg(
-        F.count("*").cast("long").alias("n_total")
-    )
-    grid = (
-        durs.where(F.col("dur_s") <= h_max)
-        .groupBy(type_col, "dur_s")
+    # ONE scan: beyond-horizon durations collapse into an overflow
+    # bucket (h_max + 1) so per-type totals derive from the bounded
+    # bucket relation instead of a second stream aggregation (the
+    # interevent_survival single-pass discipline); the overflow bucket
+    # never enters the risk-set window (every t_i <= h_max < bucket).
+    buckets = (
+        durs.groupBy(
+            type_col,
+            F.least(F.col("dur_s"), F.lit(int(h_max) + 1)).alias("dur_s"),
+        )
         .agg(
             F.sum("is_event").cast("long").alias("d"),
             F.count("*").cast("long").alias("dropped"),
         )
     )
+    # totals and grid both consume buckets: localCheckpoint the tiny
+    # bounded relation so the stream scan + lag window run ONCE (lazy:
+    # materializes inside the consuming job; the dedup clusters use the
+    # same lineage-truncation idiom)
+    buckets = buckets.localCheckpoint(eager=False)
+    totals = buckets.groupBy(type_col).agg(
+        F.sum("dropped").cast("long").alias("n_total")
+    )
+    grid = buckets.where(F.col("dur_s") <= h_max)
     wt = Window.partitionBy(type_col).orderBy("dur_s")
     prior = F.coalesce(
         F.sum("dropped").over(wt.rowsBetween(Window.unboundedPreceding, -1)),

@@ -645,3 +645,18 @@ def test_lb_keogh_is_jvm_only_position_join(spark):
     assert "Cartesian" not in plan
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
     assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_km_survival_bounded_windows_single_materialization(spark):
+    """KM machinery: the stream is scanned once (the bucket relation is
+    lineage-truncated before its two consumers), the risk-set and step
+    windows partition by type over the (types x h_max)-bounded grid,
+    and nothing is Python."""
+    from cesium_spark.operators.survival import km_survival
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = _plan(km_survival(ev))
+    assert plan.count("FileScan parquet") <= 1  # post-checkpoint branches
+    # reuse the materialized bucket relation (Scan ExistingRDD)
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "SinglePartition" not in plan
