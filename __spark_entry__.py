@@ -3076,6 +3076,66 @@ def q_interevent_survival(spark, sf_dir):
     return interevent_survival(_events(spark, sf_dir))
 
 
+def q_gap_burstiness_streamed(spark, sf_dir):
+    """The LIVE burstiness head end-to-end: the event stream drains as
+    two time-ordered availableNow micro-batches through the
+    delta-sufficient-statistics head (gaps and lag-1 pairs spanning the
+    boundary carried by state), the readback SUMS every emitted delta
+    and applies the SAME burstiness_finalize as the batch operator —
+    additive sufficient statistics mean the oracle is the exact batch
+    gap_burstiness SQL."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from cesium_spark.operators.survival import burstiness_finalize
+    from cesium_spark.streaming.stream import streaming_gap_deltas
+
+    ev = _events(spark, sf_dir).select("event_id", "ts", "user_id", "event_type")
+    mid = ev.agg(F.expr("percentile(event_id, 0.5)")).collect()[0][0]
+    work = tempfile.mkdtemp(prefix="burst_stream_")
+    in_dir = f"{work}/in"
+    try:
+        ev.filter(F.col("event_id") <= mid).coalesce(1) \
+            .write.mode("overwrite").parquet(in_dir)
+        first_files = set(glob.glob(f"{in_dir}/*.parquet"))
+        ev.filter(F.col("event_id") > mid).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+        later = time.time() + 10
+        for f in set(glob.glob(f"{in_dir}/*.parquet")) - first_files:
+            os.utime(f, (later, later))
+        schema = "event_id bigint, ts timestamp, user_id bigint, event_type string"
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(in_dir)
+        )
+        q = (
+            streaming_gap_deltas(src).writeStream
+            .format("parquet").option("path", f"{work}/out")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True).start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                raise TimeoutError("gap-delta stream did not drain in 300s")
+        finally:
+            q.stop()
+        deltas = spark.read.parquet(f"{work}/out")
+        sums = deltas.groupBy("event_type").agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("s1").alias("s1"), F.sum("s2").alias("s2"),
+            F.sum("np").cast("long").alias("np"),
+            F.sum("sx").alias("sx"), F.sum("sy").alias("sy"),
+            F.sum("sxx").alias("sxx"), F.sum("syy").alias("syy"),
+            F.sum("sxy").alias("sxy"),
+        )
+        return burstiness_finalize(sums).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_km_survival(spark, sf_dir):
     """Proper Kaplan-Meier wait-to-next-event curves per opening type:
     right-censored final waits enter the risk set (not just a count),
@@ -3260,6 +3320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_entropy": q_markov_entropy,
         "markov_nll_streamed": q_markov_nll_streamed,
         "gap_burstiness": q_gap_burstiness,
+        "gap_burstiness_streamed": q_gap_burstiness_streamed,
         "interevent_survival": q_interevent_survival,
         "km_survival": q_km_survival,
         "weibull_fit": q_weibull_fit,
@@ -7636,6 +7697,8 @@ def oracle_sql() -> dict[str, str]:
                      END + {EPS}, {R}) AS memory
         FROM a
     """
+    # streamed delta head: additive sufficient stats == the batch SQL
+    sql["gap_burstiness_streamed"] = sql["gap_burstiness"]
 
     sql["markov_nll"] = f"""
         WITH p AS (

@@ -28,8 +28,8 @@ from pyspark.sql.window import Window
 
 from ..kernel import ts_micros
 
-__all__ = ["interevent_survival", "gap_burstiness", "km_survival",
-           "weibull_fit"]
+__all__ = ["interevent_survival", "gap_burstiness", "burstiness_finalize",
+           "km_survival", "weibull_fit"]
 
 _EPS = 1e-9
 
@@ -142,27 +142,55 @@ def gap_burstiness(
     g1 = F.col("g1") / s
     g2 = F.col("g2") / s
     pair = F.col("g2").isNotNull()
-    n = F.count("*")
-    mu = F.avg(g1)
-    var = F.avg(g1 * g1) - mu * mu
-    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
-    np_ = F.sum(pair.cast("long"))
     p1 = F.when(pair, g1)
-    sx, sy = F.sum(p1), F.sum(F.when(pair, g2))
-    sxx, syy = F.sum(p1 * p1), F.sum(F.when(pair, g2 * g2))
-    sxy = F.sum(F.when(pair, g1 * g2))
-    cov = sxy / np_ - (sx / np_) * (sy / np_)
-    vx = sxx / np_ - (sx / np_) * (sx / np_)
-    vy = syy / np_ - (sy / np_) * (sy / np_)
-    return gaps.groupBy(type_col).agg(
-        n.cast("long").alias("n_gaps"),
+    sums = gaps.groupBy(type_col).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(g1).alias("s1"),
+        F.sum(g1 * g1).alias("s2"),
+        F.sum(pair.cast("long")).cast("long").alias("np"),
+        F.sum(p1).alias("sx"),
+        F.sum(F.when(pair, g2)).alias("sy"),
+        F.sum(p1 * p1).alias("sxx"),
+        F.sum(F.when(pair, g2 * g2)).alias("syy"),
+        F.sum(F.when(pair, g1 * g2)).alias("sxy"),
+    )
+    return burstiness_finalize(sums, type_col=type_col,
+                               round_digits=round_digits)
+
+
+def burstiness_finalize(
+    sums: DataFrame,
+    type_col: str = "event_type",
+    round_digits: int = 6,
+) -> DataFrame:
+    """(B, M) from raw sufficient sums (n, s1, s2, np, sx, sy, sxx,
+    syy, sxy) per type. Shared by the batch operator and the streaming
+    head's delta-sum readback, so both paths compute the identical
+    formulas — the sufficient statistics are ADDITIVE, which is the
+    whole reason the live head can emit per-batch deltas and still
+    reproduce the batch answer exactly."""
+    n, np_ = F.col("n"), F.col("np")
+    mu = F.col("s1") / n
+    var = F.col("s2") / n - mu * mu
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    # NULL divisor when no pairs exist: under ANSI arithmetic a literal
+    # np = 0 division is fatal even inside a never-taken WHEN branch
+    # (common-subexpression hoisting evaluates it eagerly); x / NULL is
+    # NULL and the memory WHEN already rejects np < 2
+    npd = F.when(np_ > 0, np_)
+    cov = F.col("sxy") / npd - (F.col("sx") / npd) * (F.col("sy") / npd)
+    vx = F.col("sxx") / npd - (F.col("sx") / npd) * (F.col("sx") / npd)
+    vy = F.col("syy") / npd - (F.col("sy") / npd) * (F.col("sy") / npd)
+    return sums.select(
+        type_col,
+        n.alias("n_gaps"),
         F.round(mu + F.lit(_EPS), round_digits).alias("mean_gap_s"),
         F.round(sd + F.lit(_EPS), round_digits).alias("sd_gap_s"),
         F.round(
             F.when(sd + mu > 0, (sd - mu) / (sd + mu)) + F.lit(_EPS),
             round_digits,
         ).alias("burstiness"),
-        np_.cast("long").alias("n_pairs"),
+        np_.alias("n_pairs"),
         F.round(
             F.when(
                 (np_ >= 2) & (vx > 0) & (vy > 0),

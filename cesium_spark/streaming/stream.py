@@ -33,7 +33,7 @@ __all__ = [
     "streaming_anomaly_zscore", "streaming_session_window",
     "hll_batch_fn", "hll_state_estimate",
     "cms_batch_fn", "cms_state_counters", "streaming_holt",
-    "streaming_markov_nll",
+    "streaming_markov_nll", "streaming_gap_deltas",
 ]
 
 
@@ -1618,6 +1618,112 @@ def streaming_markov_nll(
             "surprise_to": [best[2]],
             "n_unseen": [n_unseen],
         })
+
+    narrow = stream_df.select(
+        F.col(key_col), F.col(type_col),
+        ts_micros(F.col(ts_col)).alias("_ts_us"),
+        F.col(tiebreak_col).alias("_tb"),
+    )
+    return narrow.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "NoTimeout"
+    )
+
+
+def streaming_gap_deltas(
+    stream_df: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+):
+    """LIVE burstiness ingestion: the stateful streaming twin of
+    operators/survival.gap_burstiness, emitting per-(actor, type)
+    DELTA sufficient statistics each micro-batch. The (B, M) moments
+    are functions of ADDITIVE raw sums (n, Σg, Σg², pair sums), so the
+    readback is one groupBy-sum over every emitted delta row followed
+    by survival.burstiness_finalize — and equals the batch operator
+    exactly, including gaps and lag-1 pairs that SPAN micro-batch
+    boundaries (state carries the last event's type/time and the last
+    completed gap with its opening type).
+
+    Emitting deltas instead of cumulative rows keeps the sink
+    append-only and idempotent to downstream summation — no
+    latest-row-per-key selection step — and the per-key state is four
+    scalars, NoTimeout (actor-bounded)."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    key_type = stream_df.schema[key_col].dataType
+    ttype = stream_df.schema[type_col].dataType
+    out_schema = StructType([
+        StructField(key_col, key_type),
+        StructField(type_col, ttype),
+        StructField("n", LongType()),
+        StructField("s1", DoubleType()),
+        StructField("s2", DoubleType()),
+        StructField("np", LongType()),
+        StructField("sx", DoubleType()),
+        StructField("sy", DoubleType()),
+        StructField("sxx", DoubleType()),
+        StructField("syy", DoubleType()),
+        StructField("sxy", DoubleType()),
+    ])
+    state_schema = StructType([
+        StructField("last_type", ttype),
+        StructField("last_us", LongType()),
+        StructField("pg_type", ttype),
+        StructField("pg_s", DoubleType()),
+    ])
+
+    def fn(key, pdfs, state):
+        parts = [p for p in pdfs]
+        if not parts:
+            return
+        pdf = pd.concat(parts).sort_values(["_ts_us", "_tb"])
+        if not len(pdf):
+            return
+        if state.exists:
+            last_type, last_us, pg_type, pg_s = state.get
+            last_us = None if last_us is None else int(last_us)
+        else:
+            last_type, last_us, pg_type, pg_s = None, None, None, None
+        acc: dict = {}
+
+        def slot(ty):
+            if ty not in acc:
+                acc[ty] = [0, 0.0, 0.0, 0, 0.0, 0.0, 0.0, 0.0, 0.0]
+            return acc[ty]
+
+        for ty, u in zip(pdf[type_col], pdf["_ts_us"]):
+            u = int(u)
+            if last_us is not None:
+                g = (u - last_us) / 1_000_000.0  # gap opened by last_type
+                a = slot(last_type)
+                a[0] += 1
+                a[1] += g
+                a[2] += g * g
+                if pg_s is not None:
+                    # lag-1 pair (pg_s, g) attributed to the type that
+                    # opened the FIRST gap — the batch operator's rule
+                    b = slot(pg_type)
+                    b[3] += 1
+                    b[4] += pg_s
+                    b[5] += g
+                    b[6] += pg_s * pg_s
+                    b[7] += g * g
+                    b[8] += pg_s * g
+                pg_type, pg_s = last_type, g
+            last_type, last_us = ty, u
+        state.update((last_type, last_us, pg_type, pg_s))
+        if not acc:
+            return
+        yield pd.DataFrame(
+            [(key[0], ty, *vals) for ty, vals in acc.items()],
+            columns=[key_col, type_col, "n", "s1", "s2", "np",
+                     "sx", "sy", "sxx", "syy", "sxy"],
+        )
 
     narrow = stream_df.select(
         F.col(key_col), F.col(type_col),

@@ -1068,3 +1068,67 @@ def test_streaming_markov_nll_matches_batch_across_restart(spark, tmp_path):
     # user 7 took a->b twice (once across the boundary): both excluded
     assert l2.loc[7, "n_unseen"] == 2
     assert l2.loc[7, "n_transitions"] == want.loc[7, "n_transitions"] - 2
+
+
+def test_streaming_gap_deltas_sum_to_batch_across_restart(spark, tmp_path):
+    """Live burstiness: delta sufficient statistics summed over every
+    emitted row equal the batch gap_burstiness exactly, including the
+    gap and the lag-1 pair that SPAN the micro-batch boundary (state
+    carries last event + last completed gap)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from cesium_spark.operators.survival import (
+        burstiness_finalize, gap_burstiness,
+    )
+    from cesium_spark.streaming.stream import streaming_gap_deltas
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    t0 = pd.Timestamp("2025-01-01")
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+
+    def rows(specs, base_eid):
+        out = []
+        for i, (u, ty, sec) in enumerate(specs):
+            out.append((base_eid + i,
+                        (t0 + pd.Timedelta(seconds=sec)).to_pydatetime(),
+                        u, ty))
+        return out
+
+    # user 7: gaps 10/20 in batch 1, then a 30 s gap ACROSS the boundary
+    # and 40 after; the boundary pair (20, 30) and gap 30 must count once
+    b1 = rows([(7, "a", 0), (7, "b", 10), (7, "a", 30)], 0)
+    b2 = rows([(7, "b", 60), (7, "a", 100), (8, "c", 0), (8, "c", 5)], 100)
+    spark.createDataFrame(b1, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(in_dir)
+
+    def drain():
+        src = spark.readStream.schema(schema).parquet(in_dir)
+        q = (streaming_gap_deltas(src).writeStream
+             .format("parquet").option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drain()
+    spark.createDataFrame(b2, schema).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+    drain()
+
+    deltas = spark.read.parquet(out_dir)
+    sums = deltas.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("s1").alias("s1"), F.sum("s2").alias("s2"),
+        F.sum("np").cast("long").alias("np"),
+        F.sum("sx").alias("sx"), F.sum("sy").alias("sy"),
+        F.sum("sxx").alias("sxx"), F.sum("syy").alias("syy"),
+        F.sum("sxy").alias("sxy"),
+    )
+    got = burstiness_finalize(sums).toPandas() \
+        .set_index("event_type").sort_index()
+    want = gap_burstiness(spark.createDataFrame(b1 + b2, schema)) \
+        .toPandas().set_index("event_type").sort_index()
+    pd.testing.assert_frame_equal(got, want, check_like=True)
+    # the boundary gap really counted once: type "a" opened gaps 10
+    # (0->10), 30 (30->60... no, 30 s event opens 60-30) and 40
+    assert want.loc["a", "n_gaps"] == got.loc["a", "n_gaps"]
