@@ -3157,6 +3157,16 @@ def q_weibull_fit(spark, sf_dir):
     return weibull_fit(_events(spark, sf_dir))
 
 
+def q_tail_index(spark, sf_dir):
+    """Hill tail-index of actor activity with top-k share — the skew
+    self-diagnostic that decides salting vs plain hashing: distributed
+    top-(k+1) via TakeOrderedAndProject, every later relation
+    k-bounded."""
+    from cesium_spark.operators.analytics import activity_tail_index
+
+    return activity_tail_index(_events(spark, sf_dir), k=100)
+
+
 def q_benford_screen(spark, sf_dir):
     """Benford first-digit conformance per event type (Nigrini MAD
     bands): leading-digit mix vs log10(1 + 1/d) flags synthetic or
@@ -3325,6 +3335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "km_survival": q_km_survival,
         "weibull_fit": q_weibull_fit,
         "benford_screen": q_benford_screen,
+        "tail_index": q_tail_index,
         "session_concurrency": q_session_concurrency,
         "session_concurrency_streamed": q_session_concurrency_streamed,
         "lb_keogh": q_lb_keogh,
@@ -7871,6 +7882,35 @@ def oracle_sql() -> dict[str, str]:
                      + {EPS}, {R}) AS r2
         FROM a
     """.replace("{_km}", _km_steps_sql)
+
+    sql["tail_index"] = f"""
+        WITH acts AS (
+          SELECT user_id, count(*)::BIGINT AS x FROM events GROUP BY 1
+        ),
+        totals AS (
+          SELECT count(*)::BIGINT AS n_actors, sum(x)::BIGINT AS n_events
+          FROM acts
+        ),
+        top AS (
+          SELECT x, user_id,
+                 row_number() OVER (ORDER BY x DESC, user_id) AS r
+          FROM (SELECT * FROM acts ORDER BY x DESC, user_id LIMIT 101)
+        ),
+        ref AS (SELECT x AS xmin FROM top WHERE r = 101),
+        agg AS (
+          SELECT any_value(ref.xmin) AS xmin,
+                 sum(ln(t.x::DOUBLE / ref.xmin)) AS lnsum,
+                 sum(t.x)::BIGINT AS top_events
+          FROM top t CROSS JOIN ref WHERE t.r <= 100
+        )
+        SELECT 100::BIGINT AS k, a.xmin::BIGINT AS xmin,
+               round(CASE WHEN a.lnsum > 0 THEN 100.0 / a.lnsum END
+                     + {EPS}, {R}) AS alpha,
+               round(a.top_events::DOUBLE / tt.n_events + {EPS}, {R})
+                 AS top_share,
+               tt.n_actors, tt.n_events
+        FROM agg a CROSS JOIN totals tt
+    """
 
     sql["benford_screen"] = f"""
         WITH src AS (

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 __all__ = ["cohort_retention", "hampel_outliers", "skew_report",
            "json_field_stats", "value_histogram",
            "rollup_summary", "pivot_counts", "histogram_quantiles",
-           "benford_screen"]
+           "benford_screen", "activity_tail_index"]
 
 
 def _r(col, digits: int = 6):
@@ -548,3 +548,66 @@ def benford_screen(
         )
     )
     return per_digit.drop("_dev").join(F.broadcast(mad), group_col)
+
+
+def activity_tail_index(
+    df: DataFrame,
+    k: int = 100,
+    key_col: str = "user_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Hill estimator of the actor-activity tail index (Hill 1975): fit
+    the Pareto exponent alpha of "events per actor" from the top-k
+    order statistics,
+
+        alpha = k / sum_{i=1..k} ln(x_(i) / x_(k+1))
+
+    This is the engine measuring its own skew: alpha <= 1 means the
+    busiest actors dominate total volume (salting / per-key caps are
+    mandatory, means are meaningless), alpha ~ 2 is classic Zipf
+    traffic, large alpha means a light tail where plain hash
+    partitioning is fine. ``top_share`` (top-k actors' fraction of all
+    events) is the operational readout of the same fact.
+
+    Scale shape: one map-side-combined count per actor, a distributed
+    top-(k+1) (TakeOrderedAndProject — per-partition heaps, never a
+    global sort), then every remaining relation is k-bounded. Ties at
+    the cutoff break by actor id so both engines pick the same set.
+
+    Returns ONE row (k, xmin, alpha, top_share, n_actors, n_events).
+    """
+    acts = df.groupBy(key_col).agg(F.count("*").cast("long").alias("x"))
+    totals = acts.agg(
+        F.count("*").cast("long").alias("n_actors"),
+        F.sum("x").cast("long").alias("n_events"),
+    )
+    top = acts.orderBy(F.desc("x"), key_col).limit(k + 1)
+    # rank within the k+1-bounded relation (one task by construction)
+    from pyspark.sql.window import Window
+
+    wr = Window.orderBy(F.desc("x"), key_col)
+    ranked = top.select("x", key_col, F.row_number().over(wr).alias("r"))
+    ref = ranked.where(F.col("r") == k + 1).select(
+        F.col("x").alias("xmin"))
+    head = ranked.where(F.col("r") <= k)
+    agg = head.crossJoin(F.broadcast(ref)).agg(
+        F.any_value("xmin").alias("xmin"),
+        F.sum(F.log(F.col("x") / F.col("xmin"))).alias("lnsum"),
+        F.sum("x").cast("long").alias("top_events"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(totals))
+        .select(
+            F.lit(int(k)).cast("long").alias("k"),
+            F.col("xmin").cast("long").alias("xmin"),
+            _r(
+                F.when(F.col("lnsum") > 0, F.lit(float(k)) / F.col("lnsum")),
+                round_digits,
+            ).alias("alpha"),
+            _r(
+                F.col("top_events") / F.col("n_events"), round_digits
+            ).alias("top_share"),
+            "n_actors",
+            "n_events",
+        )
+    )

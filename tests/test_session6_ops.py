@@ -435,3 +435,29 @@ def test_weibull_fit_recovers_exponential_shape(spark):
     assert abs(out["k_shape"] - 1.0) < 0.15
     assert abs(out["lambda_s"] - 100.0) < 25.0
     assert out["r2"] > 0.97
+
+
+def test_tail_index_pareto_recovery_and_top_share(spark):
+    from cesium_spark.operators.analytics import activity_tail_index
+
+    # activity drawn at Pareto(alpha=2, xmin=10) quantiles: x_q =
+    # xmin * (1-q)^(-1/2) -> Hill over the top-100 recovers alpha ~ 2
+    rows = []
+    n = 400
+    eid = 0
+    for i in range(n):
+        q = (i + 0.5) / n
+        x = int(round(10.0 * (1.0 - q) ** -0.5))
+        for j in range(x):
+            rows.append((i, eid, "e", 1.0))
+            eid += 1
+    ev = spark.createDataFrame(
+        [(u, e, t, float(e), 1.0) for (u, e, t, v) in rows],
+        "user_id long, event_id long, event_type string, sec double, value double",
+    ).select("user_id", "event_id", "event_type",
+             F.timestamp_seconds("sec").alias("ts"), "value")
+    out = activity_tail_index(ev, k=100).collect()[0]
+    assert out["n_actors"] == n
+    assert abs(out["alpha"] - 2.0) < 0.35  # quantile-grid Hill estimate
+    assert 0 < out["top_share"] < 1
+    assert out["xmin"] >= 10
