@@ -7893,18 +7893,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         top AS (
           SELECT x, user_id,
-                 row_number() OVER (ORDER BY x DESC, user_id) AS r
+                 row_number() OVER (ORDER BY x DESC, user_id) AS r,
+                 count(*) OVER () AS maxr
           FROM (SELECT * FROM acts ORDER BY x DESC, user_id LIMIT 101)
         ),
-        ref AS (SELECT x AS xmin FROM top WHERE r = 101),
+        ref AS (SELECT x AS xmin FROM top WHERE r = maxr),
         agg AS (
-          SELECT any_value(ref.xmin) AS xmin,
+          SELECT count(*)::BIGINT AS k_used,
+                 any_value(ref.xmin) AS xmin,
                  sum(ln(t.x::DOUBLE / ref.xmin)) AS lnsum,
                  sum(t.x)::BIGINT AS top_events
-          FROM top t CROSS JOIN ref WHERE t.r <= 100
+          FROM top t CROSS JOIN ref WHERE t.r < t.maxr
         )
-        SELECT 100::BIGINT AS k, a.xmin::BIGINT AS xmin,
-               round(CASE WHEN a.lnsum > 0 THEN 100.0 / a.lnsum END
+        SELECT a.k_used AS k, a.xmin::BIGINT AS xmin,
+               round(CASE WHEN a.lnsum > 0 THEN a.k_used::DOUBLE / a.lnsum END
                      + {EPS}, {R}) AS alpha,
                round(a.top_events::DOUBLE / tt.n_events + {EPS}, {R})
                  AS top_share,

@@ -587,10 +587,16 @@ def activity_tail_index(
 
     wr = Window.orderBy(F.desc("x"), key_col)
     ranked = top.select("x", key_col, F.row_number().over(wr).alias("r"))
-    ref = ranked.where(F.col("r") == k + 1).select(
+    # reference = the DEEPEST available order statistic (rank k+1, or
+    # rank n when the population has fewer than k+1 actors — the Hill
+    # fit then uses n-1 top stats instead of returning an all-NULL row)
+    maxr = Window.partitionBy()
+    ranked = ranked.withColumn("_maxr", F.max("r").over(maxr))
+    ref = ranked.where(F.col("r") == F.col("_maxr")).select(
         F.col("x").alias("xmin"))
-    head = ranked.where(F.col("r") <= k)
+    head = ranked.where(F.col("r") < F.col("_maxr"))
     agg = head.crossJoin(F.broadcast(ref)).agg(
+        F.count("*").cast("long").alias("k_used"),
         F.any_value("xmin").alias("xmin"),
         F.sum(F.log(F.col("x") / F.col("xmin"))).alias("lnsum"),
         F.sum("x").cast("long").alias("top_events"),
@@ -598,10 +604,11 @@ def activity_tail_index(
     return (
         agg.crossJoin(F.broadcast(totals))
         .select(
-            F.lit(int(k)).cast("long").alias("k"),
+            F.col("k_used").alias("k"),
             F.col("xmin").cast("long").alias("xmin"),
             _r(
-                F.when(F.col("lnsum") > 0, F.lit(float(k)) / F.col("lnsum")),
+                F.when(F.col("lnsum") > 0,
+                       F.col("k_used").cast("double") / F.col("lnsum")),
                 round_digits,
             ).alias("alpha"),
             _r(
