@@ -325,6 +325,24 @@ def main():
     extras["kmeans_sec"] = round(dt, 3)
     extras["kmeans_trials_sec"] = trials
 
+    # round-6 session-6: the sequence/survival/capacity family over the
+    # events table — per-round visibility for the new operator batch
+    from cesium_spark.operators.markov import markov_nll
+    from cesium_spark.operators.sessionize import session_concurrency
+    from cesium_spark.operators.survival import km_survival
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    for label, fn in (
+        ("markov_nll", lambda: _force(markov_nll(events))),
+        ("km_survival", lambda: _force(km_survival(events))),
+        ("session_concurrency", lambda: _force(session_concurrency(
+            events, gap_minutes=30, key_col="user_id", ts_col="ts",
+            tiebreak_col="event_id"))),
+    ):
+        dt, trials = _best_of(fn, n=2, label=label)
+        extras[f"{label}_sec"] = round(dt, 3)
+        extras[f"{label}_trials_sec"] = trials
+
     loadavgs["session_end"] = [_loadavg()]
     total = round(sum(timings.values()), 3)
     print(
