@@ -3302,6 +3302,60 @@ def q_dtw_nn(spark, sf_dir):
     return dtw_nearest(_events(spark, sf_dir), band=7, shortlist=5)
 
 
+def q_assoc_rules(spark, sf_dir):
+    """Market-basket association rules over (actor, day) baskets:
+    support / confidence / lift per event-type pair (Agrawal-Srikant
+    vocabulary). The stream collapses to the distinct (basket, item)
+    relation before any join, so cost is baskets x |types|, never
+    event volume."""
+    from cesium_spark.operators.assoc import association_rules
+
+    return association_rules(_events(spark, sf_dir))
+
+
+def q_ab_test(spark, sf_dir):
+    """Two-proportion z-test readout per conversion goal over a salted
+    md5 50/50 user split (the growth-stable split of operators/split.py,
+    so arm membership is re-derivable in any engine). Input sparsified
+    to event_id % 7 == 0 so conversion rates are non-degenerate."""
+    from cesium_spark.operators.experiment import ab_test_readout
+
+    ev = _events(spark, sf_dir).where(F.col("event_id") % 7 == 0)
+    return ab_test_readout(ev, salt="exp1")
+
+
+def q_peak_rate(spark, sf_dir):
+    """Per-actor peak sliding-60s event rate (burst-SLA / rate-limiter
+    audit): ONE range-frame window per key — tie-safe because RANGE
+    frames include all peers — then a key-sized max with the earliest
+    achieving timestamp as deterministic witness."""
+    from cesium_spark.operators.tsstats import peak_rate
+
+    return peak_rate(_events(spark, sf_dir), window_seconds=60)
+
+
+def q_rollup_hop(spark, sf_dir):
+    """Hopping-window rollup (1h window, 15m slide): Spark's native
+    sliding F.window does the 4x map-side expansion JVM-side before ONE
+    hash aggregate — the smoothing tier between tumbling rollups and
+    per-event range windows."""
+    from cesium_spark.operators.rollup import rollup_hop
+
+    return rollup_hop(_events(spark, sf_dir), "1 hour", "15 minutes",
+                      m="value")
+
+
+def q_seq_similarity(spark, sf_dir):
+    """Top-50 most-similar actor pairs by normalized Levenshtein over
+    per-actor event-type strings (first 40 events, one char per event),
+    blocked on (length bucket, first symbol) so candidate generation is
+    an equi-join, never a cartesian; final top-k is
+    TakeOrderedAndProject (plan-tested)."""
+    from cesium_spark.operators.seqsim import sequence_similarity_topk
+
+    return sequence_similarity_topk(_events(spark, sf_dir), k=50)
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -3324,6 +3378,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (r4 VERDICT item 7: clean_corpus_spans shipped in r4 but sat past
     # the 50-slot cap and was never driver-checked).
     return {
+        # --- round 6, session-7 batch ---
+        "assoc_rules": q_assoc_rules,
+        "ab_test": q_ab_test,
+        "peak_rate_60s": q_peak_rate,
+        "rollup_hop_15m": q_rollup_hop,
+        "seq_similarity": q_seq_similarity,
         # --- round 6, session-6 batch ---
         "markov_stationary": q_markov_stationary,
         "markov_nll": q_markov_nll,
@@ -8106,6 +8166,139 @@ def oracle_sql() -> dict[str, str]:
                                            cand_id) AS rank
         FROM lb2
         QUALIFY rank <= 6
+    """
+
+    sql["assoc_rules"] = f"""
+        WITH b AS (
+          SELECT DISTINCT user_id AS k, date_trunc('day', ts) AS bday,
+                          event_type AS i
+          FROM events
+        ),
+        nb AS (
+          SELECT count(*)::BIGINT AS n_baskets
+          FROM (SELECT DISTINCT k, bday FROM b)
+        ),
+        ic AS (SELECT i, count(*)::BIGINT AS n_item FROM b GROUP BY 1),
+        p AS (
+          SELECT a.i AS item_a, c.i AS item_b, count(*)::BIGINT AS n_ab
+          FROM b a JOIN b c ON a.k = c.k AND a.bday = c.bday AND a.i < c.i
+          GROUP BY 1, 2
+        )
+        SELECT p.item_a, p.item_b, ia.n_item AS n_a, ib.n_item AS n_b,
+               p.n_ab,
+               round(p.n_ab / nb.n_baskets + {EPS}, {R}) AS support,
+               round(p.n_ab / ia.n_item + {EPS}, {R}) AS conf_a_to_b,
+               round(p.n_ab / ib.n_item + {EPS}, {R}) AS conf_b_to_a,
+               round(p.n_ab * nb.n_baskets / (ia.n_item * ib.n_item)
+                     + {EPS}, {R}) AS lift
+        FROM p
+        JOIN ic ia ON ia.i = p.item_a
+        JOIN ic ib ON ib.i = p.item_b
+        CROSS JOIN nb
+    """
+
+    sql["ab_test"] = f"""
+        WITH ev AS (SELECT * FROM events WHERE event_id % 7 = 0),
+        arm AS (
+          SELECT user_id,
+                 CASE WHEN CAST(('0x' || substr(md5(user_id::VARCHAR
+                        || 'exp1'), 1, 8)) AS BIGINT) % 10000 < 5000
+                      THEN 'A' ELSE 'B' END AS arm
+          FROM (SELECT DISTINCT user_id FROM ev)
+        ),
+        sz AS (
+          SELECT sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+                 sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)::BIGINT AS n_b
+          FROM arm
+        ),
+        conv AS (
+          SELECT g.goal,
+                 sum(CASE WHEN a.arm = 'A' THEN 1 ELSE 0 END)::BIGINT
+                   AS conv_a,
+                 sum(CASE WHEN a.arm = 'B' THEN 1 ELSE 0 END)::BIGINT
+                   AS conv_b
+          FROM (SELECT DISTINCT user_id, event_type AS goal FROM ev) g
+          JOIN arm a ON a.user_id = g.user_id
+          GROUP BY 1
+        ),
+        m AS (
+          SELECT goal, n_a, conv_a, n_b, conv_b,
+                 conv_a / n_a AS pa, conv_b / n_b AS pb,
+                 (conv_a + conv_b) / (n_a + n_b) AS pp
+          FROM conv CROSS JOIN sz
+        ),
+        zc AS (
+          SELECT *,
+                 (pb - pa) / sqrt(CASE WHEN
+                    pp * (1 - pp) * (1.0 / n_a + 1.0 / n_b) > 0 THEN
+                    pp * (1 - pp) * (1.0 / n_a + 1.0 / n_b) END) AS z
+          FROM m
+        )
+        SELECT goal, n_a, conv_a, round(pa + {EPS}, {R}) AS rate_a,
+               n_b, conv_b, round(pb + {EPS}, {R}) AS rate_b,
+               round(pb - pa + {EPS}, {R}) AS abs_lift,
+               round(z + {EPS}, {R}) AS z_stat,
+               coalesce(abs(z) >= 1.959964, FALSE) AS significant
+        FROM zc
+    """
+
+    sql["peak_rate_60s"] = """
+        WITH r AS (
+          SELECT user_id, ts,
+                 count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 60000000 PRECEDING AND CURRENT ROW)
+                   AS rate
+          FROM events
+        ),
+        mx AS (
+          SELECT *, max(rate) OVER (PARTITION BY user_id) AS m FROM r
+        )
+        SELECT user_id, count(*)::BIGINT AS n_events,
+               max(rate)::BIGINT AS peak_rate,
+               min(CASE WHEN rate = m THEN ts END) AS t_peak
+        FROM mx GROUP BY user_id
+    """
+
+    sql["rollup_hop_15m"] = f"""
+        WITH x AS (
+          SELECT time_bucket(INTERVAL 15 MINUTE, ts)
+                   - k.k * INTERVAL 15 MINUTE AS window_start,
+                 value
+          FROM events CROSS JOIN range(4) AS k(k)
+        )
+        SELECT window_start, count(*)::BIGINT AS n_events,
+               round(sum(value) + {EPS}, {R}) AS sum_m,
+               round(avg(value) + {EPS}, {R}) AS mean_m
+        FROM x GROUP BY 1
+    """
+
+    sql["seq_similarity"] = f"""
+        WITH r AS (
+          SELECT user_id, substr(event_type, 1, 1) AS c,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM events
+          QUALIFY rn <= 40
+        ),
+        s AS (
+          SELECT user_id, string_agg(c, '' ORDER BY rn) AS seq
+          FROM r GROUP BY user_id
+        ),
+        b AS (
+          SELECT user_id, seq, length(seq) AS seq_len,
+                 floor(length(seq) / 8) AS lb, substr(seq, 1, 1) AS fc
+          FROM s
+        )
+        SELECT a.user_id AS key_a, c.user_id AS key_b,
+               a.seq_len::BIGINT AS len_a, c.seq_len::BIGINT AS len_b,
+               levenshtein(a.seq, c.seq)::BIGINT AS edit_dist,
+               round(1.0 - levenshtein(a.seq, c.seq)
+                     / greatest(a.seq_len, c.seq_len)::DOUBLE
+                     + {EPS}, {R}) AS similarity
+        FROM b a JOIN b c
+          ON a.lb = c.lb AND a.fc = c.fc AND a.user_id < c.user_id
+        ORDER BY similarity DESC, key_a, key_b
+        LIMIT 50
     """
 
     # golden-bridge oracles: the vendored reference constants, emitted as

@@ -40,7 +40,8 @@ MERGEABLE_FEATS = {
     "weighted_std_dev", "skew", "kurtosis",
 }
 
-__all__ = ["TIERS", "MERGEABLE_FEATS", "rollup_kernel", "rollup_sql", "rollup_all_tiers"]
+__all__ = ["TIERS", "MERGEABLE_FEATS", "rollup_kernel", "rollup_sql",
+           "rollup_all_tiers", "rollup_hop"]
 
 
 def rollup_kernel(
@@ -109,3 +110,38 @@ def rollup_all_tiers(
     """Materialize every retention tier. Callers persist the input once
     (``df.cache()`` or a first-tier write) so the scan isn't repeated."""
     return {t: rollup_kernel(df, features, t, **kwargs) for t in tiers}
+
+
+def rollup_hop(
+    df: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    ts_col: str = "ts",
+    m: Column | str = "value",
+    key_col: str | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Hopping (sliding) window rollup: overlapping windows of width
+    `window` starting every `slide` — the smoothing tier between a
+    tumbling rollup and a per-event range window (each event lands in
+    window/slide consecutive windows; Spark's F.window(slideDuration=)
+    materializes exactly that expansion JVM-side, epoch-aligned).
+
+    Returns (key?, window_start, n_events, sum_m, mean_m) for every
+    non-empty window. At 100 TB the expansion factor is the constant
+    window/slide (4 for 1h/15m) applied map-side before ONE hash
+    aggregate — no self-join, no range scan.
+    """
+    m_col = F.col(m) if isinstance(m, str) else m
+    w = F.window(F.col(ts_col), window, slide)
+    keys = ([F.col(key_col)] if key_col else []) + [w.start.alias("window_start")]
+    eps = F.lit(1e-9)
+    return (
+        df.select(*keys, m_col.alias("_m"))
+        .groupBy(*(([key_col] if key_col else []) + ["window_start"]))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("_m") + eps, round_digits).alias("sum_m"),
+            F.round(F.avg("_m") + eps, round_digits).alias("mean_m"),
+        )
+    )

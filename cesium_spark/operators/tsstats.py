@@ -1133,3 +1133,52 @@ def seasonal_strength(
         F.when(vdt > 0, r(F.greatest(F.lit(0.0), 1 - vr / vdt))
                ).alias("seasonal_strength"),
     )
+
+
+def peak_rate(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    window_seconds: int = 60,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-series peak sliding-window event rate: the maximum number of
+    events inside ANY window of `window_seconds` ending at an event
+    (inclusive on both bounds — the rate-limiter / burst-SLA question
+    "did this actor ever exceed N events per minute?").
+
+    Physical shape: ONE range-frame window per series key (a single
+    sort-shuffle; the RANGE frame is tiebreak-free because ties are all
+    included), then a series-sized max aggregate with the earliest
+    achieving timestamp as the deterministic witness. No self-join, no
+    event-time expansion — this is the shape that survives hot keys,
+    because the range frame streams within the sorted partition.
+
+    Returns (key, n_events, peak_rate, t_peak) where t_peak is the
+    MIN event-ts at which the peak window ends.
+    """
+    from pyspark.sql import Window as W
+
+    from ..kernel import ts_micros
+
+    us = ts_micros(F.col(ts_col))
+    w = (
+        W.partitionBy(key_col)
+        .orderBy("_us")
+        .rangeBetween(-window_seconds * 1_000_000, 0)
+    )
+    rated = (
+        df.select(F.col(key_col), F.col(ts_col).alias("_ts"), us.alias("_us"))
+        .withColumn("_rate", F.count("*").over(w))
+        # same partition spec -> Catalyst reuses the one exchange
+        .withColumn("_mx", F.max("_rate").over(W.partitionBy(key_col)))
+    )
+    return (
+        rated.groupBy(key_col)
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.max("_rate").cast("long").alias("peak_rate"),
+            F.min(F.when(F.col("_rate") == F.col("_mx"), F.col("_ts")))
+             .alias("t_peak"),
+        )
+    )
