@@ -3302,6 +3302,69 @@ def q_dtw_nn(spark, sf_dir):
     return dtw_nearest(_events(spark, sf_dir), band=7, shortlist=5)
 
 
+def q_funnel_steps_streamed(spark, sf_dir):
+    """The LIVE funnel head end-to-end: the sparsified event stream is
+    staged as two time-ordered parquet files and drained as two
+    availableNow micro-batches through the applyInPandasWithState
+    funnel tracker; the latest cumulative row per user (selected on the
+    monotone n_seen) must equal the BATCH funnel_conversion — the
+    oracle is the exact same SQL as `funnel_steps`, so a hash match
+    proves the carried (reached, bound) state reproduces the batch
+    strictly-after subsequence match across the boundary."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from cesium_spark.streaming.stream import streaming_funnel
+
+    ev = _events(spark, sf_dir).where(F.col("event_id") % 17 == 0) \
+        .select("event_id", "ts", "user_id", "event_type")
+    mid = ev.agg(F.expr("percentile(event_id, 0.5)")).collect()[0][0]
+    work = tempfile.mkdtemp(prefix="funnel_stream_")
+    in_dir = f"{work}/in"
+    try:
+        ev.filter(F.col("event_id") <= mid).coalesce(1) \
+            .write.mode("overwrite").parquet(in_dir)
+        # order-load-bearing (see q_event_loops_streamed): pin batch 2
+        # strictly later so FileStreamSource drains the halves in order
+        first_files = set(glob.glob(f"{in_dir}/*.parquet"))
+        ev.filter(F.col("event_id") > mid).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+        later = time.time() + 10
+        for f in set(glob.glob(f"{in_dir}/*.parquet")) - first_files:
+            os.utime(f, (later, later))
+        schema = "event_id bigint, ts timestamp, user_id bigint, event_type string"
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(in_dir)
+        )
+        q = (
+            streaming_funnel(src, ["view", "click", "purchase"])
+            .writeStream.format("parquet").option("path", f"{work}/out")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True).start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                raise TimeoutError("funnel stream did not drain in 300s")
+        finally:
+            q.stop()
+        emitted = spark.read.parquet(f"{work}/out")
+        return (
+            emitted.groupBy("user_id")
+            .agg(F.max(F.struct("n_seen", "steps_reached", "t_first",
+                                "t_deepest", "seconds_to_convert",
+                                "converted")).alias("s"))
+            .select("user_id", "s.steps_reached", "s.t_first",
+                    "s.t_deepest", "s.seconds_to_convert", "s.converted")
+            .localCheckpoint(eager=True)  # detach from the temp files
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_assoc_rules(spark, sf_dir):
     """Market-basket association rules over (actor, day) baskets:
     support / confidence / lift per event-type pair (Agrawal-Srikant
@@ -3380,6 +3443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round 6, session-7 batch ---
         "assoc_rules": q_assoc_rules,
+        "funnel_steps_streamed": q_funnel_steps_streamed,
         "ab_test": q_ab_test,
         "peak_rate_60s": q_peak_rate,
         "rollup_hop_15m": q_rollup_hop,
@@ -6291,6 +6355,9 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN s2 ON u.user_id = s2.user_id
         LEFT JOIN s3 ON u.user_id = s3.user_id
     """
+
+    # the streaming funnel head must reproduce the batch funnel exactly
+    sql["funnel_steps_streamed"] = sql["funnel_steps"]
 
     sql["drawdown_stats"] = """
         WITH b AS (

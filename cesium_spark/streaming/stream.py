@@ -33,7 +33,7 @@ __all__ = [
     "streaming_anomaly_zscore", "streaming_session_window",
     "hll_batch_fn", "hll_state_estimate",
     "cms_batch_fn", "cms_state_counters", "streaming_holt",
-    "streaming_markov_nll", "streaming_gap_deltas",
+    "streaming_markov_nll", "streaming_gap_deltas", "streaming_funnel",
 ]
 
 
@@ -1729,6 +1729,117 @@ def streaming_gap_deltas(
         F.col(key_col), F.col(type_col),
         ts_micros(F.col(ts_col)).alias("_ts_us"),
         F.col(tiebreak_col).alias("_tb"),
+    )
+    return narrow.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "NoTimeout"
+    )
+
+
+def streaming_funnel(
+    stream_df: DataFrame,
+    steps: list[str],
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    round_digits: int = 6,
+):
+    """LIVE funnel tracking: the stateful streaming twin of
+    operators/funnel.funnel_conversion. Per-key state carries (steps
+    reached, first/deepest matched timestamps, and the (ts, tiebreak)
+    position bound of the deepest match) across micro-batches, so a
+    funnel whose steps arrive in different batches still matches — and
+    the strictly-after rule holds across the boundary (an event EQUAL
+    to the carried bound cannot re-match). After each batch the key's
+    cumulative funnel row is emitted, plus `n_seen` (events ingested
+    for the key — the monotone column "latest row per key" selections
+    key on). The latest row per key equals the batch operator over
+    everything ingested (tested, incl. an availableNow restart).
+
+    Same ingestion contract as streaming_run_stats: rows are sorted by
+    (ts, tiebreak) WITHIN a batch; cross-batch order must come from the
+    source. State is one tuple per key, NoTimeout."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType, DoubleType, IntegerType, LongType, StructField,
+        StructType, TimestampType,
+    )
+
+    if not steps:
+        raise ValueError("steps must be a non-empty ordered list")
+    k = len(steps)
+    key_type = stream_df.schema[key_col].dataType
+    out_schema = StructType([
+        StructField(key_col, key_type),
+        StructField("steps_reached", IntegerType()),
+        StructField("t_first", TimestampType()),
+        StructField("t_deepest", TimestampType()),
+        StructField("seconds_to_convert", DoubleType()),
+        StructField("converted", BooleanType()),
+        StructField("n_seen", LongType()),
+    ])
+    state_schema = StructType([
+        StructField("reached", IntegerType()),
+        StructField("t_first_us", LongType()),
+        StructField("t_deep_us", LongType()),
+        StructField("bound_us", LongType()),
+        StructField("bound_tb", LongType()),
+        StructField("n_seen", LongType()),
+    ])
+
+    def fn(key, pdfs, state):
+        parts = [p for p in pdfs]
+        if not parts:
+            return
+        pdf = pd.concat(parts).sort_values(["_ts_us", "_tb"])
+        ts = pdf["_ts_us"].to_numpy(dtype=np.int64)
+        tb = pdf["_tb"].to_numpy(dtype=np.int64)
+        ty = pdf[type_col].to_numpy()
+        if state.exists:
+            reached, t_first, t_deep, bound_us, bound_tb, n_seen = state.get
+        else:
+            reached, t_first, t_deep, bound_us, bound_tb, n_seen = (
+                0, None, None, None, None, 0)
+        lo = 0
+        if bound_us is not None:
+            # strictly-after the carried deepest match: first index with
+            # (ts, tb) > (bound_us, bound_tb) in the sorted batch
+            lo = int(np.searchsorted(ts, bound_us, side="left"))
+            n = len(ts)
+            while lo < n and (ts[lo] < bound_us
+                              or (ts[lo] == bound_us and tb[lo] <= bound_tb)):
+                lo += 1
+        while reached < k:
+            hits = np.nonzero(ty[lo:] == steps[reached])[0]
+            if hits.size == 0:
+                break
+            j = lo + int(hits[0])
+            reached += 1
+            t_deep, bound_us, bound_tb = int(ts[j]), int(ts[j]), int(tb[j])
+            if reached == 1:
+                t_first = int(ts[j])
+            lo = j + 1
+        n_seen += len(ts)
+        state.update((reached, t_first, t_deep, bound_us, bound_tb, n_seen))
+        secs = (round((t_deep - t_first) / 1e6 + 1e-9, round_digits)
+                if reached == k else None)
+        to_ts = (lambda t: None if t is None
+                 else pd.Timestamp(np.datetime64(t, "us")))
+        yield pd.DataFrame({
+            key_col: [key[0]],
+            "steps_reached": [reached],
+            "t_first": [to_ts(t_first)],
+            "t_deepest": [to_ts(t_deep)],
+            "seconds_to_convert": [secs],
+            "converted": [reached == k],
+            "n_seen": [n_seen],
+        })
+
+    narrow = stream_df.select(
+        F.col(key_col), F.col(type_col),
+        ts_micros(F.col(ts_col)).alias("_ts_us"),
+        F.col(tiebreak_col).cast("long").alias("_tb"),
     )
     return narrow.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", "NoTimeout"

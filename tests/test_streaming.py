@@ -1132,3 +1132,71 @@ def test_streaming_gap_deltas_sum_to_batch_across_restart(spark, tmp_path):
     # the boundary gap really counted once: type "a" opened gaps 10
     # (0->10), 30 (30->60... no, 30 s event opens 60-30) and 40
     assert want.loc["a", "n_gaps"] == got.loc["a", "n_gaps"]
+
+
+def test_streaming_funnel_matches_batch_across_restart(spark, tmp_path):
+    """Live funnel: steps landing in different micro-batches still
+    match in order, the strictly-after bound holds across the batch
+    boundary (a replay of the already-matched step-2 event in batch 2
+    must not fake progress), and after an availableNow restart the
+    latest emitted row per key equals the batch funnel_conversion over
+    everything ingested."""
+    import pandas as pd
+
+    from cesium_spark.operators.funnel import funnel_conversion
+    from cesium_spark.streaming.stream import streaming_funnel
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    t0 = pd.Timestamp("2025-01-01")
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    steps = ["view", "click", "purchase"]
+
+    def rows(specs, base_eid):
+        return [
+            (base_eid + i,
+             (t0 + pd.Timedelta(seconds=sec)).to_pydatetime(), u, ty)
+            for i, (u, sec, ty) in enumerate(specs)
+        ]
+
+    # u1 converts across the boundary: view+click in b1, purchase in b2.
+    # u2 sees click BEFORE its first view (must not count), then view in
+    # b1 and a click in b2 -> reached 2.
+    # u3 only ever views. u4 appears only in b2.
+    b1 = rows([(1, 10, "view"), (1, 20, "click"),
+               (2, 5, "click"), (2, 30, "view"),
+               (3, 40, "view")], 0)
+    b2 = rows([(1, 50, "purchase"), (1, 20, "click"),  # replay <= bound
+               (2, 60, "click"), (4, 70, "view")], 100)
+    spark.createDataFrame(b1, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(in_dir)
+
+    def drain():
+        src = spark.readStream.schema(schema).parquet(in_dir)
+        q = (streaming_funnel(src, steps).writeStream
+             .format("parquet").option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drain()
+    spark.createDataFrame(b2, schema).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+    drain()
+
+    emitted = spark.read.parquet(out_dir).toPandas()
+    latest = emitted.sort_values("n_seen").groupby("user_id").last()
+
+    full = spark.createDataFrame(b1 + b2, schema)
+    want = funnel_conversion(full, steps).toPandas().set_index("user_id")
+    for u in want.index:
+        for c in ("steps_reached", "t_first", "t_deepest",
+                  "seconds_to_convert", "converted"):
+            got, exp = latest.loc[u, c], want.loc[u, c]
+            assert got == exp or (pd.isna(got) and pd.isna(exp)), (u, c, got, exp)
+    # the conversion really spanned the boundary
+    assert bool(latest.loc[1, "converted"]) is True
+    assert latest.loc[1, "seconds_to_convert"] == 40.0
+    # pre-view click never counted; batch-2 click advanced u2 to 2
+    assert latest.loc[2, "steps_reached"] == 2
+    assert latest.loc[3, "steps_reached"] == 1
+    assert latest.loc[4, "steps_reached"] == 1
