@@ -3302,6 +3302,17 @@ def q_dtw_nn(spark, sf_dir):
     return dtw_nearest(_events(spark, sf_dir), band=7, shortlist=5)
 
 
+def q_binseg(spark, sf_dir):
+    """Depth-2 binary-segmentation changepoints per actor (the ruptures
+    binseg baseline): closed-form SSE gains from per-series prefix
+    sums — one sort-shuffle + a co-partitioned root join, no
+    per-candidate rescan. Gains rounded before the argmax, ties to the
+    earliest position (the cusum/kmeans determinism discipline)."""
+    from cesium_spark.operators.tsstats import binseg_changepoints
+
+    return binseg_changepoints(_events(spark, sf_dir), min_size=5)
+
+
 def q_funnel_steps_streamed(spark, sf_dir):
     """The LIVE funnel head end-to-end: the sparsified event stream is
     staged as two time-ordered parquet files and drained as two
@@ -3443,6 +3454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round 6, session-7 batch ---
         "assoc_rules": q_assoc_rules,
+        "binseg_changepoints": q_binseg,
         "funnel_steps_streamed": q_funnel_steps_streamed,
         "ab_test": q_ab_test,
         "peak_rate_60s": q_peak_rate,
@@ -8233,6 +8245,73 @@ def oracle_sql() -> dict[str, str]:
                                            cand_id) AS rank
         FROM lb2
         QUALIFY rank <= 6
+    """
+
+    sql["binseg_changepoints"] = f"""
+        WITH b AS (
+          SELECT user_id, ts, value::DOUBLE AS x,
+                 row_number() OVER w AS pos,
+                 sum(value::DOUBLE) OVER wc AS s1,
+                 sum(value::DOUBLE * value::DOUBLE) OVER wc AS s2,
+                 count(*) OVER wp AS n,
+                 sum(value::DOUBLE) OVER wp AS t1,
+                 sum(value::DOUBLE * value::DOUBLE) OVER wp AS t2
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+                 wc AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wp AS (PARTITION BY user_id)
+        ),
+        g AS (
+          SELECT user_id, ts, pos, s1, s2, n, t1, t2,
+                 round(((t2 - 0.0) - t1*t1/n)
+                       - ((s2 - 0.0) - s1*s1/pos)
+                       - ((t2 - s2) - (t1-s1)*(t1-s1)/(n-pos))
+                       + {EPS}, {R}) AS gain
+          FROM b WHERE pos >= 5 AND pos <= n - 5
+        ),
+        rootp AS (
+          SELECT user_id, pos AS rpos, ts AS rts, gain AS rg,
+                 s1 AS rs1, s2 AS rs2
+          FROM g
+          QUALIFY row_number() OVER (PARTITION BY user_id
+                                     ORDER BY gain DESC, pos) = 1
+        ),
+        kid AS (
+          SELECT b.*, r.rpos, r.rts, r.rg, r.rs1, r.rs2,
+                 CASE WHEN b.pos >= 5 AND b.pos <= r.rpos - 5 THEN 'left'
+                      WHEN b.pos >= r.rpos + 5 AND b.pos <= b.n - 5
+                        THEN 'right' END AS level
+          FROM b JOIN (SELECT * FROM rootp WHERE rg > 0) r
+            ON b.user_id = r.user_id
+        ),
+        kg AS (
+          SELECT user_id, level, pos, ts,
+                 CASE WHEN level = 'left' THEN
+                   round(((rs2 - 0.0) - rs1*rs1/rpos)
+                         - ((s2 - 0.0) - s1*s1/pos)
+                         - ((rs2 - s2) - (rs1-s1)*(rs1-s1)/(rpos-pos))
+                         + {EPS}, {R})
+                 ELSE
+                   round(((t2 - rs2) - (t1-rs1)*(t1-rs1)/(n-rpos))
+                         - ((s2 - rs2) - (s1-rs1)*(s1-rs1)/(pos-rpos))
+                         - ((t2 - s2) - (t1-s1)*(t1-s1)/(n-pos))
+                         + {EPS}, {R})
+                 END AS gain
+          FROM kid WHERE level IS NOT NULL
+        ),
+        best_k AS (
+          SELECT user_id, level, pos, ts, gain
+          FROM kg
+          QUALIFY row_number() OVER (PARTITION BY user_id, level
+                                     ORDER BY gain DESC, pos) = 1
+        )
+        SELECT user_id, 'root' AS level, rpos::BIGINT AS pos,
+               rts AS t_cp, rg AS gain
+        FROM rootp WHERE rg > 0
+        UNION ALL
+        SELECT user_id, level, pos::BIGINT AS pos, ts AS t_cp, gain
+        FROM best_k WHERE gain > 0
     """
 
     sql["assoc_rules"] = f"""

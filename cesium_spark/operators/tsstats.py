@@ -30,7 +30,7 @@ __all__ = [
     "seasonal_decompose", "event_transitions", "event_trigrams",
     "hourly_peaks", "seasonal_anomalies", "type_entropy", "decorrelation_lag",
     "seasonal_naive_backtest", "leadlag_xcorr", "holt_linear", "ar1_fit",
-    "seasonal_strength",
+    "seasonal_strength", "peak_rate", "binseg_changepoints",
 ]
 
 
@@ -1182,3 +1182,119 @@ def peak_rate(
              .alias("t_peak"),
         )
     )
+
+
+def binseg_changepoints(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    min_size: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Multiple changepoints per series via depth-2 binary segmentation
+    (Scott & Knott 1974; the binseg baseline of the `ruptures` /
+    `changepoint` packages): find the split that most reduces total
+    squared error, then the best split inside each resulting half.
+
+    Everything derives from per-series prefix sums, so the whole search
+    is closed-form JVM math — NO per-candidate rescan: with S1/S2 the
+    running sum and sum of squares, SSE(a..b) = (S2_b - S2_{a-1}) -
+    (S1_b - S1_{a-1})² / (b - a + 1), and the gain of splitting segment
+    (a..b) at t is SSE(a..b) - SSE(a..t) - SSE(t+1..b). Candidates
+    respect `min_size` on both sides. Gains are ROUNDED before the
+    argmax and ties break to the earliest position (cross-engine
+    determinism — the cusum/kmeans discipline).
+
+    Physical shape: ONE sort-shuffle per series key builds positions +
+    prefix sums; the root argmax is a struct-min aggregate; the child
+    searches reuse the same prefix-sum relation joined back to the
+    series-sized root result (co-partitioned equi-join on the key — a
+    second pass over rows, not a second sort). Returns up to 3 rows per
+    series: (key, level, pos, t_cp, gain) with level in
+    ('root','left','right'), pos the 1-based last index of the left
+    side, and only positive-gain splits emitted.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    x = F.col(value_col).cast("double")
+    base = df.select(
+        F.col(key_col),
+        F.col(ts_col).alias("_ts"),
+        x.alias("_x"),
+        F.row_number().over(w).alias("_pos"),
+        F.sum(x).over(cum).alias("_s1"),
+        F.sum(x * x).over(cum).alias("_s2"),
+        F.count("*").over(Window.partitionBy(key_col)).alias("_n"),
+        F.sum(x).over(Window.partitionBy(key_col)).alias("_t1"),
+        F.sum(x * x).over(Window.partitionBy(key_col)).alias("_t2"),
+    )
+
+    def sse(s2_hi, s2_lo, s1_hi, s1_lo, cnt):
+        d1 = s1_hi - s1_lo
+        return (s2_hi - s2_lo) - d1 * d1 / cnt
+
+    rd = lambda c: F.round(c + F.lit(1e-9), round_digits)  # noqa: E731
+
+    # ---- root: split the whole series (candidates [ms, n-ms]) ----
+    pos, n = F.col("_pos"), F.col("_n")
+    sse_tot = sse(F.col("_t2"), F.lit(0.0), F.col("_t1"), F.lit(0.0), n)
+    sse_l = sse(F.col("_s2"), F.lit(0.0), F.col("_s1"), F.lit(0.0), pos)
+    sse_r = sse(F.col("_t2"), F.col("_s2"), F.col("_t1"), F.col("_s1"),
+                n - pos)
+    root_gain = rd(sse_tot - sse_l - sse_r)
+    cand = base.where((pos >= min_size) & (pos <= n - min_size))
+    pick = F.struct((-root_gain).alias("_ng"), pos.alias("_pos"),
+                    F.col("_ts").alias("_ts"), root_gain.alias("_g"))
+    root = (
+        cand.groupBy(key_col).agg(F.min(pick).alias("_b"))
+        .select(F.col(key_col), F.col("_b._pos").alias("_rpos"),
+                F.col("_b._ts").alias("_rts"), F.col("_b._g").alias("_rg"))
+        .where(F.col("_rg") > 0)
+    )
+
+    # prefix sums AT the root split, for the child segment SSEs
+    at_root = (
+        base.join(root, key_col)
+        .where(F.col("_pos") == F.col("_rpos"))
+        .select(F.col(key_col), F.col("_rpos"), F.col("_rts"),
+                F.col("_rg"), F.col("_s1").alias("_rs1"),
+                F.col("_s2").alias("_rs2"))
+    )
+
+    # ---- children: best split of (1..T) and (T+1..n) ----
+    kids = base.join(at_root, key_col)
+    T = F.col("_rpos")
+    # left segment (1..T): split at t in [ms, T-ms]
+    l_tot = sse(F.col("_rs2"), F.lit(0.0), F.col("_rs1"), F.lit(0.0), T)
+    l_gain = rd(l_tot - sse_l
+                - sse(F.col("_rs2"), F.col("_s2"), F.col("_rs1"),
+                      F.col("_s1"), T - pos))
+    # right segment (T+1..n): split at t in [T+ms, n-ms]
+    r_tot = sse(F.col("_t2"), F.col("_rs2"), F.col("_t1"), F.col("_rs1"),
+                n - T)
+    r_gain = rd(r_tot
+                - sse(F.col("_s2"), F.col("_rs2"), F.col("_s1"),
+                      F.col("_rs1"), pos - T)
+                - sse_r)
+    side = F.when((pos >= min_size) & (pos <= T - min_size), F.lit("left")) \
+        .when((pos >= T + min_size) & (pos <= n - min_size), F.lit("right"))
+    gain = F.when(side == "left", l_gain).otherwise(r_gain)
+    kid_pick = F.struct((-gain).alias("_ng"), pos.alias("_pos"),
+                        F.col("_ts").alias("_ts"), gain.alias("_g"))
+    children = (
+        kids.where(side.isNotNull())
+        .groupBy(key_col, side.alias("level"))
+        .agg(F.min(kid_pick).alias("_b"))
+        .select(F.col(key_col), "level",
+                F.col("_b._pos").cast("long").alias("pos"),
+                F.col("_b._ts").alias("t_cp"), F.col("_b._g").alias("gain"))
+        .where(F.col("gain") > 0)
+    )
+    root_rows = root.select(
+        F.col(key_col), F.lit("root").alias("level"),
+        F.col("_rpos").cast("long").alias("pos"),
+        F.col("_rts").alias("t_cp"), F.col("_rg").alias("gain"),
+    )
+    return root_rows.unionByName(children)

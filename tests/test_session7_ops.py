@@ -215,3 +215,61 @@ def test_sequence_similarity_topk_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------------------------ binseg
+
+
+def test_binseg_matches_numpy_reference(spark):
+    import numpy as np
+
+    from cesium_spark.operators.tsstats import binseg_changepoints
+
+    rng = np.random.RandomState(7)
+    x = np.concatenate([rng.randn(20), rng.randn(20) + 10,
+                        rng.randn(20) + 5])
+    rows = [(1, 60 * i, "A", float(v)) for i, v in enumerate(x)]
+    # u2 is constant: zero gain everywhere -> no rows at all
+    rows += [(2, 60 * i, "A", 0.0) for i in range(30)]
+    out = {(r["user_id"], r["level"]): r
+           for r in binseg_changepoints(_events(spark, rows)).collect()}
+
+    def sse(a):
+        return float(((a - a.mean()) ** 2).sum()) if len(a) else 0.0
+
+    def best(lo, hi, ms=5):
+        cands = [(round(sse(x[lo:hi]) - sse(x[lo:t]) - sse(x[t:hi])
+                        + 1e-9, 6), t)
+                 for t in range(lo + ms, hi - ms + 1)]
+        g, t = max(cands, key=lambda p: (p[0], -p[1]))
+        return t, g
+
+    t, g = best(0, 60)
+    assert (out[(1, "root")]["pos"], out[(1, "root")]["gain"]) == (t, g)
+    lt, lg = best(0, t)
+    rt, rg = best(t, 60)
+    assert (out[(1, "left")]["pos"], out[(1, "left")]["gain"]) == (lt, lg)
+    assert (out[(1, "right")]["pos"], out[(1, "right")]["gain"]) == (rt, rg)
+    assert (2, "root") not in out  # constant series: no positive gain
+
+
+def test_binseg_min_size_and_short_series(spark):
+    from cesium_spark.operators.tsstats import binseg_changepoints
+
+    # n=9 < 2*min_size: no admissible candidate -> empty
+    rows = [(1, 60 * i, "A", float(i % 2)) for i in range(9)]
+    assert binseg_changepoints(_events(spark, rows), min_size=5).count() == 0
+    # n=10: exactly one candidate (pos=5)
+    rows = [(1, 60 * i, "A", 0.0 if i < 5 else 9.0) for i in range(10)]
+    out = binseg_changepoints(_events(spark, rows), min_size=5).collect()
+    assert len(out) == 1 and out[0]["pos"] == 5 and out[0]["level"] == "root"
+
+
+def test_binseg_plan_no_cartesian(spark):
+    from cesium_spark.operators.tsstats import binseg_changepoints
+
+    rows = [(1, 60 * i, "A", float(i)) for i in range(12)]
+    plan = binseg_changepoints(_events(spark, rows))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
