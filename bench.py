@@ -51,7 +51,13 @@ def main():
         app_name="cesium-spark-bench",
         master=f"local[{CPUS}]",
         shuffle_partitions=2 * CPUS,
-        extra_conf={"spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "48g")},
+        # 16g, not 48g: measured on this VM (r6 session 8), the 48g heap
+        # costs ~3x on the transcript queries — G1 young-GC pauses hit
+        # 850 ms (4.3 s GC per 21 s trial, MXBean-measured) and lazily
+        # committed heap pages churn; at 16g the same plans run 2.3 s /
+        # 5.0 s (sqlpath/kernel) vs 6-18 s / 14-26 s at 48g. 16g still
+        # leaves ~10g unified memory for the 2.2 GB scan + shuffles.
+        extra_conf={"spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "16g")},
     )
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
 

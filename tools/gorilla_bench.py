@@ -39,7 +39,7 @@ def main():
         app_name="gorilla-bench",
         master=f"local[{CPUS}]",
         shuffle_partitions=2 * CPUS,
-        extra_conf={"spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "48g")},
+        extra_conf={"spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "16g")},
     )
 
     tpath = os.environ.get("SPARK_GRAFT_BENCH_PATH", "/tmp/cesium_bench_transcripts")

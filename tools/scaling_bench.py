@@ -50,7 +50,7 @@ def main():
         app_name=f"cesium-scaling-{cores}c",
         master=f"local[{cores}]",
         shuffle_partitions=2 * cores,
-        extra_conf={"spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "48g")},
+        extra_conf={"spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "16g")},
     )
     if not os.path.exists(os.path.join(BIG, "_SUCCESS")):
         from cesium_spark.datagen import generate_transcripts

@@ -4,9 +4,9 @@ in-process best-of-N protocol, this is the submit-shaped confirmation).
 
 Usage:
   cd /root/repo && zip -qr /tmp/cesium_spark.zip cesium_spark
-  spark-submit --master local[4]  --driver-memory 48g --py-files /tmp/cesium_spark.zip \
+  spark-submit --master local[4]  --driver-memory 16g --py-files /tmp/cesium_spark.zip \
       tools/scaling_submit.py
-  spark-submit --master local[16] --driver-memory 48g --py-files /tmp/cesium_spark.zip \
+  spark-submit --master local[16] --driver-memory 16g --py-files /tmp/cesium_spark.zip \
       tools/scaling_submit.py
 
 Runs the identical job to scaling_bench.py (1h-tier rollup, full
