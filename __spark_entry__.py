@@ -3302,6 +3302,137 @@ def q_dtw_nn(spark, sf_dir):
     return dtw_nearest(_events(spark, sf_dir), band=7, shortlist=5)
 
 
+def _ddsketch_readout(ev, buckets):
+    """Quantile estimates off a DDSketch bucket relation, joined to the
+    true order statistics at the same ranks so the alpha guarantee is
+    pinned IN the result (est, exact, rel_err, ok)."""
+    from pyspark.sql import Window
+
+    from cesium_spark.operators.sketch import ddsketch_quantiles
+
+    est = ddsketch_quantiles(buckets, alpha=0.01)
+    ranked = ev.select(
+        "event_type", F.col("value").cast("double").alias("_v"),
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("value", "event_id")
+        ).alias("_rn"),
+    )
+    withT = est.withColumn(
+        "_target", (F.floor(F.col("q") * (F.col("n") - 1)) + 1).cast("long")
+    ).alias("e")
+    ranked = ranked.alias("rk")
+    rel = F.round(F.abs(F.col("est") - F.col("_v")) / F.col("_v")
+                  + F.lit(EPS), R)
+    return (
+        withT.join(ranked, (F.col("e.event_type") == F.col("rk.event_type"))
+                   & (F.col("_target") == F.col("_rn")))
+        .select(F.col("e.event_type").alias("event_type"), "q", "n", "est",
+                _r(F.col("_v")).alias("exact"),
+                rel.alias("rel_err"),
+                (rel <= 0.01).alias("ok"))
+    )
+
+
+def q_ddsketch(spark, sf_dir):
+    """DDSketch relative-error quantiles per event type (Masson et al.
+    VLDB 2019) with the guarantee pinned IN the result: est from the
+    engine-portable log-bucket relation, exact = the true order
+    statistic at the same rank, ok = relative error <= alpha. The
+    sketch state is groups x ~1.1k rows at any event volume and merges
+    by count-sum (tested); the oracle rebuilds the identical buckets
+    in SQL."""
+    from cesium_spark.operators.sketch import ddsketch_buckets
+
+    ev = _events(spark, sf_dir)
+    return _ddsketch_readout(ev, ddsketch_buckets(ev, alpha=0.01))
+
+
+def q_ddsketch_streamed(spark, sf_dir):
+    """The DDSketch quantile monitor as a LIVE ingestion head: events
+    arrive in two file micro-batches, each batch's partial bucket
+    relation commits to its own batch=<id> directory (replay rewrites
+    the identical bytes — the cms exactly-once pattern), and the
+    readout runs off the MERGED streamed state. Shares
+    sql["ddsketch_quantiles"]: a hash match proves streamed state ==
+    batch sketch."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from cesium_spark.streaming.stream import (
+        ddsketch_batch_fn, ddsketch_state_buckets,
+    )
+
+    ev = _events(spark, sf_dir)
+    mid = ev.agg(F.expr("percentile(event_id, 0.5)")).collect()[0][0]
+    work = tempfile.mkdtemp(prefix="dd_stream_")
+    in_dir = f"{work}/in"
+    narrow = ev.select("event_id", "event_type",
+                       F.col("value").cast("double").alias("value"))
+    try:
+        narrow.filter(F.col("event_id") <= mid).coalesce(1) \
+            .write.mode("overwrite").parquet(in_dir)
+        first_files = set(glob.glob(f"{in_dir}/*.parquet"))
+        narrow.filter(F.col("event_id") > mid).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+        later = time.time() + 10
+        for f in set(glob.glob(f"{in_dir}/*.parquet")) - first_files:
+            os.utime(f, (later, later))
+        src = (
+            spark.readStream
+            .schema("event_id bigint, event_type string, value double")
+            .option("maxFilesPerTrigger", 1).parquet(in_dir)
+        )
+        q = (
+            src.writeStream
+            .foreachBatch(ddsketch_batch_fn(f"{work}/store"))
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True).start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                raise TimeoutError("ddsketch stream did not drain in 300s")
+        finally:
+            q.stop()
+        state = ddsketch_state_buckets(spark, f"{work}/store")
+        return _ddsketch_readout(ev, state).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q_m4_downsample(spark, sf_dir):
+    """M4 visualization downsampling (Jugel et al. VLDB 2014) of the
+    per-type event streams into 6h pixel buckets: first/last/min/max
+    plus extreme timestamps, the error-free companion to the LTTB
+    perceptual path (`downsample_lttb`). ONE hash aggregate of
+    min_by/max_by selectors — partial-aggregable, no window."""
+    from cesium_spark.operators.downsample import m4_downsample
+
+    return m4_downsample(_events(spark, sf_dir), bucket_sec=6 * 3600)
+
+
+def q_mann_kendall(spark, sf_dir):
+    """Mann-Kendall monotonic-trend test per actor on the hourly mean
+    grid: exact integer S, tie-corrected Var(S), continuity-corrected
+    z, and the 5% two-sided call. The pair relation is grid-bounded
+    (never event-bounded) — the theil_sen scale discipline."""
+    from cesium_spark.operators.trend import mann_kendall
+
+    return mann_kendall(_events(spark, sf_dir))
+
+
+def q_haar_energy(spark, sf_dir):
+    """Haar multi-resolution energy per actor: detail energy at dyadic
+    levels 1..4 over the hourly grid — where the series' variance
+    lives across time scales (Percival & Walden's wavelet variance
+    view). levels x grid work, one bounded window, no Python."""
+    from cesium_spark.operators.wavelet import haar_energy
+
+    return haar_energy(_events(spark, sf_dir), levels=4)
+
+
 def q_binseg(spark, sf_dir):
     """Depth-2 binary-segmentation changepoints per actor (the ruptures
     binseg baseline): closed-form SSE gains from per-series prefix
@@ -3452,6 +3583,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (r4 VERDICT item 7: clean_corpus_spans shipped in r4 but sat past
     # the 50-slot cap and was never driver-checked).
     return {
+        # --- round 6, session-8 batch ---
+        "ddsketch_quantiles": q_ddsketch,
+        "ddsketch_streamed": q_ddsketch_streamed,
+        "m4_downsample": q_m4_downsample,
+        "mann_kendall": q_mann_kendall,
+        "haar_energy": q_haar_energy,
         # --- round 6, session-7 batch ---
         "assoc_rules": q_assoc_rules,
         "binseg_changepoints": q_binseg,
@@ -8245,6 +8382,180 @@ def oracle_sql() -> dict[str, str]:
                                            cand_id) AS rank
         FROM lb2
         QUALIFY rank <= 6
+    """
+
+    # gamma = (1+alpha)/(1-alpha) at alpha=0.01, full-precision literal;
+    # value=0 rows (present at sf0.1) take the reserved zero bucket —
+    # the CASE must guard ln(), which DuckDB hard-errors on at 0
+    _dd_g = repr((1.0 + 0.01) / (1.0 - 0.01))
+    _dd_zero = -(2 ** 30)
+    sql["ddsketch_quantiles"] = f"""
+        WITH bk AS (
+          SELECT event_type,
+                 CASE WHEN value = 0 THEN {_dd_zero}
+                      ELSE CAST(ceil(round(ln(value::DOUBLE)
+                                           / ln({_dd_g}), 6)) AS INT)
+                 END AS bkt,
+                 count(*)::BIGINT AS cnt
+          FROM events GROUP BY 1, 2
+        ),
+        cum AS (
+          SELECT event_type, bkt, cnt,
+                 sum(cnt) OVER (PARTITION BY event_type ORDER BY bkt
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS c,
+                 sum(cnt) OVER (PARTITION BY event_type) AS n
+          FROM bk
+        ),
+        qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+        cand AS (
+          SELECT event_type, q, n, bkt,
+                 floor(q * (n - 1))::BIGINT + 1 AS target
+          FROM cum CROSS JOIN qs
+          WHERE c >= floor(q * (n - 1))::BIGINT + 1
+        ),
+        pick AS (
+          SELECT event_type, q, n::BIGINT AS n, bkt, target
+          FROM cand
+          QUALIFY row_number() OVER (PARTITION BY event_type, q
+                                     ORDER BY bkt) = 1
+        ),
+        est AS (
+          SELECT event_type, q, n, target,
+                 round(CASE WHEN bkt = {_dd_zero} THEN 0.0
+                       ELSE 2.0 * pow({_dd_g}, bkt) / ({_dd_g} + 1.0)
+                       END + {EPS}, {R}) AS est
+          FROM pick
+        ),
+        ranked AS (
+          SELECT event_type, value::DOUBLE AS v,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY value, event_id) AS rn
+          FROM events
+        )
+        SELECT e.event_type, e.q, e.n, e.est,
+               round(r.v + {EPS}, {R}) AS exact,
+               round(abs(e.est - r.v) / r.v + {EPS}, {R}) AS rel_err,
+               round(abs(e.est - r.v) / r.v + {EPS}, {R}) <= 0.01 AS ok
+        FROM est e JOIN ranked r
+          ON r.event_type = e.event_type AND r.rn = e.target
+    """
+
+    # streamed state == batch sketch, so the streamed head replays the
+    # batch oracle verbatim (the event_loops_streamed pattern)
+    sql["ddsketch_streamed"] = sql["ddsketch_quantiles"]
+
+    sql["m4_downsample"] = """
+        WITH b AS (
+          SELECT event_type,
+                 CAST(floor(epoch(ts) / 21600.0) AS BIGINT) AS bucket_idx,
+                 epoch(ts)::DOUBLE AS sec, value::DOUBLE AS v, event_id
+          FROM events
+        ),
+        w AS (
+          SELECT event_type, bucket_idx, sec, v,
+                 row_number() OVER (PARTITION BY event_type, bucket_idx
+                                    ORDER BY sec, event_id) AS rf,
+                 row_number() OVER (PARTITION BY event_type, bucket_idx
+                                    ORDER BY sec DESC, event_id DESC) AS rl,
+                 row_number() OVER (PARTITION BY event_type, bucket_idx
+                                    ORDER BY v, sec, event_id) AS rmin,
+                 row_number() OVER (PARTITION BY event_type, bucket_idx
+                                    ORDER BY v DESC, sec, event_id) AS rmax
+          FROM b
+        )
+        SELECT event_type, bucket_idx,
+               make_timestamp(bucket_idx * 21600 * 1000000) AS bucket_start,
+               max(CASE WHEN rf = 1 THEN v END) AS v_first,
+               max(CASE WHEN rl = 1 THEN v END) AS v_last,
+               min(v) AS v_min,
+               max(v) AS v_max,
+               max(CASE WHEN rmin = 1 THEN sec END) AS t_min_sec,
+               max(CASE WHEN rmax = 1 THEN sec END) AS t_max_sec,
+               count(*)::BIGINT AS n
+        FROM w
+        GROUP BY 1, 2
+    """
+
+    sql["mann_kendall"] = f"""
+        WITH g AS (
+          SELECT user_id, date_trunc('hour', ts) AS h,
+                 round(avg(value::DOUBLE) + {EPS}, {R}) AS x
+          FROM events GROUP BY 1, 2
+        ),
+        p AS (
+          SELECT a.user_id, sum(sign(b.x - a.x))::BIGINT AS s
+          FROM g a JOIN g b ON a.user_id = b.user_id AND b.h > a.h
+          GROUP BY 1
+        ),
+        t AS (
+          SELECT user_id,
+                 sum(c * (c - 1) * (2 * c + 5))::BIGINT AS tt
+          FROM (SELECT user_id, x, count(*) AS c FROM g GROUP BY 1, 2)
+          GROUP BY 1
+        ),
+        base AS (SELECT user_id, count(*)::BIGINT AS n FROM g GROUP BY 1),
+        j AS (
+          SELECT base.user_id, base.n,
+                 coalesce(p.s, 0)::BIGINT AS s_stat,
+                 (base.n * (base.n - 1) * (2 * base.n + 5)
+                  - coalesce(t.tt, 0)) / 18.0 AS var_raw
+          FROM base LEFT JOIN p ON base.user_id = p.user_id
+                    LEFT JOIN t ON base.user_id = t.user_id
+        ),
+        zed AS (
+          SELECT user_id, n, s_stat,
+                 round(var_raw + {EPS}, {R}) AS var_s,
+                 round(CASE WHEN var_raw > 0 AND s_stat > 0
+                              THEN (s_stat - 1) / sqrt(var_raw)
+                            WHEN var_raw > 0 AND s_stat < 0
+                              THEN (s_stat + 1) / sqrt(var_raw)
+                            ELSE 0.0 END + {EPS}, {R}) AS z
+          FROM j
+        )
+        SELECT user_id, n, s_stat, var_s, z,
+               CASE WHEN z > 1.96 THEN 'increasing'
+                    WHEN z < -1.96 THEN 'decreasing'
+                    ELSE 'none' END AS trend
+        FROM zed
+    """
+
+    sql["haar_energy"] = f"""
+        WITH g AS (
+          SELECT user_id, date_trunc('hour', ts) AS h,
+                 round(avg(value::DOUBLE) + {EPS}, {R}) AS x
+          FROM events GROUP BY 1, 2
+        ),
+        gi AS (
+          SELECT user_id, x,
+                 row_number() OVER (PARTITION BY user_id ORDER BY h) - 1
+                   AS idx
+          FROM g
+        ),
+        placed AS (
+          SELECT user_id, k.level, x,
+                 CAST(floor(idx / pow(2.0, k.level)) AS BIGINT) AS block,
+                 CAST(floor(idx / pow(2.0, k.level - 1)) AS BIGINT) % 2
+                   AS half
+          FROM gi CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS level) k
+        ),
+        halves AS (
+          SELECT user_id, level, block,
+                 round(avg(x) FILTER (half = 0) + {EPS}, {R}) AS ml,
+                 round(avg(x) FILTER (half = 1) + {EPS}, {R}) AS mr
+          FROM placed GROUP BY 1, 2, 3
+        ),
+        det AS (
+          SELECT user_id, level,
+                 CASE WHEN ml IS NULL OR mr IS NULL THEN 0.0
+                      ELSE (ml - mr) / 2.0 * pow(2.0, level / 2.0)
+                 END AS d
+          FROM halves
+        )
+        SELECT user_id, level,
+               count(*)::BIGINT AS n_blocks,
+               round(sum(d * d) + {EPS}, {R}) AS energy
+        FROM det GROUP BY 1, 2
     """
 
     sql["binseg_changepoints"] = f"""

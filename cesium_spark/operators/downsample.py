@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from ..kernel import group_starts, iter_group_frames, ts_micros
 from .rollup import TIERS
 
-__all__ = ["ohlc_downsample", "lttb_downsample"]
+__all__ = ["ohlc_downsample", "lttb_downsample", "m4_downsample"]
 
 
 def ohlc_downsample(
@@ -151,3 +151,70 @@ def lttb_downsample(
         key_col, "ts_us", "_ord"
     )
     return arranged.mapInPandas(_mapper, schema=out_schema)
+
+
+def m4_downsample(
+    df: DataFrame,
+    bucket_sec: int = 3600,
+    key_cols: tuple[str, ...] = ("event_type",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """M4 downsampling (Jugel et al., VLDB 2014): per (series, time
+    bucket) keep exactly the four points a pixel-perfect line render
+    needs — first, last, min, max — plus the extremes' timestamps.
+    The error-free visualization downsampler to LTTB's perceptual one
+    (and unlike LTTB it is a pure aggregation: no sequential
+    cross-bucket dependence).
+
+    Plan: map-only bucket/rank projection + ONE hash aggregate of
+    min_by/max_by over composite ranks — partial-aggregable (each
+    selector's carry is one (value, rank) pair), single Exchange, no
+    window, no Python. Output is buckets x series sized.
+
+    Tie rule (pinned by tests + the DuckDB oracle): among equal
+    extremes the EARLIEST (ts, tiebreak) occurrence wins; v_first /
+    v_last take the (ts, tiebreak) order's endpoints. Selection-only
+    semantics — no arithmetic on values — so no rounding is needed
+    for cross-engine equality.
+
+    Returns (key..., bucket_idx, bucket_start, v_first, v_last,
+    v_min, v_max, t_min_sec, t_max_sec, n).
+    """
+    gcols = list(key_cols)
+    # via unix micros: NTZ-tolerant (ts_micros) and exact in double for
+    # any timestamp this side of year 2255 (2^53 us)
+    sec = ts_micros(F.col(ts_col)).cast("double") / F.lit(1e6)
+    v = F.col(value_col).cast("double")
+    tb = F.col(tiebreak_col).cast("long")
+    base = df.select(
+        *gcols,
+        F.floor(sec / F.lit(int(bucket_sec))).cast("long").alias("bucket_idx"),
+        sec.alias("_sec"), v.alias("_v"), tb.alias("_tb"),
+    )
+    order = F.struct(F.col("_sec"), F.col("_tb"))
+    earliest_min = F.struct(F.col("_v"), F.col("_sec"), F.col("_tb"))
+    # max_by keeps the row with the LARGEST rank: negating the time
+    # fields makes that "largest value, then earliest occurrence"
+    earliest_max = F.struct(F.col("_v"), (-F.col("_sec")).alias("_ns"),
+                            (-F.col("_tb")).alias("_nt"))
+    return (
+        base.groupBy(*gcols, "bucket_idx")
+        .agg(
+            F.min_by("_v", order).alias("v_first"),
+            F.max_by("_v", order).alias("v_last"),
+            F.min("_v").alias("v_min"),
+            F.max("_v").alias("v_max"),
+            F.min_by("_sec", earliest_min).alias("t_min_sec"),
+            F.max_by("_sec", earliest_max).alias("t_max_sec"),
+            F.count("*").cast("long").alias("n"),
+        )
+        .select(
+            *gcols, "bucket_idx",
+            F.timestamp_seconds(F.col("bucket_idx") * F.lit(int(bucket_sec)))
+            .alias("bucket_start"),
+            "v_first", "v_last", "v_min", "v_max",
+            "t_min_sec", "t_max_sec", "n",
+        )
+    )

@@ -29,11 +29,15 @@ matter the input size. The determinism discipline:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["hll_distinct", "hll_bucket_rows", "hll_estimate_from_buckets",
-           "cms_counter_rows", "cms_estimate", "cms_heavy_hitters"]
+           "cms_counter_rows", "cms_estimate", "cms_heavy_hitters",
+           "ddsketch_buckets", "ddsketch_merge", "ddsketch_quantiles",
+           "DD_ZERO_BKT", "DD_NEG_BASE"]
 
 # 50-bit rank word (60-bit hash minus the 10 bucket bits at p=10);
 # rho ranges 1..(W+1)
@@ -244,4 +248,138 @@ def cms_heavy_hitters(
             F.col("cms_est").alias("n_est"),
             (F.col("cms_est") - F.col("n_exact")).alias("overcount"),
         )
+    )
+
+
+# ---------------------------------------------------------------- DDSketch
+
+# Reserved zero bucket sits below every positive log-bucket (|idx| for a
+# double value is at most ~|ln 5e-324|/ln(gamma) ~ 745/ln(gamma), i.e.
+# < 2^22 for alpha >= 1e-4) and above every mirrored negative bucket,
+# which maps to NEG_BASE - idx(-x) so ordering by bkt IS ordering by
+# value across the full signed range.
+DD_ZERO_BKT = -(2 ** 30)
+DD_NEG_BASE = -(2 ** 30) - 2 ** 23
+
+
+def _dd_gamma(alpha: float) -> float:
+    return (1.0 + alpha) / (1.0 - alpha)
+
+
+def ddsketch_buckets(
+    df: DataFrame,
+    value_col: str = "value",
+    group_cols: tuple[str, ...] = ("event_type",),
+    alpha: float = 0.01,
+) -> DataFrame:
+    """DDSketch bucket relation (Masson, Lee & Rim, VLDB 2019): a
+    relative-error quantile sketch whose bucket mapping is a PURE
+    deterministic function of the value — i = ceil(ln(x)/ln(gamma)),
+    gamma = (1+alpha)/(1-alpha) — so unlike approx_percentile's opaque
+    JVM sketch, the state is an engine-portable relation any engine
+    can rebuild and any two sketches MERGE by summing counts.
+
+    Returns (group..., bkt, cnt): map-only projection + ONE hash
+    aggregate, bounded by groups x O(log_gamma(max/min)) rows (~1.1k
+    buckets for a 5-decade range at alpha=0.01) — constant state at
+    any event volume, partial-aggregable, streaming-mergeable.
+
+    Sign handling: x > 0 buckets as above; x == 0 goes to the reserved
+    DD_ZERO_BKT; x < 0 mirrors to DD_NEG_BASE - i(-x), a monotone
+    embedding strictly below the zero bucket for any double and any
+    alpha >= 1e-4 (full DDSketch store semantics, exercised in tests
+    even though the events table is non-negative).
+
+    Cross-engine determinism: the log-ratio is rounded to 1e-6 BEFORE
+    ceil (bucket width ln(gamma) ~ 2e-2, so the quantization error is
+    immaterial, and both engines ceil the identical rounded double —
+    the repo's EPS discipline applied to an integer-valued boundary).
+    """
+    if alpha < 1e-4:
+        raise ValueError("ddsketch: alpha < 1e-4 overflows the bucket "
+                         "embedding; use a coarser sketch")
+    gamma = _dd_gamma(alpha)
+    x = F.col(value_col).cast("double")
+    lg = F.lit(float(math.log(gamma)))
+    idx = lambda v: F.ceil(F.round(F.log(v) / lg, 6)).cast("int")  # noqa: E731
+    bkt = (
+        F.when(x > 0, idx(x))
+        .when(x == 0, F.lit(DD_ZERO_BKT))
+        .otherwise(F.lit(DD_NEG_BASE) - idx(-x))
+    )
+    return (
+        df.select(*group_cols, bkt.alias("bkt"))
+        .groupBy(*group_cols, "bkt")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def ddsketch_merge(a: DataFrame, b: DataFrame,
+                   group_cols: tuple[str, ...] = ("event_type",)) -> DataFrame:
+    """Merge two bucket relations (the sketch's defining property)."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "bkt")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def ddsketch_quantiles(
+    buckets: DataFrame,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    group_cols: tuple[str, ...] = ("event_type",),
+    alpha: float = 0.01,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Quantile estimates from a (merged) bucket relation.
+
+    For each group and q: rank target = floor(q*(n-1)) + 1 (the
+    1-based order statistic DDSketch guarantees), the answering bucket
+    is the first whose cumulative count reaches it, and the estimate
+    is the bucket's log-midpoint 2*gamma^i/(gamma+1) — relative error
+    <= alpha vs the true order statistic by construction (positive
+    values; the zero bucket estimates 0, mirrored negatives negate).
+
+    Plan: one tiny window cumsum over the bucket relation (state-sized,
+    not data-sized), a broadcast join with the literal qs relation,
+    and a struct-min argmin per (group, q).
+    """
+    from pyspark.sql import Window
+
+    gamma = _dd_gamma(alpha)
+    gcols = list(group_cols)
+    w = Window.partitionBy(*gcols).orderBy("bkt")
+    cum = buckets.select(
+        *gcols, "bkt", "cnt",
+        F.sum("cnt").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("_cum"),
+        F.sum("cnt").over(Window.partitionBy(*gcols)).alias("_n"),
+    )
+    qrel = (
+        buckets.select(*gcols).distinct()
+        .select(*gcols, F.explode(
+            F.array(*[F.lit(float(q)) for q in qs])).alias("q"))
+    )
+    target = (F.floor(F.col("q") * (F.col("_n") - 1)) + 1).cast("long")
+    cand = (
+        cum.join(qrel, gcols)
+        .where(F.col("_cum") >= target)
+    )
+    est_pos = F.lit(2.0) * F.pow(F.lit(gamma), F.col("bkt")) / F.lit(gamma + 1.0)
+    est = (
+        F.when(F.col("bkt") == DD_ZERO_BKT, F.lit(0.0))
+        .when(F.col("bkt") < DD_ZERO_BKT,
+              -(F.lit(2.0) * F.pow(F.lit(gamma),
+                                   F.lit(DD_NEG_BASE) - F.col("bkt"))
+                / F.lit(gamma + 1.0)))
+        .otherwise(est_pos)
+    )
+    pick = F.struct(F.col("bkt").alias("_b"), est.alias("_e"))
+    return (
+        cand.groupBy(*gcols, "q")
+        .agg(F.max(F.col("_n")).alias("n"), F.min(pick).alias("_p"))
+        .select(*gcols, "q", F.col("n").cast("long").alias("n"),
+                F.round(F.col("_p._e") + F.lit(1e-9), round_digits)
+                .alias("est"))
     )

@@ -1,0 +1,97 @@
+"""Mann-Kendall trend test over per-actor hourly series.
+
+The standard non-parametric monotonic-trend test (Mann 1945, Kendall
+1975; the estimator half of the pair is operators/robust.theil_sen):
+S = sum over ordered pairs of sign(x_j - x_i), tie-corrected variance
+Var(S) = [n(n-1)(2n+5) - sum_t t(t-1)(2t+5)] / 18, and the
+continuity-corrected z = (S -/+ 1)/sqrt(Var(S)). |z| > 1.96 calls the
+trend at the usual 5% two-sided level.
+
+Scale design: the pairwise relation is intrinsically O(n^2) per
+series, so the test runs on the HOURLY GRID (one partial-aggregable
+groupBy collapses raw events first) — n is bounded by the time span
+in hours, never by event volume, the same discipline as theil_sen and
+leadlag_xcorr. The self-join is an equi-join on the series key
+(co-partitioned, AQE-sized); tie groups and the count come from two
+more grid-sized aggregates. No Python, no window over raw events.
+
+Cross-engine determinism: grid means are rounded half-up at 6
+decimals BEFORE any sign comparison, so both engines compare the
+identical doubles; z is computed from exact integer S and the exact
+double Var(S) (integer-arithmetic numerator / 18.0) and rounded at 6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["mann_kendall"]
+
+_EPS = 1e-9
+_Z_CRIT = 1.96
+
+
+def _r6(c: Column) -> Column:
+    return F.round(c + F.lit(_EPS), 6)
+
+
+def mann_kendall(
+    df: DataFrame,
+    key_cols: tuple[str, ...] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key Mann-Kendall trend readout on the hourly mean grid.
+
+    Returns (key..., n, s_stat, var_s, z, trend) where n is the number
+    of grid hours, s_stat the exact integer Kendall S, var_s the
+    tie-corrected variance, z the continuity-corrected statistic
+    (0.0 when var_s = 0, e.g. an all-tied or single-point series), and
+    trend in {'increasing', 'decreasing', 'none'} at |z| > 1.96.
+    """
+    gcols = list(key_cols)
+    grid = (
+        df.groupBy(*gcols, F.date_trunc("hour", F.col(ts_col)).alias("h"))
+        .agg(_r6(F.avg(F.col(value_col).cast("double"))).alias("x"))
+    )
+
+    a, b = grid.alias("a"), grid.alias("b")
+    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in gcols]
+    pairs = (
+        a.join(b, cond + [F.col("b.h") > F.col("a.h")])
+        .groupBy(*[F.col(f"a.{c}").alias(c) for c in gcols])
+        .agg(F.sum(F.signum(F.col("b.x") - F.col("a.x")))
+             .cast("long").alias("s_stat"))
+    )
+    ties = (
+        grid.groupBy(*gcols, "x").agg(F.count("*").alias("t"))
+        .groupBy(*gcols)
+        .agg(F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+             .cast("long").alias("tie_term"))
+    )
+    base = grid.groupBy(*gcols).agg(F.count("*").cast("long").alias("n"))
+
+    n = F.col("n")
+    var_raw = (n * (n - 1) * (2 * n + 5) - F.col("tie_term")) / F.lit(18.0)
+    s = F.col("s_stat")
+    z_raw = (
+        F.when(var_raw > 0,
+               F.when(s > 0, (s - 1) / F.sqrt(var_raw))
+               .when(s < 0, (s + 1) / F.sqrt(var_raw))
+               .otherwise(F.lit(0.0)))
+        .otherwise(F.lit(0.0))
+    )
+    z = _r6(z_raw)
+    return (
+        base.join(pairs, gcols, "left").join(ties, gcols, "left")
+        .select(
+            *gcols, "n",
+            F.coalesce(s, F.lit(0)).cast("long").alias("s_stat"),
+            _r6(var_raw).alias("var_s"),
+            z.alias("z"),
+            F.when(z > _Z_CRIT, F.lit("increasing"))
+            .when(z < -_Z_CRIT, F.lit("decreasing"))
+            .otherwise(F.lit("none")).alias("trend"),
+        )
+    )

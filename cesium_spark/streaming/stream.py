@@ -34,6 +34,7 @@ __all__ = [
     "hll_batch_fn", "hll_state_estimate",
     "cms_batch_fn", "cms_state_counters", "streaming_holt",
     "streaming_markov_nll", "streaming_gap_deltas", "streaming_funnel",
+    "ddsketch_batch_fn", "ddsketch_state_buckets",
 ]
 
 
@@ -1370,6 +1371,61 @@ def cms_state_counters(spark, store_root: str) -> DataFrame:
         spark.read.parquet(*dirs)
         .groupBy("_row", "_b")
         .agg(F.sum("_n").cast("long").alias("_n"))
+    )
+
+
+def ddsketch_batch_fn(store_root: str, value_col: str = "value",
+                      group_cols: tuple[str, ...] = ("event_type",),
+                      alpha: float = 0.01):
+    """foreachBatch function for a LIVE quantile monitor: maintains the
+    DDSketch bucket relation (operators/sketch) across micro-batches —
+    p50/p90/p99 with a relative-error guarantee stay answerable in
+    groups x O(log range) state while the stream grows without bound.
+
+    State discipline: bucket counts merge by SUM (not idempotent), so
+    this uses the cms_batch_fn exactly-once pattern — each batch's
+    partial bucket relation is written to its own ``batch=<id>``
+    directory; foreachBatch retries re-deliver the same batch_id and
+    rewrite the identical bytes; the read side sums across batch
+    directories, so at-least-once delivery converges to exactly-once
+    state."""
+    import os
+
+    from ..operators.sketch import ddsketch_buckets
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        fresh = ddsketch_buckets(batch_df, value_col, group_cols, alpha)
+        # groups x buckets rows by construction; coalesce(1) keeps the
+        # batch dir a single deterministic file so replays are byte-stable
+        fresh.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(store_root, f"batch={batch_id}")
+        )
+
+    return _apply
+
+
+def ddsketch_state_buckets(
+    spark, store_root: str,
+    group_cols: tuple[str, ...] = ("event_type",),
+    group_schema: str = "event_type string",
+) -> DataFrame:
+    """The merged bucket relation from every committed batch partial —
+    equals operators/sketch.ddsketch_buckets over everything ingested,
+    so operators/sketch.ddsketch_quantiles reads identically off it
+    (the == batch invariant the driver query pins). An empty stream is
+    the defined empty sketch."""
+    import glob
+    import os
+
+    dirs = sorted(glob.glob(os.path.join(store_root, "batch=*")))
+    if not dirs:
+        return spark.createDataFrame([], f"{group_schema}, bkt int, cnt long")
+    return (
+        spark.read.parquet(*dirs)
+        .groupBy(*group_cols, "bkt")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
 
 

@@ -1,0 +1,311 @@
+"""Session-8 operator batch: DDSketch relative-error quantiles (batch +
+merge), M4 downsampling, Mann-Kendall trend test, Haar multi-resolution
+energy."""
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def _events(spark, rows):
+    """rows: (user_id, sec, event_type, value) -> events-shaped df with a
+    deterministic event_id tiebreak in row order."""
+    data = [
+        (int(u), int(i), et, float(s), None if v is None else float(v))
+        for i, (u, s, et, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "user_id long, event_id long, event_type string, sec double, value double"
+    )
+    return df.select(
+        "user_id", "event_id", "event_type",
+        F.timestamp_seconds("sec").alias("ts"), "value",
+    )
+
+
+# ------------------------------------------------------------- DDSketch
+
+
+def _lcg_values(n, seed=7):
+    """Deterministic pseudo-lognormal positive values (no RNG import)."""
+    x, out = seed, []
+    for _ in range(n):
+        x = (x * 48271) % 2147483647
+        u = x / 2147483647.0
+        out.append(math.exp(6.0 * u - 2.0))  # ~e^-2 .. e^4, 2.6 decades
+    return out
+
+
+def test_ddsketch_relative_error_guarantee(spark):
+    from cesium_spark.operators.sketch import (
+        ddsketch_buckets, ddsketch_quantiles,
+    )
+
+    vals = _lcg_values(500)
+    rows = [(1, i, "A", v) for i, v in enumerate(vals)]
+    ev = _events(spark, rows)
+    est = {
+        r["q"]: r
+        for r in ddsketch_quantiles(
+            ddsketch_buckets(ev, alpha=0.02), alpha=0.02
+        ).collect()
+    }
+    s = sorted(vals)
+    for q in (0.5, 0.9, 0.99):
+        exact = s[math.floor(q * (len(s) - 1))]
+        got = est[q]["est"]
+        assert est[q]["n"] == 500
+        assert abs(got - exact) / exact <= 0.02 + 1e-9, (q, got, exact)
+
+
+def test_ddsketch_merge_equals_whole(spark):
+    from cesium_spark.operators.sketch import (
+        ddsketch_buckets, ddsketch_merge, ddsketch_quantiles,
+    )
+
+    vals = _lcg_values(300, seed=11)
+    rows = [(1, i, "A" if i % 2 else "B", v) for i, v in enumerate(vals)]
+    ev = _events(spark, rows)
+    a, b = ev.where("event_id < 150"), ev.where("event_id >= 150")
+    merged = ddsketch_merge(ddsketch_buckets(a), ddsketch_buckets(b))
+    whole = ddsketch_buckets(ev)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+    # and the quantile head reads identically off either relation
+    qa = sorted(map(tuple, ddsketch_quantiles(merged).collect()))
+    qb = sorted(map(tuple, ddsketch_quantiles(whole).collect()))
+    assert qa == qb
+
+
+def test_ddsketch_zero_and_negative_store(spark):
+    from cesium_spark.operators.sketch import (
+        DD_ZERO_BKT, ddsketch_buckets, ddsketch_quantiles,
+    )
+
+    # negatives span |x| above AND below 1 (the sub-unity mirror is the
+    # ordering trap: i(-x) goes negative there), plus zeros + positives
+    vals = [-100.0, -10.0, -5.0, -2.0, -0.5, 0.0, 0.0, 0.0,
+            0.5, 2.0, 5.0, 10.0, 100.0]
+    ev = _events(spark, [(1, i, "A", v) for i, v in enumerate(vals)])
+    bk = ddsketch_buckets(ev, alpha=0.01)
+    zero_bkt = DD_ZERO_BKT
+    got = {r["bkt"]: r["cnt"] for r in bk.collect()}
+    assert got[zero_bkt] == 3
+    assert sum(c for b, c in got.items() if b < zero_bkt) == 5
+    assert sum(c for b, c in got.items() if b > zero_bkt) == 5
+    est = {r["q"]: r["est"]
+           for r in ddsketch_quantiles(bk, qs=(0.0, 0.5, 1.0)).collect()}
+    # q=0 -> most negative bucket, mirrored estimate within alpha of -100
+    assert abs(est[0.0] - (-100.0)) / 100.0 <= 0.01 + 1e-6
+    # q=0.5 -> the zero bucket exactly
+    assert est[0.5] == 0.0
+    assert abs(est[1.0] - 100.0) / 100.0 <= 0.01 + 1e-6
+
+
+def test_ddsketch_state_is_bounded(spark):
+    from cesium_spark.operators.sketch import ddsketch_buckets
+
+    vals = _lcg_values(2000, seed=3)  # ~2.6 decades of range
+    ev = _events(spark, [(1, i, "A", v) for i, v in enumerate(vals)])
+    n_buckets = ddsketch_buckets(ev, alpha=0.01).count()
+    # 2.6 decades / log10(gamma) ~ 2.6/0.0087 ~ 300 buckets max
+    assert n_buckets <= 320
+
+
+def test_ddsketch_bucket_plan_map_only(spark):
+    from cesium_spark.operators.sketch import ddsketch_buckets
+
+    ev = _events(spark, [(1, i, "A", 1.0 + i) for i in range(8)])
+    plan = ddsketch_buckets(ev)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan  # exactly the one hash-agg shuffle
+    assert plan.count("Exchange") == 1
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "CartesianProduct"):
+        assert bad not in plan
+
+
+# ------------------------------------------------------------- M4
+
+
+def test_m4_downsample_hand_case(spark):
+    from cesium_spark.operators.downsample import m4_downsample
+
+    # one series, 2 buckets of width 10s
+    rows = [
+        (1, 0, "A", 5.0), (1, 3, "A", 1.0), (1, 6, "A", 9.0), (1, 9, "A", 4.0),
+        (1, 10, "A", 7.0), (1, 15, "A", 2.0),
+    ]
+    out = {r["bucket_idx"]: r for r in
+           m4_downsample(_events(spark, rows), bucket_sec=10).collect()}
+    b0 = out[0]
+    assert (b0["v_first"], b0["v_last"]) == (5.0, 4.0)
+    assert (b0["v_min"], b0["v_max"]) == (1.0, 9.0)
+    assert b0["t_min_sec"] == 3.0 and b0["t_max_sec"] == 6.0
+    assert b0["n"] == 4
+    b1 = out[1]
+    assert (b1["v_first"], b1["v_last"], b1["v_min"], b1["v_max"]) == (
+        7.0, 2.0, 2.0, 7.0)
+
+
+def test_m4_downsample_ties_break_on_event_id(spark):
+    from cesium_spark.operators.downsample import m4_downsample
+
+    # duplicate extreme values: earliest occurrence wins the timestamp
+    rows = [(1, 0, "A", 3.0), (1, 2, "A", 9.0), (1, 4, "A", 9.0),
+            (1, 6, "A", 1.0), (1, 8, "A", 1.0)]
+    out = m4_downsample(_events(spark, rows), bucket_sec=10).collect()[0]
+    assert out["t_max_sec"] == 2.0
+    assert out["t_min_sec"] == 6.0
+
+
+def test_m4_downsample_single_exchange(spark):
+    from cesium_spark.operators.downsample import m4_downsample
+
+    ev = _events(spark, [(1, i, "A", float(i % 5)) for i in range(20)])
+    plan = m4_downsample(ev, bucket_sec=10)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "Window"):
+        assert bad not in plan
+
+
+# ------------------------------------------------------- Mann-Kendall
+
+
+def test_mann_kendall_matches_bruteforce(spark):
+    from cesium_spark.operators.trend import mann_kendall
+
+    # hourly grid values with an upward drift + ties
+    vals = [1.0, 2.0, 2.0, 3.0, 2.5, 4.0, 4.0, 5.0, 6.0, 5.5, 7.0, 8.0]
+    rows = [(1, 3600 * h, "A", v) for h, v in enumerate(vals)]
+    out = mann_kendall(_events(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    n = len(vals)
+    s = sum(
+        (vals[j] > vals[i]) - (vals[j] < vals[i])
+        for i in range(n) for j in range(i + 1, n)
+    )
+    assert r["s_stat"] == s
+    # tie-corrected variance: groups of tied values
+    from collections import Counter
+    ties = [c for c in Counter(vals).values() if c > 1]
+    var = (n * (n - 1) * (2 * n + 5)
+           - sum(t * (t - 1) * (2 * t + 5) for t in ties)) / 18.0
+    assert abs(r["var_s"] - var) < 1e-6
+    z = (s - 1) / math.sqrt(var) if s > 0 else (
+        (s + 1) / math.sqrt(var) if s < 0 else 0.0)
+    assert abs(r["z"] - round(z, 6)) < 2e-6
+    assert r["trend"] == "increasing"
+    assert r["n"] == n
+
+
+def test_mann_kendall_no_trend_and_decreasing(spark):
+    from cesium_spark.operators.trend import mann_kendall
+
+    rows = (
+        [(1, 3600 * h, "A", v) for h, v in
+         enumerate([5.0, 5.0, 5.0, 5.0, 5.0])]  # all tied: S=0, var=0
+        + [(2, 3600 * h, "A", float(20 - h)) for h in range(10)]
+    )
+    out = {r["user_id"]: r for r in mann_kendall(_events(spark, rows)).collect()}
+    assert out[1]["s_stat"] == 0 and out[1]["z"] == 0.0
+    assert out[1]["trend"] == "none"
+    assert out[2]["s_stat"] == -45
+    assert out[2]["trend"] == "decreasing"
+
+
+def test_mann_kendall_joins_on_bounded_grid(spark):
+    from cesium_spark.operators.trend import mann_kendall
+
+    # many raw events collapse to the hourly grid BEFORE the pair join:
+    # 500 events in 3 hours -> pair relation is 3-ish rows per actor
+    rows = [(1, 20 * i, "A", float(i % 7)) for i in range(500)]
+    df = mann_kendall(_events(spark, rows))
+    assert df.count() == 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+# ------------------------------------------------------------- Haar
+
+
+def test_haar_energy_matches_numpy_reference(spark):
+    import numpy as np
+
+    from cesium_spark.operators.wavelet import haar_energy
+
+    vals = [float(v) for v in
+            [4, 6, 10, 12, 8, 6, 5, 7, 9, 11, 14, 12, 6, 4, 3, 5]]
+    rows = [(1, 3600 * h, "A", v) for h, v in enumerate(vals)]
+    out = {r["level"]: r["energy"]
+           for r in haar_energy(_events(spark, rows), levels=3).collect()}
+
+    # reference: Haar detail d = (meanL - meanR)/2 * 2^(k/2) with
+    # present-value half-means; an empty half contributes zero detail
+    x = np.array(vals)
+    for k in (1, 2, 3):
+        w = 2 ** k
+        nb = math.ceil(len(x) / w)
+        e = 0.0
+        for b in range(nb):
+            left = x[b * w: b * w + w // 2]
+            right = x[b * w + w // 2: (b + 1) * w]
+            if len(left) == 0 or len(right) == 0:
+                continue
+            e += ((left.mean() - right.mean()) / 2.0 * (2 ** (k / 2.0))) ** 2
+        assert abs(out[k] - round(e, 6)) < 5e-6, (k, out[k], e)
+
+
+def test_haar_energy_flat_series_is_zero(spark):
+    from cesium_spark.operators.wavelet import haar_energy
+
+    rows = [(1, 3600 * h, "A", 3.0) for h in range(8)]
+    out = haar_energy(_events(spark, rows), levels=2).collect()
+    assert {r["level"] for r in out} == {1, 2}
+    assert all(r["energy"] == 0.0 for r in out)
+
+
+def test_haar_energy_no_python_no_cartesian(spark):
+    from cesium_spark.operators.wavelet import haar_energy
+
+    rows = [(1, 3600 * h, "A", float(h % 3)) for h in range(32)]
+    plan = haar_energy(_events(spark, rows), levels=3)._jdf \
+        .queryExecution().executedPlan().toString()
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "CartesianProduct"):
+        assert bad not in plan
+
+
+# ------------------------------------------------ streaming DDSketch head
+
+
+def test_ddsketch_stream_state_replay_and_batch_equality(spark, tmp_path):
+    import pandas.testing as pt
+
+    from cesium_spark.operators.sketch import ddsketch_buckets
+    from cesium_spark.streaming.stream import (
+        ddsketch_batch_fn, ddsketch_state_buckets,
+    )
+
+    store = str(tmp_path / "dd_store")
+    vals = _lcg_values(200, seed=5)
+    rows = [(1, i, "A" if i % 3 else "B", v) for i, v in enumerate(vals)]
+    ev = _events(spark, rows)
+    b1, b2 = ev.where("event_id < 120"), ev.where("event_id >= 120")
+
+    fn = ddsketch_batch_fn(store)
+    fn(b1, 0)
+    fn(b2, 1)
+
+    def _norm(df):
+        return (df.toPandas().sort_values(["event_type", "bkt"])
+                .reset_index(drop=True))
+
+    merged = _norm(ddsketch_state_buckets(spark, store))
+    # (1) replay batch 1 (same id): state unchanged (exactly-once)
+    fn(b2, 1)
+    pt.assert_frame_equal(merged, _norm(ddsketch_state_buckets(spark, store)))
+    # (2) streamed state == batch sketch over everything ingested
+    pt.assert_frame_equal(merged, _norm(ddsketch_buckets(ev)))
+    # (3) empty store is the defined empty sketch
+    assert ddsketch_state_buckets(spark, str(tmp_path / "nowhere")).count() == 0
