@@ -3402,6 +3402,82 @@ def q_ddsketch_streamed(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_m4_streamed(spark, sf_dir):
+    """LIVE M4 downsampling: two file micro-batches each commit a
+    mergeable partial (selector structs + count) to a batch=<id> dir;
+    the readout merges with the SAME selectors that built them, so
+    streamed state == the batch operator by construction — pinned by
+    sharing sql["m4_downsample"]."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from cesium_spark.streaming.stream import m4_batch_fn, m4_state
+
+    ev = _events(spark, sf_dir)
+    mid = ev.agg(F.expr("percentile(event_id, 0.5)")).collect()[0][0]
+    work = tempfile.mkdtemp(prefix="m4_stream_")
+    in_dir = f"{work}/in"
+    narrow = ev.select("event_id", "event_type", "ts",
+                       F.col("value").cast("double").alias("value"))
+    try:
+        narrow.filter(F.col("event_id") <= mid).coalesce(1) \
+            .write.mode("overwrite").parquet(in_dir)
+        first_files = set(glob.glob(f"{in_dir}/*.parquet"))
+        narrow.filter(F.col("event_id") > mid).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+        later = time.time() + 10
+        for f in set(glob.glob(f"{in_dir}/*.parquet")) - first_files:
+            os.utime(f, (later, later))
+        src = (
+            spark.readStream
+            .schema("event_id bigint, event_type string, ts timestamp, "
+                    "value double")
+            .option("maxFilesPerTrigger", 1).parquet(in_dir)
+        )
+        q = (
+            src.writeStream
+            .foreachBatch(m4_batch_fn(f"{work}/store", bucket_sec=6 * 3600))
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True).start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                raise TimeoutError("m4 stream did not drain in 300s")
+        finally:
+            q.stop()
+        out = m4_state(spark, f"{work}/store", bucket_sec=6 * 3600)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q_reply_latency(spark, sf_dir):
+    """Time-to-next-matching-event per actor (view -> first purchase
+    strictly after, the conversion-latency readout): running-min of
+    reply timestamps over the reversed (ts, tiebreak) window — ONE
+    sort-shuffle, no self-join; gaps stay integer microseconds until
+    the final division."""
+    from cesium_spark.operators.funnel import reply_latency
+
+    return reply_latency(_events(spark, sf_dir),
+                         src_type="view", reply_type="purchase")
+
+
+def q_label_silhouette(spark, sf_dir):
+    """Centroid silhouette per embedding label + most-confused-with
+    class: a = distance to own centroid, b = nearest other centroid,
+    s = (b-a)/max(a,b); distances from partial-aggregable sums with
+    the labels x dim centroid relation broadcast (the label_centroids
+    discipline — no vector cartesian, no driver collect)."""
+    from cesium_spark.operators.linalg import label_silhouette
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return label_silhouette(emb)
+
+
 def q_m4_downsample(spark, sf_dir):
     """M4 visualization downsampling (Jugel et al. VLDB 2014) of the
     per-type event streams into 6h pixel buckets: first/last/min/max
@@ -3587,8 +3663,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddsketch_quantiles": q_ddsketch,
         "ddsketch_streamed": q_ddsketch_streamed,
         "m4_downsample": q_m4_downsample,
+        "m4_streamed": q_m4_streamed,
         "mann_kendall": q_mann_kendall,
         "haar_energy": q_haar_energy,
+        "reply_latency": q_reply_latency,
+        "label_silhouette": q_label_silhouette,
         # --- round 6, session-7 batch ---
         "assoc_rules": q_assoc_rules,
         "binseg_changepoints": q_binseg,
@@ -8556,6 +8635,93 @@ def oracle_sql() -> dict[str, str]:
                count(*)::BIGINT AS n_blocks,
                round(sum(d * d) + {EPS}, {R}) AS energy
         FROM det GROUP BY 1, 2
+    """
+
+    # merged streamed partials == the batch aggregation by construction
+    sql["m4_streamed"] = sql["m4_downsample"]
+
+    sql["reply_latency"] = f"""
+        WITH e AS (
+          SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+          FROM events
+        ),
+        nx AS (
+          SELECT user_id, event_type, us,
+                 min(CASE WHEN event_type = 'purchase' THEN us END)
+                   OVER (PARTITION BY user_id
+                         ORDER BY us DESC, event_id DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS nb
+          FROM e
+        )
+        SELECT user_id,
+               count(*)::BIGINT AS n_src,
+               count(nb)::BIGINT AS n_replied,
+               round(count(nb) / (count(*) * 1.0) + {EPS}, {R})
+                 AS reply_rate,
+               round(avg(nb - us) / 1e6 + {EPS}, {R}) AS mean_latency_s,
+               round(max(nb - us) / 1e6 + {EPS}, {R}) AS max_latency_s
+        FROM nx
+        WHERE event_type = 'view'
+        GROUP BY 1
+    """
+
+    sql["label_silhouette"] = f"""
+        WITH comps AS (
+          SELECT label AS own, vec_id AS id, g.j - 1 AS dim,
+                 round(embedding[g.j]::DOUBLE + {EPS}, {R}) AS x
+          FROM embeddings,
+               LATERAL unnest(generate_series(1, len(embedding))) AS g(j)
+        ),
+        cent AS (
+          SELECT own AS lab2, dim, round(avg(x) + {EPS}, {R}) AS c
+          FROM comps GROUP BY 1, 2
+        ),
+        sxx AS (SELECT id, sum(x * x) AS sxx FROM comps GROUP BY 1),
+        scc AS (SELECT lab2, sum(c * c) AS scc FROM cent GROUP BY 1),
+        sxc AS (
+          SELECT comps.id, comps.own, cent.lab2, sum(x * c) AS sxc
+          FROM comps JOIN cent ON comps.dim = cent.dim
+          GROUP BY 1, 2, 3
+        ),
+        d AS (
+          SELECT sxc.id, sxc.own, sxc.lab2,
+                 round(sqrt(greatest(
+                   round(sxx.sxx - 2 * sxc.sxc + scc.scc + {EPS}, {R}),
+                   0.0)) + {EPS}, {R}) AS d
+          FROM sxc JOIN sxx ON sxc.id = sxx.id
+                   JOIN scc ON sxc.lab2 = scc.lab2
+        ),
+        owna AS (SELECT id, own, d AS a FROM d WHERE lab2 = own),
+        nearest AS (
+          SELECT id, d AS b, lab2 AS nearest
+          FROM d WHERE lab2 <> own
+          QUALIFY row_number() OVER (PARTITION BY id
+                                     ORDER BY d, lab2) = 1
+        ),
+        scored AS (
+          SELECT owna.own AS label,
+                 round(CASE WHEN greatest(a, b) > 0
+                            THEN (b - a) / greatest(a, b)
+                            ELSE 0.0 END + {EPS}, {R}) AS s,
+                 nearest.nearest
+          FROM owna JOIN nearest ON owna.id = nearest.id
+        ),
+        sil AS (
+          SELECT label, count(*)::BIGINT AS n,
+                 round(avg(s) + {EPS}, {R}) AS mean_silhouette
+          FROM scored GROUP BY 1
+        ),
+        mode AS (
+          SELECT label, nearest AS confused_with,
+                 count(*)::BIGINT AS n_confused
+          FROM scored GROUP BY 1, 2
+          QUALIFY row_number() OVER (PARTITION BY label
+                                     ORDER BY count(*) DESC, nearest) = 1
+        )
+        SELECT sil.label, sil.n, sil.mean_silhouette,
+               mode.confused_with::INT AS confused_with, mode.n_confused
+        FROM sil JOIN mode ON sil.label = mode.label
     """
 
     sql["binseg_changepoints"] = f"""

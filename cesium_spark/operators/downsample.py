@@ -23,7 +23,8 @@ from pyspark.sql import functions as F
 from ..kernel import group_starts, iter_group_frames, ts_micros
 from .rollup import TIERS
 
-__all__ = ["ohlc_downsample", "lttb_downsample", "m4_downsample"]
+__all__ = ["ohlc_downsample", "lttb_downsample", "m4_downsample",
+           "m4_partial", "m4_merge", "m4_finalize"]
 
 
 def ohlc_downsample(
@@ -181,7 +182,33 @@ def m4_downsample(
 
     Returns (key..., bucket_idx, bucket_start, v_first, v_last,
     v_min, v_max, t_min_sec, t_max_sec, n).
+
+    Composition: m4_finalize(m4_partial(df)) — the partial/merge/
+    finalize algebra is public so the streaming head commits per-batch
+    partials and merges on read with the SAME selectors (streamed
+    state == this operator by construction).
     """
+    return m4_finalize(
+        m4_partial(df, bucket_sec, key_cols, ts_col, value_col,
+                   tiebreak_col),
+        bucket_sec, key_cols,
+    )
+
+
+def m4_partial(
+    df: DataFrame,
+    bucket_sec: int = 3600,
+    key_cols: tuple[str, ...] = ("event_type",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Mergeable M4 state: per (key, bucket) the four selector carries
+    as lexicographic min/max structs — f/l ordered by (sec, tiebreak)
+    so the value rides behind a unique rank; mn by (value, sec,
+    tiebreak) = smallest value, earliest; mx by (value, -sec,
+    -tiebreak) = largest value, earliest (struct comparison has no
+    per-field direction, hence the negation) — plus the count."""
     gcols = list(key_cols)
     # via unix micros: NTZ-tolerant (ts_micros) and exact in double for
     # any timestamp this side of year 2255 (2^53 us)
@@ -193,28 +220,54 @@ def m4_downsample(
         F.floor(sec / F.lit(int(bucket_sec))).cast("long").alias("bucket_idx"),
         sec.alias("_sec"), v.alias("_v"), tb.alias("_tb"),
     )
-    order = F.struct(F.col("_sec"), F.col("_tb"))
-    earliest_min = F.struct(F.col("_v"), F.col("_sec"), F.col("_tb"))
-    # max_by keeps the row with the LARGEST rank: negating the time
-    # fields makes that "largest value, then earliest occurrence"
-    earliest_max = F.struct(F.col("_v"), (-F.col("_sec")).alias("_ns"),
-                            (-F.col("_tb")).alias("_nt"))
+    rank_v = F.struct(F.col("_sec").alias("sec"), F.col("_tb").alias("tb"),
+                      F.col("_v").alias("v"))
+    min_c = F.struct(F.col("_v").alias("v"), F.col("_sec").alias("sec"),
+                     F.col("_tb").alias("tb"))
+    max_c = F.struct(F.col("_v").alias("v"), (-F.col("_sec")).alias("nsec"),
+                     (-F.col("_tb")).alias("ntb"))
     return (
         base.groupBy(*gcols, "bucket_idx")
         .agg(
-            F.min_by("_v", order).alias("v_first"),
-            F.max_by("_v", order).alias("v_last"),
-            F.min("_v").alias("v_min"),
-            F.max("_v").alias("v_max"),
-            F.min_by("_sec", earliest_min).alias("t_min_sec"),
-            F.max_by("_sec", earliest_max).alias("t_max_sec"),
+            F.min(rank_v).alias("f"),
+            F.max(rank_v).alias("l"),
+            F.min(min_c).alias("mn"),
+            F.max(max_c).alias("mx"),
             F.count("*").cast("long").alias("n"),
         )
-        .select(
-            *gcols, "bucket_idx",
-            F.timestamp_seconds(F.col("bucket_idx") * F.lit(int(bucket_sec)))
-            .alias("bucket_start"),
-            "v_first", "v_last", "v_min", "v_max",
-            "t_min_sec", "t_max_sec", "n",
+    )
+
+
+def m4_merge(parts: DataFrame,
+             key_cols: tuple[str, ...] = ("event_type",)) -> DataFrame:
+    """Merge partial M4 states (associative: the same selectors that
+    built them combine them; counts sum)."""
+    gcols = list(key_cols)
+    return (
+        parts.groupBy(*gcols, "bucket_idx")
+        .agg(
+            F.min("f").alias("f"),
+            F.max("l").alias("l"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+            F.sum("n").cast("long").alias("n"),
         )
+    )
+
+
+def m4_finalize(parts: DataFrame, bucket_sec: int = 3600,
+                key_cols: tuple[str, ...] = ("event_type",)) -> DataFrame:
+    """Public M4 output columns from a (merged) partial relation."""
+    gcols = list(key_cols)
+    return parts.select(
+        *gcols, "bucket_idx",
+        F.timestamp_seconds(F.col("bucket_idx") * F.lit(int(bucket_sec)))
+        .alias("bucket_start"),
+        F.col("f.v").alias("v_first"),
+        F.col("l.v").alias("v_last"),
+        F.col("mn.v").alias("v_min"),
+        F.col("mx.v").alias("v_max"),
+        F.col("mn.sec").alias("t_min_sec"),
+        (-F.col("mx.nsec")).alias("t_max_sec"),
+        "n",
     )

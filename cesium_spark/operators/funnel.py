@@ -19,12 +19,12 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..kernel import group_starts, iter_group_frames, ts_micros
 
-__all__ = ["funnel_conversion"]
+__all__ = ["funnel_conversion", "reply_latency"]
 
 
 def funnel_conversion(
@@ -130,3 +130,59 @@ def funnel_conversion(
         key_col, "ts_us", "_ord"
     )
     return arranged.mapInPandas(_mapper, schema=out_schema)
+
+
+def reply_latency(
+    df: DataFrame,
+    src_type: str = "view",
+    reply_type: str = "purchase",
+    key_cols: tuple[str, ...] = ("user_id",),
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Time-to-next-matching-event: for every src_type event, the gap
+    to the actor's FIRST reply_type event strictly after it (the
+    transcript question: how long until a view converts, a user turn
+    gets an assistant turn, an error gets a recovery) — reduced to a
+    per-actor readout (counts, reply rate, mean/max latency).
+
+    Plan: ONE sort-shuffle — the "next matching" column is a running
+    min of reply timestamps over the REVERSED (ts, tiebreak) window
+    frame (UNBOUNDED..-1, i.e. everything strictly after in forward
+    order), so no self-join and no per-event search; the final
+    aggregate shares the window's hash partitioning. Gaps stay integer
+    microseconds until the last division, so both engines aggregate
+    identical integers (same discipline as interevent_survival).
+    """
+    from ..kernel import ts_micros
+
+    gcols = list(key_cols)
+    w = (
+        Window.partitionBy(*gcols)
+        .orderBy(F.col("_us").desc(), F.col("_tb").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    narrow = df.select(
+        *gcols,
+        F.col(type_col).alias("_ty"),
+        ts_micros(F.col(ts_col)).alias("_us"),
+        F.col(tiebreak_col).cast("long").alias("_tb"),
+    )
+    nxt = narrow.withColumn(
+        "_nb", F.min(F.when(F.col("_ty") == reply_type, F.col("_us"))).over(w)
+    )
+    lat = F.col("_nb") - F.col("_us")
+    r6 = lambda c: F.round(c + F.lit(1e-9), round_digits)  # noqa: E731
+    return (
+        nxt.where(F.col("_ty") == src_type)
+        .groupBy(*gcols)
+        .agg(
+            F.count("*").cast("long").alias("n_src"),
+            F.count("_nb").cast("long").alias("n_replied"),
+            r6(F.count("_nb") / F.count("*")).alias("reply_rate"),
+            r6(F.avg(lat) / F.lit(1e6)).alias("mean_latency_s"),
+            r6(F.max(lat).cast("double") / F.lit(1e6)).alias("max_latency_s"),
+        )
+    )

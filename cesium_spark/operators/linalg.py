@@ -26,7 +26,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["dim_stats", "pca_power", "label_centroids", "label_outliers"]
+__all__ = ["dim_stats", "pca_power", "label_centroids", "label_outliers",
+           "label_silhouette"]
 
 
 def _centered(df: DataFrame, vec_col: str, mu: list, round_digits: int):
@@ -307,3 +308,89 @@ def label_outliers(
         .where(F.col("rank") <= k)
         .select("label", "rank", F.col("_id").alias(id_col), "dist", "z")
     )
+
+
+def label_silhouette(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Centroid silhouette per label: for each member, a = distance to
+    its own label centroid, b = distance to the NEAREST other label
+    centroid, s = (b - a)/max(a, b) — the class-separation readout
+    (mean s near 1 = tight and far from confusions, near 0 =
+    boundaries overlap, negative = members sit closer to another
+    class). Also reports the most-confused-with label (mode of each
+    member's nearest-other centroid) — the pair a curation pipeline
+    inspects first.
+
+    Plan (the label_centroids/label_outliers discipline, no driver
+    collect): component relation -> labels x dim centroid sums; the
+    all-centroid distances come from ONE broadcast join of the
+    centroid components on dim (the standard x k assignment fanout
+    over the exploded relation — never a vector cartesian), reduced by
+    partial-aggregable sums; everything after is member- or
+    label-sized. d^2 = sum x^2 - 2 sum xc + sum c^2 with inputs and
+    centroids rounded (kmeans discipline) and d^2 rounded before the
+    sqrt, so argmin ties cannot flip between engines; nearest-other
+    ties break to the lower label id via lexicographic struct min.
+
+    Returns (label, n, mean_silhouette, confused_with, n_confused).
+    """
+    from pyspark.sql.functions import broadcast
+
+    r6 = lambda c: F.round(c + F.lit(1e-9), round_digits)  # noqa: E731
+    comps = df.select(
+        F.col(label_col).cast("int").alias("own"),
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.col(vec_col)).alias("dim", "x"),
+    ).withColumn("x", r6(F.col("x").cast("double")))
+    cent = comps.groupBy(F.col("own").alias("lab2"), F.col("dim")).agg(
+        r6(F.avg("x")).alias("c")
+    )
+    sxx = comps.groupBy("_id").agg(F.sum(F.col("x") * F.col("x")).alias("sxx"))
+    scc = cent.groupBy("lab2").agg(F.sum(F.col("c") * F.col("c")).alias("scc"))
+    sxc = (
+        comps.join(broadcast(cent), "dim")
+        .groupBy("_id", "own", "lab2")
+        .agg(F.sum(F.col("x") * F.col("c")).alias("sxc"))
+    )
+    d = (
+        sxc.join(sxx, "_id").join(broadcast(scc), "lab2")
+        .select(
+            "_id", "own", "lab2",
+            r6(F.sqrt(F.greatest(
+                F.round(F.col("sxx") - 2 * F.col("sxc") + F.col("scc")
+                        + F.lit(1e-9), round_digits),
+                F.lit(0.0)))).alias("d"),
+        )
+    )
+    per_member = d.groupBy("_id", "own").agg(
+        F.max(F.when(F.col("lab2") == F.col("own"), F.col("d"))).alias("a"),
+        F.min(F.when(F.col("lab2") != F.col("own"),
+                     F.struct(F.col("d"), F.col("lab2")))).alias("_b"),
+    )
+    a, b = F.col("a"), F.col("_b.d")
+    s = r6(F.when(F.greatest(a, b) > 0, (b - a) / F.greatest(a, b))
+           .otherwise(F.lit(0.0)))
+    scored = per_member.select(
+        F.col("own").alias("label"), s.alias("s"),
+        F.col("_b.lab2").alias("nearest"),
+    )
+    sil = scored.groupBy("label").agg(
+        F.count("*").cast("long").alias("n"),
+        r6(F.avg("s")).alias("mean_silhouette"),
+    )
+    mode = (
+        scored.groupBy("label", "nearest")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .groupBy("label")
+        .agg(F.max(F.struct(F.col("cnt"), (-F.col("nearest")).alias("nn")))
+             .alias("_m"))
+        .select("label", (-F.col("_m.nn")).cast("int").alias("confused_with"),
+                F.col("_m.cnt").alias("n_confused"))
+    )
+    return sil.join(mode, "label").select(
+        "label", "n", "mean_silhouette", "confused_with", "n_confused")

@@ -35,6 +35,7 @@ __all__ = [
     "cms_batch_fn", "cms_state_counters", "streaming_holt",
     "streaming_markov_nll", "streaming_gap_deltas", "streaming_funnel",
     "ddsketch_batch_fn", "ddsketch_state_buckets",
+    "m4_batch_fn", "m4_state",
 ]
 
 
@@ -1427,6 +1428,55 @@ def ddsketch_state_buckets(
         .groupBy(*group_cols, "bkt")
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
+
+
+def m4_batch_fn(store_root: str, bucket_sec: int = 3600,
+                key_cols: tuple[str, ...] = ("event_type",),
+                ts_col: str = "ts", value_col: str = "value",
+                tiebreak_col: str = "event_id"):
+    """foreachBatch function for LIVE M4 downsampling: each
+    micro-batch's mergeable partial (operators/downsample.m4_partial —
+    selector structs + count) commits to its own ``batch=<id>``
+    directory; replays rewrite identical bytes (the cms/ddsketch
+    exactly-once pattern — the count field is a sum, so a merged
+    running state would double-count on redelivery). State is
+    series x buckets rows per batch, independent of event volume."""
+    import os
+
+    from ..operators.downsample import m4_partial
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        fresh = m4_partial(batch_df, bucket_sec, key_cols, ts_col,
+                           value_col, tiebreak_col)
+        fresh.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(store_root, f"batch={batch_id}")
+        )
+
+    return _apply
+
+
+def m4_state(spark, store_root: str, bucket_sec: int = 3600,
+             key_cols: tuple[str, ...] = ("event_type",)) -> DataFrame:
+    """Finalized M4 rows from every committed batch partial — equals
+    operators/downsample.m4_downsample over everything ingested (the
+    merge uses the same selectors that built the partials). An empty
+    stream yields the empty relation."""
+    import glob
+    import os
+
+    from ..operators.downsample import m4_finalize, m4_merge
+
+    dirs = sorted(glob.glob(os.path.join(store_root, "batch=*")))
+    if not dirs:
+        return spark.createDataFrame(
+            [], "event_type string, bucket_idx long, "
+                "bucket_start timestamp, v_first double, v_last double, "
+                "v_min double, v_max double, t_min_sec double, "
+                "t_max_sec double, n long")
+    parts = spark.read.parquet(*dirs)
+    return m4_finalize(m4_merge(parts, key_cols), bucket_sec, key_cols)
 
 
 def streaming_holt(

@@ -309,3 +309,148 @@ def test_ddsketch_stream_state_replay_and_batch_equality(spark, tmp_path):
     pt.assert_frame_equal(merged, _norm(ddsketch_buckets(ev)))
     # (3) empty store is the defined empty sketch
     assert ddsketch_state_buckets(spark, str(tmp_path / "nowhere")).count() == 0
+
+
+# ------------------------------------------------------------ M4 algebra
+
+
+def test_m4_partial_merge_equals_whole(spark):
+    from cesium_spark.operators.downsample import (
+        m4_downsample, m4_finalize, m4_merge, m4_partial,
+    )
+
+    vals = _lcg_values(120, seed=9)
+    rows = [(1, 7 * i, "A" if i % 2 else "B", v) for i, v in enumerate(vals)]
+    ev = _events(spark, rows)
+    a, b = ev.where("event_id < 60"), ev.where("event_id >= 60")
+    merged = m4_finalize(
+        m4_merge(m4_partial(a, 60).unionByName(m4_partial(b, 60))), 60)
+    whole = m4_downsample(ev, bucket_sec=60)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_m4_stream_replay_and_batch_equality(spark, tmp_path):
+    import pandas.testing as pt
+
+    from cesium_spark.operators.downsample import m4_downsample
+    from cesium_spark.streaming.stream import m4_batch_fn, m4_state
+
+    store = str(tmp_path / "m4_store")
+    vals = _lcg_values(90, seed=13)
+    rows = [(1, 11 * i, "A", v) for i, v in enumerate(vals)]
+    ev = _events(spark, rows)
+    b1, b2 = ev.where("event_id < 50"), ev.where("event_id >= 50")
+    fn = m4_batch_fn(store, bucket_sec=120)
+    fn(b1, 0)
+    fn(b2, 1)
+
+    def _norm(df):
+        return (df.toPandas().sort_values(["event_type", "bucket_idx"])
+                .reset_index(drop=True))
+
+    merged = _norm(m4_state(spark, store, bucket_sec=120))
+    fn(b2, 1)  # replay: exactly-once state
+    pt.assert_frame_equal(merged, _norm(m4_state(spark, store,
+                                                 bucket_sec=120)))
+    pt.assert_frame_equal(merged, _norm(m4_downsample(ev, bucket_sec=120)))
+    assert m4_state(spark, str(tmp_path / "nowhere")).count() == 0
+
+
+# ---------------------------------------------------------- reply latency
+
+
+def test_reply_latency_hand_case(spark):
+    from cesium_spark.operators.funnel import reply_latency
+
+    rows = [
+        # user 1: view@0 -> purchase@30 (30s); view@100 -> purchase@160;
+        #         view@200 never replied
+        (1, 0, "view", 1.0), (1, 30, "purchase", 1.0),
+        (1, 100, "view", 1.0), (1, 150, "click", 1.0),
+        (1, 160, "purchase", 1.0), (1, 200, "view", 1.0),
+        # user 2: purchase BEFORE the view only -> no reply
+        (2, 10, "purchase", 1.0), (2, 20, "view", 1.0),
+    ]
+    out = {r["user_id"]: r
+           for r in reply_latency(_events(spark, rows)).collect()}
+    u1 = out[1]
+    assert (u1["n_src"], u1["n_replied"]) == (3, 2)
+    assert abs(u1["reply_rate"] - 2 / 3) < 1e-6
+    assert abs(u1["mean_latency_s"] - 45.0) < 1e-6
+    assert abs(u1["max_latency_s"] - 60.0) < 1e-6
+    u2 = out[2]
+    assert (u2["n_src"], u2["n_replied"]) == (1, 0)
+    assert u2["mean_latency_s"] is None
+
+
+def test_reply_latency_same_ts_tiebreak(spark):
+    from cesium_spark.operators.funnel import reply_latency
+
+    # purchase at the SAME second but a later event_id is strictly after
+    rows = [(1, 50, "view", 1.0), (1, 50, "purchase", 1.0)]
+    out = reply_latency(_events(spark, rows)).collect()[0]
+    assert out["n_replied"] == 1 and out["mean_latency_s"] == 0.0
+
+
+def test_reply_latency_single_exchange(spark):
+    from cesium_spark.operators.funnel import reply_latency
+
+    ev = _events(spark, [(1, i, "view" if i % 2 else "purchase", 1.0)
+                         for i in range(20)])
+    plan = reply_latency(ev)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+# ------------------------------------------------------- label silhouette
+
+
+def test_label_silhouette_separated_and_confused(spark):
+    import numpy as np
+
+    from cesium_spark.operators.linalg import label_silhouette
+
+    # label 0 around (0,0), label 1 around (10,0), label 2 around (10.5,0)
+    vecs = [
+        (0, 0, [0.0, 0.1]), (1, 0, [0.1, -0.1]), (2, 0, [-0.1, 0.0]),
+        (3, 1, [10.0, 0.0]), (4, 1, [10.2, 0.1]),
+        (5, 2, [10.5, 0.0]), (6, 2, [10.6, -0.1]),
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], lab) for i, lab, v in vecs],
+        "vec_id long, embedding array<float>, label int")
+    out = {r["label"]: r for r in label_silhouette(df).collect()}
+    # label 0 is far from everything: silhouette near 1
+    assert out[0]["mean_silhouette"] > 0.9
+    # labels 1 and 2 are each other's confusion
+    assert out[1]["confused_with"] == 2
+    assert out[2]["confused_with"] == 1
+    assert out[0]["confused_with"] == 1  # nearest centroid to origin-ish
+    assert out[1]["mean_silhouette"] < out[0]["mean_silhouette"]
+
+    # numpy replay of label 0's silhouette (same rounding-free magnitude)
+    cents = {lab: np.mean([v for _, l2, v in vecs if l2 == lab], axis=0)
+             for lab in (0, 1, 2)}
+    s_ref = []
+    for _, lab, v in vecs:
+        if lab != 0:
+            continue
+        a = np.linalg.norm(np.array(v) - cents[0])
+        b = min(np.linalg.norm(np.array(v) - cents[c]) for c in (1, 2))
+        s_ref.append((b - a) / max(a, b))
+    assert abs(out[0]["mean_silhouette"] - np.mean(s_ref)) < 1e-4
+
+
+def test_label_silhouette_member_closer_to_other_class(spark):
+    from cesium_spark.operators.linalg import label_silhouette
+
+    # a label-0 point sitting ON label 1's centroid drags mean s down
+    vecs = [(0, 0, [0.0, 0.0]), (1, 0, [5.0, 0.0]),
+            (2, 1, [5.0, 0.0]), (3, 1, [5.0, 0.2])]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], lab) for i, lab, v in vecs],
+        "vec_id long, embedding array<float>, label int")
+    out = {r["label"]: r for r in label_silhouette(df).collect()}
+    assert out[0]["mean_silhouette"] < 0.2  # the defector has s < 0
+    assert out[0]["n"] == 2
