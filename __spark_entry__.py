@@ -3454,16 +3454,74 @@ def q_m4_streamed(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
-def q_reply_latency(spark, sf_dir):
+def q_mann_kendall_streamed(spark, sf_dir):
+    """The Mann-Kendall trend test as a LIVE head over the MERGEABLE
+    HOURLY GRID: micro-batches commit per-(actor, hour) sum/count
+    partials (the cms exactly-once pattern); the readout merges to the
+    mean grid and runs the SAME mann_kendall_from_grid tail as the
+    batch operator. Shares sql["mann_kendall"] — a hash match proves
+    grid state + shared tail == batch. The grid state also serves
+    Theil-Sen / seasonal profiles: it is the family's sufficient
+    statistic."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from cesium_spark.operators.trend import mann_kendall_from_grid
+    from cesium_spark.streaming.stream import grid_batch_fn, grid_state
+
+    ev = _events(spark, sf_dir)
+    mid = ev.agg(F.expr("percentile(event_id, 0.5)")).collect()[0][0]
+    work = tempfile.mkdtemp(prefix="mk_stream_")
+    in_dir = f"{work}/in"
+    narrow = ev.select("event_id", "user_id", "ts",
+                       F.col("value").cast("double").alias("value"))
+    try:
+        narrow.filter(F.col("event_id") <= mid).coalesce(1) \
+            .write.mode("overwrite").parquet(in_dir)
+        first_files = set(glob.glob(f"{in_dir}/*.parquet"))
+        narrow.filter(F.col("event_id") > mid).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+        later = time.time() + 10
+        for f in set(glob.glob(f"{in_dir}/*.parquet")) - first_files:
+            os.utime(f, (later, later))
+        src = (
+            spark.readStream
+            .schema("event_id bigint, user_id bigint, ts timestamp, "
+                    "value double")
+            .option("maxFilesPerTrigger", 1).parquet(in_dir)
+        )
+        q = (
+            src.writeStream
+            .foreachBatch(grid_batch_fn(f"{work}/store"))
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True).start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                raise TimeoutError("grid stream did not drain in 300s")
+        finally:
+            q.stop()
+        grid = grid_state(spark, f"{work}/store")
+        return mann_kendall_from_grid(grid).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q_conversion_latency(spark, sf_dir):
     """Time-to-next-matching-event per actor (view -> first purchase
     strictly after, the conversion-latency readout): running-min of
     reply timestamps over the reversed (ts, tiebreak) window — ONE
     sort-shuffle, no self-join; gaps stay integer microseconds until
-    the final division."""
-    from cesium_spark.operators.funnel import reply_latency
+    the final division. Distinct from `reply_latency` (turns.py), the
+    ADJACENT role-pair latency matrix: this one skips past
+    intervening events to the first matching reply."""
+    from cesium_spark.operators.funnel import conversion_latency
 
-    return reply_latency(_events(spark, sf_dir),
-                         src_type="view", reply_type="purchase")
+    return conversion_latency(_events(spark, sf_dir),
+                              src_type="view", reply_type="purchase")
 
 
 def q_label_silhouette(spark, sf_dir):
@@ -3665,8 +3723,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m4_downsample": q_m4_downsample,
         "m4_streamed": q_m4_streamed,
         "mann_kendall": q_mann_kendall,
+        "mann_kendall_streamed": q_mann_kendall_streamed,
         "haar_energy": q_haar_energy,
-        "reply_latency": q_reply_latency,
+        "conversion_latency": q_conversion_latency,
         "label_silhouette": q_label_silhouette,
         # --- round 6, session-7 batch ---
         "assoc_rules": q_assoc_rules,
@@ -8639,8 +8698,10 @@ def oracle_sql() -> dict[str, str]:
 
     # merged streamed partials == the batch aggregation by construction
     sql["m4_streamed"] = sql["m4_downsample"]
+    # merged grid state + the shared mann_kendall_from_grid tail == batch
+    sql["mann_kendall_streamed"] = sql["mann_kendall"]
 
-    sql["reply_latency"] = f"""
+    sql["conversion_latency"] = f"""
         WITH e AS (
           SELECT user_id, event_type, epoch_us(ts) AS us, event_id
           FROM events

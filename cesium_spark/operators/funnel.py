@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..kernel import group_starts, iter_group_frames, ts_micros
 
-__all__ = ["funnel_conversion", "reply_latency"]
+__all__ = ["funnel_conversion", "conversion_latency"]
 
 
 def funnel_conversion(
@@ -132,7 +132,7 @@ def funnel_conversion(
     return arranged.mapInPandas(_mapper, schema=out_schema)
 
 
-def reply_latency(
+def conversion_latency(
     df: DataFrame,
     src_type: str = "view",
     reply_type: str = "purchase",

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["mann_kendall"]
+__all__ = ["mann_kendall", "mann_kendall_from_grid"]
 
 _EPS = 1e-9
 _Z_CRIT = 1.96
@@ -55,7 +55,18 @@ def mann_kendall(
         df.groupBy(*gcols, F.date_trunc("hour", F.col(ts_col)).alias("h"))
         .agg(_r6(F.avg(F.col(value_col).cast("double"))).alias("x"))
     )
+    return mann_kendall_from_grid(grid, key_cols)
 
+
+def mann_kendall_from_grid(
+    grid: DataFrame,
+    key_cols: tuple[str, ...] = ("user_id",),
+) -> DataFrame:
+    """The test itself, over any (key..., h, x) grid relation — public
+    so the streaming head (mergeable per-hour sum/count state) and the
+    batch operator share one implementation; x must already carry the
+    6-decimal rounding that makes sign comparisons engine-stable."""
+    gcols = list(key_cols)
     a, b = grid.alias("a"), grid.alias("b")
     cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in gcols]
     pairs = (

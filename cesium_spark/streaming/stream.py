@@ -36,6 +36,7 @@ __all__ = [
     "streaming_markov_nll", "streaming_gap_deltas", "streaming_funnel",
     "ddsketch_batch_fn", "ddsketch_state_buckets",
     "m4_batch_fn", "m4_state",
+    "grid_batch_fn", "grid_state",
 ]
 
 
@@ -1477,6 +1478,60 @@ def m4_state(spark, store_root: str, bucket_sec: int = 3600,
                 "t_max_sec double, n long")
     parts = spark.read.parquet(*dirs)
     return m4_finalize(m4_merge(parts, key_cols), bucket_sec, key_cols)
+
+
+def grid_batch_fn(store_root: str,
+                  key_cols: tuple[str, ...] = ("user_id",),
+                  ts_col: str = "ts", value_col: str = "value"):
+    """foreachBatch function maintaining the MERGEABLE HOURLY GRID —
+    per (key, hour) value sum + count, the sufficient statistic behind
+    the whole grid family (Mann-Kendall, Theil-Sen, Holt's grid,
+    seasonal profiles): any of their batch tails can run off the
+    merged state at any time. Sum/count partials commit per batch=<id>
+    directory (the cms exactly-once pattern: sums are not idempotent,
+    replays rewrite identical bytes). State is keys x span-hours rows
+    per batch, independent of event volume."""
+    import os
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        fresh = (
+            batch_df.groupBy(
+                *key_cols, F.date_trunc("hour", F.col(ts_col)).alias("h"))
+            .agg(F.sum(F.col(value_col).cast("double")).alias("s"),
+                 F.count("*").cast("long").alias("c"))
+        )
+        fresh.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(store_root, f"batch={batch_id}")
+        )
+
+    return _apply
+
+
+def grid_state(spark, store_root: str,
+               key_cols: tuple[str, ...] = ("user_id",),
+               key_schema: str = "user_id long",
+               round_digits: int = 6) -> DataFrame:
+    """The merged hourly mean grid (key..., h, x) from every committed
+    batch partial — sum-of-sums / sum-of-counts, rounded with the
+    repo's half-up discipline, so it equals the batch grid that
+    mann_kendall & co. build directly (the 6-decimal round absorbs the
+    partial-sum association order, exactly as it absorbs Spark's own
+    partition order in the batch path)."""
+    import glob
+    import os
+
+    dirs = sorted(glob.glob(os.path.join(store_root, "batch=*")))
+    if not dirs:
+        return spark.createDataFrame(
+            [], f"{key_schema}, h timestamp, x double")
+    return (
+        spark.read.parquet(*dirs)
+        .groupBy(*key_cols, "h")
+        .agg(F.round(F.sum("s") / F.sum("c") + F.lit(1e-9),
+                     round_digits).alias("x"))
+    )
 
 
 def streaming_holt(

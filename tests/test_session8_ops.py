@@ -360,8 +360,8 @@ def test_m4_stream_replay_and_batch_equality(spark, tmp_path):
 # ---------------------------------------------------------- reply latency
 
 
-def test_reply_latency_hand_case(spark):
-    from cesium_spark.operators.funnel import reply_latency
+def test_conversion_latency_hand_case(spark):
+    from cesium_spark.operators.funnel import conversion_latency
 
     rows = [
         # user 1: view@0 -> purchase@30 (30s); view@100 -> purchase@160;
@@ -373,7 +373,7 @@ def test_reply_latency_hand_case(spark):
         (2, 10, "purchase", 1.0), (2, 20, "view", 1.0),
     ]
     out = {r["user_id"]: r
-           for r in reply_latency(_events(spark, rows)).collect()}
+           for r in conversion_latency(_events(spark, rows)).collect()}
     u1 = out[1]
     assert (u1["n_src"], u1["n_replied"]) == (3, 2)
     assert abs(u1["reply_rate"] - 2 / 3) < 1e-6
@@ -384,21 +384,21 @@ def test_reply_latency_hand_case(spark):
     assert u2["mean_latency_s"] is None
 
 
-def test_reply_latency_same_ts_tiebreak(spark):
-    from cesium_spark.operators.funnel import reply_latency
+def test_conversion_latency_same_ts_tiebreak(spark):
+    from cesium_spark.operators.funnel import conversion_latency
 
     # purchase at the SAME second but a later event_id is strictly after
     rows = [(1, 50, "view", 1.0), (1, 50, "purchase", 1.0)]
-    out = reply_latency(_events(spark, rows)).collect()[0]
+    out = conversion_latency(_events(spark, rows)).collect()[0]
     assert out["n_replied"] == 1 and out["mean_latency_s"] == 0.0
 
 
-def test_reply_latency_single_exchange(spark):
-    from cesium_spark.operators.funnel import reply_latency
+def test_conversion_latency_single_exchange(spark):
+    from cesium_spark.operators.funnel import conversion_latency
 
     ev = _events(spark, [(1, i, "view" if i % 2 else "purchase", 1.0)
                          for i in range(20)])
-    plan = reply_latency(ev)._jdf.queryExecution().executedPlan().toString()
+    plan = conversion_latency(ev)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
@@ -454,3 +454,42 @@ def test_label_silhouette_member_closer_to_other_class(spark):
     out = {r["label"]: r for r in label_silhouette(df).collect()}
     assert out[0]["mean_silhouette"] < 0.2  # the defector has s < 0
     assert out[0]["n"] == 2
+
+
+# --------------------------------------------------- streaming grid head
+
+
+def test_grid_stream_state_replay_and_mk_equality(spark, tmp_path):
+    import pandas.testing as pt
+
+    from cesium_spark.operators.trend import (
+        mann_kendall, mann_kendall_from_grid,
+    )
+    from cesium_spark.streaming.stream import grid_batch_fn, grid_state
+
+    store = str(tmp_path / "grid_store")
+    # two actors, 8 hours, several events per hour; the split boundary
+    # lands INSIDE hour 3 so a grid cell spans both micro-batches
+    rows = [(u, 3600 * h + 60 * j, "A", float(u + h + j % 3))
+            for u in (1, 2) for h in range(8) for j in range(3)]
+    ev = _events(spark, rows)
+    b1, b2 = ev.where("event_id < 20"), ev.where("event_id >= 20")
+    fn = grid_batch_fn(store)
+    fn(b1, 0)
+    fn(b2, 1)
+
+    def _norm(df):
+        return (df.toPandas().sort_values(["user_id", "h"])
+                .reset_index(drop=True))
+
+    merged = _norm(grid_state(spark, store))
+    fn(b2, 1)  # replay converges (exactly-once)
+    pt.assert_frame_equal(merged, _norm(grid_state(spark, store)))
+
+    # streamed grid + shared tail == the batch operator end-to-end
+    got = (mann_kendall_from_grid(grid_state(spark, store)).toPandas()
+           .sort_values("user_id").reset_index(drop=True))
+    want = (mann_kendall(ev).toPandas()
+            .sort_values("user_id").reset_index(drop=True))
+    pt.assert_frame_equal(got, want)
+    assert grid_state(spark, str(tmp_path / "nowhere")).count() == 0

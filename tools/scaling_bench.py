@@ -8,7 +8,10 @@ rollup of the full cesium-equivalent per-window featureset — whole
 cadence block + general block, LS/QSO/period_fast excluded as
 window-optional (67 features) — over the deterministic 25M-turn table
 at /tmp/cesium_bench_big (datagen seed=43, n_convs=4000,
-max_turns=20000; regenerated here if absent).
+max_turns=50000; regenerated here if absent — 50000 is the cap that
+reproduces the documented 25,058,920-turn table exactly; the script
+historically said 20000 while reading a table generated elsewhere, a
+latent mismatch that only bit when /tmp was wiped in r6 session 8).
 
 Usage:
   python tools/scaling_bench.py <cores> [trials]     # one level
@@ -56,7 +59,7 @@ def main():
         from cesium_spark.datagen import generate_transcripts
 
         generate_transcripts(
-            spark, n_convs=4000, seed=43, max_turns=20000
+            spark, n_convs=4000, seed=43, max_turns=50_000
         ).write.mode("overwrite").parquet(BIG)
     tr = spark.read.parquet(BIG)
     tr.write.mode("overwrite").format("noop").save()  # warm page cache, untimed

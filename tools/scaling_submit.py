@@ -37,6 +37,13 @@ def main():
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     cores = spark.sparkContext.defaultParallelism
     spark.conf.set("spark.sql.shuffle.partitions", str(2 * cores))
+    # match the in-process session (cesium_spark.session.get_spark) so the
+    # two deployment shapes measure the same engine config: the Arrow
+    # batch size in particular is load-bearing for the grouped kernel
+    # (the 10k default means 5x more grouped-map dispatches than the
+    # library's 50k setting — measured ~60 s vs ~50 s at local[16])
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
 
     feats = [
         f
@@ -46,6 +53,16 @@ def main():
     tr = spark.read.parquet(BIG)
     tr.write.mode("overwrite").format("noop").save()  # warm cache, untimed
     n_turns = tr.count()
+    # warm the PYTHON WORKERS untimed (bench.py does the same): workers
+    # spawn lazily on the first Arrow kernel stage, and under --py-files
+    # each one imports the library from the zip (no pyc cache) — a
+    # per-worker startup tax that a single-shot measurement would
+    # otherwise count as kernel time (~9 s at local[16], measured) while
+    # the in-process best-of-N protocol absorbs it in the first trial
+    # the slice keeps every conv (all key partitions populated) so the
+    # whole worker pool spawns, not just one
+    rollup_kernel(tr.filter("turn_idx < 8"), feats, "1h") \
+        .write.mode("overwrite").format("noop").save()
     t0 = time.perf_counter()
     rollup_kernel(tr, feats, "1h").write.mode("overwrite").format("noop").save()
     dt = round(time.perf_counter() - t0, 1)
