@@ -3557,6 +3557,29 @@ def q_mann_kendall(spark, sf_dir):
     return mann_kendall(_events(spark, sf_dir))
 
 
+def q_haar_compress(spark, sf_dir):
+    """Wavelet compressibility per actor: rank the Haar detail
+    coefficients by energy and report the smallest count reaching 95%
+    of detail energy + the top-8 fraction — the transform-coding
+    route/don't-route readout next to the Gorilla delta codec. All
+    work past the detail relation is levels x blocks sized; the
+    partition total is the ordered cumsum's max, so its addition order
+    is engine-pinned."""
+    from cesium_spark.operators.wavelet import haar_compress_profile
+
+    return haar_compress_profile(_events(spark, sf_dir), levels=4)
+
+
+def q_touch_attribution(spark, sf_dir):
+    """First-touch vs last-touch conversion attribution over a 30-min
+    lookback: both models from ONE integer-microsecond RANGE frame
+    (min and max of the same (us, tiebreak, type) struct), an explicit
+    '(none)' bucket keeps unattributed purchases in the denominator."""
+    from cesium_spark.operators.funnel import touch_attribution
+
+    return touch_attribution(_events(spark, sf_dir))
+
+
 def q_haar_energy(spark, sf_dir):
     """Haar multi-resolution energy per actor: detail energy at dyadic
     levels 1..4 over the hourly grid — where the series' variance
@@ -3725,7 +3748,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_kendall": q_mann_kendall,
         "mann_kendall_streamed": q_mann_kendall_streamed,
         "haar_energy": q_haar_energy,
+        "haar_compress": q_haar_compress,
         "conversion_latency": q_conversion_latency,
+        "touch_attribution": q_touch_attribution,
         "label_silhouette": q_label_silhouette,
         # --- round 6, session-7 batch ---
         "assoc_rules": q_assoc_rules,
@@ -8783,6 +8808,102 @@ def oracle_sql() -> dict[str, str]:
         SELECT sil.label, sil.n, sil.mean_silhouette,
                mode.confused_with::INT AS confused_with, mode.n_confused
         FROM sil JOIN mode ON sil.label = mode.label
+    """
+
+    sql["haar_compress"] = f"""
+        WITH g AS (
+          SELECT user_id, date_trunc('hour', ts) AS h,
+                 round(avg(value::DOUBLE) + {EPS}, {R}) AS x
+          FROM events GROUP BY 1, 2
+        ),
+        gi AS (
+          SELECT user_id, x,
+                 row_number() OVER (PARTITION BY user_id ORDER BY h) - 1
+                   AS idx
+          FROM g
+        ),
+        placed AS (
+          SELECT user_id, k.level, x,
+                 CAST(floor(idx / pow(2.0, k.level)) AS BIGINT) AS block,
+                 CAST(floor(idx / pow(2.0, k.level - 1)) AS BIGINT) % 2
+                   AS half
+          FROM gi CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS level) k
+        ),
+        halves AS (
+          SELECT user_id, level, block,
+                 round(avg(x) FILTER (half = 0) + {EPS}, {R}) AS ml,
+                 round(avg(x) FILTER (half = 1) + {EPS}, {R}) AS mr
+          FROM placed GROUP BY 1, 2, 3
+        ),
+        det AS (
+          SELECT user_id, level, block,
+                 round(pow(CASE WHEN ml IS NULL OR mr IS NULL THEN 0.0
+                           ELSE (ml - mr) / 2.0 * pow(2.0, level / 2.0)
+                           END, 2) + {EPS}, {R}) AS e2
+          FROM halves
+        ),
+        ranked AS (
+          SELECT user_id, e2,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY e2 DESC, level, block) AS rk,
+                 sum(e2) OVER (PARTITION BY user_id
+                               ORDER BY e2 DESC, level, block
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum
+          FROM det
+        ),
+        wt AS (
+          SELECT user_id, e2, rk, cum,
+                 max(cum) OVER (PARTITION BY user_id) AS tot
+          FROM ranked
+        )
+        SELECT user_id,
+               count(*)::BIGINT AS n_coeffs,
+               round(max(tot) + {EPS}, {R}) AS total_energy,
+               coalesce(min(CASE WHEN tot > 0 AND cum >= 0.95 * tot
+                                 THEN rk END), 0)::BIGINT AS k_target,
+               round(CASE WHEN max(tot) > 0
+                          THEN max(CASE WHEN rk <= 8 THEN cum END)
+                               / max(tot)
+                          ELSE 1.0 END + {EPS}, {R}) AS top8_frac
+        FROM wt GROUP BY 1
+    """
+
+    sql["touch_attribution"] = f"""
+        WITH e AS (
+          SELECT user_id, event_type AS ty, epoch_us(ts) AS us, event_id
+          FROM events
+        ),
+        st AS (
+          SELECT user_id, ty, us,
+                 min(CASE WHEN ty IN ('view', 'click')
+                          THEN (us, event_id, ty) END)
+                   OVER (PARTITION BY user_id ORDER BY us
+                         RANGE BETWEEN 1800000000 PRECEDING
+                              AND 1 PRECEDING) AS f,
+                 max(CASE WHEN ty IN ('view', 'click')
+                          THEN (us, event_id, ty) END)
+                   OVER (PARTITION BY user_id ORDER BY us
+                         RANGE BETWEEN 1800000000 PRECEDING
+                              AND 1 PRECEDING) AS l
+          FROM e
+        ),
+        conv AS (SELECT f, l FROM st WHERE ty = 'purchase'),
+        longf AS (
+          SELECT 'first_touch' AS model,
+                 coalesce(f[3], '(none)') AS touch_type FROM conv
+          UNION ALL
+          SELECT 'last_touch' AS model,
+                 coalesce(l[3], '(none)') AS touch_type FROM conv
+        ),
+        counts AS (
+          SELECT model, touch_type, count(*)::BIGINT AS n
+          FROM longf GROUP BY 1, 2
+        )
+        SELECT model, touch_type, n,
+               round(n / (sum(n) OVER (PARTITION BY model) * 1.0)
+                     + {EPS}, {R}) AS share
+        FROM counts
     """
 
     sql["binseg_changepoints"] = f"""

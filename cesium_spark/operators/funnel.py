@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..kernel import group_starts, iter_group_frames, ts_micros
 
-__all__ = ["funnel_conversion", "conversion_latency"]
+__all__ = ["funnel_conversion", "conversion_latency", "touch_attribution"]
 
 
 def funnel_conversion(
@@ -185,4 +185,76 @@ def conversion_latency(
             r6(F.avg(lat) / F.lit(1e6)).alias("mean_latency_s"),
             r6(F.max(lat).cast("double") / F.lit(1e6)).alias("max_latency_s"),
         )
+    )
+
+
+def touch_attribution(
+    df: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("view", "click"),
+    lookback_sec: int = 1800,
+    key_cols: tuple[str, ...] = ("user_id",),
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """First-touch vs last-touch attribution: every conversion credits
+    (a) the EARLIEST and (b) the LATEST touch event of the same actor
+    within the lookback window strictly before it — the two classic
+    attribution models, reported side by side with an explicit
+    '(none)' bucket for unattributed conversions (dropping them would
+    overstate every channel's share).
+
+    Plan: both touches come from ONE integer-microsecond RANGE frame
+    (lookback PRECEDING .. 1 PRECEDING) over the actor sort — min and
+    max of the same (us, tiebreak, type) struct, so the two models
+    share a single Window node and the whole operator is one
+    sort-shuffle plus a (2 x types)-sized aggregate. Ties at the same
+    microsecond break on the tiebreak id inside the struct.
+
+    Returns (model, touch_type, n, share) with share summing to 1 per
+    model.
+    """
+    from ..kernel import ts_micros
+
+    gcols = list(key_cols)
+    touch = F.col("_ty").isin(*touch_types)
+    narrow = df.select(
+        *gcols,
+        F.col(type_col).alias("_ty"),
+        ts_micros(F.col(ts_col)).alias("_us"),
+        F.col(tiebreak_col).cast("long").alias("_tb"),
+    )
+    frame = (
+        Window.partitionBy(*gcols).orderBy("_us")
+        .rangeBetween(-int(lookback_sec) * 1_000_000, -1)
+    )
+    stamp = F.when(touch, F.struct(F.col("_us"), F.col("_tb"),
+                                   F.col("_ty").alias("ty")))
+    conv = (
+        narrow
+        .withColumn("_first", F.min(stamp).over(frame))
+        .withColumn("_last", F.max(stamp).over(frame))
+        .where(F.col("_ty") == conversion_type)
+    )
+    longf = conv.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("first_touch").alias("model"),
+                         F.coalesce(F.col("_first.ty"), F.lit("(none)"))
+                         .alias("touch_type")),
+                F.struct(F.lit("last_touch").alias("model"),
+                         F.coalesce(F.col("_last.ty"), F.lit("(none)"))
+                         .alias("touch_type")),
+            )
+        ).alias("m")
+    ).select("m.model", "m.touch_type")
+    counts = longf.groupBy("model", "touch_type").agg(
+        F.count("*").cast("long").alias("n"))
+    tot = Window.partitionBy("model")
+    return counts.select(
+        "model", "touch_type", "n",
+        F.round(F.col("n") / F.sum("n").over(tot) + F.lit(1e-9),
+                round_digits).alias("share"),
     )

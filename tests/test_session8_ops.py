@@ -493,3 +493,80 @@ def test_grid_stream_state_replay_and_mk_equality(spark, tmp_path):
             .sort_values("user_id").reset_index(drop=True))
     pt.assert_frame_equal(got, want)
     assert grid_state(spark, str(tmp_path / "nowhere")).count() == 0
+
+
+# --------------------------------------------------- haar compressibility
+
+
+def test_haar_compress_profile_square_wave_vs_noise(spark):
+    from cesium_spark.operators.wavelet import haar_compress_profile
+
+    # actor 1: one level-3 square step -> energy concentrates in very
+    # few coefficients; actor 2: alternating noise -> spread across
+    # every level-1 coefficient
+    sq = [0.0] * 8 + [10.0] * 8
+    alt = [float((-1) ** h) * (1 + 0.1 * h) for h in range(16)]
+    rows = ([(1, 3600 * h, "A", v) for h, v in enumerate(sq)]
+            + [(2, 3600 * h, "A", v) for h, v in enumerate(alt)])
+    out = {r["user_id"]: r
+           for r in haar_compress_profile(_events(spark, rows), levels=3,
+                                          key_cols=("user_id",)).collect()}
+    assert out[1]["k_target"] <= 2          # step signal: 1-2 coefficients
+    assert out[1]["top8_frac"] == 1.0
+    assert out[2]["k_target"] >= 6          # noise: needs most of them
+    assert out[1]["n_coeffs"] == out[2]["n_coeffs"] == 8 + 4 + 2
+
+
+def test_haar_compress_profile_flat_series_convention(spark):
+    from cesium_spark.operators.wavelet import haar_compress_profile
+
+    rows = [(1, 3600 * h, "A", 4.0) for h in range(8)]
+    out = haar_compress_profile(_events(spark, rows), levels=2,
+                                key_cols=("user_id",)).collect()[0]
+    assert out["total_energy"] == 0.0
+    assert out["k_target"] == 0
+    assert out["top8_frac"] == 1.0
+
+
+# ------------------------------------------------------- attribution
+
+
+def test_touch_attribution_first_vs_last(spark):
+    from cesium_spark.operators.funnel import touch_attribution
+
+    rows = [
+        # u1: view@0, click@600, purchase@700 -> first=view, last=click
+        (1, 0, "view", 1.0), (1, 600, "click", 1.0), (1, 700, "purchase", 1.0),
+        # u2: click@0 then purchase@1000 -> both models credit click
+        (2, 0, "click", 1.0), (2, 1000, "purchase", 1.0),
+        # u3: view OUTSIDE the 30min lookback -> unattributed
+        (3, 0, "view", 1.0), (3, 2000, "purchase", 1.0),
+    ]
+    out = {(r["model"], r["touch_type"]): r
+           for r in touch_attribution(
+               _events(spark, rows), lookback_sec=1800).collect()}
+    assert out[("first_touch", "view")]["n"] == 1     # u1
+    assert out[("last_touch", "click")]["n"] == 2     # u1 + u2
+    assert out[("first_touch", "(none)")]["n"] == 1   # u3
+    assert out[("last_touch", "(none)")]["n"] == 1
+    # shares sum to 1 within each model
+    for model in ("first_touch", "last_touch"):
+        tot = sum(r["share"] for k, r in out.items() if k[0] == model)
+        assert abs(tot - 1.0) < 1e-5
+
+
+def test_touch_attribution_strictly_before_and_plan(spark):
+    from cesium_spark.operators.funnel import touch_attribution
+
+    # a touch at the SAME microsecond as the conversion must NOT count
+    rows = [(1, 100, "view", 1.0), (1, 100, "purchase", 1.0)]
+    out = {r["model"]: r for r in
+           touch_attribution(_events(spark, rows)).collect()}
+    assert out["first_touch"]["touch_type"] == "(none)"
+
+    ev = _events(spark, [(1, 30 * i, "view" if i % 3 else "purchase", 1.0)
+                         for i in range(30)])
+    plan = touch_attribution(ev)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
