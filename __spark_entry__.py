@@ -3536,6 +3536,78 @@ def q_label_silhouette(spark, sf_dir):
     return label_silhouette(emb)
 
 
+def q_ddsketch_tiers(spark, sf_dir):
+    """Retention-tier quantile rollup on ONE sketch state: per-day p99
+    from day-grained DDSketch buckets, and the all-time p99 by MERGING
+    the day states (count-sum — never rescanning events). This is the
+    continuous-aggregate story for quantiles: day tiers roll up to
+    coarser tiers by state merge, exactly like the count/sum cascade
+    in rollup_cascade_1d, but for an order statistic."""
+    from cesium_spark.operators.sketch import (
+        ddsketch_buckets, ddsketch_quantiles,
+    )
+
+    ev = _events(spark, sf_dir).withColumn(
+        "day", F.date_trunc("day", F.col("ts")))
+    day_b = ddsketch_buckets(ev, group_cols=("event_type", "day"))
+    day_q = ddsketch_quantiles(day_b, qs=(0.99,),
+                               group_cols=("event_type", "day"))
+    # the n-way ddsketch_merge: every day's state sums into the coarser
+    # tier (same count-sum algebra the 2-way helper + tests pin)
+    all_b = (
+        day_b.drop("day").groupBy("event_type", "bkt")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    all_q = (
+        ddsketch_quantiles(all_b, qs=(0.99,), group_cols=("event_type",))
+        .select("event_type", F.col("n").alias("n_all"),
+                F.col("est").alias("p99_all"))
+    )
+    return (
+        day_q.join(F.broadcast(all_q), "event_type")
+        .select("event_type", "day", F.col("n").alias("n_day"),
+                F.col("est").alias("p99_day"), "n_all", "p99_all")
+    )
+
+
+def q_hll_tiers(spark, sf_dir):
+    """Retention-tier DISTINCT-COUNT rollup on ONE sketch state: daily
+    active users per event type from day-grained HLL bucket states,
+    and all-time distinct users by MERGING the day states (groupBy-max
+    — idempotent, so tier rollup is replay-proof and never rescans
+    events). The distinct-count twin of ddsketch_tiers; exact counts
+    ride along so the estimate error is pinned IN the result."""
+    from cesium_spark.operators.sketch import (
+        hll_bucket_rows, hll_estimate_from_buckets,
+    )
+
+    ev = _events(spark, sf_dir).withColumn(
+        "day", F.date_trunc("day", F.col("ts")))
+    day_state = hll_bucket_rows(ev, "user_id",
+                                group_cols=("event_type", "day"))
+    day_est = hll_estimate_from_buckets(
+        day_state, group_cols=("event_type", "day")
+    ).select("event_type", "day", F.col("hll_estimate").alias("dau_est"))
+    # day states max into the all-time tier (idempotent merge)
+    all_state = (day_state.groupBy("event_type", "_b")
+                 .agg(F.max("_rmax").cast("int").alias("_rmax")))
+    all_est = hll_estimate_from_buckets(
+        all_state, group_cols=("event_type",)
+    ).select("event_type", F.col("hll_estimate").alias("total_est"))
+    dex = (ev.groupBy("event_type", "day")
+           .agg(F.count_distinct("user_id").cast("long").alias("dau_exact")))
+    tex = (ev.groupBy("event_type")
+           .agg(F.count_distinct("user_id").cast("long")
+                .alias("total_exact")))
+    return (
+        day_est.join(dex, ["event_type", "day"])
+        .join(F.broadcast(all_est), "event_type")
+        .join(F.broadcast(tex), "event_type")
+        .select("event_type", "day", "dau_est", "dau_exact",
+                "total_est", "total_exact")
+    )
+
+
 def q_m4_downsample(spark, sf_dir):
     """M4 visualization downsampling (Jugel et al. VLDB 2014) of the
     per-type event streams into 6h pixel buckets: first/last/min/max
@@ -3743,6 +3815,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round 6, session-8 batch ---
         "ddsketch_quantiles": q_ddsketch,
         "ddsketch_streamed": q_ddsketch_streamed,
+        "ddsketch_tiers": q_ddsketch_tiers,
+        "hll_tiers": q_hll_tiers,
         "m4_downsample": q_m4_downsample,
         "m4_streamed": q_m4_streamed,
         "mann_kendall": q_mann_kendall,
@@ -8808,6 +8882,151 @@ def oracle_sql() -> dict[str, str]:
         SELECT sil.label, sil.n, sil.mean_silhouette,
                mode.confused_with::INT AS confused_with, mode.n_confused
         FROM sil JOIN mode ON sil.label = mode.label
+    """
+
+    sql["ddsketch_tiers"] = f"""
+        WITH bk AS (
+          SELECT event_type, date_trunc('day', ts) AS day,
+                 CASE WHEN value = 0 THEN {_dd_zero}
+                      ELSE CAST(ceil(round(ln(value::DOUBLE)
+                                           / ln({_dd_g}), 6)) AS INT)
+                 END AS bkt,
+                 count(*)::BIGINT AS cnt
+          FROM events GROUP BY 1, 2, 3
+        ),
+        dcum AS (
+          SELECT event_type, day, bkt, cnt,
+                 sum(cnt) OVER (PARTITION BY event_type, day ORDER BY bkt
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+                 sum(cnt) OVER (PARTITION BY event_type, day) AS n
+          FROM bk
+        ),
+        dpick AS (
+          SELECT event_type, day, n::BIGINT AS n_day, bkt
+          FROM dcum
+          WHERE c >= floor(0.99 * (n - 1))::BIGINT + 1
+          QUALIFY row_number() OVER (PARTITION BY event_type, day
+                                     ORDER BY bkt) = 1
+        ),
+        dq AS (
+          SELECT event_type, day, n_day,
+                 round(CASE WHEN bkt = {_dd_zero} THEN 0.0
+                       ELSE 2.0 * pow({_dd_g}, bkt) / ({_dd_g} + 1.0)
+                       END + {EPS}, {R}) AS p99_day
+          FROM dpick
+        ),
+        abk AS (
+          SELECT event_type, bkt, sum(cnt)::BIGINT AS cnt
+          FROM bk GROUP BY 1, 2
+        ),
+        acum AS (
+          SELECT event_type, bkt, cnt,
+                 sum(cnt) OVER (PARTITION BY event_type ORDER BY bkt
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+                 sum(cnt) OVER (PARTITION BY event_type) AS n
+          FROM abk
+        ),
+        apick AS (
+          SELECT event_type, n::BIGINT AS n_all, bkt
+          FROM acum
+          WHERE c >= floor(0.99 * (n - 1))::BIGINT + 1
+          QUALIFY row_number() OVER (PARTITION BY event_type
+                                     ORDER BY bkt) = 1
+        ),
+        aq AS (
+          SELECT event_type, n_all,
+                 round(CASE WHEN bkt = {_dd_zero} THEN 0.0
+                       ELSE 2.0 * pow({_dd_g}, bkt) / ({_dd_g} + 1.0)
+                       END + {EPS}, {R}) AS p99_all
+          FROM apick
+        )
+        SELECT dq.event_type, dq.day, dq.n_day, dq.p99_day,
+               aq.n_all, aq.p99_all
+        FROM dq JOIN aq ON dq.event_type = aq.event_type
+    """
+
+    # grouped twin of the _hll_chain formula (same hash/rank/harmonic
+    # algebra, group keys threaded through every stage; the all-time
+    # tier re-maxes the DAY states, mirroring the engine's merge)
+    _hn = repr(0.7213 / (1.0 + 1.079 / 1024) * 1024 * 1024 * float(1 << 51))
+    sql["hll_tiers"] = f"""
+        WITH e AS (
+          SELECT event_type, date_trunc('day', ts) AS day, user_id
+          FROM events
+        ),
+        h AS (
+          SELECT event_type, day, user_id,
+                 CAST(('0x' || substr(md5(user_id::VARCHAR), 1, 15))
+                      AS BIGINT) AS hh
+          FROM e
+        ),
+        b AS (
+          SELECT event_type, day, hh % 1024 AS bk,
+                 CASE WHEN hh // 1024 = 0 THEN 51
+                      ELSE 51 - length(bin(hh // 1024)) END AS rho
+          FROM h
+        ),
+        dmx AS (
+          SELECT event_type, day, bk, max(rho) AS rmax
+          FROM b GROUP BY 1, 2, 3
+        ),
+        ds AS (
+          SELECT event_type, day, count(*)::BIGINT AS n_obs,
+                 sum((1::BIGINT << (51 - rmax)))::BIGINT AS s2
+          FROM dmx GROUP BY 1, 2
+        ),
+        dest AS (
+          SELECT event_type, day,
+                 round(CASE WHEN {_hn}
+                              / (s2 + (1024 - n_obs)
+                                 * (1::BIGINT << 51))::DOUBLE <= 2560.0
+                            AND n_obs < 1024
+                        THEN 1024.0 * ln(1024.0 / (1024 - n_obs))
+                        ELSE {_hn}
+                          / (s2 + (1024 - n_obs)
+                             * (1::BIGINT << 51))::DOUBLE
+                       END + 1e-9, 2) AS dau_est
+          FROM ds
+        ),
+        amx AS (
+          SELECT event_type, bk, max(rmax) AS rmax
+          FROM dmx GROUP BY 1, 2
+        ),
+        asum AS (
+          SELECT event_type, count(*)::BIGINT AS n_obs,
+                 sum((1::BIGINT << (51 - rmax)))::BIGINT AS s2
+          FROM amx GROUP BY 1
+        ),
+        aest AS (
+          SELECT event_type,
+                 round(CASE WHEN {_hn}
+                              / (s2 + (1024 - n_obs)
+                                 * (1::BIGINT << 51))::DOUBLE <= 2560.0
+                            AND n_obs < 1024
+                        THEN 1024.0 * ln(1024.0 / (1024 - n_obs))
+                        ELSE {_hn}
+                          / (s2 + (1024 - n_obs)
+                             * (1::BIGINT << 51))::DOUBLE
+                       END + 1e-9, 2) AS total_est
+          FROM asum
+        ),
+        dex AS (
+          SELECT event_type, day,
+                 count(DISTINCT user_id)::BIGINT AS dau_exact
+          FROM e GROUP BY 1, 2
+        ),
+        tex AS (
+          SELECT event_type,
+                 count(DISTINCT user_id)::BIGINT AS total_exact
+          FROM e GROUP BY 1
+        )
+        SELECT dest.event_type, dest.day, dest.dau_est, dex.dau_exact,
+               aest.total_est, tex.total_exact
+        FROM dest
+        JOIN dex ON dest.event_type = dex.event_type
+               AND dest.day = dex.day
+        JOIN aest ON dest.event_type = aest.event_type
+        JOIN tex ON dest.event_type = tex.event_type
     """
 
     sql["haar_compress"] = f"""

@@ -48,27 +48,29 @@ def hll_bucket_rows(
     df: DataFrame,
     col: str,
     p: int = 10,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """The sketch's mergeable state: per-bucket max rank rows
-    (_b int, _rmax int), <= 2^p of them. max is commutative,
-    associative, AND idempotent, so states merge across partitions,
-    batches, or replayed deliveries by a plain groupBy-max — the
-    property the streaming head leans on for exactly-once-free
-    correctness."""
+    (group..., _b int, _rmax int), <= 2^p per group. max is
+    commutative, associative, AND idempotent, so states merge across
+    partitions, batches, replayed deliveries, or FINER GROUPINGS (day
+    states max into month states) by a plain groupBy-max — the
+    property the streaming head and the tier cascade lean on."""
+    gcols = list(group_cols)
     m = 1 << p
     wbits = 4 * _HASH_HEX_CHARS - p  # rank-word width
     h = F.conv(
         F.substring(F.md5(F.col(col).cast("string")), 1, _HASH_HEX_CHARS),
         16, 10,
     ).cast("long")
-    src = df.where(F.col(col).isNotNull()).select(h.alias("_h"))
+    src = df.where(F.col(col).isNotNull()).select(*gcols, h.alias("_h"))
     w = F.expr(f"_h div {m}")
     rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
         F.lit(wbits + 1) - F.length(F.bin(w))
     )
     return (
-        src.select((F.col("_h") % m).alias("_b"), rho.alias("_rho"))
-        .groupBy("_b")
+        src.select(*gcols, (F.col("_h") % m).alias("_b"), rho.alias("_rho"))
+        .groupBy(*gcols, "_b")
         .agg(F.max("_rho").cast("int").alias("_rmax"))
     )
 
@@ -77,15 +79,19 @@ def hll_estimate_from_buckets(
     per_bucket: DataFrame,
     p: int = 10,
     round_digits: int = 2,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Single-row estimate from a (merged) bucket-state relation."""
+    """Estimate rows from a (merged) bucket-state relation — one row
+    per group (a single global row when group_cols is empty: a
+    groupBy() with no keys is the global aggregate)."""
+    gcols = list(group_cols)
     m = 1 << p
     wbits = 4 * _HASH_HEX_CHARS - p
     scale = float(1 << (wbits + 1))
     alpha = 0.7213 / (1.0 + 1.079 / m)
     # coalesce: an EMPTY bucket relation (no input ever seen) must land
     # in the linear-counting branch with estimate 0, not a NULL sum
-    agg = per_bucket.agg(
+    agg = per_bucket.groupBy(*gcols).agg(
         F.count("*").cast("long").alias("n_obs"),
         F.coalesce(
             F.expr(
@@ -104,6 +110,7 @@ def hll_estimate_from_buckets(
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
     ).otherwise(raw)
     return agg.select(
+        *gcols,
         F.lit(m).cast("long").alias("m"),
         F.col("n_obs").alias("n_buckets_observed"),
         F.round(est + F.lit(1e-9), round_digits).alias("hll_estimate"),

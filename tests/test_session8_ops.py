@@ -570,3 +570,59 @@ def test_touch_attribution_strictly_before_and_plan(spark):
         .executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------------ ddsketch tiers
+
+
+def test_ddsketch_day_states_merge_to_global(spark):
+    from pyspark.sql import functions as F
+
+    from cesium_spark.operators.sketch import (
+        ddsketch_buckets, ddsketch_quantiles,
+    )
+
+    vals = _lcg_values(400, seed=21)
+    # spread over 3 days
+    rows = [(1, 86400 * (i % 3) + 60 * i, "A", v)
+            for i, v in enumerate(vals)]
+    ev = _events(spark, rows).withColumn(
+        "day", F.date_trunc("day", F.col("ts")))
+    day_b = ddsketch_buckets(ev, group_cols=("event_type", "day"))
+    merged = (day_b.drop("day").groupBy("event_type", "bkt")
+              .agg(F.sum("cnt").cast("long").alias("cnt")))
+    direct = ddsketch_buckets(ev, group_cols=("event_type",))
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+    qa = sorted(map(tuple, ddsketch_quantiles(merged).collect()))
+    qb = sorted(map(tuple, ddsketch_quantiles(direct).collect()))
+    assert qa == qb
+
+
+# -------------------------------------------------------- hll tiers
+
+
+def test_hll_day_states_merge_to_global(spark):
+    from pyspark.sql import functions as F
+
+    from cesium_spark.operators.sketch import (
+        hll_bucket_rows, hll_estimate_from_buckets,
+    )
+
+    # 3 days x overlapping user populations
+    rows = [(u, 86400 * d + 60 * u, "A", 1.0)
+            for d in range(3) for u in range(40 * (d + 1))]
+    ev = _events(spark, [(u, s, t, v) for (u, s, t, v) in rows]) \
+        .withColumn("day", F.date_trunc("day", F.col("ts")))
+    day_state = hll_bucket_rows(ev, "user_id", group_cols=("day",))
+    merged = (day_state.groupBy("_b")
+              .agg(F.max("_rmax").cast("int").alias("_rmax")))
+    direct = hll_bucket_rows(ev, "user_id")
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+    # grouped estimate rows: one per day, error within HLL tolerance
+    ests = {r["day"].day: r["hll_estimate"]
+            for r in hll_estimate_from_buckets(
+                day_state, group_cols=("day",)).collect()}
+    for d, exact in ((1, 40), (2, 80), (3, 120)):
+        assert abs(ests[d] - exact) / exact < 0.15, (d, ests[d], exact)
