@@ -3333,6 +3333,113 @@ def _ddsketch_readout(ev, buckets):
     )
 
 
+def q_rollup_grouping_sets(spark, sf_dir):
+    """Multi-granularity continuous aggregate in ONE scan: CUBE(type,
+    day) emits all four grouping sets — per-type daily, per-type
+    all-time, corpus daily, grand total — through a single Expand +
+    partial-aggregable hash aggregate (one Exchange; plan-tested).
+    The oracle replays the cube with GROUP BY CUBE and rebuilds
+    Spark's grouping_id() bit-by-bit from GROUPING()."""
+    from cesium_spark.operators.rollup import rollup_grouping_sets
+
+    return rollup_grouping_sets(_events(spark, sf_dir))
+
+
+def q_seq_pattern(spark, sf_dir):
+    """MATCH_RECOGNIZE-style row-pattern detection (SQL:2016; Flink /
+    Trino expose it as MATCH_RECOGNIZE — Spark has no equivalent):
+    per-actor counts of the 'retry then convert' pattern E{1,8}P (a
+    burst of 1-8 errors resolved by a purchase) over the (ts,
+    event_id)-ordered symbol stream. One hash aggregate folds each
+    actor's symbols into a string JVM-side; regexp_extract_all counts
+    leftmost non-overlapping matches. The oracle rebuilds the same
+    string with ordered string_agg and the same regex."""
+    from cesium_spark.operators.seqpattern import sequence_pattern_counts
+
+    return sequence_pattern_counts(_events(spark, sf_dir))
+
+
+def q_seq_pattern_streamed(spark, sf_dir):
+    """The LIVE pattern matcher: the event stream drains as two
+    time-ordered micro-batches through streaming_pattern_counts, whose
+    per-actor state is (count, first match, <=8 unconsumed trailing
+    symbols) — the truncation is exact for the bounded pattern, so the
+    latest cumulative row per actor must hash-match the BATCH
+    seq_pattern oracle, proving a match spanning the batch boundary is
+    found exactly once."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from cesium_spark.streaming.stream import streaming_pattern_counts
+
+    ev = _events(spark, sf_dir).select("event_id", "ts", "user_id", "event_type")
+    mid = ev.agg(F.expr("percentile(event_id, 0.5)")).collect()[0][0]
+    work = tempfile.mkdtemp(prefix="pattern_stream_")
+    in_dir = f"{work}/in"
+    try:
+        ev.filter(F.col("event_id") <= mid).coalesce(1) \
+            .write.mode("overwrite").parquet(in_dir)
+        # order-load-bearing (see q_event_loops_streamed): pin batch 2
+        # strictly later so the halves cannot drain reversed
+        first_files = set(glob.glob(f"{in_dir}/*.parquet"))
+        ev.filter(F.col("event_id") > mid).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+        later = time.time() + 10
+        for f in set(glob.glob(f"{in_dir}/*.parquet")) - first_files:
+            os.utime(f, (later, later))
+        schema = "event_id bigint, ts timestamp, user_id bigint, event_type string"
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(in_dir)
+        )
+        q = (
+            streaming_pattern_counts(src).writeStream
+            .format("parquet").option("path", f"{work}/out")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True).start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                raise TimeoutError("pattern stream did not drain in 300s")
+        finally:
+            q.stop()
+        emitted = spark.read.parquet(f"{work}/out")
+        return (
+            emitted.groupBy("user_id")
+            .agg(F.max(F.struct("seq_len", "n_matches", "first_match"))
+                 .alias("s"))
+            .select("user_id", "s.*")
+            .localCheckpoint(eager=True)  # detach from the temp files
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q_rfm_scores(spark, sf_dir):
+    """RFM actor segmentation: exact recency/frequency/monetary
+    quintile scores (ntile over the ACTOR-sized relation — the event-
+    scale work is one partial-aggregable groupBy) with deterministic
+    actor-id tiebreaks so both engines draw identical quintile
+    boundaries."""
+    from cesium_spark.operators.segment import rfm_scores
+
+    return rfm_scores(_events(spark, sf_dir))
+
+
+def q_rolling_slope(spark, sf_dir):
+    """Rolling 24h OLS trend slope per event type on the hourly grid:
+    the local-trend companion to mann_kendall/theil_sen, computed from
+    four RANGE-frame sums in closed form. x is the hour index relative
+    to the series' first hour, so the x-only sums are exact integers
+    in both engines; the oracle replays the identical frames."""
+    from cesium_spark.operators.trend import rolling_slope
+
+    return rolling_slope(_events(spark, sf_dir))
+
+
 def q_ddsketch(spark, sf_dir):
     """DDSketch relative-error quantiles per event type (Masson et al.
     VLDB 2019) with the guarantee pinned IN the result: est from the
@@ -3812,6 +3919,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (r4 VERDICT item 7: clean_corpus_spans shipped in r4 but sat past
     # the 50-slot cap and was never driver-checked).
     return {
+        # --- round 6, session-9 batch ---
+        "rollup_grouping_sets": q_rollup_grouping_sets,
+        "seq_pattern": q_seq_pattern,
+        "seq_pattern_streamed": q_seq_pattern_streamed,
+        "rfm_scores": q_rfm_scores,
+        "rolling_slope": q_rolling_slope,
         # --- round 6, session-8 batch ---
         "ddsketch_quantiles": q_ddsketch,
         "ddsketch_streamed": q_ddsketch_streamed,
@@ -9323,6 +9436,108 @@ def oracle_sql() -> dict[str, str]:
           ON a.lb = c.lb AND a.fc = c.fc AND a.user_id < c.user_id
         ORDER BY similarity DESC, key_a, key_b
         LIMIT 50
+    """
+
+    sql["rollup_grouping_sets"] = """
+        SELECT (GROUPING(event_type) * 2 + GROUPING(day))::INT AS gid,
+               coalesce(event_type, '(all)') AS event_type,
+               coalesce(day, '(all)') AS day,
+               count(*)::BIGINT AS n_events,
+               round(sum(value) + 1e-9, 6) AS sum_m,
+               round(avg(value) + 1e-9, 6) AS avg_m
+        FROM (SELECT event_type,
+                     strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                     value
+              FROM events)
+        GROUP BY CUBE(event_type, day)
+    """
+
+    _sym_case = """CASE event_type WHEN 'click' THEN 'C'
+                   WHEN 'view' THEN 'V' WHEN 'error' THEN 'E'
+                   WHEN 'purchase' THEN 'P' WHEN 'signup' THEN 'S'
+                   ELSE '?' END"""
+    sql["seq_pattern"] = f"""
+        WITH seqs AS (
+          SELECT user_id,
+                 string_agg({_sym_case}, '' ORDER BY ts, event_id) AS seq
+          FROM events GROUP BY user_id
+        )
+        SELECT user_id,
+               length(seq)::BIGINT AS seq_len,
+               len(regexp_extract_all(seq, 'E{{1,8}}P'))::BIGINT AS n_matches,
+               coalesce(regexp_extract_all(seq, 'E{{1,8}}P')[1], '')
+                 AS first_match
+        FROM seqs
+    """
+    # the streamed head's latest cumulative row per actor must equal the
+    # batch matcher over everything ingested (exact-tail-truncation proof)
+    sql["seq_pattern_streamed"] = sql["seq_pattern"]
+
+    sql["rfm_scores"] = """
+        WITH pa AS (
+          SELECT user_id,
+                 max(epoch_us(ts)) AS last_us,
+                 count(*)::BIGINT AS frequency,
+                 round(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                         THEN value END), 0.0) + 1e-9, 6)
+                   AS monetary
+          FROM events GROUP BY user_id
+        ),
+        mx AS (SELECT max(epoch_us(ts)) AS max_us FROM events),
+        base AS (
+          SELECT user_id,
+                 CAST(floor((max_us - last_us) / 86400e6) AS BIGINT)
+                   AS recency_days,
+                 frequency, monetary
+          FROM pa, mx
+        ),
+        scored AS (
+          SELECT *,
+                 ntile(5) OVER (ORDER BY recency_days DESC, user_id)::INT
+                   AS r_score,
+                 ntile(5) OVER (ORDER BY frequency ASC, user_id)::INT
+                   AS f_score,
+                 ntile(5) OVER (ORDER BY monetary ASC, user_id)::INT
+                   AS m_score
+          FROM base
+        )
+        SELECT user_id, recency_days, frequency, monetary,
+               r_score, f_score, m_score,
+               (r_score * 100 + f_score * 10 + m_score)::INT AS rfm
+        FROM scored
+    """
+
+    sql["rolling_slope"] = """
+        WITH grid AS (
+          SELECT event_type,
+                 epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+                 round(avg(value) + 1e-9, 6) AS y
+          FROM events GROUP BY 1, 2
+        ),
+        gx AS (
+          SELECT event_type, h, y,
+                 h - min(h) OVER (PARTITION BY event_type) AS x
+          FROM grid
+        ),
+        fr AS (
+          SELECT event_type, h,
+                 count(*) OVER w AS n,
+                 sum(x::DOUBLE) OVER w AS sx,
+                 sum(y) OVER w AS sy,
+                 sum(x::DOUBLE * x::DOUBLE) OVER w AS sxx,
+                 sum(x::DOUBLE * y) OVER w AS sxy
+          FROM gx
+          WINDOW w AS (PARTITION BY event_type ORDER BY x
+                       RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_type,
+               make_timestamp(h * 3600000000) AS hour,
+               n::BIGINT AS n_obs,
+               round(CASE WHEN n::DOUBLE * sxx - sx * sx > 0
+                          THEN (n::DOUBLE * sxy - sx * sy)
+                               / (n::DOUBLE * sxx - sx * sx)
+                     END + 1e-9, 6) AS slope
+        FROM fr WHERE n >= 12
     """
 
     # golden-bridge oracles: the vendored reference constants, emitted as

@@ -41,7 +41,7 @@ MERGEABLE_FEATS = {
 }
 
 __all__ = ["TIERS", "MERGEABLE_FEATS", "rollup_kernel", "rollup_sql",
-           "rollup_all_tiers", "rollup_hop"]
+           "rollup_all_tiers", "rollup_hop", "rollup_grouping_sets"]
 
 
 def rollup_kernel(
@@ -144,4 +144,52 @@ def rollup_hop(
             F.round(F.sum("_m") + eps, round_digits).alias("sum_m"),
             F.round(F.avg("_m") + eps, round_digits).alias("mean_m"),
         )
+    )
+
+
+def rollup_grouping_sets(
+    df: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    m: Column | str = "value",
+    day_fmt: str = "yyyy-MM-dd",
+    all_label: str = "(all)",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Every granularity of the (type x day) continuous aggregate in
+    ONE scan: CUBE(type, day) emits the four grouping sets
+    {(type, day), (type), (day), ()} through a single Expand +
+    hash-aggregate pipeline — the multi-tier dashboard query (per-type
+    daily, per-type all-time, corpus daily, grand total) without four
+    scans or a state-merge cascade.
+
+    Scale contract: Expand multiplies rows x4 MAP-SIDE, but partial
+    aggregation collapses each set to its group cardinality before the
+    single Exchange — the shuffle moves 4x groups rows, never 4x
+    events (plan-tested: one Expand, one Exchange, no Python).
+
+    Keys are emitted as strings with grouping-set nulls coalesced to
+    `all_label` and the set id as ``gid`` (bit 2 = type aggregated
+    away, bit 1 = day — Spark's grouping_id() convention, replayed
+    bit-by-bit in the DuckDB oracle via GROUPING()).
+    """
+    m_col = F.col(m) if isinstance(m, str) else m
+    eps = F.lit(1e-9)
+    day = F.date_format(F.date_trunc("day", F.col(ts_col)), day_fmt)
+    out = (
+        df.select(F.col(type_col).alias("_t"), day.alias("_d"),
+                  m_col.alias("_m"))
+        .cube("_t", "_d")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("_m") + eps, round_digits).alias("sum_m"),
+            F.round(F.avg("_m") + eps, round_digits).alias("avg_m"),
+        )
+    )
+    return out.select(
+        F.col("gid"),
+        F.coalesce(F.col("_t"), F.lit(all_label)).alias(type_col),
+        F.coalesce(F.col("_d"), F.lit(all_label)).alias("day"),
+        "n_events", "sum_m", "avg_m",
     )

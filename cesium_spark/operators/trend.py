@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["mann_kendall", "mann_kendall_from_grid"]
+__all__ = ["mann_kendall", "mann_kendall_from_grid", "rolling_slope"]
 
 _EPS = 1e-9
 _Z_CRIT = 1.96
@@ -105,4 +105,66 @@ def mann_kendall_from_grid(
             .when(z < -_Z_CRIT, F.lit("decreasing"))
             .otherwise(F.lit("none")).alias("trend"),
         )
+    )
+
+
+def rolling_slope(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_hours: int = 24,
+    min_obs: int = 12,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Rolling OLS trend slope per series: the least-squares slope of
+    the hourly-mean grid over a trailing `window_hours` RANGE frame —
+    the local-trend companion to the global mann_kendall/theil_sen
+    pair (units: value per hour).
+
+    Scale design: raw events collapse to the hourly grid in ONE
+    partial-aggregable groupBy; the window runs over the GRID (rows
+    bounded by span-hours x keys, never event volume) with a RANGE
+    frame on the integer hour index, so calendar gaps shorten the
+    frame instead of silently widening it. Closed form from four
+    frame sums: slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2).
+
+    Cross-engine determinism: x is the hour index RELATIVE TO THE
+    SERIES' FIRST HOUR — small integers, so every x-only frame sum
+    (Sx, Sxx, n) is EXACT in doubles in both engines; y is the grid
+    mean rounded half-up at 6 decimals before the frame sums, leaving
+    only ulp-level association noise in Sxy/Sy, absorbed by the final
+    round-at-6 (+1e-9 guard)."""
+    from pyspark.sql.window import Window
+
+    hour_idx = (F.unix_micros(F.date_trunc("hour", F.col(ts_col)))
+                / F.lit(3600e6)).cast("long")
+    grid = (
+        df.select(F.col(key_col), hour_idx.alias("h"),
+                  F.col(value_col).alias("_v"))
+        .groupBy(key_col, "h")
+        .agg(_r6(F.avg("_v")).alias("y"))
+    )
+    wk = Window.partitionBy(key_col)
+    grid = grid.withColumn("x", F.col("h") - F.min("h").over(wk))
+    wf = (
+        Window.partitionBy(key_col).orderBy("x")
+        .rangeBetween(-(window_hours - 1), 0)
+    )
+    xd = F.col("x").cast("double")
+    n = F.count("*").over(wf).cast("double")
+    sx = F.sum(xd).over(wf)
+    sy = F.sum("y").over(wf)
+    sxx = F.sum(xd * xd).over(wf)
+    sxy = F.sum(xd * F.col("y")).over(wf)
+    den = n * sxx - sx * sx
+    slope = F.when(den > 0, (n * sxy - sx * sy) / den)
+    return (
+        grid.select(
+            F.col(key_col),
+            F.timestamp_seconds(F.col("h") * 3600).alias("hour"),
+            n.cast("long").alias("n_obs"),
+            _r6(slope).alias("slope"),
+        )
+        .where(F.col("n_obs") >= min_obs)
     )

@@ -2005,3 +2005,93 @@ def streaming_funnel(
     return narrow.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", "NoTimeout"
     )
+
+
+def streaming_pattern_counts(
+    stream_df: DataFrame,
+    pattern: str = "E{1,8}P",
+    max_match_len: int = 9,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+):
+    """LIVE MATCH_RECOGNIZE: the stateful streaming twin of
+    operators/seqpattern.sequence_pattern_counts for bounded-length
+    patterns. Per-key state is (match count, events seen, first match,
+    unconsumed symbol tail) where the tail is truncated to
+    max_match_len - 1 chars — EXACT, not approximate: leftmost
+    non-overlapping scanning means no match ends inside the unconsumed
+    region (it would have been consumed), and any future match spans
+    at most max_match_len symbols, so it starts within the kept tail.
+    After each batch the head emits the key's cumulative row; the
+    latest row per key equals the batch operator over everything
+    ingested so far (tested, and the driver query hash-matches the
+    batch oracle).
+
+    State is O(max_match_len) per actor — smaller than the run-stats
+    head's; the in-order-per-key ingestion assumption and NoTimeout
+    bounds are identical to streaming_run_stats."""
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from ..operators.seqpattern import DEFAULT_SYMBOLS, symbol_column
+
+    rx = _re.compile(pattern)
+    key_type = stream_df.schema[key_col].dataType
+    out_schema = StructType([
+        StructField(key_col, key_type),
+        StructField("seq_len", LongType()),
+        StructField("n_matches", LongType()),
+        StructField("first_match", StringType()),
+    ])
+    state_schema = StructType([
+        StructField("tail", StringType()),
+        StructField("seq_len", LongType()),
+        StructField("n_matches", LongType()),
+        StructField("first_match", StringType()),
+    ])
+    keep = max(max_match_len - 1, 0)
+
+    def fn(key, pdfs, state):
+        parts = [p for p in pdfs]
+        if not parts:
+            return
+        pdf = pd.concat(parts).sort_values(["_ts_us", "_tb"])
+        syms = "".join(pdf["_sym"])
+        if not syms:
+            return
+        if state.exists:
+            tail, seq_len, n_matches, first_match = state.get
+        else:
+            tail, seq_len, n_matches, first_match = "", 0, 0, ""
+        s = (tail or "") + syms
+        last_end = 0
+        for m in rx.finditer(s):
+            n_matches += 1
+            last_end = m.end()
+            if not first_match:
+                first_match = m.group(0)
+        tail = s[last_end:][-keep:] if keep else ""
+        seq_len += len(syms)
+        state.update((tail, seq_len, n_matches, first_match))
+        yield pd.DataFrame({
+            key_col: [key[0]],
+            "seq_len": [seq_len],
+            "n_matches": [n_matches],
+            "first_match": [first_match],
+        })
+
+    narrow = stream_df.select(
+        F.col(key_col),
+        symbol_column(type_col, DEFAULT_SYMBOLS).alias("_sym"),
+        ts_micros(F.col(ts_col)).alias("_ts_us"),
+        F.col(tiebreak_col).cast("long").alias("_tb"),
+    )
+    return narrow.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "NoTimeout"
+    )
