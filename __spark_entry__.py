@@ -3333,6 +3333,95 @@ def _ddsketch_readout(ev, buckets):
     )
 
 
+def q_matrix_profile(spark, sf_dir):
+    """The matrix profile (Yeh et al. ICDM 2016) — nearest-neighbor
+    z-normalized distance per window, the one structure behind motif
+    AND discord discovery — re-derived as pure relational algebra:
+    lag-decomposed dot products turn STOMP's sequential recursion into
+    window sums over (key, lag), so Catalyst distributes the O(n^2)
+    grid-bounded work as ordinary shuffles. The oracle replays the
+    identical decomposition."""
+    from cesium_spark.operators.matrixprofile import matrix_profile
+
+    return matrix_profile(_events(spark, sf_dir), m=8)
+
+
+def q_theta_intersection(spark, sf_dir):
+    """KMV/theta-sketch SET INTERSECTION (Bar-Yossef et al. 2002;
+    Dasgupta et al. 2016): distinct-user overlap between every pair of
+    event types from ONE sketch pass — the set algebra HLL cannot do
+    (HLL merges are union-only). Exact pairwise counts ride along so
+    the estimator error is pinned in the result; at sf0.01 the sketch
+    is exact (n < k), at sf0.1 it estimates."""
+    from cesium_spark.operators.sketch import theta_intersection_pairs
+
+    return theta_intersection_pairs(_events(spark, sf_dir), k=256)
+
+
+def q_rolling_slope_streamed(spark, sf_dir):
+    """The rolling-OLS-slope head over the SAME mergeable hourly grid
+    state as mann_kendall_streamed (per-(type, hour) sum/count partials,
+    cms exactly-once pattern) — evidence the grid state really is the
+    family's sufficient statistic: a second tail, zero new state.
+    Shares sql["rolling_slope"]; a hash match proves merged state +
+    shared rolling_slope_from_grid tail == batch."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from cesium_spark.operators.trend import rolling_slope_from_grid
+    from cesium_spark.streaming.stream import grid_batch_fn, grid_state
+
+    ev = _events(spark, sf_dir)
+    mid = ev.agg(F.expr("percentile(event_id, 0.5)")).collect()[0][0]
+    work = tempfile.mkdtemp(prefix="slope_stream_")
+    in_dir = f"{work}/in"
+    narrow = ev.select("event_id", "event_type", "ts",
+                       F.col("value").cast("double").alias("value"))
+    try:
+        narrow.filter(F.col("event_id") <= mid).coalesce(1) \
+            .write.mode("overwrite").parquet(in_dir)
+        first_files = set(glob.glob(f"{in_dir}/*.parquet"))
+        narrow.filter(F.col("event_id") > mid).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+        later = time.time() + 10
+        for f in set(glob.glob(f"{in_dir}/*.parquet")) - first_files:
+            os.utime(f, (later, later))
+        src = (
+            spark.readStream
+            .schema("event_id bigint, event_type string, ts timestamp, "
+                    "value double")
+            .option("maxFilesPerTrigger", 1).parquet(in_dir)
+        )
+        q = (
+            src.writeStream
+            .foreachBatch(grid_batch_fn(f"{work}/store",
+                                        key_cols=("event_type",)))
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True).start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                raise TimeoutError("grid stream did not drain in 300s")
+        finally:
+            q.stop()
+        grid = grid_state(spark, f"{work}/store",
+                          key_cols=("event_type",),
+                          key_schema="event_type string")
+        grid = grid.select(
+            "event_type",
+            (F.unix_micros(F.col("h").cast("timestamp")) / F.lit(3600e6))
+            .cast("long").alias("h"),
+            F.col("x").alias("y"),
+        )
+        return rolling_slope_from_grid(grid, key_col="event_type") \
+            .localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_rollup_grouping_sets(spark, sf_dir):
     """Multi-granularity continuous aggregate in ONE scan: CUBE(type,
     day) emits all four grouping sets — per-type daily, per-type
@@ -3919,6 +4008,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (r4 VERDICT item 7: clean_corpus_spans shipped in r4 but sat past
     # the 50-slot cap and was never driver-checked).
     return {
+        # --- round 6, session-10 batch ---
+        "matrix_profile": q_matrix_profile,
+        "theta_intersection": q_theta_intersection,
+        "rolling_slope_streamed": q_rolling_slope_streamed,
         # --- round 6, session-9 batch ---
         "rollup_grouping_sets": q_rollup_grouping_sets,
         "seq_pattern": q_seq_pattern,
@@ -9538,6 +9631,155 @@ def oracle_sql() -> dict[str, str]:
                                / (n::DOUBLE * sxx - sx * sx)
                      END + 1e-9, 6) AS slope
         FROM fr WHERE n >= 12
+    """
+    sql["rolling_slope_streamed"] = sql["rolling_slope"]
+
+    # matrix profile: the oracle replays the identical lag decomposition
+    # (grid -> window moments -> (key, lag) frame sums -> rounded argmin),
+    # so every intermediate double is computed by the same expression tree
+    sql["matrix_profile"] = """
+        WITH grid AS (
+          SELECT event_type,
+                 epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+                 round(avg(value) + 1e-9, 6) AS y
+          FROM events GROUP BY 1, 2
+        ),
+        seq AS (
+          SELECT event_type, h, y,
+                 row_number() OVER (PARTITION BY event_type ORDER BY h) - 1
+                   AS i
+          FROM grid
+        ),
+        stw AS (
+          SELECT event_type, i, h,
+                 count(*) OVER w AS _c, sum(y) OVER w AS _s1,
+                 sum(y * y) OVER w AS _s2
+          FROM seq
+          WINDOW w AS (PARTITION BY event_type ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)
+        ),
+        st AS (
+          SELECT event_type, i, h, _s1 / 8 AS mu,
+                 sqrt(greatest(_s2 / 8 - (_s1 / 8) * (_s1 / 8), 0)) AS sig
+          FROM stw WHERE _c = 8
+        ),
+        prod AS (
+          SELECT a.event_type, b.i - a.i AS l, a.i AS t, a.y * b.y AS p
+          FROM seq a JOIN seq b
+            ON a.event_type = b.event_type AND b.i >= a.i + 4
+        ),
+        dotw AS (
+          SELECT event_type, l, t AS i,
+                 sum(p) OVER w AS dot, count(*) OVER w AS _c
+          FROM prod
+          WINDOW w AS (PARTITION BY event_type, l ORDER BY t
+                       ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)
+        ),
+        dots AS (
+          SELECT event_type, i, i + l AS j, dot FROM dotw WHERE _c = 8
+        ),
+        pairs AS (
+          SELECT d.event_type, d.i, d.j,
+                 round(sqrt(round(greatest(
+                     16.0 * (1.0 - (d.dot - 8.0 * si.mu * sj.mu)
+                                   / (8.0 * greatest(si.sig * sj.sig,
+                                                     1e-9))),
+                     0.0) + 1e-9, 6)) + 1e-9, 6) AS dist
+          FROM dots d
+          JOIN st si ON si.event_type = d.event_type AND si.i = d.i
+          JOIN st sj ON sj.event_type = d.event_type AND sj.i = d.j
+        ),
+        sym AS (
+          SELECT event_type, i, j, dist FROM pairs
+          UNION ALL
+          SELECT event_type, j AS i, i AS j, dist FROM pairs
+        ),
+        mp AS (
+          SELECT event_type, i, dist AS mp_dist, j AS nn_i
+          FROM (SELECT event_type, i, j, dist,
+                       row_number() OVER (PARTITION BY event_type, i
+                                          ORDER BY dist, j) AS rn
+                FROM sym)
+          WHERE rn = 1
+        )
+        SELECT mp.event_type, mp.i::BIGINT AS i,
+               make_timestamp(st.h * 3600000000) AS hour,
+               mp.mp_dist AS mp_dist, mp.nn_i::BIGINT AS nn_i
+        FROM mp JOIN st ON st.event_type = mp.event_type AND st.i = mp.i
+    """
+
+    # KMV/theta intersection: the oracle replays the sketch algebra —
+    # same 60-bit md5 hashes, same k-smallest retention, integer
+    # comparisons up to the final divisions (each double expression
+    # mirrors the Spark tree term-for-term, incl. literal order)
+    sql["theta_intersection"] = """
+        WITH hv AS (
+          SELECT DISTINCT event_type,
+                 ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                   ::BIGINT AS _h
+          FROM events WHERE user_id IS NOT NULL
+        ),
+        sk AS (
+          SELECT event_type, _h
+          FROM (SELECT event_type, _h,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY _h) AS _rk
+                FROM hv)
+          WHERE _rk <= 256
+        ),
+        stats AS (
+          SELECT event_type, count(*)::BIGINT AS n_ret,
+                 CASE WHEN count(*) < 256 THEN 1152921504606846976
+                      ELSE max(_h) END AS theta_h,
+                 CASE WHEN count(*) < 256 THEN count(*)::DOUBLE
+                      ELSE 255.0 * 1152921504606846976.0
+                           / max(_h)::DOUBLE END AS est
+          FROM sk GROUP BY 1
+        ),
+        pairs AS (
+          SELECT sa.event_type AS type_a, sb.event_type AS type_b,
+                 least(sa.theta_h, sb.theta_h) AS theta_h,
+                 sa.est AS est_a, sb.est AS est_b
+          FROM stats sa JOIN stats sb ON sa.event_type < sb.event_type
+        ),
+        ncom AS (
+          SELECT ka.event_type AS type_a, kb.event_type AS type_b,
+                 count(*)::BIGINT AS n_common
+          FROM sk ka
+          JOIN sk kb ON ka._h = kb._h AND ka.event_type < kb.event_type
+          JOIN pairs p ON p.type_a = ka.event_type
+                      AND p.type_b = kb.event_type
+          WHERE ka._h < p.theta_h
+          GROUP BY 1, 2
+        ),
+        dv AS (
+          SELECT DISTINCT event_type, user_id
+          FROM events WHERE user_id IS NOT NULL
+        ),
+        exact AS (
+          SELECT da.event_type AS type_a, db.event_type AS type_b,
+                 count(*)::BIGINT AS exact_inter
+          FROM dv da
+          JOIN dv db ON da.user_id = db.user_id
+                    AND da.event_type < db.event_type
+          GROUP BY 1, 2
+        )
+        SELECT p.type_a, p.type_b,
+               round(p.est_a + 1e-9, 2) AS est_a,
+               round(p.est_b + 1e-9, 2) AS est_b,
+               round(coalesce(n.n_common, 0)::DOUBLE
+                     * 1152921504606846976.0 / p.theta_h::DOUBLE
+                     + 1e-9, 2) AS est_inter,
+               coalesce(e.exact_inter, 0)::BIGINT AS exact_inter,
+               round((coalesce(n.n_common, 0)::DOUBLE
+                      * 1152921504606846976.0 / p.theta_h::DOUBLE)
+                     / (p.est_a + p.est_b
+                        - coalesce(n.n_common, 0)::DOUBLE
+                          * 1152921504606846976.0 / p.theta_h::DOUBLE)
+                     + 1e-9, 4) AS jaccard_est
+        FROM pairs p
+        LEFT JOIN ncom n ON n.type_a = p.type_a AND n.type_b = p.type_b
+        LEFT JOIN exact e ON e.type_a = p.type_a AND e.type_b = p.type_b
     """
 
     # golden-bridge oracles: the vendored reference constants, emitted as

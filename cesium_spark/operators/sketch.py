@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 __all__ = ["hll_distinct", "hll_bucket_rows", "hll_estimate_from_buckets",
            "cms_counter_rows", "cms_estimate", "cms_heavy_hitters",
            "ddsketch_buckets", "ddsketch_merge", "ddsketch_quantiles",
+           "kmv_sketch_rows", "theta_intersection_pairs",
            "DD_ZERO_BKT", "DD_NEG_BASE"]
 
 # 50-bit rank word (60-bit hash minus the 10 bucket bits at p=10);
@@ -389,4 +390,135 @@ def ddsketch_quantiles(
         .select(*gcols, "q", F.col("n").cast("long").alias("n"),
                 F.round(F.col("_p._e") + F.lit(1e-9), round_digits)
                 .alias("est"))
+    )
+
+
+# --------------------------------------------------------- KMV / theta
+
+_KMV_SPACE = float(1 << 60)  # hash space size; theta=2^60 == "exact"
+
+
+def kmv_sketch_rows(
+    df: DataFrame,
+    col: str,
+    group_cols: tuple[str, ...] = (),
+    k: int = 256,
+) -> DataFrame:
+    """The k-minimum-values sketch state per group: the k smallest
+    60-bit md5 hashes of the DISTINCT `col` values, as rows
+    (group..., _h long, _rk int). KMV/theta sketches (Bar-Yossef et
+    al. 2002; Dasgupta et al. 2016) support the SET ALGEBRA HLL
+    cannot: intersections and differences, because the retained
+    hashes are a uniform sample of the keyspace below theta.
+
+    When a group has fewer than k distinct values the sketch retains
+    all of them and is EXACT (theta = 1). The k-smallest step here is
+    a row_number window per group — at 10^12 scale swap it for the
+    partial k-min aggregate (per-partition slice(array_sort(...), k)
+    merged by the same slice), which trades one sort-shuffle for
+    mergeable k-arrays; the downstream algebra is unchanged."""
+    gcols = list(group_cols)
+    h = F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, _HASH_HEX_CHARS),
+        16, 10,
+    ).cast("long")
+    distinct = df.where(F.col(col).isNotNull()) \
+        .select(*gcols, h.alias("_h")).distinct()
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*gcols).orderBy("_h")
+    return (
+        distinct.select(*gcols, "_h",
+                        F.row_number().over(w).cast("int").alias("_rk"))
+        .where(F.col("_rk") <= k)
+    )
+
+
+def theta_intersection_pairs(
+    df: DataFrame,
+    col: str = "user_id",
+    group_col: str = "event_type",
+    k: int = 256,
+    round_digits: int = 2,
+) -> DataFrame:
+    """Distinct-set OVERLAP between every pair of groups from ONE KMV
+    sketch pass: for groups a < b, the theta-sketch intersection
+    estimate |values(a) ∩ values(b)| — the operator HLL cannot
+    express (HLL merges are union-only). Exact per-group and pairwise
+    counts ride along so the estimator's error is pinned IN the
+    result.
+
+    Algebra (all integer comparisons until the final division, so
+    both engines compute identical doubles): theta_h = k-th smallest
+    hash (2^60 when the sketch is exact); per-group estimate
+    (k-1) * 2^60 / theta_h (or the exact retained count);
+    intersection theta = min(theta_a, theta_b); estimate =
+    |{h in both sketches, h < theta}| * 2^60 / theta.
+
+    Scale: after the sketch pass every relation is (groups x k) rows
+    — sketch-sketch and sketch-stats joins all broadcast; the exact
+    validation counts are one distinct + one self equi-join on the
+    value key (drop them in production; they are the expensive
+    part)."""
+    gc = group_col
+    sk = kmv_sketch_rows(df, col, group_cols=(gc,), k=k)
+    stats = sk.groupBy(gc).agg(
+        F.count("*").cast("long").alias("n_ret"),
+        F.max("_h").alias("_max_h"),
+    ).select(
+        gc, "n_ret",
+        F.when(F.col("n_ret") < k, F.lit(1 << 60))
+        .otherwise(F.col("_max_h")).alias("theta_h"),
+        F.when(F.col("n_ret") < k, F.col("n_ret").cast("double"))
+        .otherwise(F.lit(float(k - 1)) * F.lit(_KMV_SPACE)
+                   / F.col("_max_h").cast("double")).alias("est"),
+    )
+    sa, sb = stats.alias("sa"), stats.alias("sb")
+    pairs = sa.join(
+        F.broadcast(sb), F.col(f"sa.{gc}") < F.col(f"sb.{gc}")
+    ).select(
+        F.col(f"sa.{gc}").alias("type_a"), F.col(f"sb.{gc}").alias("type_b"),
+        F.least(F.col("sa.theta_h"), F.col("sb.theta_h")).alias("theta_h"),
+        F.col("sa.est").alias("est_a"), F.col("sb.est").alias("est_b"),
+    )
+    ka, kb = sk.alias("ka"), sk.alias("kb")
+    common = ka.join(
+        F.broadcast(kb),
+        (F.col("ka._h") == F.col("kb._h")) & (F.col(f"ka.{gc}") < F.col(f"kb.{gc}")),
+    ).select(F.col(f"ka.{gc}").alias("type_a"),
+             F.col(f"kb.{gc}").alias("type_b"), F.col("ka._h").alias("_h"))
+    ncommon = (
+        common.join(F.broadcast(pairs.select("type_a", "type_b", "theta_h")),
+                    ["type_a", "type_b"])
+        .where(F.col("_h") < F.col("theta_h"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    # exact validation counts (distinct + self equi-join on the value)
+    dv = df.where(F.col(col).isNotNull()).select(gc, col).distinct()
+    da, db = dv.alias("da"), dv.alias("db")
+    exact = da.join(
+        db, (F.col(f"da.{col}") == F.col(f"db.{col}"))
+        & (F.col(f"da.{gc}") < F.col(f"db.{gc}")),
+    ).groupBy(
+        F.col(f"da.{gc}").alias("type_a"), F.col(f"db.{gc}").alias("type_b"),
+    ).agg(F.count("*").cast("long").alias("exact_inter"))
+
+    eps = F.lit(1e-9)
+    est_i = (
+        F.coalesce(F.col("n_common"), F.lit(0)).cast("double")
+        * F.lit(_KMV_SPACE) / F.col("theta_h").cast("double")
+    )
+    return (
+        pairs.join(ncommon, ["type_a", "type_b"], "left")
+        .join(exact, ["type_a", "type_b"], "left")
+        .select(
+            "type_a", "type_b",
+            F.round(F.col("est_a") + eps, round_digits).alias("est_a"),
+            F.round(F.col("est_b") + eps, round_digits).alias("est_b"),
+            F.round(est_i + eps, round_digits).alias("est_inter"),
+            F.coalesce(F.col("exact_inter"), F.lit(0)).alias("exact_inter"),
+            F.round(est_i / (F.col("est_a") + F.col("est_b") - est_i) + eps,
+                    round_digits + 2).alias("jaccard_est"),
+        )
     )

@@ -26,7 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["mann_kendall", "mann_kendall_from_grid", "rolling_slope"]
+__all__ = ["mann_kendall", "mann_kendall_from_grid", "rolling_slope",
+           "rolling_slope_from_grid"]
 
 _EPS = 1e-9
 _Z_CRIT = 1.96
@@ -135,8 +136,6 @@ def rolling_slope(
     mean rounded half-up at 6 decimals before the frame sums, leaving
     only ulp-level association noise in Sxy/Sy, absorbed by the final
     round-at-6 (+1e-9 guard)."""
-    from pyspark.sql.window import Window
-
     hour_idx = (F.unix_micros(F.date_trunc("hour", F.col(ts_col)))
                 / F.lit(3600e6)).cast("long")
     grid = (
@@ -145,6 +144,25 @@ def rolling_slope(
         .groupBy(key_col, "h")
         .agg(_r6(F.avg("_v")).alias("y"))
     )
+    return rolling_slope_from_grid(
+        grid, key_col=key_col, window_hours=window_hours,
+        min_obs=min_obs, round_digits=round_digits,
+    )
+
+
+def rolling_slope_from_grid(
+    grid: DataFrame,
+    key_col: str = "event_type",
+    window_hours: int = 24,
+    min_obs: int = 12,
+    round_digits: int = 6,
+) -> DataFrame:
+    """The grid tail of rolling_slope, shared with the streaming head:
+    `grid` is (key, h = integer hour index, y = rounded hourly mean) —
+    exactly what streaming/stream.grid_state merges from micro-batch
+    partials, so streamed == batch is structural."""
+    from pyspark.sql.window import Window
+
     wk = Window.partitionBy(key_col)
     grid = grid.withColumn("x", F.col("h") - F.min("h").over(wk))
     wf = (
