@@ -3333,6 +3333,123 @@ def _ddsketch_readout(ev, buckets):
     )
 
 
+def q_holt_winters(spark, sf_dir):
+    """Holt-Winters additive seasonal smoothing (FPP §8.3) per event
+    type on the zero-filled hourly count grid — the seasonal completion
+    of the exponential family (ewma_level -> holt_forecast -> here),
+    with the 24-slot seasonal vector riding the JVM `aggregate` fold as
+    an array updated one slot per step. Per-step rounding makes the
+    whole (l, b, s[24]) state a 6-decimal fixed point; the oracle
+    replays it as a recursive CTE carrying a LIST column."""
+    from cesium_spark.operators.tsstats import holt_winters
+
+    return holt_winters(_events(spark, sf_dir))
+
+
+def q_seasonal_mann_kendall(spark, sf_dir):
+    """Seasonal Mann-Kendall (Hirsch & Slack 1984) per actor: the
+    trend test de-confounded from the diurnal cycle by computing S and
+    Var(S) WITHIN each hour-of-day stratum and summing — 9am compares
+    only against other 9ams. Reuses mann_kendall_from_grid verbatim
+    with season as an extra key column; quadratic pair work drops to
+    ~n^2/24 per series and stays bounded by the time span."""
+    from cesium_spark.operators.trend import seasonal_mann_kendall
+
+    return seasonal_mann_kendall(_events(spark, sf_dir))
+
+
+def q_ljung_box(spark, sf_dir):
+    """Ljung-Box portmanteau whiteness test per actor series (Ljung &
+    Box 1978): Q = n(n+2) * sum r_k^2/(n-k) vs the chi-square(5) 5%
+    line — the one-decision readout over the acf_lags relation.
+    Composes acf_lags (one sort-shuffle + partial-aggregable groupBy);
+    the oracle composes the SAME rounded acf SQL, so the statistic is
+    computed on an identical surface in both engines."""
+    from cesium_spark.operators.tsstats import ljung_box
+
+    return ljung_box(_events(spark, sf_dir), max_lag=5)
+
+
+def q_hurst_rs(spark, sf_dir):
+    """Rescaled-range Hurst exponent per actor (Hurst 1951; Mandelbrot
+    & Wallis 1969) on the hourly mean grid: per dyadic block size
+    8/16/32/64, mean over complete blocks of (range of cumulative
+    deviations / block std), then H = LS slope of ln(R/S) on ln(s) —
+    the long-memory/anti-persistence readout beside mann_kendall's
+    monotonic-trend call. Grid-bounded explode (x4), ordered prefix
+    sums pin the cumdev float order, block inclusion decided on
+    ROUNDED variance so both engines keep identical block sets."""
+    from cesium_spark.operators.longmem import hurst_rs
+
+    return hurst_rs(_events(spark, sf_dir))
+
+
+def q_variance_ratio(spark, sf_dir):
+    """Lo-MacKinlay variance-ratio test (Lo & MacKinlay 1988) per
+    actor on the hourly grid: VR(4) = Var(4-step diffs)/(4 * Var(1-step
+    diffs)) with the homoskedastic z — the direct random-walk-null
+    companion to hurst_rs (VR < 1 mean reversion, > 1 persistence).
+    ONE window (both lags share it) + a partial-aggregable groupBy."""
+    from cesium_spark.operators.longmem import variance_ratio
+
+    return variance_ratio(_events(spark, sf_dir), q=4)
+
+
+def q_hurst_streamed(spark, sf_dir):
+    """The R/S Hurst readout as a THIRD tail over the SAME mergeable
+    hourly-grid state as mann_kendall_streamed / rolling_slope_streamed
+    (per-(actor, hour) sum/count partials, cms exactly-once pattern) —
+    the grid state is the family's sufficient statistic, so a brand-new
+    long-memory diagnostic costs zero new streaming state. Shares
+    sql["hurst_rs"]; a hash match proves merged state + shared
+    hurst_from_grid tail == batch."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from cesium_spark.operators.longmem import hurst_from_grid
+    from cesium_spark.streaming.stream import grid_batch_fn, grid_state
+
+    ev = _events(spark, sf_dir)
+    mid = ev.agg(F.expr("percentile(event_id, 0.5)")).collect()[0][0]
+    work = tempfile.mkdtemp(prefix="hurst_stream_")
+    in_dir = f"{work}/in"
+    narrow = ev.select("event_id", "user_id", "ts",
+                       F.col("value").cast("double").alias("value"))
+    try:
+        narrow.filter(F.col("event_id") <= mid).coalesce(1) \
+            .write.mode("overwrite").parquet(in_dir)
+        first_files = set(glob.glob(f"{in_dir}/*.parquet"))
+        narrow.filter(F.col("event_id") > mid).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+        later = time.time() + 10
+        for f in set(glob.glob(f"{in_dir}/*.parquet")) - first_files:
+            os.utime(f, (later, later))
+        src = (
+            spark.readStream
+            .schema("event_id bigint, user_id bigint, ts timestamp, "
+                    "value double")
+            .option("maxFilesPerTrigger", 1).parquet(in_dir)
+        )
+        q = (
+            src.writeStream
+            .foreachBatch(grid_batch_fn(f"{work}/store"))
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True).start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                raise TimeoutError("grid stream did not drain in 300s")
+        finally:
+            q.stop()
+        grid = grid_state(spark, f"{work}/store")
+        return hurst_from_grid(grid).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_matrix_profile(spark, sf_dir):
     """The matrix profile (Yeh et al. ICDM 2016) — nearest-neighbor
     z-normalized distance per window, the one structure behind motif
@@ -4008,6 +4125,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (r4 VERDICT item 7: clean_corpus_spans shipped in r4 but sat past
     # the 50-slot cap and was never driver-checked).
     return {
+        # --- round 6, session-11 batch ---
+        "holt_winters": q_holt_winters,
+        "seasonal_mann_kendall": q_seasonal_mann_kendall,
+        "ljung_box": q_ljung_box,
+        "hurst_rs": q_hurst_rs,
+        "hurst_streamed": q_hurst_streamed,
+        "variance_ratio": q_variance_ratio,
         # --- round 6, session-10 batch ---
         "matrix_profile": q_matrix_profile,
         "theta_intersection": q_theta_intersection,
@@ -6461,6 +6585,164 @@ def oracle_sql() -> dict[str, str]:
         FROM a GROUP BY user_id
     """
 
+    # Ljung-Box composes the acf oracle's ROUNDED surface (n - k is
+    # exactly the emitted n_pairs; n recovers as n_pairs + lag); the
+    # chi-square(5) 5% critical value is the same constant the operator
+    # carries, cast to DOUBLE (a bare decimal literal is DuckDB
+    # DECIMAL, which pandas would surface as object)
+    sql["ljung_box"] = f"""
+        WITH a AS ({sql["acf_lags"]}),
+        per AS (
+          SELECT user_id,
+                 max(CASE WHEN n_pairs > 0 THEN n_pairs + lag END)::BIGINT AS n,
+                 count(acf) AS k_ok,
+                 sum(acf * acf / n_pairs) AS ssum
+          FROM a GROUP BY user_id
+        )
+        SELECT user_id, n,
+               CASE WHEN k_ok = 5
+                    THEN round(n * (n + 2) * ssum + 1e-9, 6) END AS q_stat,
+               5::INT AS dof,
+               CAST(11.070498 AS DOUBLE) AS crit_5pct,
+               CASE WHEN k_ok = 5
+                    THEN round(n * (n + 2) * ssum + 1e-9, 6) > 11.070498
+               END AS reject_white_noise
+        FROM per
+    """
+
+    # R/S Hurst: identical decomposition to operators/longmem.py —
+    # ordered prefix sum pins the cumdev addition order, block variance
+    # rounded BEFORE the > 0 inclusion test, per-block R/S rounded
+    # before the cross-block mean, regression on ln of the rounded
+    # per-size means
+    sql["hurst_rs"] = """
+        WITH grid AS (
+          SELECT user_id, date_trunc('hour', ts) AS h,
+                 round(avg(value::DOUBLE) + 1e-9, 6) AS x
+          FROM events GROUP BY 1, 2
+        ),
+        g AS (
+          SELECT user_id, x,
+                 row_number() OVER (PARTITION BY user_id ORDER BY h) - 1 AS i
+          FROM grid
+        ),
+        e AS (
+          SELECT user_id, s, x, i // s AS blk, i % s AS pos
+          FROM g CROSS JOIN (SELECT unnest([8, 16, 32, 64]) AS s)
+        ),
+        b AS (
+          SELECT user_id, s, blk, pos,
+                 sum(x) OVER (PARTITION BY user_id, s, blk ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS run,
+                 sum(x) OVER wb AS bsum,
+                 sum(x * x) OVER wb AS bss,
+                 count(*) OVER wb AS cnt
+          FROM e
+          WINDOW wb AS (PARTITION BY user_id, s, blk)
+        ),
+        blocks AS (
+          SELECT user_id, s, blk,
+                 max(run - (pos + 1) * bsum / s)
+                   - min(run - (pos + 1) * bsum / s) AS rng,
+                 any_value(round(bss / s - (bsum / s) * (bsum / s)
+                                 + 1e-9, 6)) AS var
+          FROM b WHERE cnt = s
+          GROUP BY 1, 2, 3
+        ),
+        rsb AS (
+          SELECT user_id, s, round(rng / sqrt(var) + 1e-9, 6) AS rsv
+          FROM blocks WHERE var > 0
+        ),
+        per_size AS (
+          SELECT user_id, s, round(avg(rsv) + 1e-9, 6) AS rs
+          FROM rsb GROUP BY 1, 2
+        ),
+        reg AS (
+          SELECT user_id, count(*) AS k,
+                 sum(ln(s::DOUBLE)) AS sx, sum(ln(rs)) AS sy,
+                 sum(ln(s::DOUBLE) * ln(rs)) AS sxy,
+                 sum(ln(s::DOUBLE) * ln(s::DOUBLE)) AS sxx
+          FROM per_size WHERE rs > 0 GROUP BY 1
+        ),
+        base AS (SELECT user_id, count(*)::BIGINT AS n_hours
+                 FROM g GROUP BY 1)
+        SELECT base.user_id, n_hours,
+               coalesce(k, 0)::INT AS n_sizes,
+               CASE WHEN k >= 2
+                    THEN round((k * sxy - sx * sy)
+                               / (k * sxx - sx * sx) + 1e-9, 6)
+               END AS hurst,
+               r8.rs AS rs_8, r16.rs AS rs_16,
+               r32.rs AS rs_32, r64.rs AS rs_64
+        FROM base
+        LEFT JOIN reg USING (user_id)
+        LEFT JOIN (SELECT user_id, rs FROM per_size WHERE s = 8) r8
+               USING (user_id)
+        LEFT JOIN (SELECT user_id, rs FROM per_size WHERE s = 16) r16
+               USING (user_id)
+        LEFT JOIN (SELECT user_id, rs FROM per_size WHERE s = 32) r32
+               USING (user_id)
+        LEFT JOIN (SELECT user_id, rs FROM per_size WHERE s = 64) r64
+               USING (user_id)
+    """
+
+    # the streamed head runs the identical hurst_from_grid tail over the
+    # merged grid state, so it shares the batch oracle
+    sql["hurst_streamed"] = sql["hurst_rs"]
+
+    # Lo-MacKinlay VR(4): both lag columns from one window, centered
+    # forms from sums; var1 rounded before the > 0 gate and the ratio,
+    # matching operators/longmem.variance_ratio_from_grid exactly
+    sql["variance_ratio"] = """
+        WITH grid AS (
+          SELECT user_id, date_trunc('hour', ts) AS h,
+                 round(avg(value::DOUBLE) + 1e-9, 6) AS x
+          FROM events GROUP BY 1, 2
+        ),
+        d AS (
+          SELECT user_id, x,
+                 x - lag(x, 1) OVER w AS d1,
+                 x - lag(x, 4) OVER w AS d4
+          FROM grid WINDOW w AS (PARTITION BY user_id ORDER BY h)
+        ),
+        per AS (
+          SELECT user_id, count(*)::BIGINT AS n_hours,
+                 count(d1)::BIGINT AS n_diffs,
+                 sum(d1) AS sd, sum(d1 * d1) AS sdd,
+                 count(d4)::BIGINT AS nq, sum(d4) AS sq,
+                 sum(d4 * d4) AS sqq
+          FROM d GROUP BY 1
+        ),
+        c AS (
+          SELECT *, sd / n_diffs AS mu,
+                 round((sdd - n_diffs * (sd / n_diffs) * (sd / n_diffs))
+                       / n_diffs + 1e-9, 6) AS var1
+          FROM per
+        ),
+        v AS (
+          SELECT *,
+                 CASE WHEN nq > 0 AND var1 > 0 THEN
+                   round((sqq - 2 * 4 * mu * sq + nq * 16 * mu * mu)
+                         / (nq * 4) / var1 + 1e-9, 6)
+                 END AS vr
+          FROM c
+        ),
+        zz AS (
+          SELECT *,
+                 CASE WHEN nq > 0 AND var1 > 0 THEN
+                   round((vr - 1)
+                         / sqrt(CAST(3.5 AS DOUBLE) / n_diffs) + 1e-9, 6)
+                 END AS z
+          FROM v
+        )
+        SELECT user_id, n_hours, n_diffs, vr, z,
+               CASE WHEN NOT (nq > 0 AND var1 > 0) THEN 'insufficient'
+                    WHEN abs(z) > 1.96 THEN 'reject'
+                    ELSE 'consistent' END AS random_walk
+        FROM zz
+    """
+
     # the streamed head's state == the batch sketch (max-merge algebra),
     # so its oracle is the batch chain, estimate columns only
     sql["hll_streamed"] = _hll_chain(_word_toks, with_exact=False)
@@ -7821,6 +8103,133 @@ def oracle_sql() -> dict[str, str]:
 
     # the streamed head must converge to the batch fold exactly
     sql["holt_forecast_streamed"] = sql["holt_forecast"]
+
+    # Holt-Winters: the Holt recursive-CTE replay extended with the
+    # 24-slot seasonal state as a LIST column rebuilt one slot per step
+    # (list_slice || [snew] || list_slice — no lambda-index semantics
+    # to disagree on); per-step rounding of (l, b, s_j) makes the fold
+    # a 6-decimal fixed point; sums are exact (integer-valued counts),
+    # so init means match Spark's fold-sum/24 bit-for-bit
+    sql["holt_winters"] = f"""
+        WITH RECURSIVE {hourly_grid_cte},
+        nper AS (SELECT k, count(*)::BIGINT AS n FROM grid GROUP BY 1),
+        base AS (
+          SELECT k,
+                 round(sum(CASE WHEN i < 24 THEN y END) / 24.0
+                       + 1e-9, 6) AS l0,
+                 round((sum(CASE WHEN i >= 24 AND i < 48 THEN y END) / 24.0
+                        - sum(CASE WHEN i < 24 THEN y END) / 24.0) / 24.0
+                       + 1e-9, 6) AS b0
+          FROM grid GROUP BY k
+        ),
+        s_init AS (
+          SELECT g.k,
+                 list(round(g.y - b.l0 + 1e-9, 6) ORDER BY g.i) AS s
+          FROM grid g JOIN base b ON b.k = g.k
+          WHERE g.i < 24 GROUP BY g.k
+        ),
+        rec AS (
+          SELECT b.k, 24::BIGINT AS t, b.l0 AS l, b.b0 AS b,
+                 s_init.s AS s, 0.0::DOUBLE AS sse
+          FROM base b JOIN s_init ON s_init.k = b.k
+          JOIN nper np ON np.k = b.k
+          WHERE np.n >= 48
+          UNION ALL
+          SELECT k, t, lnew,
+                 round(0.1::DOUBLE * (lnew - lp)
+                       + 0.9::DOUBLE * bp + 1e-9, 6),
+                 list_slice(s, 1, j - 1) || [snew]
+                   || list_slice(s, j + 1, 24),
+                 sse
+          FROM (
+            SELECT *,
+                   round(0.3::DOUBLE * (y - sold)
+                         + 0.7::DOUBLE * (lp + bp) + 1e-9, 6) AS lnew,
+                   round(0.2::DOUBLE * (y - lp - bp)
+                         + 0.8::DOUBLE * sold + 1e-9, 6) AS snew
+            FROM (
+              SELECT r.k AS k, r.t + 1 AS t, (r.t % 24) + 1 AS j,
+                     r.s[(r.t % 24) + 1] AS sold, g.y AS y,
+                     r.l AS lp, r.b AS bp, r.s AS s,
+                     r.sse
+                       + (g.y - (r.l + r.b + r.s[(r.t % 24) + 1]))
+                       * (g.y - (r.l + r.b + r.s[(r.t % 24) + 1])) AS sse
+              FROM rec r JOIN grid g ON g.k = r.k AND g.i = r.t
+            ) q1
+          ) q2
+        )
+        SELECT r.k AS event_type, np.n AS n_hours,
+               r.l AS level, r.b AS trend,
+               round(list_aggregate(r.s, 'max')
+                     - list_aggregate(r.s, 'min') + 1e-9, 6)
+                 AS seasonal_amplitude,
+               round(r.l + 24.0 * r.b + r.s[((np.n - 1) % 24) + 1]
+                     + 1e-9, 6) AS forecast_24h,
+               round(sqrt(r.sse / (np.n - 24)) + 1e-9, 6) AS rmse_1step
+        FROM rec r JOIN nper np ON np.k = r.k
+        WHERE r.t = np.n
+    """
+
+    # seasonal Mann-Kendall: the mann_kendall oracle stratified by
+    # hour-of-day; per-season var rounded (the shared tail's contract)
+    # BEFORE the cross-season sums, exactly as the Spark composition
+    sql["seasonal_mann_kendall"] = f"""
+        WITH g AS (
+          SELECT user_id, extract(hour FROM ts)::INT AS season,
+                 date_trunc('hour', ts) AS h,
+                 round(avg(value::DOUBLE) + {EPS}, {R}) AS x
+          FROM events GROUP BY 1, 2, 3
+        ),
+        p AS (
+          SELECT a.user_id, a.season, sum(sign(b.x - a.x))::BIGINT AS s
+          FROM g a JOIN g b ON a.user_id = b.user_id
+                           AND a.season = b.season AND b.h > a.h
+          GROUP BY 1, 2
+        ),
+        t AS (
+          SELECT user_id, season,
+                 sum(c * (c - 1) * (2 * c + 5))::BIGINT AS tt
+          FROM (SELECT user_id, season, x, count(*) AS c
+                FROM g GROUP BY 1, 2, 3)
+          GROUP BY 1, 2
+        ),
+        base AS (SELECT user_id, season, count(*)::BIGINT AS n
+                 FROM g GROUP BY 1, 2),
+        per AS (
+          SELECT base.user_id, base.season, base.n,
+                 coalesce(p.s, 0)::BIGINT AS s_g,
+                 round((base.n * (base.n - 1) * (2 * base.n + 5)
+                        - coalesce(t.tt, 0)) / 18.0 + {EPS}, {R}) AS var_g
+          FROM base LEFT JOIN p USING (user_id, season)
+                    LEFT JOIN t USING (user_id, season)
+        ),
+        tot AS (
+          SELECT user_id, sum(n)::BIGINT AS n, count(*)::INT AS n_seasons,
+                 sum(s_g)::BIGINT AS s_stat, sum(var_g) AS v
+          FROM per GROUP BY 1
+        )
+        SELECT user_id, n, n_seasons, s_stat,
+               round(v + {EPS}, {R}) AS var_s,
+               round(CASE WHEN v > 0 AND s_stat > 0
+                            THEN (s_stat - 1) / sqrt(v)
+                          WHEN v > 0 AND s_stat < 0
+                            THEN (s_stat + 1) / sqrt(v)
+                          ELSE 0.0 END + {EPS}, {R}) AS z,
+               CASE WHEN round(CASE WHEN v > 0 AND s_stat > 0
+                                      THEN (s_stat - 1) / sqrt(v)
+                                    WHEN v > 0 AND s_stat < 0
+                                      THEN (s_stat + 1) / sqrt(v)
+                                    ELSE 0.0 END + {EPS}, {R}) > 1.96
+                      THEN 'increasing'
+                    WHEN round(CASE WHEN v > 0 AND s_stat > 0
+                                      THEN (s_stat - 1) / sqrt(v)
+                                    WHEN v > 0 AND s_stat < 0
+                                      THEN (s_stat + 1) / sqrt(v)
+                                    ELSE 0.0 END + {EPS}, {R}) < -1.96
+                      THEN 'decreasing'
+                    ELSE 'none' END AS trend
+        FROM tot
+    """
 
     sql["asof_nearest"] = """
         WITH mk AS (

@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["mann_kendall", "mann_kendall_from_grid", "rolling_slope",
-           "rolling_slope_from_grid"]
+           "rolling_slope_from_grid", "seasonal_mann_kendall"]
 
 _EPS = 1e-9
 _Z_CRIT = 1.96
@@ -106,6 +106,64 @@ def mann_kendall_from_grid(
             .when(z < -_Z_CRIT, F.lit("decreasing"))
             .otherwise(F.lit("none")).alias("trend"),
         )
+    )
+
+
+def seasonal_mann_kendall(
+    df: DataFrame,
+    key_cols: tuple[str, ...] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Seasonal Mann-Kendall trend test (Hirsch & Slack 1984, the
+    independent-seasons form) per key on the hourly mean grid with
+    hour-of-day seasons: the plain MK statistic is confounded by a
+    diurnal cycle (every morning ramp counts as "trend"), so S and
+    Var(S) are computed WITHIN each of the 24 hour-of-day strata —
+    comparing 9am only against other 9ams — and summed:
+    S' = sum_g S_g, Var' = sum_g Var_g(S), z continuity-corrected on
+    the totals. Seasons with a single grid point contribute 0 to both.
+
+    Scale: strictly cheaper than plain mann_kendall — the pair join
+    runs within (key, hour-of-day) strata, so the quadratic term is
+    sum_g n_g^2 ~ n^2/24 instead of n^2, still bounded by the time
+    span, never event volume. Reuses mann_kendall_from_grid verbatim
+    with the season as an extra key column; per-season var_s is
+    rounded (the shared tail's contract), so the summed total is the
+    identical double in both engines.
+
+    Returns (key..., n, n_seasons, s_stat, var_s, z, trend).
+    """
+    gcols = list(key_cols)
+    grid = (
+        df.groupBy(*gcols,
+                   F.hour(F.col(ts_col)).alias("season"),
+                   F.date_trunc("hour", F.col(ts_col)).alias("h"))
+        .agg(_r6(F.avg(F.col(value_col).cast("double"))).alias("x"))
+    )
+    per_season = mann_kendall_from_grid(
+        grid, key_cols=tuple(gcols) + ("season",))
+    tot = per_season.groupBy(*gcols).agg(
+        F.sum("n").cast("long").alias("n"),
+        F.count("*").cast("int").alias("n_seasons"),
+        F.sum("s_stat").cast("long").alias("s_stat"),
+        F.sum("var_s").alias("var_s"),
+    )
+    s, v = F.col("s_stat"), F.col("var_s")
+    z_raw = (
+        F.when(v > 0,
+               F.when(s > 0, (s - 1) / F.sqrt(v))
+               .when(s < 0, (s + 1) / F.sqrt(v))
+               .otherwise(F.lit(0.0)))
+        .otherwise(F.lit(0.0))
+    )
+    z = _r6(z_raw)
+    return tot.select(
+        *gcols, "n", "n_seasons", "s_stat", _r6(v).alias("var_s"),
+        z.alias("z"),
+        F.when(z > _Z_CRIT, F.lit("increasing"))
+        .when(z < -_Z_CRIT, F.lit("decreasing"))
+        .otherwise(F.lit("none")).alias("trend"),
     )
 
 

@@ -30,7 +30,8 @@ __all__ = [
     "seasonal_decompose", "event_transitions", "event_trigrams",
     "hourly_peaks", "seasonal_anomalies", "type_entropy", "decorrelation_lag",
     "seasonal_naive_backtest", "leadlag_xcorr", "holt_linear", "ar1_fit",
-    "seasonal_strength", "peak_rate", "binseg_changepoints",
+    "seasonal_strength", "peak_rate", "binseg_changepoints", "ljung_box",
+    "holt_winters",
 ]
 
 
@@ -750,6 +751,63 @@ def decorrelation_lag(
     )
 
 
+# chi-square 95th percentiles for dof 1..12 (standard table values) —
+# the Ljung-Box critical line for max_lag = dof; a constant lookup
+# keeps the test SQL-replayable (no incomplete-gamma evaluation in
+# either engine)
+_CHI2_95 = {
+    1: 3.841459, 2: 5.991465, 3: 7.814728, 4: 9.487729, 5: 11.070498,
+    6: 12.591587, 7: 14.06714, 8: 15.507313, 9: 16.918978, 10: 18.307038,
+    11: 19.675138, 12: 21.02607,
+}
+
+
+def ljung_box(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    max_lag: int = 5,
+) -> DataFrame:
+    """Ljung-Box portmanteau whiteness test per series (Ljung & Box
+    1978): Q = n(n+2) * sum_{k=1..K} r_k^2 / (n-k) against the
+    chi-square(K) 5% critical value — the "is there ANY autocorrelation
+    structure" readout that turns the acf_lags relation into a single
+    decision per series.
+
+    Composes acf_lags (one sort-shuffle + partial-aggregable groupBy),
+    so the statistic is computed on the ROUNDED acf surface both
+    engines share; n-k is exactly the per-lag pair count acf_lags
+    already emits, and n recovers as n_pairs + lag. Q is NULL (test
+    'insufficient') unless all K lags produced a defined acf (series
+    longer than max_lag with positive variance).
+
+    Returns (key, n, q_stat, dof, crit_5pct, reject_white_noise).
+    """
+    if max_lag not in _CHI2_95:
+        raise ValueError(f"max_lag must be in {sorted(_CHI2_95)}")
+    a = acf_lags(df, key_col=key_col, ts_col=ts_col, value_col=value_col,
+                 tiebreak_col=tiebreak_col, max_lag=max_lag)
+    per = a.groupBy(key_col).agg(
+        F.max(F.when(F.col("n_pairs") > 0, F.col("n_pairs") + F.col("lag")))
+        .cast("long").alias("n"),
+        F.count("acf").alias("_k_ok"),
+        F.sum(F.col("acf") * F.col("acf") / F.col("n_pairs")).alias("_ssum"),
+    )
+    q = F.when(
+        F.col("_k_ok") == max_lag,
+        _r6(F.col("n") * (F.col("n") + 2) * F.col("_ssum")),
+    )
+    crit = float(_CHI2_95[max_lag])
+    return per.select(
+        key_col, "n", q.alias("q_stat"),
+        F.lit(int(max_lag)).cast("int").alias("dof"),
+        F.lit(crit).alias("crit_5pct"),
+        (q > crit).alias("reject_white_noise"),
+    )
+
+
 def event_trigrams(
     df: DataFrame,
     key_col: str = "user_id",
@@ -1022,6 +1080,114 @@ def holt_linear(
         st["b"].alias("trend"),
         r(st["l"] + F.lit(float(horizon)) * st["b"]).alias("forecast_h"),
         r(F.sqrt(st["sse"] / (F.size("_ys") - 2))).alias("rmse_1step"),
+    )
+
+
+def holt_winters(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+    period: int = 24,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Holt-Winters additive seasonal (triple exponential) smoothing
+    per series on the zero-filled hourly count grid — the seasonal
+    completion of the exponential family (ewma_level -> holt_linear ->
+    here), for the diurnal-cycle series this events table actually is:
+
+        l_t = α(y_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+        b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}
+        s_t = γ(y_t − l_{t−1} − b_{t−1}) + (1−γ)s_{t−m}
+
+    (Hyndman & Athanasopoulos, FPP §8.3), initialized from the first
+    two full seasons — l = mean(season 1), b = (mean(season 2) −
+    mean(season 1))/m, s_i = y_i − l — and iterated from t = m+1 with
+    the one-step SSE accumulated against the pre-update forecast
+    l + b + s_{t−m}. Like holt_linear, (l, b, s_j) are rounded to
+    `round_digits` EACH step, making the whole state a 6-decimal fixed
+    point a DuckDB recursive CTE replays hash-exactly — including the
+    24-slot seasonal vector, which rides the fold as an array updated
+    one slot per step.
+
+    Scale shape: inherently sequential per series, so it runs as one
+    JVM `aggregate` fold over the per-key ordered array (bounded by
+    the series TIME SPAN in hours, never raw row count); parallelism
+    is across keys; the seasonal array update is a JVM `transform`
+    inside the fold (nested HOF, no Python). Series with fewer than
+    2·period grid hours emit nothing. Returns (key, n_hours, level,
+    trend, seasonal_amplitude, forecast_24h, rmse_1step).
+    """
+    from .symbolic import hourly_count_grid
+
+    m = int(period)
+    a1, a0 = float(alpha), round(1.0 - alpha, 12)
+    b1, b0 = float(beta), round(1.0 - beta, 12)
+    g1, g0 = float(gamma), round(1.0 - gamma, 12)
+    g = hourly_count_grid(df, key_col, ts_col)
+    ser = (
+        g.groupBy(F.col("_k").alias(key_col))
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("_i", "_y"))),
+            lambda s: s["_y"],
+        ).alias("_ys"))
+        .where(F.size("_ys") >= 2 * m)
+    )
+
+    def _mean(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda a, y: a + y) / F.lit(
+            float(m))
+
+    rd = round_digits
+    l0 = F.round(_mean(F.slice("_ys", 1, m)) + F.lit(1e-9), rd)
+    b_init = F.round(
+        (_mean(F.slice("_ys", m + 1, m)) - _mean(F.slice("_ys", 1, m)))
+        / F.lit(float(m)) + F.lit(1e-9), rd)
+    ser = ser.select(key_col, "_ys", l0.alias("_l0"), b_init.alias("_b0"))
+    s0 = F.transform(
+        F.slice("_ys", 1, m),
+        lambda v: F.round(v - F.col("_l0") + F.lit(1e-9), rd))
+
+    def step(acc, y):
+        j0 = (acc["t"] % m).cast("int")           # 0-based seasonal slot
+        sold = F.element_at(acc["s"], j0 + 1)
+        pred = acc["l"] + acc["b"] + sold
+        l2 = F.round(F.lit(a1) * (y - sold) + F.lit(a0)
+                     * (acc["l"] + acc["b"]) + F.lit(1e-9), rd)
+        b2 = F.round(F.lit(b1) * (l2 - acc["l"]) + F.lit(b0) * acc["b"]
+                     + F.lit(1e-9), rd)
+        snew = F.round(F.lit(g1) * (y - acc["l"] - acc["b"])
+                       + F.lit(g0) * sold + F.lit(1e-9), rd)
+        return F.struct(
+            l2.alias("l"), b2.alias("b"),
+            F.transform(
+                acc["s"],
+                lambda v, i: F.when(i == j0, snew).otherwise(v),
+            ).alias("s"),
+            (acc["sse"] + (y - pred) * (y - pred)).alias("sse"),
+            (acc["t"] + 1).alias("t"),
+        )
+
+    init = F.struct(
+        F.col("_l0").alias("l"), F.col("_b0").alias("b"), s0.alias("s"),
+        F.lit(0.0).alias("sse"), F.lit(m).cast("long").alias("t"),
+    )
+    st = F.aggregate(F.slice("_ys", m + 1, F.size("_ys") - m), init, step)
+    n = F.size("_ys")
+    r = lambda c: _r6(c, rd)  # noqa: E731
+    return ser.select(
+        key_col,
+        n.cast("long").alias("n_hours"),
+        st["l"].alias("level"),
+        st["b"].alias("trend"),
+        r(F.array_max(st["s"]) - F.array_min(st["s"]))
+        .alias("seasonal_amplitude"),
+        r(st["l"] + F.lit(float(m)) * st["b"]
+          + F.element_at(st["s"], ((n - 1) % m + 1).cast("int")))
+        .alias("forecast_24h"),
+        r(F.sqrt(st["sse"] / (n - m))).alias("rmse_1step"),
     )
 
 

@@ -1,0 +1,370 @@
+"""Session-11 operator batch: Ljung-Box whiteness test, R/S Hurst
+exponent, Lo-MacKinlay variance ratio — the long-memory / random-walk
+diagnostics over the hourly grid family."""
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+
+def _events(spark, rows):
+    """rows: (user_id, sec, value) -> events-shaped df."""
+    data = [
+        (int(u), int(i), "view", float(s), None if v is None else float(v))
+        for i, (u, s, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data,
+        "user_id long, event_id long, event_type string, sec double, "
+        "value double",
+    )
+    return df.select(
+        "user_id", "event_id", "event_type",
+        F.timestamp_seconds("sec").alias("ts"), "value",
+    )
+
+
+def _r6(x):
+    return round(x + 1e-9, 6)
+
+
+# ---------------------------------------------------------- Ljung-Box
+
+
+def _ref_ljung_box(y, max_lag=5):
+    """Straight from Ljung & Box (1978) with the repo's rounding: the
+    biased Box-Jenkins ACF rounded at 6, Q = n(n+2) sum r_k^2/(n-k)."""
+    y = np.asarray(y, dtype=float)
+    n = len(y)
+    m = y.mean()
+    den = ((y - m) ** 2).sum()
+    q = 0.0
+    for k in range(1, max_lag + 1):
+        if n <= k or den <= 0:
+            return None
+        r = _r6(((y[:-k] - m) * (y[k:] - m)).sum() / den)
+        q += r * r / (n - k)
+    return _r6(n * (n + 2) * q)
+
+
+def test_ljung_box_matches_reference(spark):
+    from cesium_spark.operators.tsstats import ljung_box
+
+    rng = np.random.RandomState(11)
+    # user 1: strongly autocorrelated (slow sine) -> reject
+    y1 = [50 + 40 * math.sin(i / 6.0) for i in range(40)]
+    # user 2: fixed pseudo-noise, long enough to test but near-white
+    y2 = list(rng.rand(30) * 100)
+    rows = [(1, 3600 * i, v) for i, v in enumerate(y1)]
+    rows += [(2, 3600 * i, v) for i, v in enumerate(y2)]
+    out = {
+        r["user_id"]: r
+        for r in ljung_box(_events(spark, rows)).collect()
+    }
+    for uid, y in ((1, y1), (2, y2)):
+        ref = _ref_ljung_box(y)
+        assert out[uid]["n"] == len(y)
+        assert abs(out[uid]["q_stat"] - ref) < 1e-9, (uid, ref)
+        assert out[uid]["dof"] == 5
+        assert out[uid]["reject_white_noise"] == (ref > 11.070498)
+    assert out[1]["reject_white_noise"] is True
+
+
+def test_ljung_box_degenerate_series(spark):
+    from cesium_spark.operators.tsstats import ljung_box
+
+    rows = [(1, 3600 * i, 7.0) for i in range(20)]        # constant
+    rows += [(2, 3600 * i, float(i)) for i in range(4)]   # n <= max_lag
+    out = {
+        r["user_id"]: r
+        for r in ljung_box(_events(spark, rows)).collect()
+    }
+    assert out[1]["q_stat"] is None          # zero variance -> NULL acf
+    assert out[1]["reject_white_noise"] is None
+    assert out[2]["q_stat"] is None          # lag-5 pairs don't exist
+
+
+# ------------------------------------------------------------- Hurst
+
+
+def _ref_hurst(y, sizes=(8, 16, 32, 64)):
+    """Reference R/S analysis replicating the operator's roundings."""
+    y = np.asarray([_r6(v) for v in y], dtype=float)
+    out_rs = {}
+    pts = []
+    for s in sizes:
+        rss = []
+        for b in range(len(y) // s):
+            blk = y[b * s:(b + 1) * s]
+            var = _r6(float((blk ** 2).mean() - blk.mean() ** 2))
+            if var <= 0:
+                continue
+            cum = np.cumsum(blk - blk.mean())
+            rss.append(_r6((cum.max() - cum.min()) / math.sqrt(var)))
+        if rss:
+            rs = _r6(float(np.mean(rss)))
+            out_rs[s] = rs
+            if rs > 0:
+                pts.append((math.log(s), math.log(rs)))
+    hurst = None
+    if len(pts) >= 2:
+        k = len(pts)
+        sx = sum(p[0] for p in pts)
+        sy = sum(p[1] for p in pts)
+        sxy = sum(p[0] * p[1] for p in pts)
+        sxx = sum(p[0] * p[0] for p in pts)
+        hurst = _r6((k * sxy - sx * sy) / (k * sxx - sx * sx))
+    return hurst, out_rs
+
+
+def test_hurst_matches_numpy_reference(spark):
+    from cesium_spark.operators.longmem import hurst_rs
+
+    rng = np.random.RandomState(3)
+    # 130 hourly points: a random walk (H ~ 0.5-0.7 territory)
+    y = np.cumsum(rng.randn(130)).round(3) + 100
+    rows = [(1, 3600 * i, float(v)) for i, v in enumerate(y)]
+    row = hurst_rs(_events(spark, rows)).collect()[0]
+    ref_h, ref_rs = _ref_hurst(y)
+    assert row["n_hours"] == 130
+    assert abs(row["hurst"] - ref_h) < 1e-9
+    for s in (8, 16, 32, 64):
+        got = row[f"rs_{s}"]
+        if s in ref_rs:
+            assert abs(got - ref_rs[s]) < 1e-9, s
+        else:
+            assert got is None, s
+    # 130 hours: complete blocks exist at sizes 8/16/32/64 -> 4 sizes
+    assert row["n_sizes"] == 4
+
+
+def test_hurst_direction_and_short_series(spark):
+    from cesium_spark.operators.longmem import hurst_rs
+
+    # persistent: a smooth trend has cumdev range growing ~ s -> H near 1
+    trend = [(1, 3600 * i, float(i) + 0.001 * ((-1) ** i)) for i in range(64)]
+    # anti-persistent: strict alternation -> cumdev range flat -> H near 0
+    alt = [(2, 3600 * i, 10.0 + (1.0 if i % 2 else -1.0)) for i in range(64)]
+    # too short for two sizes -> NULL hurst
+    short = [(3, 3600 * i, float(i % 5)) for i in range(10)]
+    out = {
+        r["user_id"]: r
+        for r in hurst_rs(_events(spark, trend + alt + short)).collect()
+    }
+    assert out[1]["hurst"] > 0.85
+    assert out[2]["hurst"] < 0.15
+    assert out[3]["hurst"] is None and out[3]["n_sizes"] <= 1
+
+
+def test_hurst_from_grid_equals_batch(spark):
+    """hurst_rs == hurst_from_grid over the grid it builds — the
+    identity the streaming head's oracle-sharing rests on."""
+    from cesium_spark.operators.longmem import hurst_from_grid, hurst_rs
+
+    rng = np.random.RandomState(9)
+    rows = [(u, 3600 * i + 60 * (i % 3), float(v))
+            for u in (1, 2)
+            for i, v in enumerate(np.cumsum(rng.randn(70)) + 50)]
+    ev = _events(spark, rows)
+    grid = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.round(F.avg(F.col("value").cast("double")) + F.lit(1e-9), 6)
+             .alias("x"))
+    )
+    a = hurst_rs(ev).toPandas().sort_values("user_id").reset_index(drop=True)
+    b = hurst_from_grid(grid).toPandas().sort_values(
+        "user_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
+# --------------------------------------------------- variance ratio
+
+
+def _ref_vr(y, q=4):
+    y = np.asarray([_r6(v) for v in y], dtype=float)
+    d = np.diff(y)
+    dq = y[q:] - y[:-q]
+    t = len(d)
+    mu = d.sum() / t
+    var1 = _r6(float((d ** 2).sum() - t * mu * mu) / t)
+    if len(dq) == 0 or var1 <= 0:
+        return None, None
+    varq = float((dq ** 2).sum() - 2 * q * mu * dq.sum()
+                 + len(dq) * q * q * mu * mu) / (len(dq) * q)
+    vr = _r6(varq / var1)
+    z = _r6((vr - 1) / math.sqrt(2.0 * (2 * q - 1) * (q - 1) / (3.0 * q) / t))
+    return vr, z
+
+
+def test_variance_ratio_matches_reference(spark):
+    from cesium_spark.operators.longmem import variance_ratio
+
+    rng = np.random.RandomState(5)
+    walk = list(np.cumsum(rng.randn(120)).round(3) + 100)   # ~ VR 1
+    alt = [10.0 + (1.0 if i % 2 else -1.0) for i in range(60)]  # VR << 1
+    rows = [(1, 3600 * i, v) for i, v in enumerate(walk)]
+    rows += [(2, 3600 * i, v) for i, v in enumerate(alt)]
+    out = {
+        r["user_id"]: r
+        for r in variance_ratio(_events(spark, rows), q=4).collect()
+    }
+    for uid, y in ((1, walk), (2, alt)):
+        vr, z = _ref_vr(y)
+        assert abs(out[uid]["vr"] - vr) < 1e-9
+        assert abs(out[uid]["z"] - z) < 1e-9
+    assert out[2]["vr"] < 0.5 and out[2]["random_walk"] == "reject"
+    assert out[1]["random_walk"] == "consistent"
+
+
+def test_variance_ratio_insufficient(spark):
+    from cesium_spark.operators.longmem import variance_ratio
+
+    rows = [(1, 3600 * i, 5.0) for i in range(20)]   # constant -> var1 = 0
+    rows += [(2, 3600 * i, float(i * i)) for i in range(3)]  # no q-step pair
+    out = {
+        r["user_id"]: r
+        for r in variance_ratio(_events(spark, rows), q=4).collect()
+    }
+    for uid in (1, 2):
+        assert out[uid]["vr"] is None and out[uid]["z"] is None
+        assert out[uid]["random_walk"] == "insufficient"
+
+
+def test_longmem_plans_stay_jvm_side(spark):
+    """No Python evaluation nodes and no cartesian products in either
+    long-memory plan — the explode fanout and window decomposition keep
+    everything whole-stage-codegen-able."""
+    from cesium_spark.operators.longmem import hurst_rs, variance_ratio
+
+    rows = [(1, 3600 * i, float(i % 7)) for i in range(40)]
+    ev = _events(spark, rows)
+    for df in (hurst_rs(ev), variance_ratio(ev)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan
+        assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------- Holt-Winters
+
+
+def test_holt_winters_matches_reference(spark):
+    from cesium_spark.operators.tsstats import holt_winters
+
+    # 3 weeks of hourly counts with a planted diurnal cycle + trend:
+    # one event row per (hour, count) via repeated timestamps
+    import math as _m
+    rng = np.random.RandomState(2)
+    m = 24
+    n = 24 * 21
+    counts = [
+        max(0, int(5 + 3 * _m.sin(2 * _m.pi * (i % m) / m) + i * 0.01
+                   + rng.randint(0, 2)))
+        for i in range(n)
+    ]
+    rows = []
+    eid = 0
+    for i, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((1, eid, "view", float(3600 * i), 1.0))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, event_type string, sec double, "
+        "value double",
+    ).select("user_id", "event_id", "event_type",
+             F.timestamp_seconds("sec").alias("ts"), "value")
+    out = holt_winters(df).collect()
+    assert len(out) == 1
+    row = out[0]
+
+    # zero-filled grid: hours with count 0 are present as y=0
+    y = [float(c) for c in counts]
+    # trim leading/trailing zero hours (grid spans min..max observed)
+    first = next(i for i, v in enumerate(y) if v > 0)
+    last = max(i for i, v in enumerate(y) if v > 0)
+    y = y[first:last + 1]
+
+    # python replica of the fold
+    a1, a0 = 0.3, round(1.0 - 0.3, 12)
+    b1, b0 = 0.1, round(1.0 - 0.1, 12)
+    g1, g0 = 0.2, round(1.0 - 0.2, 12)
+    l = _r6(sum(y[:m]) / 24.0)
+    b = _r6((sum(y[m:2 * m]) / 24.0 - sum(y[:m]) / 24.0) / 24.0)
+    s = [_r6(v - l) for v in y[:m]]
+    sse = 0.0
+    for t in range(m, len(y)):
+        j = t % m
+        pred = l + b + s[j]
+        sse += (y[t] - pred) * (y[t] - pred)
+        l2 = _r6(a1 * (y[t] - s[j]) + a0 * (l + b))
+        b2 = _r6(b1 * (l2 - l) + b0 * b)
+        s[j] = _r6(g1 * (y[t] - l - b) + g0 * s[j])
+        l, b = l2, b2
+
+    assert row["n_hours"] == len(y)
+    assert abs(row["level"] - l) < 1e-9
+    assert abs(row["trend"] - b) < 1e-9
+    assert abs(row["seasonal_amplitude"] - _r6(max(s) - min(s))) < 1e-9
+    fc = _r6(l + 24.0 * b + s[(len(y) - 1) % m])
+    assert abs(row["forecast_24h"] - fc) < 1e-9
+    assert abs(row["rmse_1step"] - _r6(math.sqrt(sse / (len(y) - m)))) < 1e-9
+    # the planted diurnal cycle must show up in the seasonal state
+    assert row["seasonal_amplitude"] > 3.0
+
+
+def test_holt_winters_short_series_emits_nothing(spark):
+    from cesium_spark.operators.tsstats import holt_winters
+
+    rows = [(1, i, "view", float(3600 * i), 1.0) for i in range(40)]
+    df = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, event_type string, sec double, "
+        "value double",
+    ).select("user_id", "event_id", "event_type",
+             F.timestamp_seconds("sec").alias("ts"), "value")
+    assert holt_winters(df).count() == 0  # 40 hours < 2*24
+
+
+# --------------------------------------- seasonal Mann-Kendall
+
+
+def test_seasonal_mk_deconfounds_diurnal_cycle(spark):
+    """A pure diurnal cycle with NO cross-day trend: plain MK sees the
+    within-day ramps; seasonal MK must call 'none' with s_stat == 0."""
+    from cesium_spark.operators.trend import (mann_kendall,
+                                              seasonal_mann_kendall)
+
+    rows = []
+    for day in range(10):
+        for hod in range(24):
+            i = day * 24 + hod
+            rows.append((1, 3600 * i, 100.0 + 10.0 * hod))
+    ev = _events(spark, rows)
+    smk = seasonal_mann_kendall(ev).collect()[0]
+    assert smk["s_stat"] == 0 and smk["trend"] == "none"
+    assert smk["n_seasons"] == 24 and smk["n"] == 240
+
+    # and a genuine cross-day trend on top of the cycle IS detected
+    rows2 = [(2, 3600 * (d * 24 + h), 100.0 + 10.0 * h + 5.0 * d)
+             for d in range(10) for h in range(24)]
+    smk2 = {r["user_id"]: r
+            for r in seasonal_mann_kendall(_events(spark, rows + rows2))
+            .collect()}[2]
+    assert smk2["trend"] == "increasing"
+    # every stratum is strictly increasing across days: S = 24 * C(10,2)
+    assert smk2["s_stat"] == 24 * 45
+
+
+def test_seasonal_mk_var_sums_per_season(spark):
+    from cesium_spark.operators.trend import seasonal_mann_kendall
+
+    # 2 seasons x 5 days, no ties, no trend direction forced
+    vals = {0: [3.0, 1.0, 4.0, 1.5, 5.0], 1: [2.0, 7.0, 1.0, 8.0, 2.5]}
+    rows = [(1, 3600 * (d * 24 + h), vals[h][d])
+            for d in range(5) for h in (0, 1)]
+    row = seasonal_mann_kendall(_events(spark, rows)).collect()[0]
+    # per season: n=5, no ties -> var = 5*4*15/18 = 50/3 each
+    assert abs(row["var_s"] - _r6(2 * round(5 * 4 * 15 / 18.0 + 1e-9, 6))) \
+        < 1e-9
+    assert row["n_seasons"] == 2 and row["n"] == 10
