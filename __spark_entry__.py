@@ -3333,6 +3333,32 @@ def _ddsketch_readout(ev, buckets):
     )
 
 
+def q_spearman_types(spark, sf_dir):
+    """Spearman rank correlation between every event-type pair's hourly
+    count series on their common hours (average-rank ties) — the
+    monotone-association companion to leadlag_xcorr's Pearson, robust
+    to the bursts that dominate a product-moment r on count data.
+    Ranks are exact doubles (k + t/2) over integer counts, so all six
+    correlation sums are exact in both engines; Pearson rides along in
+    the same aggregate for contrast."""
+    from cesium_spark.operators.tsstats import spearman_types
+
+    return spearman_types(_events(spark, sf_dir))
+
+
+def q_split_divergence(spark, sf_dir):
+    """Jensen-Shannon divergence between the unigram distributions of
+    every train/val/test split pair — the standard "is the held-out
+    set distributionally representative" check run right after
+    hash_split. One corpus tokenize pass; everything after is
+    vocab-sized (pivoted counts + broadcast 1-row totals, the lm.py
+    pattern); no pair self-join."""
+    from cesium_spark.operators.split import split_divergence
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return split_divergence(docs)
+
+
 def q_holt_winters(spark, sf_dir):
     """Holt-Winters additive seasonal smoothing (FPP §8.3) per event
     type on the zero-filled hourly count grid — the seasonal completion
@@ -4126,6 +4152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50-slot cap and was never driver-checked).
     return {
         # --- round 6, session-11 batch ---
+        "spearman_types": q_spearman_types,
+        "split_divergence": q_split_divergence,
         "holt_winters": q_holt_winters,
         "seasonal_mann_kendall": q_seasonal_mann_kendall,
         "ljung_box": q_ljung_box,
@@ -8168,6 +8196,125 @@ def oracle_sql() -> dict[str, str]:
                round(sqrt(r.sse / (np.n - 24)) + 1e-9, 6) AS rmse_1step
         FROM rec r JOIN nper np ON np.k = r.k
         WHERE r.t = np.n
+    """
+
+    # Spearman: identical average-rank assignment (rank() + (ties-1)/2)
+    # on the joined common-hour relation; every correlation sum is
+    # exact (ranks are half-integers, counts are integers), so only
+    # the final rho/r rounds
+    sql["spearman_types"] = f"""
+        WITH {hourly_grid_cte},
+        pairs AS (
+          SELECT a.k AS ka, b.k AS kb, a.y AS ya, b.y AS yb
+          FROM grid a JOIN grid b ON a.h = b.h AND a.k < b.k
+        ),
+        ranked AS (
+          SELECT ka, kb, ya, yb,
+                 rank() OVER (PARTITION BY ka, kb ORDER BY ya)
+                   + (count(*) OVER (PARTITION BY ka, kb, ya) - 1) / 2.0
+                   AS ra,
+                 rank() OVER (PARTITION BY ka, kb ORDER BY yb)
+                   + (count(*) OVER (PARTITION BY ka, kb, yb) - 1) / 2.0
+                   AS rb
+          FROM pairs
+        ),
+        agg AS (
+          SELECT ka, kb, count(*)::DOUBLE AS n, count(*)::BIGINT AS nh,
+                 sum(ra) AS sa, sum(rb) AS sb, sum(ra * ra) AS saa,
+                 sum(rb * rb) AS sbb, sum(ra * rb) AS sab,
+                 sum(ya) AS xa, sum(yb) AS xb, sum(ya * ya) AS xaa,
+                 sum(yb * yb) AS xbb, sum(ya * yb) AS xab
+          FROM ranked GROUP BY 1, 2
+        )
+        SELECT ka AS key_a, kb AS key_b, nh AS n_hours,
+               CASE WHEN sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)) > 0
+                    THEN round((n * sab - sa * sb)
+                               / sqrt((n * saa - sa * sa)
+                                      * (n * sbb - sb * sb)) + 1e-9, 6)
+               END AS rho_spearman,
+               CASE WHEN sqrt((n * xaa - xa * xa) * (n * xbb - xb * xb)) > 0
+                    THEN round((n * xab - xa * xb)
+                               / sqrt((n * xaa - xa * xa)
+                                      * (n * xbb - xb * xb)) + 1e-9, 6)
+               END AS r_pearson
+        FROM agg
+    """
+
+    # split JSD: the dataset_split md5 bucketing + the corpus token
+    # convention, pivoted counts + one totals row, LATERAL VALUES for
+    # the three pair rows (the spectral_power shape)
+    sql["split_divergence"] = """
+        WITH toks AS (
+          SELECT CASE WHEN b < 9000 THEN 'train'
+                      WHEN b < 9500 THEN 'val'
+                      ELSE 'test' END AS split, tok
+          FROM (
+            SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 10000 AS b,
+                   unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                      t -> t <> '')) AS tok
+            FROM documents
+          )
+        ),
+        wide AS (
+          SELECT tok,
+                 sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)::DOUBLE
+                   AS c_train,
+                 sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END)::DOUBLE
+                   AS c_val,
+                 sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END)::DOUBLE
+                   AS c_test
+          FROM toks GROUP BY 1
+        ),
+        tot AS (SELECT sum(c_train) AS t_train, sum(c_val) AS t_val,
+                       sum(c_test) AS t_test FROM wide),
+        j AS (SELECT * FROM wide CROSS JOIN tot),
+        agg AS (
+          SELECT
+            sum(CASE WHEN c_train > 0 THEN 0.5 * (c_train / t_train)
+                  * ln(2.0 * (c_train / t_train)
+                       / ((c_train / t_train) + (c_val / t_val)))
+                  ELSE 0.0 END
+                + CASE WHEN c_val > 0 THEN 0.5 * (c_val / t_val)
+                  * ln(2.0 * (c_val / t_val)
+                       / ((c_train / t_train) + (c_val / t_val)))
+                  ELSE 0.0 END) AS jsd_tv,
+            sum(CASE WHEN c_train > 0 THEN 0.5 * (c_train / t_train)
+                  * ln(2.0 * (c_train / t_train)
+                       / ((c_train / t_train) + (c_test / t_test)))
+                  ELSE 0.0 END
+                + CASE WHEN c_test > 0 THEN 0.5 * (c_test / t_test)
+                  * ln(2.0 * (c_test / t_test)
+                       / ((c_train / t_train) + (c_test / t_test)))
+                  ELSE 0.0 END) AS jsd_tt,
+            sum(CASE WHEN c_val > 0 THEN 0.5 * (c_val / t_val)
+                  * ln(2.0 * (c_val / t_val)
+                       / ((c_val / t_val) + (c_test / t_test)))
+                  ELSE 0.0 END
+                + CASE WHEN c_test > 0 THEN 0.5 * (c_test / t_test)
+                  * ln(2.0 * (c_test / t_test)
+                       / ((c_val / t_val) + (c_test / t_test)))
+                  ELSE 0.0 END) AS jsd_vt,
+            sum(CASE WHEN c_train > 0 THEN 1 ELSE 0 END)::BIGINT AS v_train,
+            sum(CASE WHEN c_val > 0 THEN 1 ELSE 0 END)::BIGINT AS v_val,
+            sum(CASE WHEN c_test > 0 THEN 1 ELSE 0 END)::BIGINT AS v_test,
+            sum(CASE WHEN c_train > 0 AND c_val > 0 THEN 1 ELSE 0 END)::BIGINT
+              AS ov_tv,
+            sum(CASE WHEN c_train > 0 AND c_test > 0 THEN 1 ELSE 0 END)::BIGINT
+              AS ov_tt,
+            sum(CASE WHEN c_val > 0 AND c_test > 0 THEN 1 ELSE 0 END)::BIGINT
+              AS ov_vt
+          FROM j
+        )
+        SELECT split_a, split_b, vocab_a, vocab_b, vocab_overlap, jsd
+        FROM agg, LATERAL (VALUES
+          ('train', 'val', v_train, v_val, ov_tv,
+           round(jsd_tv / ln(2.0) + 1e-9, 6)),
+          ('train', 'test', v_train, v_test, ov_tt,
+           round(jsd_tt / ln(2.0) + 1e-9, 6)),
+          ('val', 'test', v_val, v_test, ov_vt,
+           round(jsd_vt / ln(2.0) + 1e-9, 6))
+        ) AS v(split_a, split_b, vocab_a, vocab_b, vocab_overlap, jsd)
     """
 
     # seasonal Mann-Kendall: the mann_kendall oracle stratified by

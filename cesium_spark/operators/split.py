@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["hash_split", "split_column", "source_mix", "temperature_mix",
-           "weighted_sample", "stratified_sample"]
+           "weighted_sample", "stratified_sample", "split_divergence"]
 
 _BUCKETS = 10_000
 
@@ -285,3 +285,91 @@ def stratified_sample(
         .where(bucket < F.col("_thr"))
         .drop("_thr")
     )
+
+
+def split_divergence(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fractions: dict[str, float] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Jensen-Shannon divergence between the unigram token
+    distributions of every dataset-split pair — the standard "is my
+    held-out set distributionally representative" check a training
+    pipeline runs right after `hash_split` (a val set drawn badly — by
+    time, by source — shows up as JSD >> the sampling noise floor;
+    base-2 JSD is bounded in [0, 1]).
+
+    Token convention matches the corpus oracles: whitespace split of
+    trim(text), empty tokens dropped, case preserved. One corpus pass
+    builds the (token, split) counts; everything after is VOCAB-sized:
+    the per-split counts pivot into one wide relation, totals ride a
+    broadcast 1-row crossJoin (the lm.py pattern), and each pair's
+    JSD/overlap is one partial-aggregable aggregate over that relation
+    — no pair self-join, no second scan.
+
+    Determinism: p and q are ratios of exact integer counts, so every
+    log argument is the identical double in both engines; ln itself is
+    the only float surface (1-ulp class) and the vocab-sized sum's
+    association noise is absorbed by the final round-at-6.
+
+    Returns one row per unordered split pair:
+    (split_a, split_b, vocab_a, vocab_b, vocab_overlap, jsd).
+    """
+    fractions = dict(fractions or {"train": 0.9, "val": 0.05, "test": 0.05})
+    names = list(fractions)
+    labeled = df.select(
+        split_column(id_col, fractions, salt).alias("_split"),
+        F.explode(
+            F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                     lambda x: x != F.lit(""))
+        ).alias("_tok"),
+    )
+    wide = labeled.groupBy("_tok").agg(*[
+        F.sum(F.when(F.col("_split") == n, F.lit(1)).otherwise(F.lit(0)))
+        .cast("double").alias(f"_c_{n}")
+        for n in names
+    ])
+    tot = wide.agg(*[F.sum(f"_c_{n}").alias(f"_t_{n}") for n in names])
+    wide = wide.crossJoin(F.broadcast(tot))
+
+    def _kl_half(cn, tn, cm, tm):
+        # 0.5 * p * ln(2p / (p + q)), with 0 ln 0 := 0
+        p = F.col(cn) / F.col(tn)
+        q = F.col(cm) / F.col(tm)
+        return F.when(p > 0, F.lit(0.5) * p * F.log(2.0 * p / (p + q))) \
+            .otherwise(F.lit(0.0))
+
+    import math as _math
+
+    rows = []
+    aggs = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            ca, ta = f"_c_{a}", f"_t_{a}"
+            cb, tb = f"_c_{b}", f"_t_{b}"
+            aggs += [
+                F.sum(_kl_half(ca, ta, cb, tb) + _kl_half(cb, tb, ca, ta))
+                .alias(f"_jsd_{a}_{b}"),
+                F.sum(F.when(F.col(ca) > 0, 1).otherwise(0))
+                .cast("long").alias(f"_v_{a}_{b}_a"),
+                F.sum(F.when(F.col(cb) > 0, 1).otherwise(0))
+                .cast("long").alias(f"_v_{a}_{b}_b"),
+                F.sum(F.when((F.col(ca) > 0) & (F.col(cb) > 0), 1)
+                      .otherwise(0)).cast("long").alias(f"_ov_{a}_{b}"),
+            ]
+            rows.append((a, b))
+    one = wide.agg(*aggs)
+    pair_structs = F.array(*[
+        F.struct(
+            F.lit(a).alias("split_a"), F.lit(b).alias("split_b"),
+            F.col(f"_v_{a}_{b}_a").alias("vocab_a"),
+            F.col(f"_v_{a}_{b}_b").alias("vocab_b"),
+            F.col(f"_ov_{a}_{b}").alias("vocab_overlap"),
+            F.round(F.col(f"_jsd_{a}_{b}") / F.lit(_math.log(2.0))
+                    + F.lit(1e-9), 6).alias("jsd"),
+        )
+        for a, b in rows
+    ])
+    return one.select(F.explode(pair_structs).alias("_r")).select("_r.*")

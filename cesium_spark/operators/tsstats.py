@@ -31,7 +31,7 @@ __all__ = [
     "hourly_peaks", "seasonal_anomalies", "type_entropy", "decorrelation_lag",
     "seasonal_naive_backtest", "leadlag_xcorr", "holt_linear", "ar1_fit",
     "seasonal_strength", "peak_rate", "binseg_changepoints", "ljung_box",
-    "holt_winters",
+    "holt_winters", "spearman_types",
 ]
 
 
@@ -1080,6 +1080,62 @@ def holt_linear(
         st["b"].alias("trend"),
         r(st["l"] + F.lit(float(horizon)) * st["b"]).alias("forecast_h"),
         r(F.sqrt(st["sse"] / (F.size("_ys") - 2))).alias("rmse_1step"),
+    )
+
+
+def spearman_types(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Spearman rank correlation between every pair of per-key hourly
+    count series, on their COMMON hours — the monotone-association
+    companion to leadlag_xcorr's Pearson (rank correlation survives the
+    heavy-tailed bursts that dominate a product-moment r on count
+    data). Tie handling is the standard average-rank (fractional)
+    assignment, computed on the joined common-hour relation so the
+    ranks are a true permutation of 1..n per pair.
+
+    Every rank is k + (t-1)/2 — an exact double — and the series are
+    integer counts, so all six correlation sums are EXACT in both
+    engines; the only rounding is the final rho/r at `round_digits`.
+
+    Plan shape: one equi-join on the HOUR (grid-sized, co-partitioned),
+    two rank windows over the pairs relation (types^2 x hours, bounded
+    by key cardinality and time span, never event volume), one
+    partial-aggregable groupBy. Returns
+    (key_a, key_b, n_hours, rho_spearman, r_pearson).
+    """
+    from .symbolic import hourly_count_grid
+
+    g = hourly_count_grid(df, key_col, ts_col)
+    a = g.select(F.col("_k").alias("_ka"), "_h", F.col("_y").alias("_ya"))
+    b = g.select(F.col("_k").alias("_kb"), "_h", F.col("_y").alias("_yb"))
+    pairs = a.join(b, "_h").where(F.col("_ka") < F.col("_kb"))
+    ra = (F.rank().over(Window.partitionBy("_ka", "_kb").orderBy("_ya"))
+          + (F.count("*").over(Window.partitionBy("_ka", "_kb", "_ya")) - 1)
+          / F.lit(2.0))
+    rb = (F.rank().over(Window.partitionBy("_ka", "_kb").orderBy("_yb"))
+          + (F.count("*").over(Window.partitionBy("_ka", "_kb", "_yb")) - 1)
+          / F.lit(2.0))
+    ranked = pairs.select(
+        "_ka", "_kb", "_ya", "_yb", ra.alias("_ra"), rb.alias("_rb"))
+
+    def _pearson(x, y):
+        n = F.count("*").cast("double")
+        num = n * F.sum(F.col(x) * F.col(y)) - F.sum(x) * F.sum(y)
+        den = F.sqrt(
+            (n * F.sum(F.col(x) * F.col(x)) - F.sum(x) * F.sum(x))
+            * (n * F.sum(F.col(y) * F.col(y)) - F.sum(y) * F.sum(y)))
+        return F.when(den > 0, _r6(num / den, round_digits))
+
+    return (
+        ranked.groupBy(F.col("_ka").alias("key_a"),
+                       F.col("_kb").alias("key_b"))
+        .agg(F.count("*").cast("long").alias("n_hours"),
+             _pearson("_ra", "_rb").alias("rho_spearman"),
+             _pearson("_ya", "_yb").alias("r_pearson"))
     )
 
 

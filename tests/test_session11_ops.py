@@ -368,3 +368,137 @@ def test_seasonal_mk_var_sums_per_season(spark):
     assert abs(row["var_s"] - _r6(2 * round(5 * 4 * 15 / 18.0 + 1e-9, 6))) \
         < 1e-9
     assert row["n_seasons"] == 2 and row["n"] == 10
+
+
+# -------------------------------------------------- Spearman pairs
+
+
+def test_spearman_types_matches_scipy_formula(spark):
+    """Average-rank Spearman on a crafted two-type pair with ties,
+    verified against a direct rank-then-Pearson replica."""
+    from cesium_spark.operators.tsstats import spearman_types
+
+    ya = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0]
+    yb = [2.0, 7.0, 1.0, 8.0, 2.0, 8.0, 1.0, 8.0]
+    rows = []
+    eid = 0
+    for i, (a, b) in enumerate(zip(ya, yb)):
+        for _ in range(int(a)):
+            rows.append((1, eid, "alpha", float(3600 * i), 1.0)); eid += 1
+        for _ in range(int(b)):
+            rows.append((1, eid, "beta", float(3600 * i), 1.0)); eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, event_type string, sec double, "
+        "value double",
+    ).select("user_id", "event_id", "event_type",
+             F.timestamp_seconds("sec").alias("ts"), "value")
+    row = spearman_types(df).collect()[0]
+    assert (row["key_a"], row["key_b"]) == ("alpha", "beta")
+    assert row["n_hours"] == 8
+
+    def avg_ranks(v):
+        import collections
+        order = sorted(v)
+        first = {}
+        cnt = collections.Counter(v)
+        for i, x in enumerate(order):
+            if x not in first:
+                first[x] = i + 1
+        return [first[x] + (cnt[x] - 1) / 2.0 for x in v]
+
+    def pearson(x, y):
+        n = float(len(x))
+        sx, sy = sum(x), sum(y)
+        sxx = sum(a * a for a in x); syy = sum(a * a for a in y)
+        sxy = sum(a * b for a, b in zip(x, y))
+        return _r6((n * sxy - sx * sy)
+                   / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+
+    assert abs(row["rho_spearman"] - pearson(avg_ranks(ya), avg_ranks(yb))) \
+        < 1e-9
+    assert abs(row["r_pearson"] - pearson(ya, yb)) < 1e-9
+
+
+def test_spearman_constant_series_null(spark):
+    from cesium_spark.operators.tsstats import spearman_types
+
+    # type beta constant on the common span -> zero rank variance -> NULL
+    rows = []
+    eid = 0
+    for i in range(6):
+        for _ in range(i + 1):
+            rows.append((1, eid, "alpha", float(3600 * i), 1.0)); eid += 1
+        for _ in range(2):
+            rows.append((1, eid, "beta", float(3600 * i), 1.0)); eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, event_type string, sec double, "
+        "value double",
+    ).select("user_id", "event_id", "event_type",
+             F.timestamp_seconds("sec").alias("ts"), "value")
+    row = spearman_types(df).collect()[0]
+    assert row["rho_spearman"] is None and row["r_pearson"] is None
+
+
+# ------------------------------------------------ split divergence
+
+
+def test_split_divergence_identical_and_disjoint(spark):
+    from cesium_spark.operators.split import split_divergence
+
+    # force the split by choosing fractions over a synthetic id: with
+    # fractions {a: 0.5, b: 0.5} the md5 bucket decides; instead craft
+    # determinism by salting until both halves non-empty is flaky -> use
+    # the REAL operator but assert structural properties on a corpus
+    # where every doc has the same text: all pairwise JSD must be 0
+    docs = spark.createDataFrame(
+        [(i, "x y z x") for i in range(400)], "doc_id long, text string")
+    out = {(r["split_a"], r["split_b"]): r
+           for r in split_divergence(docs).collect()}
+    assert set(out) == {("train", "val"), ("train", "test"),
+                        ("val", "test")}
+    for r in out.values():
+        assert abs(r["jsd"]) < 1e-9          # identical distributions
+        assert r["vocab_overlap"] == r["vocab_a"] == r["vocab_b"] == 3
+
+    # disjoint vocabularies: JSD must be exactly 1 bit
+    docs2 = spark.createDataFrame(
+        [(i, "aaa bbb") for i in range(400)],
+        "doc_id long, text string")
+    from cesium_spark.operators.split import split_column
+    # relabel text by split so the two sides share nothing
+    docs2 = docs2.withColumn("_s", split_column("doc_id")).selectExpr(
+        "doc_id",
+        "CASE WHEN _s = 'train' THEN 'aaa' ELSE 'zzz' END AS text")
+    out2 = {(r["split_a"], r["split_b"]): r
+            for r in split_divergence(docs2).collect()}
+    tv = out2[("train", "val")]
+    assert abs(tv["jsd"] - 1.0) < 1e-9
+    assert tv["vocab_overlap"] == 0
+    # val and test share 'zzz' entirely -> JSD 0
+    assert abs(out2[("val", "test")]["jsd"]) < 1e-9
+
+
+def test_split_divergence_hand_jsd(spark):
+    """Two tiny known distributions -> hand-computed JSD."""
+    from cesium_spark.operators.split import split_column, split_divergence
+
+    docs = spark.createDataFrame(
+        [(i, "") for i in range(600)], "doc_id long, text string")
+    # train docs say "a a b", everyone else says "a b"
+    docs = docs.withColumn("_s", split_column("doc_id")).selectExpr(
+        "doc_id",
+        "CASE WHEN _s = 'train' THEN 'a a b' ELSE 'a b' END AS text")
+    out = {(r["split_a"], r["split_b"]): r
+           for r in split_divergence(docs).collect()}
+    p = {"a": 2 / 3.0, "b": 1 / 3.0}
+    q = {"a": 0.5, "b": 0.5}
+    jsd = 0.0
+    for t in ("a", "b"):
+        m = (p[t] + q[t]) / 2.0
+        jsd += 0.5 * p[t] * math.log(p[t] / m) \
+            + 0.5 * q[t] * math.log(q[t] / m)
+    ref = _r6(jsd / math.log(2.0))
+    assert abs(out[("train", "val")]["jsd"] - ref) < 2e-6
+    assert abs(out[("val", "test")]["jsd"]) < 1e-9
