@@ -3333,6 +3333,90 @@ def _ddsketch_readout(ev, buckets):
     )
 
 
+def q_page_hinkley_streamed(spark, sf_dir):
+    """The LIVE Page-Hinkley head end-to-end: two time-ordered parquet
+    micro-batches drain through the applyInPandasWithState detector;
+    the latest cumulative row per actor must equal the BATCH
+    page_hinkley (identical float-operation sequence), so the oracle is
+    the exact same SQL — a hash match proves the carried sufficient
+    statistic (n, sum, m, extrema, first breach) reproduces the batch
+    ordered-window result across the boundary."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from cesium_spark.streaming.stream import streaming_page_hinkley
+
+    ev = _events(spark, sf_dir).select("event_id", "ts", "user_id", "value")
+    mid = ev.agg(F.expr("percentile(event_id, 0.5)")).collect()[0][0]
+    work = tempfile.mkdtemp(prefix="ph_stream_")
+    in_dir = f"{work}/in"
+    try:
+        ev.filter(F.col("event_id") <= mid).coalesce(1) \
+            .write.mode("overwrite").parquet(in_dir)
+        # order-load-bearing (the run-stats discipline): pin the second
+        # half strictly later so FileStreamSource drains halves in order
+        first_files = set(glob.glob(f"{in_dir}/*.parquet"))
+        ev.filter(F.col("event_id") > mid).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+        later = time.time() + 10
+        for f in set(glob.glob(f"{in_dir}/*.parquet")) - first_files:
+            os.utime(f, (later, later))
+        src = (
+            spark.readStream
+            .schema("event_id bigint, ts timestamp, user_id bigint, "
+                    "value double")
+            .option("maxFilesPerTrigger", 1).parquet(in_dir)
+        )
+        q = (
+            streaming_page_hinkley(src).writeStream
+            .format("parquet").option("path", f"{work}/out")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True).start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                raise TimeoutError("page-hinkley stream did not drain in 300s")
+        finally:
+            q.stop()
+        emitted = spark.read.parquet(f"{work}/out")
+        return (
+            emitted.groupBy("user_id")
+            .agg(F.max(F.struct("n", "ph_inc", "ph_dec", "drift",
+                                "first_breach")).alias("s"))
+            .select("user_id", "s.*")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q_page_hinkley(spark, sf_dir):
+    """Page-Hinkley sequential mean-shift detector per actor (Page
+    1954; the MOA/river streaming-drift standard) — the ORDERED
+    companion to psi_drift: PSI asks "did the histogram move", this
+    asks "WHEN did the level shift". Running mean, the m_t prefix sum,
+    its running extrema, and the first-breach scan are all frames over
+    ONE (ts, tiebreak) sort, so float addition order is pinned in both
+    engines — no recursion, no per-step rounding."""
+    from cesium_spark.operators.drift import page_hinkley
+
+    return page_hinkley(_events(spark, sf_dir))
+
+
+def q_embedding_drift(spark, sf_dir):
+    """Per-dimension embedding drift between two md5-deterministic
+    halves of the corpus: standardized mean difference per dimension —
+    the representation-space twin of psi_drift that model monitoring
+    runs on embedding columns. One posexplode + one partial-aggregable
+    groupBy on the dimension index."""
+    from cesium_spark.operators.drift import embedding_drift
+
+    return embedding_drift(_emb(spark, sf_dir))
+
+
 def q_spearman_types(spark, sf_dir):
     """Spearman rank correlation between every event-type pair's hourly
     count series on their common hours (average-rank ties) — the
@@ -4152,6 +4236,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50-slot cap and was never driver-checked).
     return {
         # --- round 6, session-11 batch ---
+        "page_hinkley": q_page_hinkley,
+        "page_hinkley_streamed": q_page_hinkley_streamed,
+        "embedding_drift": q_embedding_drift,
         "spearman_types": q_spearman_types,
         "split_divergence": q_split_divergence,
         "holt_winters": q_holt_winters,
@@ -8196,6 +8283,89 @@ def oracle_sql() -> dict[str, str]:
                round(sqrt(r.sse / (np.n - 24)) + 1e-9, 6) AS rmse_1step
         FROM rec r JOIN nper np ON np.k = r.k
         WHERE r.t = np.n
+    """
+
+    # Page-Hinkley: every sum is an ORDERED frame over the same
+    # (ts, event_id) sort, so float addition order is pinned; the
+    # breach scan compares ROUNDED running stats in both engines
+    sql["page_hinkley"] = """
+        WITH b AS (
+          SELECT user_id, ts, event_id, value::DOUBLE AS x,
+                 value::DOUBLE
+                   - sum(value::DOUBLE) OVER wc / count(*) OVER wc
+                   - 0.005::DOUBLE AS term
+          FROM events
+          WINDOW wc AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        m AS (
+          SELECT user_id, ts, event_id,
+                 sum(term) OVER wc AS m
+          FROM b
+          WINDOW wc AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        s AS (
+          SELECT user_id, ts, m,
+                 min(m) OVER wc AS mn, max(m) OVER wc AS mx,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM m
+          WINDOW wc AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        per AS (
+          SELECT user_id, count(*)::BIGINT AS n,
+                 arg_max(m, rn) AS m_last,
+                 min(m) AS min_m, max(m) AS max_m,
+                 min(CASE WHEN round(m - mn + 1e-9, 6) > 25.0
+                            OR round(mx - m + 1e-9, 6) > 25.0
+                          THEN ts END) AS first_breach
+          FROM s GROUP BY 1
+        )
+        SELECT user_id, n,
+               round(m_last - min_m + 1e-9, 6) AS ph_inc,
+               round(max_m - m_last + 1e-9, 6) AS ph_dec,
+               first_breach IS NOT NULL AS drift,
+               first_breach
+        FROM per
+    """
+
+    # the streamed head's per-row float sequence == the batch
+    # ordered-window frames, so it shares the batch oracle
+    sql["page_hinkley_streamed"] = sql["page_hinkley"]
+
+    # embedding drift: the dim_stats unnest convention + the
+    # dataset_split md5 bucketing with salt 'drift'
+    sql["embedding_drift"] = """
+        WITH ex AS (
+          SELECT CASE WHEN b < 5000 THEN 'ref' ELSE 'cur' END AS side,
+                 g.j::INT - 1 AS pos, v[g.j]::DOUBLE AS x
+          FROM (SELECT CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)
+                                                || 'drift'), 1, 8))
+                            AS BIGINT) % 10000 AS b,
+                       embedding AS v
+                FROM embeddings) e,
+               LATERAL unnest(generate_series(1, len(v))) AS g(j)
+        ),
+        per AS (
+          SELECT pos,
+                 count(CASE WHEN side = 'ref' THEN 1 END)::BIGINT AS n_ref,
+                 count(CASE WHEN side = 'cur' THEN 1 END)::BIGINT AS n_cur,
+                 sum(CASE WHEN side = 'ref' THEN x END) AS sr,
+                 sum(CASE WHEN side = 'ref' THEN x * x END) AS srr,
+                 sum(CASE WHEN side = 'cur' THEN x END) AS sc
+          FROM ex GROUP BY 1
+        )
+        SELECT pos, n_ref, n_cur,
+               round(sr / n_ref + 1e-9, 6) AS mean_ref,
+               round(sc / n_cur + 1e-9, 6) AS mean_cur,
+               CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+                 round((sc / n_cur - sr / n_ref)
+                       / sqrt(srr / n_ref - (sr / n_ref) * (sr / n_ref)
+                              + 1e-9) + 1e-9, 6)
+               END AS smd
+        FROM per
     """
 
     # Spearman: identical average-rank assignment (rank() + (ties-1)/2)

@@ -28,7 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["psi_by_group", "reference_edges", "bin_index_column", "ks_by_group"]
+__all__ = ["psi_by_group", "reference_edges", "bin_index_column",
+           "ks_by_group", "page_hinkley", "embedding_drift"]
 
 
 def reference_edges(
@@ -190,4 +191,130 @@ def ks_by_group(
         F.col("n_cur").cast("long").alias("n_cur"),
         d.alias("ks_d"),
         (d > F.lit(threshold)).alias("drifted"),
+    )
+
+
+def page_hinkley(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    delta: float = 0.005,
+    lam: float = 25.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Page-Hinkley sequential mean-shift detector per series (Page
+    1954; the streaming-drift standard in MOA/river) — the ORDERED
+    companion to psi_by_group's distributional snapshot: PSI asks "did
+    the histogram move", Page-Hinkley asks "WHEN did the level shift".
+
+    m_t = sum_{s<=t} (x_s - xbar_s - delta) with xbar_s the running
+    mean INCLUDING x_s; an upward shift alarms when m_t - min_s m_s
+    exceeds `lam`, a downward one when max_s m_s - m_t does. Both
+    statistics and the first breach time come from ONE sort-shuffle:
+    running mean, the m_t prefix sum, and its running min/max are all
+    frames over the same (ts, tiebreak) order, so float addition order
+    is pinned identically in both engines (the ordered-prefix-sum
+    discipline) — no recursion, no Python, no per-step rounding needed.
+
+    Returns (key, n, ph_inc, ph_dec, drift, first_breach) where
+    ph_inc/ph_dec are the detector's end-of-stream statistics,
+    first_breach is the earliest event timestamp at which a RUNNING
+    statistic crossed `lam` (NULL when none did), and drift is true
+    iff a breach happened — the statistic can recede after an alarm,
+    so the flag comes from the running scan, not the final values.
+    """
+    from pyspark.sql import Window
+
+    d = float(delta)
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    x = F.col(value_col).cast("double")
+    staged = df.select(
+        key_col, ts_col, tiebreak_col,
+        (x - F.sum(x).over(wcum) / F.count("*").over(wcum) - F.lit(d))
+        .alias("_term"),
+    )
+    staged = staged.select(
+        key_col, ts_col, tiebreak_col,
+        F.sum("_term").over(wcum).alias("_m"))
+    staged = staged.select(
+        key_col, ts_col, "_m",
+        F.min("_m").over(wcum).alias("_mn"),
+        F.max("_m").over(wcum).alias("_mx"),
+        F.row_number().over(w).alias("_rn"),
+    )
+    r = lambda c: F.round(c + F.lit(1e-9), round_digits)  # noqa: E731
+    per = staged.groupBy(key_col).agg(
+        F.count("*").cast("long").alias("n"),
+        F.max(F.struct("_rn", "_m"))["_m"].alias("_m_last"),
+        F.min("_m").alias("_min_m"),
+        F.max("_m").alias("_max_m"),
+        F.min(F.when(
+            (r(F.col("_m") - F.col("_mn")) > lam)
+            | (r(F.col("_mx") - F.col("_m")) > lam),
+            F.col(ts_col),
+        )).alias("first_breach"),
+    )
+    ph_inc = r(F.col("_m_last") - F.col("_min_m"))
+    ph_dec = r(F.col("_max_m") - F.col("_m_last"))
+    # the detector alarms at the FIRST crossing — the running statistic
+    # can recede afterwards, so `drift` derives from the breach scan,
+    # not from the end-of-stream statistics (which are still reported
+    # as the detector's current state)
+    return per.select(
+        key_col, "n",
+        ph_inc.alias("ph_inc"), ph_dec.alias("ph_dec"),
+        F.col("first_breach").isNotNull().alias("drift"),
+        "first_breach",
+    )
+
+
+def embedding_drift(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "drift",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-dimension embedding drift between two deterministic halves
+    of the corpus (md5 split on the id, the dataset_split primitive):
+    standardized mean difference smd_d = (mean_cur - mean_ref) /
+    sqrt(var_ref + 1e-9) per dimension — the embedding-space twin of
+    psi_by_group that model-monitoring stacks run on representation
+    columns (a retrained encoder or an upstream text shift shows up as
+    |smd| >> the sampling floor on specific dimensions).
+
+    One posexplode + one partial-aggregable groupBy on the dimension
+    index (dims groups; map-side combine collapses each partition to
+    dims rows). Float32 elements are cast to double from identical
+    bits in both engines; only the final mean/smd round.
+
+    Returns (pos, n_ref, n_cur, mean_ref, mean_cur, smd).
+    """
+    from .split import split_column
+
+    side = split_column(id_col, {"ref": 0.5, "cur": 0.5}, salt)
+    ex = emb.select(
+        side.alias("_side"),
+        F.posexplode(F.col(vec_col)).alias("pos", "_v"),
+    ).select("_side", "pos", F.col("_v").cast("double").alias("_v"))
+    isr = F.col("_side") == "ref"
+    per = ex.groupBy("pos").agg(
+        F.count(F.when(isr, 1)).cast("long").alias("n_ref"),
+        F.count(F.when(~isr, 1)).cast("long").alias("n_cur"),
+        F.sum(F.when(isr, F.col("_v"))).alias("_sr"),
+        F.sum(F.when(isr, F.col("_v") * F.col("_v"))).alias("_srr"),
+        F.sum(F.when(~isr, F.col("_v"))).alias("_sc"),
+    )
+    mr = F.col("_sr") / F.col("n_ref")
+    mc = F.col("_sc") / F.col("n_cur")
+    var_r = F.col("_srr") / F.col("n_ref") - mr * mr
+    r = lambda c: F.round(c + F.lit(1e-9), round_digits)  # noqa: E731
+    return per.select(
+        F.col("pos").cast("int").alias("pos"), "n_ref", "n_cur",
+        r(mr).alias("mean_ref"), r(mc).alias("mean_cur"),
+        F.when((F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+               r((mc - mr) / F.sqrt(var_r + F.lit(1e-9)))).alias("smd"),
     )

@@ -2095,3 +2095,102 @@ def streaming_pattern_counts(
     return narrow.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", "NoTimeout"
     )
+
+
+def streaming_page_hinkley(
+    stream_df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    delta: float = 0.005,
+    lam: float = 25.0,
+    round_digits: int = 6,
+):
+    """LIVE Page-Hinkley mean-shift detection: the stateful streaming
+    twin of operators/drift.page_hinkley. Per-key state is the
+    detector's sufficient statistic — (n, sum x, m, running min/max of
+    m, first breach micros) — carried across micro-batch boundaries by
+    applyInPandasWithState. The per-row update is the IDENTICAL
+    sequence of float operations as the batch operator's ordered window
+    frames (prefix mean including the current row, prefix sum of
+    terms, running extrema, breach test on the ROUNDED running stats),
+    so the latest cumulative row per key equals the batch result
+    exactly and the oracle is shared.
+
+    Ordering contract matches streaming_run_stats: rows sort by
+    (ts, tiebreak) within each batch and per-key ingestion is assumed
+    in order across batches (bound it with source ordering). State is
+    one 6-field tuple per key, NoTimeout.
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType, DoubleType, LongType, StructField, StructType,
+        TimestampType,
+    )
+
+    key_type = stream_df.schema[key_col].dataType
+    out_schema = StructType([
+        StructField(key_col, key_type),
+        StructField("n", LongType()),
+        StructField("ph_inc", DoubleType()),
+        StructField("ph_dec", DoubleType()),
+        StructField("drift", BooleanType()),
+        StructField("first_breach", TimestampType()),
+    ])
+    state_schema = StructType([
+        StructField("n", LongType()),
+        StructField("sum_x", DoubleType()),
+        StructField("m", DoubleType()),
+        StructField("min_m", DoubleType()),
+        StructField("max_m", DoubleType()),
+        StructField("breach_us", LongType()),
+    ])
+    d, lm = float(delta), float(lam)
+
+    def _r(x):
+        return round(x + 1e-9, round_digits)
+
+    def fn(key, pdfs, state):
+        parts = [p for p in pdfs]
+        if not parts:
+            return
+        pdf = pd.concat(parts).sort_values(["_ts_us", "_tb"])
+        if len(pdf) == 0:
+            return
+        if state.exists:
+            n, sum_x, m, min_m, max_m, breach_us = state.get
+        else:
+            n, sum_x, m, min_m, max_m, breach_us = 0, 0.0, 0.0, None, None, None
+        for x, us in zip(pdf["_x"], pdf["_ts_us"]):
+            x = float(x)
+            n += 1
+            sum_x += x
+            m += x - sum_x / n - d
+            min_m = m if min_m is None else min(min_m, m)
+            max_m = m if max_m is None else max(max_m, m)
+            if breach_us is None and (_r(m - min_m) > lm
+                                      or _r(max_m - m) > lm):
+                breach_us = int(us)
+        state.update((n, sum_x, m, min_m, max_m, breach_us))
+        yield pd.DataFrame({
+            key_col: [key[0]],
+            "n": [n],
+            "ph_inc": [_r(m - min_m)],
+            "ph_dec": [_r(max_m - m)],
+            "drift": [breach_us is not None],
+            "first_breach": [
+                pd.to_datetime(breach_us, unit="us")
+                if breach_us is not None else pd.NaT
+            ],
+        })
+
+    narrow = stream_df.select(
+        F.col(key_col),
+        F.col(value_col).cast("double").alias("_x"),
+        ts_micros(F.col(ts_col)).alias("_ts_us"),
+        F.col(tiebreak_col).alias("_tb"),
+    )
+    return narrow.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "NoTimeout"
+    )

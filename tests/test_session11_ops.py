@@ -502,3 +502,138 @@ def test_split_divergence_hand_jsd(spark):
     ref = _r6(jsd / math.log(2.0))
     assert abs(out[("train", "val")]["jsd"] - ref) < 2e-6
     assert abs(out[("val", "test")]["jsd"]) < 1e-9
+
+
+# ----------------------------------------------------- Page-Hinkley
+
+
+def _ref_ph(xs, delta=0.005, lam=25.0):
+    n, sx, m = 0, 0.0, 0.0
+    mn = mx = None
+    breach_i = None
+    for i, x in enumerate(xs):
+        n += 1
+        sx += x
+        m += x - sx / n - delta
+        mn = m if mn is None else min(mn, m)
+        mx = m if mx is None else max(mx, m)
+        if breach_i is None and (_r6(m - mn) > lam or _r6(mx - m) > lam):
+            breach_i = i
+    return _r6(m - mn), _r6(mx - m), breach_i
+
+
+def test_page_hinkley_detects_level_shift(spark):
+    from cesium_spark.operators.drift import page_hinkley
+
+    # user 1: flat 10 then jumps to 20 at hour 40 -> upward drift
+    y1 = [10.0] * 40 + [20.0] * 40
+    # user 2: stable around 10 -> no drift
+    y2 = [10.0 + (0.5 if i % 2 else -0.5) for i in range(80)]
+    rows = [(1, 3600 * i, v) for i, v in enumerate(y1)]
+    rows += [(2, 3600 * i, v) for i, v in enumerate(y2)]
+    out = {r["user_id"]: r
+           for r in page_hinkley(_events(spark, rows)).collect()}
+    inc1, dec1, b1 = _ref_ph(y1)
+    assert out[1]["drift"] is True and b1 is not None
+    assert abs(out[1]["ph_inc"] - inc1) < 1e-9
+    assert abs(out[1]["ph_dec"] - dec1) < 1e-9
+    # breach timestamp = the b1-th hour
+    assert int(out[1]["first_breach"].timestamp()) == 3600 * b1
+    assert out[2]["drift"] is False and out[2]["first_breach"] is None
+
+
+def test_page_hinkley_alarm_latches_after_recede(spark):
+    """A shift up then back down: the final statistics recede below
+    lambda, but the alarm happened — drift must stay true (the flag
+    comes from the running scan, not the end-of-stream stats)."""
+    from cesium_spark.operators.drift import page_hinkley
+
+    y = [10.0] * 30 + [30.0] * 30 + [-10.0] * 60
+    rows = [(1, 3600 * i, v) for i, v in enumerate(y)]
+    row = page_hinkley(_events(spark, rows)).collect()[0]
+    inc, dec, b = _ref_ph(y)
+    assert b is not None and row["drift"] is True
+    assert int(row["first_breach"].timestamp()) == 3600 * b
+    # end-of-stream upward statistic receded below the threshold
+    assert row["ph_inc"] < 25.0
+
+
+def test_streaming_page_hinkley_equals_batch_three_batches(spark, tmp_path):
+    import glob
+    import os
+    import time
+
+    from cesium_spark.operators.drift import page_hinkley
+    from cesium_spark.streaming.stream import streaming_page_hinkley
+
+    rng = np.random.RandomState(17)
+    y = list(10 + rng.randn(30).round(2)) + list(25 + rng.randn(30).round(2))
+    rows = [(1, 3600 * i, float(v)) for i, v in enumerate(y)]
+    rows += [(2, 3600 * i, 5.0) for i in range(50)]
+    ev = _events(spark, rows).select("event_id", "ts", "user_id", "value")
+    in_dir = str(tmp_path / "in")
+    thirds = ev.count() // 3
+    prev = set()
+    for lo, hi in ((0, thirds), (thirds, 2 * thirds), (2 * thirds, 10 ** 9)):
+        ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi)) \
+            .coalesce(1).write.mode("append").parquet(in_dir)
+        newf = set(glob.glob(f"{in_dir}/*.parquet")) - prev
+        later = time.time() + 10 * (len(prev) + 1)
+        for f in newf:
+            os.utime(f, (later, later))
+        prev |= newf
+    src = (
+        spark.readStream
+        .schema("event_id bigint, ts timestamp, user_id bigint, value double")
+        .option("maxFilesPerTrigger", 1).parquet(in_dir)
+    )
+    q = (
+        streaming_page_hinkley(src).writeStream
+        .format("parquet").option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(300)
+    emitted = spark.read.parquet(str(tmp_path / "out"))
+    latest = (
+        emitted.groupBy("user_id")
+        .agg(F.max(F.struct("n", "ph_inc", "ph_dec", "drift",
+                            "first_breach")).alias("s"))
+        .select("user_id", "s.*")
+        .toPandas().sort_values("user_id").reset_index(drop=True)
+    )
+    batch = (
+        page_hinkley(_events(spark, rows))
+        .toPandas().sort_values("user_id").reset_index(drop=True)
+    )
+    assert latest.equals(batch)
+
+
+# -------------------------------------------------- embedding drift
+
+
+def test_embedding_drift_planted_dimension(spark):
+    from cesium_spark.operators.drift import embedding_drift
+    from cesium_spark.operators.split import split_column
+
+    rng = np.random.RandomState(23)
+    base = rng.randn(600, 4).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in base[i]]) for i in range(600)],
+        "vec_id long, embedding array<float>",
+    )
+    # shift dim 2 by +3 sigma on the 'cur' half only
+    side = split_column("vec_id", {"ref": 0.5, "cur": 0.5}, "drift")
+    df = df.withColumn("_s", side).selectExpr(
+        "vec_id",
+        "CASE WHEN _s = 'cur' THEN "
+        "  array(embedding[0], embedding[1], "
+        "        CAST(embedding[2] + 3.0 AS FLOAT), embedding[3]) "
+        "ELSE embedding END AS embedding",
+    )
+    out = {r["pos"]: r for r in embedding_drift(df).collect()}
+    assert len(out) == 4
+    assert out[2]["smd"] > 2.0                      # planted shift found
+    for p in (0, 1, 3):
+        assert abs(out[p]["smd"]) < 0.5             # others near zero
+    assert out[2]["n_ref"] + out[2]["n_cur"] == 600
