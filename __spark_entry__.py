@@ -3333,6 +3333,31 @@ def _ddsketch_readout(ev, buckets):
     )
 
 
+def q_kalman_level(spark, sf_dir):
+    """Kalman local-level filter per event type on the hourly count
+    grid — the ADAPTIVE-gain member of the smoothing family (ewma/holt
+    use fixed gains; the Kalman gain starts high under uncertainty and
+    settles to steady state). Per-step rounded (l, p) state makes the
+    filter a 6-decimal fixed point the DuckDB recursive CTE replays
+    hash-exactly (the holt pattern)."""
+    from cesium_spark.operators.tsstats import kalman_level
+
+    return kalman_level(_events(spark, sf_dir))
+
+
+def q_series_health(spark, sf_dir):
+    """The per-actor monitoring DASHBOARD row: trend call (MK z),
+    whiteness (Ljung-Box), long memory (Hurst), random-walk consistency
+    (VR), level drift (Page-Hinkley + first breach), changepoint
+    position (CUSUM) — one wide relation from six independently oracled
+    diagnostics, joined at actor cardinality. The composition query an
+    operator actually runs; its oracle is the join of the component
+    oracles."""
+    from cesium_spark.operators.analytics import series_health
+
+    return series_health(_events(spark, sf_dir))
+
+
 def q_page_hinkley_streamed(spark, sf_dir):
     """The LIVE Page-Hinkley head end-to-end: two time-ordered parquet
     micro-batches drain through the applyInPandasWithState detector;
@@ -4236,6 +4261,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50-slot cap and was never driver-checked).
     return {
         # --- round 6, session-11 batch ---
+        "kalman_level": q_kalman_level,
+        "series_health": q_series_health,
         "page_hinkley": q_page_hinkley,
         "page_hinkley_streamed": q_page_hinkley_streamed,
         "embedding_drift": q_embedding_drift,
@@ -8487,6 +8514,37 @@ def oracle_sql() -> dict[str, str]:
         ) AS v(split_a, split_b, vocab_a, vocab_b, vocab_overlap, jsd)
     """
 
+    # Kalman local level: the holt recursive-CTE replay with the
+    # adaptive gain computed inline from the rounded p state
+    sql["kalman_level"] = f"""
+        WITH RECURSIVE {hourly_grid_cte},
+        nper AS (SELECT k, count(*)::BIGINT AS n FROM grid GROUP BY 1),
+        rec AS (
+          SELECT g0.k, 0::BIGINT AS t, g0.y AS l, 4.0::DOUBLE AS p,
+                 0.0::DOUBLE AS sse
+          FROM (SELECT k, y FROM grid WHERE i = 0) g0
+          JOIN nper np ON np.k = g0.k WHERE np.n >= 2
+          UNION ALL
+          SELECT k, t,
+                 round(lp + kk * (y - lp) + 1e-9, 6),
+                 round((1.0 - kk) * pp + 1e-9, 6),
+                 sse
+          FROM (
+            SELECT r.k AS k, r.t + 1 AS t, g.y AS y, r.l AS lp,
+                   (r.p + 1.0) AS pp,
+                   (r.p + 1.0) / (r.p + 1.0 + 4.0) AS kk,
+                   r.sse + (g.y - r.l) * (g.y - r.l) AS sse
+            FROM rec r JOIN grid g ON g.k = r.k AND g.i = r.t + 1
+          ) q1
+        )
+        SELECT r.k AS event_type, np.n AS n_hours, r.l AS level,
+               r.p AS p_var,
+               round((r.p + 1.0) / (r.p + 1.0 + 4.0) + 1e-9, 6) AS gain,
+               round(sqrt(r.sse / (np.n - 1)) + 1e-9, 6) AS rmse_innov
+        FROM rec r JOIN nper np ON np.k = r.k
+        WHERE r.t = np.n - 1
+    """
+
     # seasonal Mann-Kendall: the mann_kendall oracle stratified by
     # hour-of-day; per-season var rounded (the shared tail's contract)
     # BEFORE the cross-season sums, exactly as the Spark composition
@@ -9731,6 +9789,29 @@ def oracle_sql() -> dict[str, str]:
     sql["m4_streamed"] = sql["m4_downsample"]
     # merged grid state + the shared mann_kendall_from_grid tail == batch
     sql["mann_kendall_streamed"] = sql["mann_kendall"]
+
+    # the dashboard composition: the join of six component oracles,
+    # column-for-column the Spark composition's projection
+    sql["series_health"] = f"""
+        WITH mk AS ({sql["mann_kendall"]}),
+             lb AS ({sql["ljung_box"]}),
+             hu AS ({sql["hurst_rs"]}),
+             vr AS ({sql["variance_ratio"]}),
+             ph AS ({sql["page_hinkley"]}),
+             cu AS ({sql["cusum_changepoint"]})
+        SELECT mk.user_id, mk.n, mk.z AS trend_z, mk.trend,
+               lb.q_stat AS lb_q,
+               lb.reject_white_noise AS autocorrelated,
+               hu.hurst, vr.vr, vr.random_walk,
+               ph.drift AS level_drift, ph.first_breach,
+               cu.cp_pos
+        FROM mk
+        LEFT JOIN lb USING (user_id)
+        LEFT JOIN hu USING (user_id)
+        LEFT JOIN vr USING (user_id)
+        LEFT JOIN ph USING (user_id)
+        LEFT JOIN cu USING (user_id)
+    """
 
     sql["conversion_latency"] = f"""
         WITH e AS (

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 __all__ = ["cohort_retention", "hampel_outliers", "skew_report",
            "json_field_stats", "value_histogram",
            "rollup_summary", "pivot_counts", "histogram_quantiles",
-           "benford_screen", "activity_tail_index"]
+           "benford_screen", "activity_tail_index", "series_health"]
 
 
 def _r(col, digits: int = 6):
@@ -618,3 +618,52 @@ def activity_tail_index(
             "n_events",
         )
     )
+
+
+def series_health(
+    df,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+):
+    """The per-series monitoring DASHBOARD row: one wide relation
+    stitching the diagnostics family into a single readout per actor —
+    trend call (Mann-Kendall), whiteness (Ljung-Box), long memory
+    (R/S Hurst), random-walk consistency (variance ratio), level drift
+    (Page-Hinkley, with the first breach time), and changepoint
+    location (CUSUM). Every column is the output of an independently
+    oracled operator; this composition is the "what does the fleet
+    look like" query an operator runs hourly.
+
+    Plan shape: each diagnostic is one scan + its own (bounded)
+    relation, joined on the series key at actor cardinality — the
+    joins are grid-sized, never event-sized. A deployment that wants
+    one-scan economics computes the family from the shared hourly grid
+    state (see streaming/stream.grid_batch_fn — mann_kendall, hurst,
+    and the slope family already share that sufficient statistic).
+    """
+    from .drift import page_hinkley
+    from .longmem import hurst_rs, variance_ratio
+    from .trend import mann_kendall
+    from .tsstats import cusum_changepoint, ljung_box
+
+    k = key_col
+    kw = dict(ts_col=ts_col, value_col=value_col)
+    mk = mann_kendall(df, key_cols=(k,), **kw).select(
+        k, "n", F.col("z").alias("trend_z"), "trend")
+    lb = ljung_box(df, key_col=k, tiebreak_col=tiebreak_col, **kw).select(
+        k, F.col("q_stat").alias("lb_q"),
+        F.col("reject_white_noise").alias("autocorrelated"))
+    hu = hurst_rs(df, key_cols=(k,), **kw).select(k, "hurst")
+    vr = variance_ratio(df, key_cols=(k,), **kw).select(
+        k, "vr", "random_walk")
+    ph = page_hinkley(df, key_col=k, tiebreak_col=tiebreak_col, **kw).select(
+        k, F.col("drift").alias("level_drift"), "first_breach")
+    cu = cusum_changepoint(df, key_col=k, tiebreak_col=tiebreak_col,
+                           value_col=value_col, ts_col=ts_col).select(
+        k, "cp_pos")
+    out = mk
+    for piece in (lb, hu, vr, ph, cu):
+        out = out.join(piece, k, "left")
+    return out

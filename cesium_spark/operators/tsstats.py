@@ -31,7 +31,7 @@ __all__ = [
     "hourly_peaks", "seasonal_anomalies", "type_entropy", "decorrelation_lag",
     "seasonal_naive_backtest", "leadlag_xcorr", "holt_linear", "ar1_fit",
     "seasonal_strength", "peak_rate", "binseg_changepoints", "ljung_box",
-    "holt_winters", "spearman_types",
+    "holt_winters", "spearman_types", "kalman_level",
 ]
 
 
@@ -1244,6 +1244,80 @@ def holt_winters(
           + F.element_at(st["s"], ((n - 1) % m + 1).cast("int")))
         .alias("forecast_24h"),
         r(F.sqrt(st["sse"] / (n - m))).alias("rmse_1step"),
+    )
+
+
+def kalman_level(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    q_var: float = 1.0,
+    r_var: float = 4.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Kalman filter for the local-level model per series on the
+    zero-filled hourly count grid — the ADAPTIVE-gain member of the
+    smoothing family (ewma_level and holt_linear use fixed gains; the
+    Kalman gain k_t = (p+q)/(p+q+r) starts high while the level is
+    uncertain and settles to the steady state, so level estimates
+    recover faster after gaps and shifts):
+
+        predict: p_t|t-1 = p_{t-1} + q
+        gain:    k_t = p_t|t-1 / (p_t|t-1 + r)
+        update:  l_t = l_{t-1} + k_t (y_t - l_{t-1})
+                 p_t = (1 - k_t) p_t|t-1
+
+    initialized l_1 = y_1, p_1 = r (one observation's worth of
+    uncertainty) and iterated from t = 2, with the innovation SSE
+    accumulated against the pre-update level. (l, p) are rounded each
+    step (the holt fixed-point discipline) so a DuckDB recursive CTE
+    replays the filter hash-exactly.
+
+    Same scale shape as holt_linear: a JVM `aggregate` fold over the
+    per-key ordered array, bounded by the series time span; no Python.
+    Series with fewer than 2 grid hours emit nothing. Returns
+    (key, n_hours, level, p_var, gain, rmse_innov).
+    """
+    from .symbolic import hourly_count_grid
+
+    qv, rv = float(q_var), float(r_var)
+    rd = round_digits
+    g = hourly_count_grid(df, key_col, ts_col)
+    ser = (
+        g.groupBy(F.col("_k").alias(key_col))
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("_i", "_y"))),
+            lambda s: s["_y"],
+        ).alias("_ys"))
+        .where(F.size("_ys") >= 2)
+    )
+
+    def step(acc, y):
+        pp = acc["p"] + F.lit(qv)
+        k = pp / (pp + F.lit(rv))
+        l2 = F.round(acc["l"] + k * (y - acc["l"]) + F.lit(1e-9), rd)
+        p2 = F.round((F.lit(1.0) - k) * pp + F.lit(1e-9), rd)
+        return F.struct(
+            l2.alias("l"), p2.alias("p"),
+            (acc["sse"] + (y - acc["l"]) * (y - acc["l"])).alias("sse"),
+        )
+
+    init = F.struct(
+        F.element_at("_ys", 1).alias("l"),
+        F.lit(rv).alias("p"),
+        F.lit(0.0).alias("sse"),
+    )
+    st = F.aggregate(F.slice("_ys", 2, F.size("_ys") - 1), init, step)
+    n = F.size("_ys")
+    r = lambda c: _r6(c, rd)  # noqa: E731
+    pp_fin = st["p"] + F.lit(qv)
+    return ser.select(
+        key_col,
+        n.cast("long").alias("n_hours"),
+        st["l"].alias("level"),
+        st["p"].alias("p_var"),
+        r(pp_fin / (pp_fin + F.lit(rv))).alias("gain"),
+        r(F.sqrt(st["sse"] / (n - 1))).alias("rmse_innov"),
     )
 
 

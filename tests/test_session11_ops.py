@@ -637,3 +637,89 @@ def test_embedding_drift_planted_dimension(spark):
     for p in (0, 1, 3):
         assert abs(out[p]["smd"]) < 0.5             # others near zero
     assert out[2]["n_ref"] + out[2]["n_cur"] == 600
+
+
+# ----------------------------------------------------- Kalman level
+
+
+def test_kalman_level_matches_python_filter(spark):
+    from cesium_spark.operators.tsstats import kalman_level
+
+    rng = np.random.RandomState(31)
+    counts = [max(0, int(10 + (5 if i >= 30 else 0) + rng.randint(-2, 3)))
+              for i in range(60)]
+    rows = []
+    eid = 0
+    for i, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((1, eid, "view", float(3600 * i), 1.0)); eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, event_type string, sec double, "
+        "value double",
+    ).select("user_id", "event_id", "event_type",
+             F.timestamp_seconds("sec").alias("ts"), "value")
+    row = kalman_level(df).collect()[0]
+
+    y = [float(c) for c in counts]
+    first = next(i for i, v in enumerate(y) if v > 0)
+    last = max(i for i, v in enumerate(y) if v > 0)
+    y = y[first:last + 1]
+    l, p, sse = y[0], 4.0, 0.0
+    for v in y[1:]:
+        pp = p + 1.0
+        k = pp / (pp + 4.0)
+        sse += (v - l) * (v - l)
+        l = _r6(l + k * (v - l))
+        p = _r6((1.0 - k) * pp)
+    assert row["n_hours"] == len(y)
+    assert abs(row["level"] - l) < 1e-9
+    assert abs(row["p_var"] - p) < 1e-9
+    pp = p + 1.0
+    assert abs(row["gain"] - _r6(pp / (pp + 4.0))) < 1e-9
+    assert abs(row["rmse_innov"] - _r6(math.sqrt(sse / (len(y) - 1)))) < 1e-9
+    # steady-state gain of the local-level model: k solves
+    # k = (p+q)/(p+q+r) with p = (1-k)(p+q); for q=1, r=4 -> ~0.390
+    assert abs(row["gain"] - 0.390388) < 0.01
+    # adaptive level tracked the +5 shift upward
+    assert row["level"] > 12.0
+
+
+def test_kalman_gain_settles_from_above(spark):
+    """First-step gain (p0=r -> k=(r+q)/(r+q+r) ~ 0.556) exceeds the
+    steady state (~0.390): the adaptive property that distinguishes the
+    filter from fixed-alpha EWMA."""
+    k0 = (4.0 + 1.0) / (4.0 + 1.0 + 4.0)
+    assert k0 > 0.39
+
+
+# ---------------------------------------------------- series health
+
+
+def test_series_health_composes_components(spark):
+    from cesium_spark.operators.analytics import series_health
+    from cesium_spark.operators.drift import page_hinkley
+    from cesium_spark.operators.trend import mann_kendall
+
+    rng = np.random.RandomState(41)
+    # trending + shifting actor vs flat actor
+    y1 = [50.0 + i + float(rng.randn()) for i in range(80)]
+    y2 = [10.0 + (0.5 if i % 2 else -0.5) for i in range(80)]
+    rows = [(1, 3600 * i, v) for i, v in enumerate(y1)]
+    rows += [(2, 3600 * i, v) for i, v in enumerate(y2)]
+    ev = _events(spark, rows)
+    out = {r["user_id"]: r for r in series_health(ev).collect()}
+    assert set(out) == {1, 2}
+    cols = set(series_health(ev).columns)
+    assert cols == {"user_id", "n", "trend_z", "trend", "lb_q",
+                    "autocorrelated", "hurst", "vr", "random_walk",
+                    "level_drift", "first_breach", "cp_pos"}
+    # columns equal the standalone operators' values
+    mk = {r["user_id"]: r for r in mann_kendall(ev).collect()}
+    ph = {r["user_id"]: r for r in page_hinkley(ev).collect()}
+    for uid in (1, 2):
+        assert out[uid]["trend"] == mk[uid]["trend"]
+        assert out[uid]["trend_z"] == mk[uid]["z"]
+        assert out[uid]["level_drift"] == ph[uid]["drift"]
+    assert out[1]["trend"] == "increasing" and out[1]["level_drift"] is True
+    assert out[2]["trend"] == "none" and out[2]["level_drift"] is False
