@@ -3333,6 +3333,20 @@ def _ddsketch_readout(ev, buckets):
     )
 
 
+def q_pacf_lags(spark, sf_dir):
+    """Partial autocorrelation per actor at lags 1..5 via the unrolled
+    Durbin-Levinson recursion over the rounded acf_lags surface — the
+    other half of the Box-Jenkins identification pair (PACF cuts off
+    at p for an AR(p)). The recursion runs over LAGS, so it unrolls to
+    closed-form columns; one Python loop generates both the Spark
+    expressions and the oracle's chained CTEs, so the float structure
+    is identical by construction, and every phi at every level is
+    rounded (fixed-point discipline)."""
+    from cesium_spark.operators.tsstats import pacf_lags
+
+    return pacf_lags(_events(spark, sf_dir), max_lag=5)
+
+
 def q_kalman_level(spark, sf_dir):
     """Kalman local-level filter per event type on the hourly count
     grid — the ADAPTIVE-gain member of the smoothing family (ewma/holt
@@ -4261,6 +4275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 50-slot cap and was never driver-checked).
     return {
         # --- round 6, session-11 batch ---
+        "pacf_lags": q_pacf_lags,
         "kalman_level": q_kalman_level,
         "series_health": q_series_health,
         "page_hinkley": q_page_hinkley,
@@ -6751,6 +6766,52 @@ def oracle_sql() -> dict[str, str]:
                END AS reject_white_noise
         FROM per
     """
+
+    # PACF: the Durbin-Levinson unroll — ONE Python loop emits the
+    # chained CTEs, mirroring the loop that builds the Spark columns,
+    # so the float expression structure matches by construction
+    _pacf_max = 5
+    _pacf_parts = [
+        "wide AS (SELECT user_id, "
+        + ", ".join(f"max(CASE WHEN lag = {L} THEN acf END) AS r{L}"
+                    for L in range(1, _pacf_max + 1))
+        + " FROM a GROUP BY user_id)"
+    ]
+    _prev = {}
+    _cur = "wide"
+    _ci = 0
+    for _k in range(1, _pacf_max + 1):
+        if _k == 1:
+            _expr = "round(r1 + 1e-9, 6)"
+        else:
+            _num = f"r{_k}" + "".join(
+                f" - {_prev[_j]} * r{_k - _j}" for _j in range(1, _k))
+            _den = "1.0" + "".join(
+                f" - {_prev[_j]} * r{_j}" for _j in range(1, _k))
+            _expr = (f"CASE WHEN abs({_den}) > 0 "
+                     f"THEN round(({_num}) / ({_den}) + 1e-9, 6) END")
+        _ci += 1
+        _pacf_parts.append(
+            f"k{_ci} AS (SELECT *, {_expr} AS p_{_k}_{_k} FROM {_cur})")
+        _cur = f"k{_ci}"
+        _newprev = {_k: f"p_{_k}_{_k}"}
+        for _j in range(1, _k):
+            _ci += 1
+            _pacf_parts.append(
+                f"k{_ci} AS (SELECT *, round({_prev[_j]} - p_{_k}_{_k} * "
+                f"{_prev[_k - _j]} + 1e-9, 6) AS p_{_k}_{_j} FROM {_cur})")
+            _cur = f"k{_ci}"
+            _newprev[_j] = f"p_{_k}_{_j}"
+        _prev = _newprev
+    sql["pacf_lags"] = (
+        f'WITH a AS ({sql["acf_lags"]}),\n'
+        + ",\n".join(_pacf_parts)
+        + f"""
+        SELECT user_id,
+               CAST(unnest([{", ".join(str(L) for L in range(1, _pacf_max + 1))}]) AS INT) AS lag,
+               unnest([{", ".join(f"p_{L}_{L}" for L in range(1, _pacf_max + 1))}]) AS pacf
+        FROM {_cur}
+    """)
 
     # R/S Hurst: identical decomposition to operators/longmem.py —
     # ordered prefix sum pins the cumdev addition order, block variance

@@ -1247,6 +1247,70 @@ def holt_winters(
     )
 
 
+def pacf_lags(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    max_lag: int = 5,
+) -> DataFrame:
+    """Partial autocorrelation function per series at lags 1..max_lag
+    via the Durbin-Levinson recursion over the sample ACF — the other
+    half of the Box-Jenkins identification pair (ACF tails off / PACF
+    cuts off at p for an AR(p) process).
+
+    The recursion runs over LAGS, not time, so for a fixed max_lag it
+    unrolls into closed-form column expressions — no fold, no window
+    beyond what acf_lags already does, and the unrolled expressions
+    are generated by ONE Python loop for both engines (the oracle
+    interpolates the same strings), so the float structure is
+    identical by construction. Every phi at every level is rounded at
+    6 (the fixed-point discipline), making each level's inputs
+    bit-identical across engines. A level with a NULL acf or a zero
+    denominator yields NULL from that lag on.
+
+    Returns (key, lag, pacf).
+    """
+    a = acf_lags(df, key_col=key_col, ts_col=ts_col, value_col=value_col,
+                 tiebreak_col=tiebreak_col, max_lag=max_lag)
+    wide = a.groupBy(key_col).pivot("lag", list(range(1, max_lag + 1))).agg(
+        F.first("acf"))
+    wide = wide.select(
+        key_col, *[F.col(str(L)).alias(f"_r{L}") for L in range(1, max_lag + 1)])
+
+    # Durbin-Levinson, unrolled: phi[k][j] columns, each rounded at 6
+    r = {L: F.col(f"_r{L}") for L in range(1, max_lag + 1)}
+    phi_prev: dict[int, object] = {}
+    for k in range(1, max_lag + 1):
+        if k == 1:
+            phi_kk = _r6(r[1])
+        else:
+            num = r[k]
+            den = F.lit(1.0)
+            for j in range(1, k):
+                num = num - phi_prev[j] * r[k - j]
+                den = den - phi_prev[j] * r[j]
+            phi_kk = F.when(F.abs(den) > 0, _r6(num / den))
+        wide = wide.withColumn(f"_p{k}{k}", phi_kk)
+        new_phi = {k: F.col(f"_p{k}{k}")}
+        for j in range(1, k):
+            wide = wide.withColumn(
+                f"_p{k}{j}",
+                _r6(phi_prev[j] - F.col(f"_p{k}{k}") * phi_prev[k - j]))
+            new_phi[j] = F.col(f"_p{k}{j}")
+        phi_prev = new_phi
+    rows = F.array(*[
+        F.struct(F.lit(k).cast("int").alias("lag"),
+                 F.col(f"_p{k}{k}").alias("pacf"))
+        for k in range(1, max_lag + 1)
+    ])
+    return (
+        wide.select(key_col, F.explode(rows).alias("_x"))
+        .select(key_col, "_x.lag", "_x.pacf")
+    )
+
+
 def kalman_level(
     df: DataFrame,
     key_col: str = "event_type",

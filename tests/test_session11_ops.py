@@ -723,3 +723,66 @@ def test_series_health_composes_components(spark):
         assert out[uid]["level_drift"] == ph[uid]["drift"]
     assert out[1]["trend"] == "increasing" and out[1]["level_drift"] is True
     assert out[2]["trend"] == "none" and out[2]["level_drift"] is False
+
+
+# -------------------------------------------------------------- PACF
+
+
+def _ref_pacf(y, max_lag=5):
+    """Durbin-Levinson over the rounded sample ACF, with the per-level
+    rounding the operator applies."""
+    y = np.asarray(y, dtype=float)
+    n = len(y)
+    m = y.mean()
+    den = ((y - m) ** 2).sum()
+    r = {k: _r6(((y[:-k] - m) * (y[k:] - m)).sum() / den)
+         for k in range(1, max_lag + 1)}
+    prev = {}
+    out = {}
+    for k in range(1, max_lag + 1):
+        if k == 1:
+            pkk = _r6(r[1])
+        else:
+            num = r[k]
+            dd = 1.0
+            for j in range(1, k):
+                num -= prev[j] * r[k - j]
+                dd -= prev[j] * r[j]
+            pkk = _r6(num / dd) if abs(dd) > 0 else None
+        out[k] = pkk
+        new = {k: pkk}
+        for j in range(1, k):
+            new[j] = _r6(prev[j] - pkk * prev[k - j])
+        prev = new
+    return out
+
+
+def test_pacf_matches_durbin_levinson_reference(spark):
+    from cesium_spark.operators.tsstats import pacf_lags
+
+    rng = np.random.RandomState(13)
+    # AR(2) process with known coefficients
+    phi1, phi2 = 0.6, -0.3
+    y = [0.0, 0.0]
+    for _ in range(300):
+        y.append(phi1 * y[-1] + phi2 * y[-2] + rng.randn())
+    y = [round(v, 4) for v in y[2:]]
+    rows = [(1, 3600 * i, v) for i, v in enumerate(y)]
+    out = {r["lag"]: r["pacf"]
+           for r in pacf_lags(_events(spark, rows)).collect()}
+    ref = _ref_pacf(y)
+    for k in range(1, 6):
+        assert abs(out[k] - ref[k]) < 1e-9, k
+    # AR(2) signature: pacf significant at lags 1-2, cuts off after
+    assert abs(out[2] - phi2) < 0.15
+    for k in (3, 4, 5):
+        assert abs(out[k]) < 2.5 / math.sqrt(len(y))
+
+
+def test_pacf_null_propagation(spark):
+    from cesium_spark.operators.tsstats import pacf_lags
+
+    rows = [(1, 3600 * i, 5.0) for i in range(30)]   # constant -> NULL acf
+    out = {r["lag"]: r["pacf"]
+           for r in pacf_lags(_events(spark, rows)).collect()}
+    assert all(out[k] is None for k in range(1, 6))
