@@ -3333,6 +3333,26 @@ def _ddsketch_readout(ev, buckets):
     )
 
 
+def q_effective_sample_size(spark, sf_dir):
+    """Autocorrelation-adjusted effective sample size per actor:
+    ESS = n / (1 + 2 sum rho_k) over the initial positive acf sequence
+    (Geyer truncation within 5 lags) — the honest-standard-errors
+    readout composed on the rounded acf surface."""
+    from cesium_spark.operators.tsstats import effective_sample_size
+
+    return effective_sample_size(_events(spark, sf_dir))
+
+
+def q_model_id(spark, sf_dir):
+    """Box-Jenkins identification readout: largest significant PACF
+    lag suggests the AR order, largest significant ACF lag the MA
+    order, both at the +/-1.96/sqrt(n) band — composed on the rounded
+    acf/pacf surfaces, the band a pure function of integer n."""
+    from cesium_spark.operators.tsstats import model_id
+
+    return model_id(_events(spark, sf_dir))
+
+
 def q_pacf_lags(spark, sf_dir):
     """Partial autocorrelation per actor at lags 1..5 via the unrolled
     Durbin-Levinson recursion over the rounded acf_lags surface — the
@@ -4276,6 +4296,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round 6, session-11 batch ---
         "pacf_lags": q_pacf_lags,
+        "effective_sample_size": q_effective_sample_size,
+        "model_id": q_model_id,
         "kalman_level": q_kalman_level,
         "series_health": q_series_health,
         "page_hinkley": q_page_hinkley,
@@ -6812,6 +6834,75 @@ def oracle_sql() -> dict[str, str]:
                unnest([{", ".join(f"p_{L}_{L}" for L in range(1, _pacf_max + 1))}]) AS pacf
         FROM {_cur}
     """)
+
+    # ESS: pivoted acf terms summed in ascending-lag order, matching
+    # the Spark column chain term-for-term
+    sql["effective_sample_size"] = f"""
+        WITH a AS ({sql["acf_lags"]}),
+        per AS (
+          SELECT user_id,
+                 max(CASE WHEN n_pairs > 0 THEN n_pairs + lag END)::BIGINT
+                   AS n,
+                 min(CASE WHEN acf IS NULL OR acf <= 0 THEN lag END) AS stop,
+                 max(CASE WHEN lag = 1 THEN acf END) AS a1,
+                 max(CASE WHEN lag = 2 THEN acf END) AS a2,
+                 max(CASE WHEN lag = 3 THEN acf END) AS a3,
+                 max(CASE WHEN lag = 4 THEN acf END) AS a4,
+                 max(CASE WHEN lag = 5 THEN acf END) AS a5
+          FROM a GROUP BY 1
+        ),
+        c AS (SELECT *, coalesce(stop, 6) AS stp FROM per),
+        t AS (
+          SELECT *,
+                 1.0 + 2.0 * (
+                   (CASE WHEN 1 < stp THEN coalesce(a1, 0.0)
+                         ELSE 0.0 END)
+                   + (CASE WHEN 2 < stp THEN coalesce(a2, 0.0)
+                           ELSE 0.0 END)
+                   + (CASE WHEN 3 < stp THEN coalesce(a3, 0.0)
+                           ELSE 0.0 END)
+                   + (CASE WHEN 4 < stp THEN coalesce(a4, 0.0)
+                           ELSE 0.0 END)
+                   + (CASE WHEN 5 < stp THEN coalesce(a5, 0.0)
+                           ELSE 0.0 END)) AS tau_raw
+          FROM c
+        )
+        SELECT user_id, n, round(tau_raw + 1e-9, 6) AS tau,
+               CASE WHEN n IS NOT NULL
+                    THEN round(n / tau_raw + 1e-9, 6) END AS ess
+        FROM t
+    """
+
+    # model identification: significance band 1.96/sqrt(n) is a pure
+    # function of integer n; orders are max significant lags
+    sql["model_id"] = f"""
+        WITH a AS ({sql["acf_lags"]}),
+        p AS ({sql["pacf_lags"]}),
+        nr AS (
+          SELECT user_id,
+                 max(CASE WHEN n_pairs > 0 THEN n_pairs + lag END)::BIGINT
+                   AS n
+          FROM a GROUP BY 1
+        ),
+        ar AS (
+          SELECT p.user_id,
+                 max(CASE WHEN abs(p.pacf) > 1.96 / sqrt(nr.n)
+                          THEN p.lag END) AS aro
+          FROM p JOIN nr USING (user_id) GROUP BY 1
+        ),
+        ma AS (
+          SELECT a.user_id,
+                 max(CASE WHEN abs(a.acf) > 1.96 / sqrt(nr.n)
+                          THEN a.lag END) AS mao
+          FROM a JOIN nr USING (user_id) GROUP BY 1
+        )
+        SELECT nr.user_id, nr.n,
+               coalesce(ar.aro, 0)::INT AS ar_order,
+               coalesce(ma.mao, 0)::INT AS ma_order
+        FROM nr
+        LEFT JOIN ar USING (user_id)
+        LEFT JOIN ma USING (user_id)
+    """
 
     # R/S Hurst: identical decomposition to operators/longmem.py —
     # ordered prefix sum pins the cumdev addition order, block variance

@@ -31,7 +31,8 @@ __all__ = [
     "hourly_peaks", "seasonal_anomalies", "type_entropy", "decorrelation_lag",
     "seasonal_naive_backtest", "leadlag_xcorr", "holt_linear", "ar1_fit",
     "seasonal_strength", "peak_rate", "binseg_changepoints", "ljung_box",
-    "holt_winters", "spearman_types", "kalman_level",
+    "holt_winters", "spearman_types", "kalman_level", "pacf_lags",
+    "effective_sample_size", "model_id",
 ]
 
 
@@ -1308,6 +1309,99 @@ def pacf_lags(
     return (
         wide.select(key_col, F.explode(rows).alias("_x"))
         .select(key_col, "_x.lag", "_x.pacf")
+    )
+
+
+def effective_sample_size(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    max_lag: int = 5,
+) -> DataFrame:
+    """Autocorrelation-adjusted effective sample size per series:
+    ESS = n / tau with tau = 1 + 2 sum rho_k over the INITIAL POSITIVE
+    sequence (Geyer's truncation, simplified to the first non-positive
+    or undefined acf within max_lag) — the "how many independent
+    observations is this series really worth" readout that turns every
+    downstream standard error honest. A white series gets tau ~ 1
+    (ESS ~ n); a slow-moving one gets tau >> 1.
+
+    Composes acf_lags on its ROUNDED surface; the truncation lag and
+    the <= 5-term sum are identical in both engines. Returns
+    (key, n, tau, ess); a constant series (acf undefined everywhere)
+    truncates immediately -> tau = 1, ess = n, by convention.
+    """
+    a = acf_lags(df, key_col=key_col, ts_col=ts_col, value_col=value_col,
+                 tiebreak_col=tiebreak_col, max_lag=max_lag)
+    per = a.groupBy(key_col).agg(
+        F.max(F.when(F.col("n_pairs") > 0, F.col("n_pairs") + F.col("lag")))
+        .cast("long").alias("n"),
+        F.min(F.when(F.col("acf").isNull() | (F.col("acf") <= 0),
+                     F.col("lag"))).alias("_stop"),
+        *[F.sum(F.when(F.col("lag") == L, F.col("acf"))).alias(f"_a{L}")
+          for L in range(1, max_lag + 1)],
+    )
+    stop = F.coalesce(F.col("_stop"), F.lit(max_lag + 1))
+    srho = None
+    for L in range(1, max_lag + 1):
+        term = F.when(F.lit(L) < stop, F.coalesce(F.col(f"_a{L}"),
+                                                  F.lit(0.0))) \
+            .otherwise(F.lit(0.0))
+        srho = term if srho is None else srho + term
+    tau = F.lit(1.0) + F.lit(2.0) * srho
+    return per.select(
+        key_col, "n",
+        _r6(tau).alias("tau"),
+        F.when(F.col("n").isNotNull(), _r6(F.col("n") / tau)).alias("ess"),
+    )
+
+
+def model_id(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    max_lag: int = 5,
+) -> DataFrame:
+    """Box-Jenkins model-identification readout per series: the
+    largest lag with a significant PACF suggests the AR order (PACF
+    cuts off at p), the largest with a significant ACF suggests the MA
+    order (ACF cuts off at q); significance at the standard
+    +/- 1.96/sqrt(n) band. Composes the rounded acf/pacf surfaces;
+    the band is a pure function of integer n, so both engines compare
+    identical doubles. Returns (key, n, ar_order, ma_order) with 0
+    meaning "no significant structure within max_lag".
+    """
+    a = acf_lags(df, key_col=key_col, ts_col=ts_col, value_col=value_col,
+                 tiebreak_col=tiebreak_col, max_lag=max_lag)
+    p = pacf_lags(df, key_col=key_col, ts_col=ts_col, value_col=value_col,
+                  tiebreak_col=tiebreak_col, max_lag=max_lag)
+    n_rel = a.groupBy(key_col).agg(
+        F.max(F.when(F.col("n_pairs") > 0, F.col("n_pairs") + F.col("lag")))
+        .cast("long").alias("n"))
+    thr = F.lit(1.96) / F.sqrt(F.col("n"))
+    ar = (
+        p.join(n_rel, key_col)
+        .groupBy(key_col)
+        .agg(F.max(F.when(F.abs(F.col("pacf")) > thr, F.col("lag")))
+             .alias("_ar"))
+    )
+    ma = (
+        a.join(n_rel, key_col)
+        .groupBy(key_col)
+        .agg(F.max(F.when(F.abs(F.col("acf")) > thr, F.col("lag")))
+             .alias("_ma"))
+    )
+    return (
+        n_rel.join(ar, key_col, "left").join(ma, key_col, "left")
+        .select(key_col, "n",
+                F.coalesce(F.col("_ar"), F.lit(0)).cast("int")
+                .alias("ar_order"),
+                F.coalesce(F.col("_ma"), F.lit(0)).cast("int")
+                .alias("ma_order"))
     )
 
 

@@ -786,3 +786,57 @@ def test_pacf_null_propagation(spark):
     out = {r["lag"]: r["pacf"]
            for r in pacf_lags(_events(spark, rows)).collect()}
     assert all(out[k] is None for k in range(1, 6))
+
+
+# ------------------------------------------- ESS and model id
+
+
+def test_effective_sample_size_white_vs_persistent(spark):
+    from cesium_spark.operators.tsstats import effective_sample_size
+
+    rng = np.random.RandomState(7)
+    white = list(rng.randn(200).round(3) * 10 + 50)
+    slow = [50 + 30 * math.sin(i / 15.0) for i in range(200)]
+    const = [5.0] * 50
+    rows = [(1, 3600 * i, v) for i, v in enumerate(white)]
+    rows += [(2, 3600 * i, v) for i, v in enumerate(slow)]
+    rows += [(3, 3600 * i, v) for i, v in enumerate(const)]
+    out = {r["user_id"]: r
+           for r in effective_sample_size(_events(spark, rows)).collect()}
+    # white noise: tau near 1, ess near n
+    assert out[1]["ess"] > 0.7 * 200
+    # slow sine: strong positive acf -> tau >> 1, ess shrinks hard
+    assert out[2]["tau"] > 5.0 and out[2]["ess"] < 40
+    # constant: truncates immediately -> tau 1, ess = n by convention
+    assert abs(out[3]["tau"] - 1.0) < 1e-9
+    assert abs(out[3]["ess"] - 50.0) < 1e-9
+
+    # exact tau replica for the slow sine
+    y = np.asarray(slow)
+    m, den = y.mean(), ((y - y.mean()) ** 2).sum()
+    rho = [_r6(((y[:-k] - m) * (y[k:] - m)).sum() / den) for k in (1, 2, 3, 4, 5)]
+    stop = next((i + 1 for i, v in enumerate(rho) if v <= 0), 6)
+    tau = 1.0 + 2.0 * sum(rho[:stop - 1])
+    assert abs(out[2]["tau"] - _r6(tau)) < 1e-9
+
+
+def test_model_id_identifies_ar_process(spark):
+    from cesium_spark.operators.tsstats import model_id
+
+    rng = np.random.RandomState(19)
+    # AR(1) with strong phi: pacf significant at lag 1 only; acf decays
+    # geometrically so several lags stay significant
+    y = [0.0]
+    for _ in range(400):
+        y.append(0.7 * y[-1] + rng.randn())
+    y = [round(v, 4) for v in y[1:]]
+    rows = [(1, 3600 * i, v) for i, v in enumerate(y)]
+    row = model_id(_events(spark, rows)).collect()[0]
+    assert row["ar_order"] in (1, 2)     # pacf cut-off at 1 (noise may add 1)
+    assert row["ma_order"] >= 3          # slow acf decay
+    # white noise: both orders 0 most of the time -- use a constant
+    # series for the deterministic degenerate case instead
+    rows2 = [(2, 3600 * i, 3.0) for i in range(60)]
+    row2 = {r["user_id"]: r
+            for r in model_id(_events(spark, rows + rows2)).collect()}[2]
+    assert row2["ar_order"] == 0 and row2["ma_order"] == 0
