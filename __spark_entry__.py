@@ -3333,6 +3333,66 @@ def _ddsketch_readout(ev, buckets):
     )
 
 
+def q_holt_winters_streamed(spark, sf_dir):
+    """The LIVE Holt-Winters head end-to-end: two time-ordered parquet
+    micro-batches drain through the applyInPandasWithState forecaster
+    (hour folding + gap zero-fill + the 24-slot seasonal array in
+    state); the latest row per type must equal the BATCH holt_winters,
+    so the oracle is the same recursive-CTE SQL — a hash match proves
+    the buffered two-season init and the seasonal-slot updates replay
+    exactly across the batch boundary."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from cesium_spark.streaming.stream import streaming_holt_winters
+
+    ev = _events(spark, sf_dir).select("event_id", "ts", "event_type")
+    mid = ev.agg(F.expr("percentile(event_id, 0.5)")).collect()[0][0]
+    work = tempfile.mkdtemp(prefix="hw_stream_")
+    in_dir = f"{work}/in"
+    try:
+        ev.filter(F.col("event_id") <= mid).coalesce(1) \
+            .write.mode("overwrite").parquet(in_dir)
+        first_files = set(glob.glob(f"{in_dir}/*.parquet"))
+        ev.filter(F.col("event_id") > mid).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+        later = time.time() + 10
+        for f in set(glob.glob(f"{in_dir}/*.parquet")) - first_files:
+            os.utime(f, (later, later))
+        src = (
+            spark.readStream
+            .schema("event_id bigint, ts timestamp, event_type string")
+            .option("maxFilesPerTrigger", 1).parquet(in_dir)
+        )
+        q = (
+            streaming_holt_winters(src).writeStream
+            .format("parquet").option("path", f"{work}/out")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True).start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                raise TimeoutError("holt-winters stream did not drain")
+        finally:
+            q.stop()
+        emitted = spark.read.parquet(f"{work}/out")
+        return (
+            emitted.groupBy("event_type")
+            .agg(F.max(F.struct("n_events", "n_hours", "level", "trend",
+                                "seasonal_amplitude", "forecast_24h",
+                                "rmse_1step")).alias("s"))
+            .select("event_type", "s.n_hours", "s.level", "s.trend",
+                    "s.seasonal_amplitude", "s.forecast_24h",
+                    "s.rmse_1step")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_effective_sample_size(spark, sf_dir):
     """Autocorrelation-adjusted effective sample size per actor:
     ESS = n / (1 + 2 sum rho_k) over the initial positive acf sequence
@@ -4306,6 +4366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman_types": q_spearman_types,
         "split_divergence": q_split_divergence,
         "holt_winters": q_holt_winters,
+        "holt_winters_streamed": q_holt_winters_streamed,
         "seasonal_mann_kendall": q_seasonal_mann_kendall,
         "ljung_box": q_ljung_box,
         "hurst_rs": q_hurst_rs,
@@ -8696,6 +8757,9 @@ def oracle_sql() -> dict[str, str]:
         FROM rec r JOIN nper np ON np.k = r.k
         WHERE r.t = np.n - 1
     """
+
+    # the streamed HW head replays the batch fold exactly
+    sql["holt_winters_streamed"] = sql["holt_winters"]
 
     # seasonal Mann-Kendall: the mann_kendall oracle stratified by
     # hour-of-day; per-season var rounded (the shared tail's contract)

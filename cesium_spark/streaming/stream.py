@@ -2194,3 +2194,152 @@ def streaming_page_hinkley(
     return narrow.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", "NoTimeout"
     )
+
+
+def streaming_holt_winters(
+    stream_df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+    period: int = 24,
+    round_digits: int = 6,
+):
+    """LIVE Holt-Winters additive forecaster: the stateful streaming
+    twin of operators/tsstats.holt_winters. Extends the streaming_holt
+    head with the 24-slot SEASONAL VECTOR riding per-key state as an
+    array, plus the init buffer (the first 2*period committed grid
+    hours) — initialization in batch needs two full seasons, so the
+    stream buffers until the 2m-th hour commits, replays the batch
+    init + the fold over hours m..2m-1, and from then on folds each
+    committed hour directly. Hour bucketing, gap zero-fill, and the
+    provisional fold of the still-open hour all follow streaming_holt;
+    the per-step arithmetic (including the per-step rounding of l, b,
+    and the touched seasonal slot) is the batch fold's exact float
+    sequence, so the latest row per key equals `holt_winters` and the
+    oracle is shared. Keys with fewer than 2*period grid hours emit
+    nothing (matching batch).
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
+    )
+
+    HOUR_US = 3_600_000_000
+    m = int(period)
+    a1, a0 = float(alpha), round(1.0 - alpha, 12)
+    b1, b0 = float(beta), round(1.0 - beta, 12)
+    g1, g0 = float(gamma), round(1.0 - gamma, 12)
+
+    key_type = stream_df.schema[key_col].dataType
+    out_schema = StructType([
+        StructField(key_col, key_type),
+        StructField("n_events", LongType()),
+        StructField("n_hours", LongType()),
+        StructField("level", DoubleType()),
+        StructField("trend", DoubleType()),
+        StructField("seasonal_amplitude", DoubleType()),
+        StructField("forecast_24h", DoubleType()),
+        StructField("rmse_1step", DoubleType()),
+    ])
+    state_schema = StructType([
+        StructField("cur_hour_us", LongType()),
+        StructField("cur_cnt", LongType()),
+        StructField("n_hours", LongType()),
+        StructField("buf", ArrayType(DoubleType())),
+        StructField("l", DoubleType()),
+        StructField("b", DoubleType()),
+        StructField("s", ArrayType(DoubleType())),
+        StructField("sse", DoubleType()),
+        StructField("n_events", LongType()),
+    ])
+
+    def r6(v):
+        return round(v + 1e-9, round_digits)
+
+    def hw_step(l, b, s, sse, t, y):
+        """One recursion step at 0-based position t; returns fresh s."""
+        j = t % m
+        sold = s[j]
+        pred = l + b + sold
+        sse = sse + (y - pred) * (y - pred)
+        l2 = r6(a1 * (y - sold) + a0 * (l + b))
+        b2 = r6(b1 * (l2 - l) + b0 * b)
+        s = list(s)
+        s[j] = r6(g1 * (y - l - b) + g0 * sold)
+        return l2, b2, s, sse
+
+    def commit(st, y):
+        """Fold one completed grid hour; st = (n, buf, l, b, s, sse)."""
+        n, buf, l, b, s, sse = st
+        if n < 2 * m:
+            buf = list(buf) + [y]
+            n += 1
+            if n == 2 * m:
+                mean1 = sum(buf[:m]) / float(m)
+                mean2 = sum(buf[m:2 * m]) / float(m)
+                l = r6(mean1)
+                b = r6((mean2 - mean1) / m)
+                s = [r6(v - l) for v in buf[:m]]
+                sse = 0.0
+                for t in range(m, 2 * m):
+                    l, b, s, sse = hw_step(l, b, s, sse, t, buf[t])
+            return (n, buf, l, b, s, sse)
+        l, b, s, sse = hw_step(l, b, s, sse, n, y)
+        return (n + 1, buf, l, b, s, sse)
+
+    def fn(key, pdfs, state):
+        parts = [p for p in pdfs]
+        if not parts:
+            return
+        pdf = pd.concat(parts)
+        if len(pdf) == 0:
+            return
+        hours = (pdf["_ts_us"] // HOUR_US) * HOUR_US
+        counts = hours.value_counts().sort_index()
+
+        if state.exists:
+            (cur_hour, cur_cnt, n, buf, l, b, s, sse, n_events) = state.get
+            buf = list(buf) if buf is not None else []
+            s = list(s) if s is not None else []
+        else:
+            cur_hour, cur_cnt, n = None, 0, 0
+            buf, l, b, s, sse, n_events = [], 0.0, 0.0, [], 0.0, 0
+
+        st = (n, buf, l, b, s, sse)
+        for h, c in counts.items():
+            h = int(h)
+            if cur_hour is None:
+                cur_hour, cur_cnt = h, int(c)
+                continue
+            if h == cur_hour:
+                cur_cnt += int(c)
+                continue
+            st = commit(st, float(cur_cnt))
+            for _ in range((h - cur_hour) // HOUR_US - 1):
+                st = commit(st, 0.0)
+            cur_hour, cur_cnt = h, int(c)
+        n_events += len(pdf)
+        n, buf, l, b, s, sse = st
+        state.update((cur_hour, cur_cnt, n, buf, l, b, s, sse, n_events))
+
+        pn, _, pl, pb, ps, psse = commit(st, float(cur_cnt))
+        if pn >= 2 * m:
+            yield pd.DataFrame({
+                key_col: [key[0]],
+                "n_events": [n_events],
+                "n_hours": [pn],
+                "level": [pl],
+                "trend": [pb],
+                "seasonal_amplitude": [r6(max(ps) - min(ps))],
+                "forecast_24h": [r6(pl + float(m) * pb
+                                    + ps[(pn - 1) % m])],
+                "rmse_1step": [r6((psse / (pn - m)) ** 0.5)],
+            })
+
+    narrow = stream_df.select(
+        F.col(key_col), ts_micros(F.col(ts_col)).alias("_ts_us"))
+    return narrow.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "NoTimeout"
+    )

@@ -840,3 +840,76 @@ def test_model_id_identifies_ar_process(spark):
     row2 = {r["user_id"]: r
             for r in model_id(_events(spark, rows + rows2)).collect()}[2]
     assert row2["ar_order"] == 0 and row2["ma_order"] == 0
+
+
+# --------------------------------------- streaming Holt-Winters
+
+
+def test_streaming_holt_winters_equals_batch(spark, tmp_path):
+    """Three micro-batches whose boundaries split both the init buffer
+    and an open hour: latest row per key must equal batch
+    holt_winters (the init spans batches 1-2, recursion spans 2-3)."""
+    import glob
+    import os
+    import time
+
+    from cesium_spark.operators.tsstats import holt_winters
+    from cesium_spark.streaming.stream import streaming_holt_winters
+
+    rng = np.random.RandomState(43)
+    n_hours = 24 * 4
+    counts = [max(1, int(6 + 4 * math.sin(2 * math.pi * (i % 24) / 24)
+                         + rng.randint(0, 3))) for i in range(n_hours)]
+    rows = []
+    eid = 0
+    for i, c in enumerate(counts):
+        for k in range(c):
+            rows.append((eid, float(3600 * i + 60 * k), "view"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, sec double, event_type string"
+    ).select("event_id", F.timestamp_seconds("sec").alias("ts"),
+             "event_type")
+
+    in_dir = str(tmp_path / "in")
+    n = ev.count()
+    prev = set()
+    # split INSIDE hour 30 and INSIDE hour 70 (mid-init, mid-recursion)
+    cut1 = sum(counts[:30]) + counts[30] // 2
+    cut2 = sum(counts[:70]) + counts[70] // 2
+    for lo, hi in ((0, cut1), (cut1, cut2), (cut2, n + 1)):
+        ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi)) \
+            .coalesce(1).write.mode("append").parquet(in_dir)
+        newf = set(glob.glob(f"{in_dir}/*.parquet")) - prev
+        later = time.time() + 10 * (len(prev) + 1)
+        for f in newf:
+            os.utime(f, (later, later))
+        prev |= newf
+    src = (
+        spark.readStream
+        .schema("event_id bigint, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1).parquet(in_dir)
+    )
+    q = (
+        streaming_holt_winters(src).writeStream
+        .format("parquet").option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(300)
+    emitted = spark.read.parquet(str(tmp_path / "out"))
+    latest = (
+        emitted.groupBy("event_type")
+        .agg(F.max(F.struct("n_events", "n_hours", "level", "trend",
+                            "seasonal_amplitude", "forecast_24h",
+                            "rmse_1step")).alias("s"))
+        .select("event_type", "s.n_hours", "s.level", "s.trend",
+                "s.seasonal_amplitude", "s.forecast_24h", "s.rmse_1step")
+        .toPandas().reset_index(drop=True)
+    )
+    batch = holt_winters(
+        ev.withColumn("user_id", F.lit(1)).withColumn(
+            "value", F.lit(1.0))).toPandas().reset_index(drop=True)
+    assert latest.equals(batch)
+    # three batches must each have emitted once the init completed
+    assert emitted.count() >= 2
