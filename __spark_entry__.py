@@ -3333,6 +3333,17 @@ def _ddsketch_readout(ev, buckets):
     )
 
 
+def q_lateness_profile(spark, sf_dir):
+    """Out-of-orderness profile per event type: fraction of late
+    events (event time behind the running max over arrival order) and
+    lateness quantiles in exact integer microseconds — p99 lateness IS
+    the withWatermark recommendation every streaming head here needs.
+    One sort-shuffle + a partial-aggregable groupBy."""
+    from cesium_spark.operators.lateness import lateness_profile
+
+    return lateness_profile(_events(spark, sf_dir))
+
+
 def q_holt_winters_streamed(spark, sf_dir):
     """The LIVE Holt-Winters head end-to-end: two time-ordered parquet
     micro-batches drain through the applyInPandasWithState forecaster
@@ -4367,6 +4378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_divergence": q_split_divergence,
         "holt_winters": q_holt_winters,
         "holt_winters_streamed": q_holt_winters_streamed,
+        "lateness_profile": q_lateness_profile,
         "seasonal_mann_kendall": q_seasonal_mann_kendall,
         "ljung_box": q_ljung_box,
         "hurst_rs": q_hurst_rs,
@@ -8756,6 +8768,36 @@ def oracle_sql() -> dict[str, str]:
                round(sqrt(r.sse / (np.n - 1)) + 1e-9, 6) AS rmse_innov
         FROM rec r JOIN nper np ON np.k = r.k
         WHERE r.t = np.n - 1
+    """
+
+    # lateness: running event-time max over arrival order, exact
+    # integer microseconds, shared quantile_cont interpolation
+    sql["lateness_profile"] = """
+        WITH b AS (
+          SELECT event_type,
+                 greatest(coalesce(
+                   max(epoch_us(ts)) OVER (PARTITION BY event_type
+                                           ORDER BY event_id
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING)
+                   - epoch_us(ts), 0), 0) AS late_us
+          FROM events
+        ),
+        per AS (
+          SELECT event_type, count(*)::BIGINT AS n,
+                 count(CASE WHEN late_us > 0 THEN 1 END)::BIGINT AS n_late,
+                 quantile_cont(CASE WHEN late_us > 0 THEN late_us END,
+                               [0.5, 0.95, 0.99]) AS q,
+                 max(CASE WHEN late_us > 0 THEN late_us END) AS max_us
+          FROM b GROUP BY 1
+        )
+        SELECT event_type, n, n_late,
+               round(n_late / n::DOUBLE + 1e-9, 6) AS frac_late,
+               round(q[1] / 1e6 + 1e-9, 6) AS p50_late_s,
+               round(q[2] / 1e6 + 1e-9, 6) AS p95_late_s,
+               round(q[3] / 1e6 + 1e-9, 6) AS p99_late_s,
+               round(max_us / 1e6 + 1e-9, 6) AS max_late_s
+        FROM per
     """
 
     # the streamed HW head replays the batch fold exactly

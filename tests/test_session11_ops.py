@@ -913,3 +913,33 @@ def test_streaming_holt_winters_equals_batch(spark, tmp_path):
     assert latest.equals(batch)
     # three batches must each have emitted once the init completed
     assert emitted.count() >= 2
+
+
+# ---------------------------------------------- lateness profile
+
+
+def test_lateness_profile_hand_case(spark):
+    from cesium_spark.operators.lateness import lateness_profile
+
+    # arrival order 0..5; event times: 0h, 2h, 1h (late 1h), 3h,
+    # 2.5h (late .5h), 4h
+    secs = [0, 7200, 3600, 10800, 9000, 14400]
+    rows = [(i, float(s)) for i, s in enumerate(secs)]
+    df = spark.createDataFrame(
+        rows, "event_id long, sec double"
+    ).select("event_id", F.timestamp_seconds("sec").alias("ts"),
+             F.lit("view").alias("event_type"))
+    row = lateness_profile(df).collect()[0]
+    assert row["n"] == 6 and row["n_late"] == 2
+    assert abs(row["frac_late"] - _r6(2 / 6.0)) < 1e-9
+    # late values: 3600s and 1800s
+    assert abs(row["max_late_s"] - 3600.0) < 1e-9
+    assert abs(row["p50_late_s"] - 2700.0) < 1e-9  # interpolated median
+    # fully in-order stream -> zero late, NULL quantiles
+    df2 = spark.createDataFrame(
+        [(i, float(3600 * i)) for i in range(10)], "event_id long, sec double"
+    ).select("event_id", F.timestamp_seconds("sec").alias("ts"),
+             F.lit("x").alias("event_type"))
+    r2 = lateness_profile(df2).collect()[0]
+    assert r2["n_late"] == 0 and r2["frac_late"] == 0.0
+    assert r2["p99_late_s"] is None and r2["max_late_s"] is None
