@@ -3333,6 +3333,17 @@ def _ddsketch_readout(ev, buckets):
     )
 
 
+def q_seasonal_naive_interval(spark, sf_dir):
+    """Conformal-style prediction interval for the seasonal-naive
+    forecaster: next-hour point forecast +/- the empirical 90%
+    quantile of in-sample absolute seasonal residuals, with measured
+    in-sample coverage — the distribution-free calibration step on top
+    of seasonal_backtest's point scores."""
+    from cesium_spark.operators.tsstats import seasonal_naive_interval
+
+    return seasonal_naive_interval(_events(spark, sf_dir))
+
+
 def q_lateness_profile(spark, sf_dir):
     """Out-of-orderness profile per event type: fraction of late
     events (event time behind the running max over arrival order) and
@@ -4379,6 +4390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_winters": q_holt_winters,
         "holt_winters_streamed": q_holt_winters_streamed,
         "lateness_profile": q_lateness_profile,
+        "seasonal_naive_interval": q_seasonal_naive_interval,
         "seasonal_mann_kendall": q_seasonal_mann_kendall,
         "ljung_box": q_ljung_box,
         "hurst_rs": q_hurst_rs,
@@ -8768,6 +8780,50 @@ def oracle_sql() -> dict[str, str]:
                round(sqrt(r.sse / (np.n - 1)) + 1e-9, 6) AS rmse_innov
         FROM rec r JOIN nper np ON np.k = r.k
         WHERE r.t = np.n - 1
+    """
+
+    # conformal seasonal-naive interval over the hourly grid
+    sql["seasonal_naive_interval"] = f"""
+        WITH {hourly_grid_cte},
+        lagged AS (
+          SELECT k, i, y,
+                 y - lag(y, 24) OVER (PARTITION BY k ORDER BY i) AS r
+          FROM grid
+        ),
+        per AS (
+          SELECT k, count(*)::BIGINT AS n_hours,
+                 count(r)::BIGINT AS n_resid,
+                 round(quantile_cont(abs(r), 0.9) + 1e-9, 6) AS q_abs_err
+          FROM lagged GROUP BY 1
+        ),
+        fc AS (
+          SELECT per.k, lagged.y AS f
+          FROM per JOIN lagged
+            ON lagged.k = per.k AND lagged.i = per.n_hours - 24
+        ),
+        cov AS (
+          SELECT k, CASE WHEN nr > 0 THEN inn / nr::DOUBLE END AS c
+          FROM (
+            SELECT lagged.k,
+                   count(CASE WHEN abs(lagged.r) <= per.q_abs_err
+                              THEN 1 END) AS inn,
+                   count(lagged.r) AS nr
+            FROM lagged JOIN per ON per.k = lagged.k
+            GROUP BY 1
+          )
+        )
+        SELECT per.k AS event_type, per.n_hours, per.n_resid,
+               CASE WHEN per.n_resid > 0 THEN fc.f END AS forecast_next,
+               CASE WHEN per.n_resid > 0
+                    THEN round(fc.f - per.q_abs_err + 1e-9, 6) END AS pi_lo,
+               CASE WHEN per.n_resid > 0
+                    THEN round(fc.f + per.q_abs_err + 1e-9, 6) END AS pi_hi,
+               CASE WHEN per.n_resid > 0 THEN per.q_abs_err END AS q_abs_err,
+               CASE WHEN per.n_resid > 0
+                    THEN round(cov.c + 1e-9, 6) END AS coverage
+        FROM per
+        LEFT JOIN fc ON fc.k = per.k
+        LEFT JOIN cov ON cov.k = per.k
     """
 
     # lateness: running event-time max over arrival order, exact

@@ -32,7 +32,7 @@ __all__ = [
     "seasonal_naive_backtest", "leadlag_xcorr", "holt_linear", "ar1_fit",
     "seasonal_strength", "peak_rate", "binseg_changepoints", "ljung_box",
     "holt_winters", "spearman_types", "kalman_level", "pacf_lags",
-    "effective_sample_size", "model_id",
+    "effective_sample_size", "model_id", "seasonal_naive_interval",
 ]
 
 
@@ -1402,6 +1402,80 @@ def model_id(
                 .alias("ar_order"),
                 F.coalesce(F.col("_ma"), F.lit(0)).cast("int")
                 .alias("ma_order"))
+    )
+
+
+def seasonal_naive_interval(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    season_hours: int = 24,
+    alpha: float = 0.9,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Split-conformal-style prediction interval for the seasonal-naive
+    forecaster, per series on the zero-filled hourly count grid: the
+    next-hour point forecast is y(T+1 - season), and the interval is
+    +/- the empirical `alpha`-quantile of the in-sample absolute
+    seasonal-naive residuals |y_t - y_{t-season}| — the
+    distribution-free calibration step (Vovk; the "conformal" recipe)
+    that turns seasonal_naive_backtest's point scores into an interval
+    with measured coverage.
+
+    Exact interpolated quantile over integer-valued residuals (Spark
+    `percentile` == DuckDB `quantile_cont`); coverage is the in-sample
+    fraction |r| <= q, compared on the ROUNDED q so both engines
+    include identical residuals. One sort-window for the seasonal lag,
+    grid-sized aggregates, one grid-sized join for the forecast source
+    row. Returns (key, n_hours, n_resid, forecast_next, pi_lo, pi_hi,
+    q_abs_err, coverage); NULL interval when no residuals exist.
+    """
+    from .symbolic import hourly_count_grid
+
+    m = int(season_hours)
+    g = hourly_count_grid(df, key_col, ts_col)
+    w = Window.partitionBy("_k").orderBy("_i")
+    lagged = g.select(
+        "_k", "_i", "_y",
+        (F.col("_y") - F.lag("_y", m).over(w)).alias("_r"),
+    )
+    q = F.expr(f"percentile(abs(_r), {float(alpha)!r})")
+    per = lagged.groupBy(F.col("_k").alias(key_col)).agg(
+        F.count("*").cast("long").alias("n_hours"),
+        F.count("_r").cast("long").alias("n_resid"),
+        _r6(q, round_digits).alias("q_abs_err"),
+    )
+    src = lagged.select(F.col("_k").alias("_sk"), F.col("_i").alias("_si"),
+                        F.col("_y").alias("_fc"))
+    joined = per.join(
+        src,
+        (F.col(key_col) == F.col("_sk"))
+        & (F.col("_si") == F.col("n_hours") - m),
+        "left",
+    ).select(key_col, "n_hours", "n_resid", "q_abs_err", "_fc")
+    # coverage on the rounded q: recompute against lagged in one more
+    # grid-sized aggregate
+    per_q = per.select(F.col(key_col).alias("_pk"),
+                       F.col("q_abs_err").alias("_q"))
+    cov = (
+        lagged.join(per_q, F.col("_k") == F.col("_pk"))
+        .groupBy(F.col("_k").alias("_ck"))
+        .agg(F.count(F.when(F.abs("_r") <= F.col("_q"), 1)).alias("_in"),
+             F.count("_r").alias("_nr"))
+        .select("_ck", F.when(F.col("_nr") > 0,
+                              F.col("_in") / F.col("_nr")).alias("_cov"))
+    )
+    out = joined.join(cov, F.col(key_col) == F.col("_ck"), "left")
+    ok = F.col("n_resid") > 0
+    return out.select(
+        key_col, "n_hours", "n_resid",
+        F.when(ok, F.col("_fc")).alias("forecast_next"),
+        F.when(ok, _r6(F.col("_fc") - F.col("q_abs_err"), round_digits))
+        .alias("pi_lo"),
+        F.when(ok, _r6(F.col("_fc") + F.col("q_abs_err"), round_digits))
+        .alias("pi_hi"),
+        F.when(ok, F.col("q_abs_err")).alias("q_abs_err"),
+        F.when(ok, _r6(F.col("_cov"), round_digits)).alias("coverage"),
     )
 
 

@@ -943,3 +943,83 @@ def test_lateness_profile_hand_case(spark):
     r2 = lateness_profile(df2).collect()[0]
     assert r2["n_late"] == 0 and r2["frac_late"] == 0.0
     assert r2["p99_late_s"] is None and r2["max_late_s"] is None
+
+
+# -------------------------------------- seasonal-naive interval
+
+
+def test_seasonal_naive_interval_calibration(spark):
+    from cesium_spark.operators.tsstats import seasonal_naive_interval
+
+    rng = np.random.RandomState(47)
+    n_hours = 24 * 8
+    counts = [max(1, int(10 + 6 * math.sin(2 * math.pi * (i % 24) / 24)
+                         + rng.randint(-2, 3))) for i in range(n_hours)]
+    rows = []
+    eid = 0
+    for i, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, float(3600 * i), "view")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, sec double, event_type string"
+    ).select("event_id", F.timestamp_seconds("sec").alias("ts"),
+             "event_type")
+    row = seasonal_naive_interval(df).collect()[0]
+    assert row["n_hours"] == n_hours
+    assert row["n_resid"] == n_hours - 24
+    # point forecast is last season's value for the next hour slot
+    assert abs(row["forecast_next"] - counts[n_hours - 24]) < 1e-9
+    assert abs(row["pi_hi"] - row["pi_lo"]
+               - _r6(2 * row["q_abs_err"])) < 1e-5
+    # conformal calibration: in-sample coverage ~ 90% (ties push it up)
+    assert 0.88 <= row["coverage"] <= 1.0
+    # residuals are small ints; the 90% quantile must bound most noise
+    assert row["q_abs_err"] <= 8.0
+
+
+def test_seasonal_naive_interval_short_series_null(spark):
+    from cesium_spark.operators.tsstats import seasonal_naive_interval
+
+    rows = [(i, float(3600 * i), "x") for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "event_id long, sec double, event_type string"
+    ).select("event_id", F.timestamp_seconds("sec").alias("ts"),
+             "event_type")
+    r = seasonal_naive_interval(df).collect()[0]
+    assert r["n_resid"] == 0
+    for c in ("forecast_next", "pi_lo", "pi_hi", "q_abs_err", "coverage"):
+        assert r[c] is None
+
+
+# -------------------------------------------- monitoring job
+
+
+def test_monitoring_job_end_to_end(spark, tmp_path):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from jobs.monitoring_job import main
+
+    rng = np.random.RandomState(53)
+    rows = []
+    eid = 0
+    for u in (1, 2, 3):
+        base = 20.0 * u
+        for i in range(120):
+            v = base + (i * 0.8 if u == 1 else 0.0) + float(rng.randn())
+            rows.append((eid, float(3600 * i + 7 * u), u,
+                         "view" if i % 3 else "purchase", v))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, sec double, user_id long, event_type string, "
+        "value double",
+    ).select("event_id", F.timestamp_seconds("sec").alias("ts"),
+             "user_id", "event_type", "value")
+    in_dir = str(tmp_path / "events")
+    ev.write.parquet(in_dir)
+    report = main(["--events", in_dir, "--out", str(tmp_path / "out")])
+    assert report["n_series"] == 3
+    assert report["n_trending"] >= 1          # actor 1 trends hard
+    assert report["n_lateness_rows"] == 2     # two event types
+    health = spark.read.parquet(str(tmp_path / "out" / "series_health"))
+    assert health.count() == 3
