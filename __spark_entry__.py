@@ -3333,6 +3333,36 @@ def _ddsketch_readout(ev, buckets):
     )
 
 
+def q_turning_points(spark, sf_dir):
+    """Kendall's turning-point randomness test per actor: strict local
+    extrema counted against the i.i.d. law E = 2(n-2)/3,
+    Var = (16n-29)/90 — a distribution-free whiteness check beside the
+    moment-based ljung_box. One sort-shuffle."""
+    from cesium_spark.operators.nonparam import turning_points
+
+    return turning_points(_events(spark, sf_dir))
+
+
+def q_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test on median crossings per actor
+    (median-equal points dropped, classical mean/variance): too few
+    runs = positive dependence, too many = negative. Exact interpolated
+    median; integer-product moments stay exact in doubles."""
+    from cesium_spark.operators.nonparam import runs_test
+
+    return runs_test(_events(spark, sf_dir))
+
+
+def q_record_stats(spark, sf_dir):
+    """Records test per actor: strict running-max/min record counts vs
+    the i.i.d. law (mean H_n, variance H_n - H2_n, both EXACT sums of
+    the series' own 1/k terms) — an upward trend is excess high records
+    with deficient lows, readable from ranks alone."""
+    from cesium_spark.operators.nonparam import record_stats
+
+    return record_stats(_events(spark, sf_dir))
+
+
 def q_seasonal_naive_interval(spark, sf_dir):
     """Conformal-style prediction interval for the seasonal-naive
     forecaster: next-hour point forecast +/- the empirical 90%
@@ -4391,6 +4421,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_winters_streamed": q_holt_winters_streamed,
         "lateness_profile": q_lateness_profile,
         "seasonal_naive_interval": q_seasonal_naive_interval,
+        "turning_points": q_turning_points,
+        "runs_test": q_runs_test,
+        "record_stats": q_record_stats,
         "seasonal_mann_kendall": q_seasonal_mann_kendall,
         "ljung_box": q_ljung_box,
         "hurst_rs": q_hurst_rs,
@@ -8780,6 +8813,146 @@ def oracle_sql() -> dict[str, str]:
                round(sqrt(r.sse / (np.n - 1)) + 1e-9, 6) AS rmse_innov
         FROM rec r JOIN nper np ON np.k = r.k
         WHERE r.t = np.n - 1
+    """
+
+    # nonparametric randomness family: identical strict-comparison
+    # and tie conventions; closed-form moments as exact integer
+    # products in doubles
+    sql["turning_points"] = """
+        WITH b AS (
+          SELECT user_id, value::DOUBLE AS x,
+                 lag(value::DOUBLE) OVER w AS p,
+                 lead(value::DOUBLE) OVER w AS q
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        per AS (
+          SELECT user_id, count(*)::BIGINT AS n,
+                 count(CASE WHEN p IS NOT NULL AND q IS NOT NULL
+                             AND ((x > p AND x > q) OR (x < p AND x < q))
+                       THEN 1 END)::BIGINT AS n_turning
+          FROM b GROUP BY 1
+        ),
+        zz AS (
+          SELECT *,
+                 CASE WHEN n >= 3 THEN
+                   round((n_turning - 2.0 * (n - 2) / 3.0)
+                         / sqrt((16.0 * n - 29) / 90.0) + 1e-9, 6)
+                 END AS z
+          FROM per
+        )
+        SELECT user_id, n, n_turning,
+               CASE WHEN n >= 3
+                    THEN round(2.0 * (n - 2) / 3.0 + 1e-9, 6)
+               END AS expected,
+               z,
+               CASE WHEN z IS NULL THEN 'insufficient'
+                    WHEN abs(z) > 1.96 THEN 'reject'
+                    ELSE 'consistent' END AS random
+        FROM zz
+    """
+
+    sql["runs_test"] = """
+        WITH med AS (
+          SELECT user_id, quantile_cont(value::DOUBLE, 0.5) AS med
+          FROM events GROUP BY 1
+        ),
+        f AS (
+          SELECT e.user_id, e.ts, e.event_id,
+                 CASE WHEN e.value::DOUBLE > m.med THEN 1
+                      WHEN e.value::DOUBLE < m.med THEN 0 END AS s
+          FROM events e JOIN med m USING (user_id)
+          WHERE e.value::DOUBLE <> m.med
+        ),
+        g AS (
+          SELECT user_id, s,
+                 (lag(s) OVER w IS NULL OR lag(s) OVER w <> s) AS new_run
+          FROM f
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        per0 AS (
+          SELECT user_id,
+                 count(CASE WHEN s = 1 THEN 1 END)::BIGINT AS n_above,
+                 count(CASE WHEN s = 0 THEN 1 END)::BIGINT AS n_below,
+                 count(CASE WHEN new_run THEN 1 END)::BIGINT AS n_runs
+          FROM g GROUP BY 1
+        ),
+        per AS (
+          SELECT med.user_id,
+                 coalesce(per0.n_above, 0)::BIGINT AS n_above,
+                 coalesce(per0.n_below, 0)::BIGINT AS n_below,
+                 coalesce(per0.n_runs, 0)::BIGINT AS n_runs
+          FROM med LEFT JOIN per0 USING (user_id)
+        ),
+        zz AS (
+          SELECT *,
+                 CASE WHEN n_above > 0 AND n_below > 0
+                       AND n_above + n_below > 1
+                       AND (2.0 * n_above * n_below
+                            * (2.0 * n_above * n_below
+                               - n_above - n_below)
+                            / ((n_above + n_below) * (n_above + n_below)
+                               * (n_above + n_below - 1))) > 0
+                 THEN round(
+                   (n_runs - (2.0 * n_above * n_below
+                              / (n_above + n_below) + 1))
+                   / sqrt(2.0 * n_above * n_below
+                          * (2.0 * n_above * n_below - n_above - n_below)
+                          / ((n_above + n_below) * (n_above + n_below)
+                             * (n_above + n_below - 1))) + 1e-9, 6)
+                 END AS z
+          FROM per
+        )
+        SELECT user_id, n_above, n_below, n_runs, z,
+               CASE WHEN z IS NULL THEN 'insufficient'
+                    WHEN abs(z) > 1.96 THEN 'reject'
+                    ELSE 'consistent' END AS random
+        FROM zz
+    """
+
+    sql["record_stats"] = """
+        WITH b AS (
+          SELECT user_id,
+                 coalesce(value::DOUBLE > max(value::DOUBLE) OVER wp,
+                          TRUE) AS hi,
+                 coalesce(value::DOUBLE < min(value::DOUBLE) OVER wp,
+                          TRUE) AS lo,
+                 1.0 / row_number() OVER w AS inv,
+                 1.0 / (CAST(row_number() OVER w AS DOUBLE)
+                        * row_number() OVER w) AS inv2
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+                 wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING)
+        ),
+        per AS (
+          SELECT user_id, count(*)::BIGINT AS n,
+                 count(CASE WHEN hi THEN 1 END)::BIGINT
+                   AS n_high_records,
+                 count(CASE WHEN lo THEN 1 END)::BIGINT
+                   AS n_low_records,
+                 sum(inv) AS hn, sum(inv2) AS h2n
+          FROM b GROUP BY 1
+        ),
+        zz AS (
+          SELECT *,
+                 CASE WHEN n >= 2 AND hn - h2n > 0 THEN
+                   round((n_high_records - hn) / sqrt(hn - h2n)
+                         + 1e-9, 6) END AS z_high,
+                 CASE WHEN n >= 2 AND hn - h2n > 0 THEN
+                   round((n_low_records - hn) / sqrt(hn - h2n)
+                         + 1e-9, 6) END AS z_low
+          FROM per
+        )
+        SELECT user_id, n, n_high_records, n_low_records,
+               CASE WHEN n >= 2 THEN round(hn + 1e-9, 6) END AS expected,
+               z_high, z_low,
+               CASE WHEN n < 2 THEN 'insufficient'
+                    WHEN z_high > 1.96 AND z_low < 1.96 THEN 'increasing'
+                    WHEN z_low > 1.96 AND z_high < 1.96 THEN 'decreasing'
+                    ELSE 'none' END AS trend
+        FROM zz
     """
 
     # conformal seasonal-naive interval over the hourly grid

@@ -1023,3 +1023,68 @@ def test_monitoring_job_end_to_end(spark, tmp_path):
     assert report["n_lateness_rows"] == 2     # two event types
     health = spark.read.parquet(str(tmp_path / "out" / "series_health"))
     assert health.count() == 3
+
+
+# ------------------------------------- nonparametric randomness
+
+
+def test_turning_points_hand_and_behavior(spark):
+    from cesium_spark.operators.nonparam import turning_points
+
+    # hand case: 1 5 2 2 4 1 -> strict TPs at 5 (peak) and first 4?
+    # neighbors of 4 are (2, 1): 4 > 2 and 4 > 1 -> peak; the 2,2 pair
+    # disqualifies both 2s (ties)
+    y = [1.0, 5.0, 2.0, 2.0, 4.0, 1.0]
+    rows = [(1, 3600 * i, v) for i, v in enumerate(y)]
+    row = turning_points(_events(spark, rows)).collect()[0]
+    assert row["n_turning"] == 2
+    assert abs(row["expected"] - _r6(2 * (6 - 2) / 3.0)) < 1e-9
+    # monotone series: zero turning points -> strongly rejected
+    mono = [(2, 3600 * i, float(i)) for i in range(60)]
+    # alternating: every interior point is a TP -> also rejected
+    alt = [(3, 3600 * i, (1.0 if i % 2 else -1.0)) for i in range(60)]
+    out = {r["user_id"]: r
+           for r in turning_points(_events(spark, rows + mono + alt))
+           .collect()}
+    assert out[2]["n_turning"] == 0 and out[2]["random"] == "reject"
+    assert out[3]["n_turning"] == 58 and out[3]["random"] == "reject"
+    assert out[3]["z"] > 0 and out[2]["z"] < 0
+
+
+def test_runs_test_dependence_directions(spark):
+    from cesium_spark.operators.nonparam import runs_test
+
+    # blocky (positively dependent): 30 lows then 30 highs -> 2 runs
+    blocky = [(1, 3600 * i, (0.0 if i < 30 else 10.0)) for i in range(60)]
+    # alternating (negatively dependent): max runs
+    alt = [(2, 3600 * i, (10.0 if i % 2 else 0.0)) for i in range(60)]
+    out = {r["user_id"]: r
+           for r in runs_test(_events(spark, blocky + alt)).collect()}
+    assert out[1]["n_runs"] == 2 and out[1]["z"] < -1.96
+    assert out[1]["random"] == "reject"
+    assert out[2]["n_runs"] == 60 and out[2]["z"] > 1.96
+    # constant series: everything equals the median -> insufficient
+    const = [(3, 3600 * i, 4.0) for i in range(20)]
+    r3 = {r["user_id"]: r
+          for r in runs_test(_events(spark, const)).collect()}[3]
+    assert r3["random"] == "insufficient" and r3["n_runs"] == 0
+
+
+def test_record_stats_trend_detection(spark):
+    from cesium_spark.operators.nonparam import record_stats
+
+    # strictly increasing: every point a high record, one low record
+    inc = [(1, 3600 * i, float(i)) for i in range(100)]
+    rng = np.random.RandomState(61)
+    noise = [(2, 3600 * i, float(v)) for i, v in
+             enumerate(rng.randn(100).round(3))]
+    out = {r["user_id"]: r
+           for r in record_stats(_events(spark, inc + noise)).collect()}
+    assert out[1]["n_high_records"] == 100
+    assert out[1]["n_low_records"] == 1
+    assert out[1]["trend"] == "increasing"
+    hn = sum(1.0 / k for k in range(1, 101))
+    assert abs(out[1]["expected"] - _r6(hn)) < 1e-9
+    # i.i.d. noise: record counts near H_n, no trend call
+    assert out[2]["trend"] == "none"
+    assert out[2]["n_high_records"] <= 12
