@@ -349,6 +349,24 @@ def main():
         extras[f"{label}_sec"] = round(dt, 3)
         extras[f"{label}_trials_sec"] = trials
 
+    # round-6 session-11: the diagnostics family — per-round visibility
+    # for the grid-bounded long-memory/drift batch (hurst = the x4
+    # grid explode; series_health = the six-diagnostic join; page
+    # hinkley = the one-sort detector)
+    from cesium_spark.operators.analytics import series_health
+    from cesium_spark.operators.drift import page_hinkley
+    from cesium_spark.operators.longmem import hurst_rs
+
+    events_s11 = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    for label, fn in (
+        ("hurst_rs", lambda: _force(hurst_rs(events_s11))),
+        ("page_hinkley", lambda: _force(page_hinkley(events_s11))),
+        ("series_health", lambda: _force(series_health(events_s11))),
+    ):
+        dt, trials = _best_of(fn, n=2, label=label)
+        extras[f"{label}_sec"] = round(dt, 3)
+        extras[f"{label}_trials_sec"] = trials
+
     loadavgs["session_end"] = [_loadavg()]
     total = round(sum(timings.values()), 3)
     print(

@@ -660,3 +660,68 @@ def test_km_survival_bounded_windows_single_materialization(spark):
     # reuse the materialized bucket relation (Scan ExistingRDD)
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_page_hinkley_single_sort_exchange_jvm(spark):
+    """Page-Hinkley: the whole detector (running mean, m_t prefix sum,
+    running extrema, breach scan) is frames over ONE sort — exactly one
+    hash-partitioning Exchange on the key, no Python anywhere."""
+    from cesium_spark.operators.drift import page_hinkley
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = _plan(page_hinkley(ev))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hurst_grid_bounded_no_python(spark):
+    """Hurst R/S: the x4 explode runs on the GRID relation (post
+    hourly aggregate), never on raw events, and the whole analysis is
+    JVM-side with no cartesian."""
+    from cesium_spark.operators.longmem import hurst_rs
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = _plan(hurst_rs(ev))
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+    # the explode (Generate) must sit ABOVE the hourly aggregate:
+    # every Generate in the optimized plan consumes the grid, and the
+    # raw scan feeds an Aggregate first
+    opt = plan.split("== Optimized Logical Plan ==")[1]
+    assert "Generate explode" in opt
+
+
+def test_holt_winters_fold_stays_jvm(spark):
+    """The HW seasonal fold (aggregate + nested transform over the
+    24-slot array) compiles to JVM higher-order functions — no Python
+    evaluation node."""
+    from cesium_spark.operators.tsstats import holt_winters
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = _plan(holt_winters(ev))
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_spearman_rank_windows_bounded_relation(spark):
+    """Spearman: the rank windows partition the PAIR relation (bounded
+    by key-cardinality^2 x hours); no Python, no cartesian, and the
+    hour equi-join is a real join (no broadcast of the full grid
+    needed for correctness — just no CartesianProduct)."""
+    from cesium_spark.operators.tsstats import spearman_types
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = _plan(spearman_types(ev))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_lateness_single_sort_exchange(spark):
+    """Lateness profile: one hash Exchange (the per-key arrival sort),
+    quantiles ride the same aggregate — no second shuffle family."""
+    from cesium_spark.operators.lateness import lateness_profile
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = _plan(lateness_profile(ev))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
