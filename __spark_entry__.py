@@ -3333,6 +3333,65 @@ def _ddsketch_readout(ev, buckets):
     )
 
 
+def q_lateness_streamed(spark, sf_dir):
+    """The LIVE lateness/watermark monitor end-to-end: two arrival-
+    ordered parquet micro-batches drain through the
+    applyInPandasWithState head whose per-key state combines the
+    sequential running event-time max with a DDSketch bucket store;
+    the latest cumulative row per type must hash-match the SQL replay
+    of the full pipeline (exact late_us -> dd buckets -> quantile
+    selection), proving both the cross-batch max carry and the
+    bucket arithmetic."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from cesium_spark.streaming.stream import streaming_lateness
+
+    ev = _events(spark, sf_dir).select("event_id", "ts", "event_type")
+    mid = ev.agg(F.expr("percentile(event_id, 0.5)")).collect()[0][0]
+    work = tempfile.mkdtemp(prefix="late_stream_")
+    in_dir = f"{work}/in"
+    try:
+        ev.filter(F.col("event_id") <= mid).coalesce(1) \
+            .write.mode("overwrite").parquet(in_dir)
+        first_files = set(glob.glob(f"{in_dir}/*.parquet"))
+        ev.filter(F.col("event_id") > mid).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+        later = time.time() + 10
+        for f in set(glob.glob(f"{in_dir}/*.parquet")) - first_files:
+            os.utime(f, (later, later))
+        src = (
+            spark.readStream
+            .schema("event_id bigint, ts timestamp, event_type string")
+            .option("maxFilesPerTrigger", 1).parquet(in_dir)
+        )
+        q = (
+            streaming_lateness(src).writeStream
+            .format("parquet").option("path", f"{work}/out")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True).start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                raise TimeoutError("lateness stream did not drain")
+        finally:
+            q.stop()
+        emitted = spark.read.parquet(f"{work}/out")
+        return (
+            emitted.groupBy("event_type")
+            .agg(F.max(F.struct("n", "n_late", "frac_late", "p50_late_s",
+                                "p95_late_s", "p99_late_s", "max_late_s"))
+                 .alias("s"))
+            .select("event_type", "s.*")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_turning_points(spark, sf_dir):
     """Kendall's turning-point randomness test per actor: strict local
     extrema counted against the i.i.d. law E = 2(n-2)/3,
@@ -4434,6 +4493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_winters": q_holt_winters,
         "holt_winters_streamed": q_holt_winters_streamed,
         "lateness_profile": q_lateness_profile,
+        "lateness_streamed": q_lateness_streamed,
         "seasonal_naive_interval": q_seasonal_naive_interval,
         "turning_points": q_turning_points,
         "runs_test": q_runs_test,
@@ -8952,6 +9012,71 @@ def oracle_sql() -> dict[str, str]:
                     WHEN z_low > 1.96 AND z_high < 1.96 THEN 'decreasing'
                     ELSE 'none' END AS trend
         FROM zz
+    """
+
+    # streamed lateness: exact per-row late_us (the lateness_profile
+    # dataflow), DDSketch-bucketed with the sketch oracle's ln-ratio
+    # convention, quantile-selected; the head replays this bit-exactly
+    _g_late = repr((1.0 + 0.01) / (1.0 - 0.01))
+    sql["lateness_streamed"] = f"""
+        WITH b AS (
+          SELECT event_type,
+                 greatest(coalesce(
+                   max(epoch_us(ts)) OVER (PARTITION BY event_type
+                                           ORDER BY event_id
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING)
+                   - epoch_us(ts), 0), 0) AS late_us
+          FROM events
+        ),
+        per AS (
+          SELECT event_type, count(*)::BIGINT AS n,
+                 count(CASE WHEN late_us > 0 THEN 1 END)::BIGINT AS n_late,
+                 max(CASE WHEN late_us > 0 THEN late_us END) AS max_us
+          FROM b GROUP BY 1
+        ),
+        bk AS (
+          SELECT event_type,
+                 CAST(ceil(round(ln(late_us::DOUBLE)
+                                 / ln({_g_late}), 6)) AS INT) AS bkt,
+                 count(*)::BIGINT AS cnt
+          FROM b WHERE late_us > 0 GROUP BY 1, 2
+        ),
+        cum AS (
+          SELECT event_type, bkt, cnt,
+                 sum(cnt) OVER (PARTITION BY event_type ORDER BY bkt
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+                 sum(cnt) OVER (PARTITION BY event_type) AS nl
+          FROM bk
+        ),
+        est AS (
+          SELECT cum.event_type, v.q,
+                 min(CASE WHEN c >= CAST(floor(v.q::DOUBLE * (nl - 1))
+                                         AS BIGINT) + 1
+                          THEN bkt END) AS abkt
+          FROM cum, LATERAL (VALUES (0.5), (0.95), (0.99)) AS v(q)
+          GROUP BY 1, 2
+        ),
+        wide AS (
+          SELECT event_type,
+                 max(CASE WHEN q = 0.5 THEN abkt END) AS b50,
+                 max(CASE WHEN q = 0.95 THEN abkt END) AS b95,
+                 max(CASE WHEN q = 0.99 THEN abkt END) AS b99
+          FROM est GROUP BY 1
+        )
+        SELECT per.event_type, per.n, per.n_late,
+               round(per.n_late / per.n::DOUBLE + 1e-9, 6) AS frac_late,
+               round(2.0 * power({_g_late}::DOUBLE, b50)
+                     / ({_g_late}::DOUBLE + 1.0) / 1e6 + 1e-9, 6)
+                 AS p50_late_s,
+               round(2.0 * power({_g_late}::DOUBLE, b95)
+                     / ({_g_late}::DOUBLE + 1.0) / 1e6 + 1e-9, 6)
+                 AS p95_late_s,
+               round(2.0 * power({_g_late}::DOUBLE, b99)
+                     / ({_g_late}::DOUBLE + 1.0) / 1e6 + 1e-9, 6)
+                 AS p99_late_s,
+               round(per.max_us / 1e6 + 1e-9, 6) AS max_late_s
+        FROM per LEFT JOIN wide USING (event_type)
     """
 
     # conformal seasonal-naive interval over the hourly grid

@@ -2343,3 +2343,128 @@ def streaming_holt_winters(
     return narrow.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", "NoTimeout"
     )
+
+
+def streaming_lateness(
+    stream_df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    arrival_col: str = "event_id",
+    alpha: float = 0.01,
+    round_digits: int = 6,
+):
+    """LIVE out-of-orderness monitor: operators/lateness.lateness_profile
+    as a streaming head whose quantiles come from a DDSketch bucket
+    store carried IN per-key state — the composition the two designs
+    were built for: lateness needs cross-batch sequential state (the
+    running event-time max over arrival order), and quantiles in
+    bounded state need a mergeable sketch, so the state is
+    (running max, n, n_late, exact max lateness, sparse DDSketch
+    bucket counts). Every bucket id is the same deterministic
+    ceil(round(ln(x)/ln(gamma), 6)) the batch DDSketch relation uses,
+    so the oracle replays the entire pipeline in SQL: exact late_us
+    per row, dd-bucketed, quantile-selected — the streamed estimates
+    hash-match it.
+
+    After each batch the key emits cumulative (n, n_late, frac_late,
+    p50/p95/p99 lateness estimates in seconds, exact max) — the
+    watermark-sizing dashboard kept warm while the stream runs. State
+    is O(log-range) buckets per key, NoTimeout.
+    """
+    import math as _math
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, IntegerType, LongType, StructField,
+        StructType,
+    )
+
+    from ..operators.sketch import _dd_gamma
+
+    gamma = _dd_gamma(alpha)
+    lg = float(_math.log(gamma))
+    key_type = stream_df.schema[key_col].dataType
+    out_schema = StructType([
+        StructField(key_col, key_type),
+        StructField("n", LongType()),
+        StructField("n_late", LongType()),
+        StructField("frac_late", DoubleType()),
+        StructField("p50_late_s", DoubleType()),
+        StructField("p95_late_s", DoubleType()),
+        StructField("p99_late_s", DoubleType()),
+        StructField("max_late_s", DoubleType()),
+    ])
+    state_schema = StructType([
+        StructField("runmax_us", LongType()),
+        StructField("n", LongType()),
+        StructField("n_late", LongType()),
+        StructField("max_late_us", LongType()),
+        StructField("bkts", ArrayType(IntegerType())),
+        StructField("cnts", ArrayType(LongType())),
+    ])
+
+    def _r(v):
+        return round(v + 1e-9, round_digits)
+
+    def _est_s(bkt):
+        return _r(2.0 * gamma ** bkt / (gamma + 1.0) / 1e6)
+
+    def fn(key, pdfs, state):
+        parts = [p for p in pdfs]
+        if not parts:
+            return
+        pdf = pd.concat(parts).sort_values("_arr")
+        if len(pdf) == 0:
+            return
+        if state.exists:
+            runmax, n, n_late, max_late, bkts, cnts = state.get
+            counts = dict(zip(list(bkts), list(cnts)))
+        else:
+            runmax, n, n_late, max_late = None, 0, 0, None
+            counts = {}
+        for us in pdf["_ts_us"]:
+            us = int(us)
+            late = (runmax - us) if (runmax is not None and runmax > us) \
+                else 0
+            runmax = us if runmax is None or us > runmax else runmax
+            n += 1
+            if late > 0:
+                n_late += 1
+                max_late = late if max_late is None or late > max_late \
+                    else max_late
+                b = int(_math.ceil(round(_math.log(float(late)) / lg, 6)))
+                counts[b] = counts.get(b, 0) + 1
+        state.update((runmax, n, n_late, max_late,
+                      list(counts.keys()), list(counts.values())))
+
+        ests = {}
+        nl = sum(counts.values())
+        if nl > 0:
+            items = sorted(counts.items())
+            for q in (0.5, 0.95, 0.99):
+                target = int(_math.floor(q * (nl - 1))) + 1
+                cum = 0
+                for b, c in items:
+                    cum += c
+                    if cum >= target:
+                        ests[q] = _est_s(b)
+                        break
+        yield pd.DataFrame({
+            key_col: [key[0]],
+            "n": [n],
+            "n_late": [n_late],
+            "frac_late": [_r(n_late / n)],
+            "p50_late_s": [ests.get(0.5)],
+            "p95_late_s": [ests.get(0.95)],
+            "p99_late_s": [ests.get(0.99)],
+            "max_late_s": [None if max_late is None else _r(max_late / 1e6)],
+        })
+
+    narrow = stream_df.select(
+        F.col(key_col),
+        ts_micros(F.col(ts_col)).alias("_ts_us"),
+        F.col(arrival_col).alias("_arr"),
+    )
+    return narrow.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "NoTimeout"
+    )

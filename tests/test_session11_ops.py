@@ -1088,3 +1088,68 @@ def test_record_stats_trend_detection(spark):
     # i.i.d. noise: record counts near H_n, no trend call
     assert out[2]["trend"] == "none"
     assert out[2]["n_high_records"] <= 12
+
+
+# --------------------------------------------- streaming lateness
+
+
+def test_streaming_lateness_sketch_guarantee_and_batches(spark, tmp_path):
+    """Three micro-batches with planted late events: the cumulative
+    head's exact fields (n, n_late, frac, max) must equal the batch
+    lateness_profile, and each DDSketch quantile estimate must sit
+    within the alpha=1% relative-error band of the batch EXACT
+    quantile."""
+    import glob
+    import os
+    import time
+
+    from cesium_spark.operators.lateness import lateness_profile
+    from cesium_spark.streaming.stream import streaming_lateness
+
+    rng = np.random.RandomState(59)
+    rows = []
+    t = 0.0
+    for i in range(300):
+        t += 60.0
+        # every 7th event arrives late by 100..4000 seconds
+        off = -float(rng.randint(100, 4000)) if i % 7 == 3 else 0.0
+        rows.append((i, t + off, "view"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, sec double, event_type string"
+    ).select("event_id", F.timestamp_seconds("sec").alias("ts"),
+             "event_type")
+    in_dir = str(tmp_path / "in")
+    prev = set()
+    for lo, hi in ((0, 100), (100, 200), (200, 1000)):
+        ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi)) \
+            .coalesce(1).write.mode("append").parquet(in_dir)
+        newf = set(glob.glob(f"{in_dir}/*.parquet")) - prev
+        later = time.time() + 10 * (len(prev) + 1)
+        for f in newf:
+            os.utime(f, (later, later))
+        prev |= newf
+    src = (
+        spark.readStream
+        .schema("event_id bigint, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1).parquet(in_dir)
+    )
+    q = (
+        streaming_lateness(src).writeStream
+        .format("parquet").option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(300)
+    emitted = spark.read.parquet(str(tmp_path / "out"))
+    assert emitted.count() == 3          # one cumulative row per batch
+    latest = (
+        emitted.orderBy(F.desc("n")).limit(1).collect()[0]
+    )
+    batch = lateness_profile(ev).collect()[0]
+    assert latest["n"] == batch["n"] and latest["n_late"] == batch["n_late"]
+    assert abs(latest["frac_late"] - batch["frac_late"]) < 1e-9
+    assert abs(latest["max_late_s"] - batch["max_late_s"]) < 1e-9
+    # DDSketch alpha-guarantee vs the batch EXACT quantiles
+    for est_col in ("p50_late_s", "p95_late_s", "p99_late_s"):
+        est, exact = latest[est_col], batch[est_col]
+        assert abs(est - exact) <= 0.03 * exact + 1e-6, (est_col, est, exact)
