@@ -3333,6 +3333,18 @@ def _ddsketch_readout(ev, buckets):
     )
 
 
+def q_poisson_trend(spark, sf_dir):
+    """Poisson GLM rate trend per event type (IRLS on the hourly count
+    grid, t in days): the count-model-correct trend test — variance
+    scales with the mean, so the GLM weights hours accordingly. (a, b)
+    rounded after every Fisher-scoring iteration makes the fit a
+    6-decimal fixed point the chained-CTE oracle replays; one loop
+    generates both engines' iteration code."""
+    from cesium_spark.operators.trend import poisson_trend
+
+    return poisson_trend(_events(spark, sf_dir))
+
+
 def q_lateness_streamed(spark, sf_dir):
     """The LIVE lateness/watermark monitor end-to-end: two arrival-
     ordered parquet micro-batches drain through the
@@ -4494,6 +4506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_winters_streamed": q_holt_winters_streamed,
         "lateness_profile": q_lateness_profile,
         "lateness_streamed": q_lateness_streamed,
+        "poisson_trend": q_poisson_trend,
         "seasonal_naive_interval": q_seasonal_naive_interval,
         "turning_points": q_turning_points,
         "runs_test": q_runs_test,
@@ -9013,6 +9026,86 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'none' END AS trend
         FROM zz
     """
+
+    # Poisson GLM trend: the IRLS chained-CTE replay, iterations
+    # emitted by one loop (the pacf idiom); t in days, per-iteration
+    # rounded (a, b)
+    _pt_parts = ["""g AS (
+          SELECT spine.k, spine.i / 24.0 AS t,
+                 coalesce(hv.c, 0)::DOUBLE AS y
+          FROM (
+            SELECT s.k, g2.h,
+                   row_number() OVER (PARTITION BY s.k ORDER BY g2.h) - 1
+                     AS i
+            FROM (SELECT k, min(h) AS h0, max(h) AS h1
+                  FROM (SELECT event_type AS k,
+                               date_trunc('hour', ts) AS h
+                        FROM events) GROUP BY 1) s,
+                 LATERAL (SELECT unnest(generate_series(s.h0, s.h1,
+                                        INTERVAL 1 HOUR)) AS h) g2
+          ) spine
+          LEFT JOIN (SELECT event_type AS k, date_trunc('hour', ts) AS h,
+                            count(*)::BIGINT AS c
+                     FROM events GROUP BY 1, 2) hv
+            ON hv.k = spine.k AND hv.h = spine.h
+        )""", """p0 AS (
+          SELECT k, round(ln(avg(y) + 1e-9) + 1e-9, 6) AS a,
+                 0.0::DOUBLE AS b, count(*)::BIGINT AS n_hours
+          FROM g GROUP BY 1
+        )"""]
+    for _it in range(1, 4):
+        _prev = f"p{_it - 1}"
+        _pt_parts.append(f"""s{_it} AS (
+          SELECT g.k,
+                 sum(exp({_prev}.a + {_prev}.b * g.t)) AS sw,
+                 sum(exp({_prev}.a + {_prev}.b * g.t) * g.t) AS swt,
+                 sum(exp({_prev}.a + {_prev}.b * g.t)
+                     * ({_prev}.a + {_prev}.b * g.t
+                        + (g.y - exp({_prev}.a + {_prev}.b * g.t))
+                          / exp({_prev}.a + {_prev}.b * g.t))) AS swz,
+                 sum(exp({_prev}.a + {_prev}.b * g.t) * g.t * g.t) AS swtt,
+                 sum(exp({_prev}.a + {_prev}.b * g.t) * g.t
+                     * ({_prev}.a + {_prev}.b * g.t
+                        + (g.y - exp({_prev}.a + {_prev}.b * g.t))
+                          / exp({_prev}.a + {_prev}.b * g.t))) AS swtz
+          FROM g JOIN {_prev} ON {_prev}.k = g.k
+          GROUP BY 1
+        )""")
+        _pt_parts.append(f"""p{_it} AS (
+          SELECT s{_it}.k,
+                 round(swz / sw
+                       - (CASE WHEN round(swtt - swt * swt / sw + 1e-9, 6)
+                                    > 0
+                          THEN round((swtz - swt * swz / sw)
+                                     / (swtt - swt * swt / sw) + 1e-9, 6)
+                          END) * swt / sw + 1e-9, 6) AS a,
+                 CASE WHEN round(swtt - swt * swt / sw + 1e-9, 6) > 0
+                      THEN round((swtz - swt * swz / sw)
+                                 / (swtt - swt * swt / sw) + 1e-9, 6)
+                 END AS b,
+                 round(swtt - swt * swt / sw + 1e-9, 6) AS den,
+                 p0.n_hours
+          FROM s{_it} JOIN p0 ON p0.k = s{_it}.k
+        )""")
+    sql["poisson_trend"] = (
+        "WITH " + ",\n".join(_pt_parts) + """
+        , zz AS (
+          SELECT k, n_hours, b, den,
+                 CASE WHEN b IS NOT NULL AND den > 0
+                      THEN round(b / (1.0 / sqrt(den)) + 1e-9, 6)
+                 END AS z
+          FROM p3
+        )
+        SELECT k AS event_type, n_hours,
+               CASE WHEN b IS NOT NULL AND den > 0
+                    THEN round(exp(b) + 1e-9, 6) END AS rate_ratio_per_day,
+               b, z,
+               CASE WHEN b IS NULL OR den <= 0 THEN 'insufficient'
+                    WHEN z > 1.96 THEN 'increasing'
+                    WHEN z < -1.96 THEN 'decreasing'
+                    ELSE 'none' END AS trend
+        FROM zz
+    """)
 
     # streamed lateness: exact per-row late_us (the lateness_profile
     # dataflow), DDSketch-bucketed with the sketch oracle's ln-ratio

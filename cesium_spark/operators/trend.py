@@ -27,7 +27,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["mann_kendall", "mann_kendall_from_grid", "rolling_slope",
-           "rolling_slope_from_grid", "seasonal_mann_kendall"]
+           "rolling_slope_from_grid", "seasonal_mann_kendall",
+           "poisson_trend"]
 
 _EPS = 1e-9
 _Z_CRIT = 1.96
@@ -162,6 +163,95 @@ def seasonal_mann_kendall(
         *gcols, "n", "n_seasons", "s_stat", _r6(v).alias("var_s"),
         z.alias("z"),
         F.when(z > _Z_CRIT, F.lit("increasing"))
+        .when(z < -_Z_CRIT, F.lit("decreasing"))
+        .otherwise(F.lit("none")).alias("trend"),
+    )
+
+
+def poisson_trend(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    iters: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Poisson GLM rate trend per series: log lambda = a + b*t fitted
+    by IRLS on the zero-filled hourly COUNT grid (t in days since the
+    series' first hour) — the count-model-correct trend test beside
+    the nonparametric Mann-Kendall and the Gaussian rolling OLS: for
+    rate data the variance scales with the mean, and the GLM weights
+    each hour accordingly instead of letting busy hours dominate.
+
+    IRLS (the standard Fisher-scoring iteration): with eta = a + b t,
+    w = exp(eta), working response z = eta + (y - w)/w, each iteration
+    solves the w-weighted least squares in closed form from five
+    grid-sized partial-aggregable sums. (a, b) are rounded at
+    `round_digits` after EVERY iteration (the kmeans oracle-replay
+    discipline), so a DuckDB chained-CTE replay reproduces the fit
+    hash-exactly; both engines' code is generated from one loop.
+
+    Returns (key, n_hours, rate_ratio_per_day = exp(b), b, z, trend)
+    where z = b / se with se from the final iteration's Fisher
+    information, and trend calls {'increasing','decreasing','none'}
+    at |z| > 1.96. Series with a single grid hour or a degenerate
+    information matrix emit NULL b/z and trend 'insufficient'.
+    """
+    from .symbolic import hourly_count_grid
+
+    rd = round_digits
+    g = hourly_count_grid(df, key_col, ts_col).select(
+        F.col("_k").alias(key_col),
+        (F.col("_i") / F.lit(24.0)).alias("_t"),
+        F.col("_y").alias("_y"),
+    )
+    # init: a = ln(mean y + 1e-9), b = 0  (mean of a count grid)
+    params = g.groupBy(key_col).agg(
+        F.round(F.log(F.avg("_y") + F.lit(1e-9)) + F.lit(1e-9), rd)
+        .alias("_a"),
+        F.lit(0.0).alias("_b"),
+        F.count("*").cast("long").alias("n_hours"),
+    )
+
+    sums = None
+    for _ in range(int(iters)):
+        j = g.join(params.select(key_col, "_a", "_b"), key_col)
+        eta = F.col("_a") + F.col("_b") * F.col("_t")
+        w = F.exp(eta)
+        zv = eta + (F.col("_y") - w) / w
+        sums = j.groupBy(key_col).agg(
+            F.sum(w).alias("_sw"),
+            F.sum(w * F.col("_t")).alias("_swt"),
+            F.sum(w * zv).alias("_swz"),
+            F.sum(w * F.col("_t") * F.col("_t")).alias("_swtt"),
+            F.sum(w * F.col("_t") * zv).alias("_swtz"),
+        )
+        den = F.col("_swtt") - F.col("_swt") * F.col("_swt") / F.col("_sw")
+        b_new = F.when(
+            F.round(den + F.lit(1e-9), rd) > 0,
+            F.round((F.col("_swtz")
+                     - F.col("_swt") * F.col("_swz") / F.col("_sw")) / den
+                    + F.lit(1e-9), rd),
+        )
+        a_new = F.round(F.col("_swz") / F.col("_sw")
+                        - b_new * F.col("_swt") / F.col("_sw")
+                        + F.lit(1e-9), rd)
+        params = params.select(key_col, "n_hours").join(
+            sums.select(key_col, b_new.alias("_b"),
+                        a_new.alias("_a"),
+                        F.round(den + F.lit(1e-9), rd).alias("_den")),
+            key_col, "left")
+
+    r = lambda c: F.round(c + F.lit(1e-9), rd)  # noqa: E731
+    ok = F.col("_b").isNotNull() & (F.col("_den") > 0)
+    se = F.lit(1.0) / F.sqrt(F.col("_den"))
+    z = F.when(ok, r(F.col("_b") / se))
+    return params.select(
+        key_col, "n_hours",
+        F.when(ok, r(F.exp(F.col("_b")))).alias("rate_ratio_per_day"),
+        F.col("_b").alias("b"),
+        z.alias("z"),
+        F.when(~ok, F.lit("insufficient"))
+        .when(z > _Z_CRIT, F.lit("increasing"))
         .when(z < -_Z_CRIT, F.lit("decreasing"))
         .otherwise(F.lit("none")).alias("trend"),
     )

@@ -1153,3 +1153,73 @@ def test_streaming_lateness_sketch_guarantee_and_batches(spark, tmp_path):
     for est_col in ("p50_late_s", "p95_late_s", "p99_late_s"):
         est, exact = latest[est_col], batch[est_col]
         assert abs(est - exact) <= 0.03 * exact + 1e-6, (est_col, est, exact)
+
+
+# --------------------------------------------------- Poisson trend
+
+
+def test_poisson_trend_recovers_planted_rate_ratio(spark):
+    """Counts drawn from a Poisson with log-linear rate: the IRLS fit
+    must recover the planted daily rate ratio and call the trend."""
+    from cesium_spark.operators.trend import poisson_trend
+
+    rng = np.random.RandomState(67)
+    b_true = 0.05                       # +5% per day
+    n_hours = 24 * 14
+    rows = []
+    eid = 0
+    for i in range(n_hours):
+        lam = 8.0 * math.exp(b_true * (i / 24.0))
+        c = rng.poisson(lam)
+        for _ in range(int(c)):
+            rows.append((eid, float(3600 * i), "view")); eid += 1
+    # a flat control stream
+    for i in range(n_hours):
+        for _ in range(5):
+            rows.append((eid, float(3600 * i), "flat")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, sec double, event_type string"
+    ).select("event_id", F.timestamp_seconds("sec").alias("ts"),
+             "event_type")
+    out = {r["event_type"]: r for r in poisson_trend(df).collect()}
+    grow = out["view"]
+    assert grow["trend"] == "increasing"
+    assert abs(grow["rate_ratio_per_day"] - math.exp(b_true)) < 0.02
+    flat = out["flat"]
+    assert flat["trend"] == "none"
+    assert abs(flat["rate_ratio_per_day"] - 1.0) < 0.005
+
+
+def test_poisson_trend_python_irls_replica(spark):
+    from cesium_spark.operators.trend import poisson_trend
+
+    counts = [3, 5, 2, 7, 4, 9, 6, 11, 8, 13, 10, 15] * 4  # 48 hours
+    rows = []
+    eid = 0
+    for i, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, float(3600 * i), "x")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, sec double, event_type string"
+    ).select("event_id", F.timestamp_seconds("sec").alias("ts"),
+             "event_type")
+    row = poisson_trend(df).collect()[0]
+
+    y = [float(c) for c in counts]
+    t = [i / 24.0 for i in range(len(y))]
+    a = _r6(math.log(sum(y) / len(y) + 1e-9))
+    b = 0.0
+    den = None
+    for _ in range(3):
+        w = [math.exp(a + b * ti) for ti in t]
+        zv = [a + b * ti + (yi - wi) / wi for ti, yi, wi in zip(t, y, w)]
+        sw = sum(w); swt = sum(wi * ti for wi, ti in zip(w, t))
+        swz = sum(wi * zi for wi, zi in zip(w, zv))
+        swtt = sum(wi * ti * ti for wi, ti in zip(w, t))
+        swtz = sum(wi * ti * zi for wi, ti, zi in zip(w, t, zv))
+        den = _r6(swtt - swt * swt / sw)
+        b = _r6((swtz - swt * swz / sw) / (swtt - swt * swt / sw))
+        a = _r6(swz / sw - b * swt / sw)
+    assert abs(row["b"] - b) < 1e-9
+    assert abs(row["z"] - _r6(b / (1.0 / math.sqrt(den)))) < 1e-9
+    assert abs(row["rate_ratio_per_day"] - _r6(math.exp(b))) < 1e-9
