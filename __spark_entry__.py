@@ -9089,12 +9089,19 @@ def oracle_sql() -> dict[str, str]:
         )""")
     sql["poisson_trend"] = (
         "WITH " + ",\n".join(_pt_parts) + """
-        , zz AS (
-          SELECT k, n_hours, b, den,
+        , x2 AS (
+          SELECT g.k,
+                 sum((g.y - exp(p2.a + p2.b * g.t))
+                     * (g.y - exp(p2.a + p2.b * g.t))
+                     / exp(p2.a + p2.b * g.t)) AS x2
+          FROM g JOIN p2 ON p2.k = g.k GROUP BY 1
+        ),
+        zz AS (
+          SELECT p3.k, n_hours, b, den, x2.x2,
                  CASE WHEN b IS NOT NULL AND den > 0
                       THEN round(b / (1.0 / sqrt(den)) + 1e-9, 6)
                  END AS z
-          FROM p3
+          FROM p3 LEFT JOIN x2 ON x2.k = p3.k
         )
         SELECT k AS event_type, n_hours,
                CASE WHEN b IS NOT NULL AND den > 0
@@ -9103,7 +9110,10 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN b IS NULL OR den <= 0 THEN 'insufficient'
                     WHEN z > 1.96 THEN 'increasing'
                     WHEN z < -1.96 THEN 'decreasing'
-                    ELSE 'none' END AS trend
+                    ELSE 'none' END AS trend,
+               CASE WHEN b IS NOT NULL AND den > 0 AND n_hours > 2
+                    THEN round(x2 / (n_hours - 2) + 1e-9, 6)
+               END AS dispersion
         FROM zz
     """)
 

@@ -190,11 +190,15 @@ def poisson_trend(
     discipline), so a DuckDB chained-CTE replay reproduces the fit
     hash-exactly; both engines' code is generated from one loop.
 
-    Returns (key, n_hours, rate_ratio_per_day = exp(b), b, z, trend)
-    where z = b / se with se from the final iteration's Fisher
-    information, and trend calls {'increasing','decreasing','none'}
-    at |z| > 1.96. Series with a single grid hour or a degenerate
-    information matrix emit NULL b/z and trend 'insufficient'.
+    Returns (key, n_hours, rate_ratio_per_day = exp(b), b, z, trend,
+    dispersion) where z = b / se with se from the final iteration's
+    Fisher information, trend calls {'increasing','decreasing','none'}
+    at |z| > 1.96, and dispersion is the Pearson X^2/(n-2) computed at
+    the final iteration's entering fit — ~1 when the Poisson variance
+    assumption holds, >> 1 flags overdispersion (the z call is then
+    anti-conservative; prefer mann_kendall). Series with a single grid
+    hour or a degenerate information matrix emit NULLs and
+    'insufficient'.
     """
     from .symbolic import hourly_count_grid
 
@@ -213,17 +217,22 @@ def poisson_trend(
     )
 
     sums = None
-    for _ in range(int(iters)):
+    for k in range(int(iters)):
         j = g.join(params.select(key_col, "_a", "_b"), key_col)
         eta = F.col("_a") + F.col("_b") * F.col("_t")
         w = F.exp(eta)
         zv = eta + (F.col("_y") - w) / w
+        last = k == int(iters) - 1
         sums = j.groupBy(key_col).agg(
             F.sum(w).alias("_sw"),
             F.sum(w * F.col("_t")).alias("_swt"),
             F.sum(w * zv).alias("_swz"),
             F.sum(w * F.col("_t") * F.col("_t")).alias("_swtt"),
             F.sum(w * F.col("_t") * zv).alias("_swtz"),
+            # Pearson X^2 at the entering params — on the last
+            # iteration this is the dispersion check's numerator
+            *([F.sum((F.col("_y") - w) * (F.col("_y") - w) / w)
+               .alias("_x2")] if last else []),
         )
         den = F.col("_swtt") - F.col("_swt") * F.col("_swt") / F.col("_sw")
         b_new = F.when(
@@ -235,11 +244,12 @@ def poisson_trend(
         a_new = F.round(F.col("_swz") / F.col("_sw")
                         - b_new * F.col("_swt") / F.col("_sw")
                         + F.lit(1e-9), rd)
+        sel = [key_col, b_new.alias("_b"), a_new.alias("_a"),
+               F.round(den + F.lit(1e-9), rd).alias("_den")]
+        if last:
+            sel.append(F.col("_x2").alias("_x2"))
         params = params.select(key_col, "n_hours").join(
-            sums.select(key_col, b_new.alias("_b"),
-                        a_new.alias("_a"),
-                        F.round(den + F.lit(1e-9), rd).alias("_den")),
-            key_col, "left")
+            sums.select(*sel), key_col, "left")
 
     r = lambda c: F.round(c + F.lit(1e-9), rd)  # noqa: E731
     ok = F.col("_b").isNotNull() & (F.col("_den") > 0)
@@ -254,6 +264,12 @@ def poisson_trend(
         .when(z > _Z_CRIT, F.lit("increasing"))
         .when(z < -_Z_CRIT, F.lit("decreasing"))
         .otherwise(F.lit("none")).alias("trend"),
+        # Pearson dispersion X^2/(n-2): ~1 when the Poisson variance
+        # assumption holds; >> 1 flags overdispersion (the trend call
+        # is then anti-conservative — use MK instead)
+        F.when(ok & (F.col("n_hours") > 2),
+               r(F.col("_x2") / (F.col("n_hours") - 2)))
+        .alias("dispersion"),
     )
 
 

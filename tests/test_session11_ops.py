@@ -1223,3 +1223,28 @@ def test_poisson_trend_python_irls_replica(spark):
     assert abs(row["b"] - b) < 1e-9
     assert abs(row["z"] - _r6(b / (1.0 / math.sqrt(den)))) < 1e-9
     assert abs(row["rate_ratio_per_day"] - _r6(math.exp(b))) < 1e-9
+
+
+def test_poisson_trend_dispersion_flags_overdispersion(spark):
+    """Poisson-generated counts -> dispersion ~ 1; counts with 10x
+    Poisson variance (clustered arrivals) -> dispersion >> 1."""
+    from cesium_spark.operators.trend import poisson_trend
+
+    rng = np.random.RandomState(71)
+    rows = []
+    eid = 0
+    for i in range(24 * 10):
+        for _ in range(int(rng.poisson(6.0))):
+            rows.append((eid, float(3600 * i), "poisson")); eid += 1
+        # negative-binomial-ish: Poisson rate itself is random (mean 6,
+        # big swings) -> variance far above the mean
+        lam = float(rng.choice([0.5, 2.0, 16.0]))
+        for _ in range(int(rng.poisson(lam))):
+            rows.append((eid, float(3600 * i), "bursty")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, sec double, event_type string"
+    ).select("event_id", F.timestamp_seconds("sec").alias("ts"),
+             "event_type")
+    out = {r["event_type"]: r for r in poisson_trend(df).collect()}
+    assert 0.6 < out["poisson"]["dispersion"] < 1.6
+    assert out["bursty"]["dispersion"] > 3.0
