@@ -3333,6 +3333,70 @@ def _ddsketch_readout(ev, buckets):
     )
 
 
+def q_theilsen_ci(spark, sf_dir):
+    """Sen's confidence interval for the Theil-Sen slope: both CI
+    endpoints are ORDER STATISTICS of the pairwise-slope relation at
+    ranks (N -/+ 1.96 sqrt(VarS))/2 — the uncertainty completion of
+    theilsen_trend, robust like the point estimate. Ranks computed on
+    the rounded double so both engines pick identical order stats."""
+    from cesium_spark.operators.robust import theilsen_ci
+
+    return theilsen_ci(_events(spark, sf_dir))
+
+
+def q_variance_ratio_streamed(spark, sf_dir):
+    """The Lo-MacKinlay variance-ratio test as a FOURTH tail over the
+    mergeable hourly-grid state (after mann_kendall / rolling_slope /
+    hurst) — by now the marginal cost of a new grid diagnostic as a
+    LIVE head is ~20 lines and zero new state. Shares
+    sql["variance_ratio"]."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from cesium_spark.operators.longmem import variance_ratio_from_grid
+    from cesium_spark.streaming.stream import grid_batch_fn, grid_state
+
+    ev = _events(spark, sf_dir)
+    mid = ev.agg(F.expr("percentile(event_id, 0.5)")).collect()[0][0]
+    work = tempfile.mkdtemp(prefix="vr_stream_")
+    in_dir = f"{work}/in"
+    narrow = ev.select("event_id", "user_id", "ts",
+                       F.col("value").cast("double").alias("value"))
+    try:
+        narrow.filter(F.col("event_id") <= mid).coalesce(1) \
+            .write.mode("overwrite").parquet(in_dir)
+        first_files = set(glob.glob(f"{in_dir}/*.parquet"))
+        narrow.filter(F.col("event_id") > mid).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+        later = time.time() + 10
+        for f in set(glob.glob(f"{in_dir}/*.parquet")) - first_files:
+            os.utime(f, (later, later))
+        src = (
+            spark.readStream
+            .schema("event_id bigint, user_id bigint, ts timestamp, "
+                    "value double")
+            .option("maxFilesPerTrigger", 1).parquet(in_dir)
+        )
+        q = (
+            src.writeStream
+            .foreachBatch(grid_batch_fn(f"{work}/store"))
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True).start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                raise TimeoutError("grid stream did not drain in 300s")
+        finally:
+            q.stop()
+        grid = grid_state(spark, f"{work}/store")
+        return variance_ratio_from_grid(grid).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_poisson_trend(spark, sf_dir):
     """Poisson GLM rate trend per event type (IRLS on the hourly count
     grid, t in days): the count-model-correct trend test — variance
@@ -4507,6 +4571,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lateness_profile": q_lateness_profile,
         "lateness_streamed": q_lateness_streamed,
         "poisson_trend": q_poisson_trend,
+        "theilsen_ci": q_theilsen_ci,
+        "variance_ratio_streamed": q_variance_ratio_streamed,
         "seasonal_naive_interval": q_seasonal_naive_interval,
         "turning_points": q_turning_points,
         "runs_test": q_runs_test,
@@ -8885,6 +8951,65 @@ def oracle_sql() -> dict[str, str]:
                round(sqrt(r.sse / (np.n - 1)) + 1e-9, 6) AS rmse_innov
         FROM rec r JOIN nper np ON np.k = r.k
         WHERE r.t = np.n - 1
+    """
+
+    # streamed VR shares the batch oracle (grid state + shared tail)
+    sql["variance_ratio_streamed"] = sql["variance_ratio"]
+
+    # Sen CI: the theilsen decimation/pair dataflow + order-statistic
+    # rank selection; ranks rounded-then-floored/ceiled identically
+    sql["theilsen_ci"] = """
+        WITH pts0 AS (
+          SELECT user_id,
+                 (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01'))
+                   / 86400e6 AS t,
+                 value::DOUBLE AS x,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn,
+                 greatest(CAST(ceil(count(*) OVER (PARTITION BY user_id)
+                                    / 1000.0) AS BIGINT), 1) AS stride
+          FROM events
+        ),
+        pts AS (SELECT user_id, t, x FROM pts0
+                WHERE (rn - 1) % stride = 0),
+        pairs AS (
+          SELECT a.user_id, (b.x - a.x) / (b.t - a.t) AS slope
+          FROM pts a JOIN pts b
+            ON a.user_id = b.user_id AND b.t > a.t
+        ),
+        ranked AS (
+          SELECT user_id, slope,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY slope) AS rk
+          FROM pairs
+        ),
+        nu AS (SELECT user_id, count(*)::BIGINT AS n_used
+               FROM pts GROUP BY 1),
+        pg AS (SELECT user_id, count(*)::BIGINT AS n_pairs,
+                      quantile_cont(slope, 0.5) AS med
+               FROM pairs GROUP BY 1),
+        meta AS (
+          SELECT nu.user_id, nu.n_used,
+                 coalesce(pg.n_pairs, 0)::BIGINT AS n_pairs, pg.med,
+                 greatest(1, CAST(floor(round(
+                   (pg.n_pairs - 1.96 * sqrt(nu.n_used::DOUBLE
+                      * (nu.n_used - 1) * (2 * nu.n_used + 5) / 18.0))
+                   / 2 + 1e-9, 6)) AS BIGINT)) AS lo_rk,
+                 least(pg.n_pairs, CAST(ceil(round(
+                   (pg.n_pairs + 1.96 * sqrt(nu.n_used::DOUBLE
+                      * (nu.n_used - 1) * (2 * nu.n_used + 5) / 18.0))
+                   / 2 + 1e-9, 6)) AS BIGINT) + 1) AS hi_rk
+          FROM nu LEFT JOIN pg ON pg.user_id = nu.user_id
+        )
+        SELECT meta.user_id, meta.n_used, meta.n_pairs,
+               round(meta.med + 1e-9, 6) AS slope_per_day,
+               round(lo.slope + 1e-9, 6) AS ci_lo,
+               round(hi.slope + 1e-9, 6) AS ci_hi
+        FROM meta
+        LEFT JOIN ranked lo ON lo.user_id = meta.user_id
+                            AND lo.rk = meta.lo_rk
+        LEFT JOIN ranked hi ON hi.user_id = meta.user_id
+                            AND hi.rk = meta.hi_rk
     """
 
     # nonparametric randomness family: identical strict-comparison

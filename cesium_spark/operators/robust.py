@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "ewma_level", "theilsen_trend", "value_percentiles", "xcorr_types",
+    "theilsen_ci",
 ]
 
 
@@ -280,4 +281,103 @@ def xcorr_types(
     return (
         per.where(F.col("n_hours") >= min_hours)
         .select(key_col, "type_a", "type_b", "n_hours", corr.alias("corr"))
+    )
+
+
+def theilsen_ci(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    t0: str = "2024-01-01",
+    max_points: int = 1000,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Sen's confidence interval for the Theil-Sen slope (Sen 1968;
+    Gilbert 1987 §16.5): the CI endpoints are ORDER STATISTICS of the
+    pairwise-slope relation — lower = the M1-th smallest slope and
+    upper = the M2-th, with M1 = (N - c)/2 and M2 = (N + c)/2 + 1,
+    c = 1.96 sqrt(Var(S)), Var(S) = n(n-1)(2n+5)/18 (the untied form;
+    value ties in a continuous amount column are measure-thin and the
+    normal approximation dominates any tie correction at these n).
+    Ranks are clamped to [1, N]; both rank computations round the
+    (N +/- c)/2 double at 6 before floor/ceil so the engines pick the
+    same order statistic.
+
+    Same decimation + pair plan as theilsen_trend (quadratic work
+    capped at max_points^2/2 per series); ranking the slope relation
+    adds one sort over the pairs, and equal slopes make the selected
+    VALUE rank-order-insensitive. Returns (key, n_used, n_pairs,
+    slope_per_day, ci_lo, ci_hi); series with no strictly-ordered pair
+    yield NULLs.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    wn = Window.partitionBy(key_col)
+    stride = F.greatest(
+        F.ceil(F.count("*").over(wn) / F.lit(max_points)), F.lit(1)
+    )
+    pts = (
+        df.select(
+            F.col(key_col),
+            _t_days(ts_col, t0).alias("_t"),
+            F.col(value_col).cast("double").alias("_x"),
+            F.row_number().over(w).alias("_rn"),
+            stride.alias("_stride"),
+        )
+        .where((F.col("_rn") - 1) % F.col("_stride") == 0)
+        .drop("_rn", "_stride")
+    )
+    a = pts.select(F.col(key_col), F.col("_t").alias("_t1"),
+                   F.col("_x").alias("_x1"))
+    b = pts.select(F.col(key_col), F.col("_t").alias("_t2"),
+                   F.col("_x").alias("_x2"))
+    pairs = (
+        a.join(b, on=key_col).where(F.col("_t2") > F.col("_t1"))
+        .select(key_col,
+                ((F.col("_x2") - F.col("_x1"))
+                 / (F.col("_t2") - F.col("_t1"))).alias("_slope"))
+    )
+    ranked = pairs.select(
+        key_col, "_slope",
+        F.row_number().over(
+            Window.partitionBy(key_col).orderBy("_slope")).alias("_rk"),
+    )
+    nu = pts.groupBy(key_col).agg(F.count("*").cast("long").alias("n_used"))
+    n = F.col("n_used").cast("double")
+    c = F.lit(1.96) * F.sqrt(n * (n - 1) * (2 * n + 5) / F.lit(18.0))
+    big_n = F.col("n_pairs")
+    meta = (
+        nu.join(pairs.groupBy(key_col)
+                .agg(F.count("*").cast("long").alias("n_pairs"),
+                     F.expr("percentile(_slope, 0.5)").alias("_med")),
+                key_col, "left")
+        .select(
+            key_col, "n_used",
+            F.coalesce(big_n, F.lit(0)).cast("long").alias("n_pairs"),
+            F.col("_med"),
+            F.greatest(F.lit(1), F.floor(F.round(
+                (big_n - c) / 2 + F.lit(1e-9), 6)).cast("long"))
+            .alias("_lo_rk"),
+            F.least(big_n, (F.ceil(F.round(
+                (big_n + c) / 2 + F.lit(1e-9), 6)) + 1).cast("long"))
+            .alias("_hi_rk"),
+        )
+    )
+    lo = ranked.select(F.col(key_col).alias("_lk"), F.col("_rk").alias("_lr"),
+                       F.col("_slope").alias("_lo_slope"))
+    hi = ranked.select(F.col(key_col).alias("_hk"), F.col("_rk").alias("_hr"),
+                       F.col("_slope").alias("_hi_slope"))
+    out = (
+        meta
+        .join(lo, (F.col(key_col) == F.col("_lk"))
+              & (F.col("_lo_rk") == F.col("_lr")), "left")
+        .join(hi, (F.col(key_col) == F.col("_hk"))
+              & (F.col("_hi_rk") == F.col("_hr")), "left")
+    )
+    return out.select(
+        key_col, "n_used", "n_pairs",
+        _r(F.col("_med"), round_digits).alias("slope_per_day"),
+        _r(F.col("_lo_slope"), round_digits).alias("ci_lo"),
+        _r(F.col("_hi_slope"), round_digits).alias("ci_hi"),
     )

@@ -1248,3 +1248,37 @@ def test_poisson_trend_dispersion_flags_overdispersion(spark):
     out = {r["event_type"]: r for r in poisson_trend(df).collect()}
     assert 0.6 < out["poisson"]["dispersion"] < 1.6
     assert out["bursty"]["dispersion"] > 3.0
+
+
+# ------------------------------------------------- Theil-Sen CI
+
+
+def test_theilsen_ci_brackets_true_slope(spark):
+    from cesium_spark.operators.robust import theilsen_ci
+
+    rng = np.random.RandomState(73)
+    # value rises 24 per day (1/hour) + noise; CI must bracket 24
+    rows = [(1, 3600 * i, float(i) + float(rng.randn()) * 3.0)
+            for i in range(200)]
+    # pure noise: CI must straddle 0
+    rows += [(2, 3600 * i, float(v) * 5.0)
+             for i, v in enumerate(rng.randn(200))]
+    out = {r["user_id"]: r
+           for r in theilsen_ci(_events(spark, rows)).collect()}
+    assert out[1]["ci_lo"] <= 24.0 <= out[1]["ci_hi"]
+    assert out[1]["ci_lo"] > 20.0           # interval is informative
+    assert out[2]["ci_lo"] < 0.0 < out[2]["ci_hi"]
+    # endpoints are genuine order statistics: lo <= median <= hi
+    for uid in (1, 2):
+        r = out[uid]
+        assert r["ci_lo"] <= r["slope_per_day"] <= r["ci_hi"]
+
+
+def test_theilsen_ci_degenerate_single_point(spark):
+    from cesium_spark.operators.robust import theilsen_ci
+
+    rows = [(1, 3600, 5.0)]
+    r = theilsen_ci(_events(spark, rows)).collect()[0]
+    assert r["n_pairs"] == 0
+    assert r["slope_per_day"] is None
+    assert r["ci_lo"] is None and r["ci_hi"] is None
