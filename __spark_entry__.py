@@ -3333,6 +3333,33 @@ def _ddsketch_readout(ev, buckets):
     )
 
 
+def q_cvm_drift(spark, sf_dir):
+    """Two-sample Cramér-von Mises drift per event type (same
+    first/second-half split as ks_drift/psi_drift): the INTEGRATED
+    squared ECDF distance — pages on accumulated discrepancy where KS
+    pages on the single worst point. Distinct-value relation, one sort
+    per group, tie-respecting pooled weights."""
+    from cesium_spark.operators.drift import cvm_by_group
+
+    ev = _events(spark, sf_dir)
+    mid = ev.agg(F.expr("percentile(event_id, 0.5)")).collect()[0][0]
+    return cvm_by_group(
+        ev.filter(F.col("event_id") <= mid),
+        ev.filter(F.col("event_id") > mid),
+    )
+
+
+def q_calendar_uniformity(spark, sf_dir):
+    """Chi-square uniformity of event load over hour-of-day and
+    day-of-week per type — the significance call on top of
+    hod_profile's descriptive shape; X^2 = sum(O^2)*bins/n - n needs
+    no bin spine (missing bins contribute zero), so each dimension is
+    two partial-aggregable groupBys."""
+    from cesium_spark.operators.analytics import calendar_uniformity
+
+    return calendar_uniformity(_events(spark, sf_dir))
+
+
 def q_theilsen_ci(spark, sf_dir):
     """Sen's confidence interval for the Theil-Sen slope: both CI
     endpoints are ORDER STATISTICS of the pairwise-slope relation at
@@ -4572,6 +4599,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lateness_streamed": q_lateness_streamed,
         "poisson_trend": q_poisson_trend,
         "theilsen_ci": q_theilsen_ci,
+        "cvm_drift": q_cvm_drift,
+        "calendar_uniformity": q_calendar_uniformity,
         "variance_ratio_streamed": q_variance_ratio_streamed,
         "seasonal_naive_interval": q_seasonal_naive_interval,
         "turning_points": q_turning_points,
@@ -9010,6 +9039,75 @@ def oracle_sql() -> dict[str, str]:
                             AND lo.rk = meta.lo_rk
         LEFT JOIN ranked hi ON hi.user_id = meta.user_id
                             AND hi.rk = meta.hi_rk
+    """
+
+    # CvM: the ks_drift relation with the integrated statistic; the
+    # weight is the pooled count at each distinct value
+    sql["cvm_drift"] = f"""
+        WITH mid AS (SELECT quantile_cont(event_id, 0.5) AS m FROM events),
+        per AS (
+          SELECT event_type, value::DOUBLE AS v,
+                 sum(CASE WHEN event_id <= m THEN 1 ELSE 0 END)::BIGINT AS r,
+                 sum(CASE WHEN event_id > m THEN 1 ELSE 0 END)::BIGINT AS c
+          FROM events, mid GROUP BY 1, 2
+        ),
+        cum AS (
+          SELECT event_type, r, c,
+                 (sum(r) OVER (PARTITION BY event_type ORDER BY v
+                               ROWS UNBOUNDED PRECEDING))::BIGINT AS cr,
+                 (sum(c) OVER (PARTITION BY event_type ORDER BY v
+                               ROWS UNBOUNDED PRECEDING))::BIGINT AS cc,
+                 (sum(r) OVER (PARTITION BY event_type))::BIGINT AS nr,
+                 (sum(c) OVER (PARTITION BY event_type))::BIGINT AS nc
+          FROM per
+        ),
+        agg AS (
+          SELECT event_type,
+                 max(nr)::BIGINT AS n_ref, max(nc)::BIGINT AS n_cur,
+                 sum((cr::DOUBLE / nr - cc::DOUBLE / nc)
+                     * (cr::DOUBLE / nr - cc::DOUBLE / nc)
+                     * (r + c)) AS s
+          FROM cum WHERE nr > 0 AND nc > 0
+          GROUP BY 1
+        )
+        SELECT event_type, n_ref, n_cur,
+               round(n_ref * n_cur / ((n_ref + n_cur)::DOUBLE
+                     * (n_ref + n_cur)) * s + {EPS}, {R}) AS cvm_t,
+               round(n_ref * n_cur / ((n_ref + n_cur)::DOUBLE
+                     * (n_ref + n_cur)) * s + {EPS}, {R}) > 0.461
+                 AS drifted
+        FROM agg
+    """
+
+    # calendar uniformity: the spine-free X^2 identity per dimension
+    sql["calendar_uniformity"] = """
+        WITH hod AS (
+          SELECT event_type, extract(hour FROM ts) AS b, count(*) AS o
+          FROM events GROUP BY 1, 2
+        ),
+        dow AS (
+          SELECT event_type, dayofweek(ts) AS b, count(*) AS o
+          FROM events GROUP BY 1, 2
+        ),
+        h2 AS (
+          SELECT event_type, 'hour_of_day' AS dimension,
+                 sum(o)::BIGINT AS n, 24::INT AS n_bins,
+                 round(sum(o * o) * 24.0 / sum(o) - sum(o) + 1e-9, 6)
+                   AS x2,
+                 CAST(35.172462 AS DOUBLE) AS crit_5pct
+          FROM hod GROUP BY 1
+        ),
+        d2 AS (
+          SELECT event_type, 'day_of_week' AS dimension,
+                 sum(o)::BIGINT AS n, 7::INT AS n_bins,
+                 round(sum(o * o) * 7.0 / sum(o) - sum(o) + 1e-9, 6)
+                   AS x2,
+                 CAST(12.591587 AS DOUBLE) AS crit_5pct
+          FROM dow GROUP BY 1
+        )
+        SELECT *, x2 > crit_5pct AS nonuniform FROM h2
+        UNION ALL
+        SELECT *, x2 > crit_5pct AS nonuniform FROM d2
     """
 
     # nonparametric randomness family: identical strict-comparison

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 __all__ = ["cohort_retention", "hampel_outliers", "skew_report",
            "json_field_stats", "value_histogram",
            "rollup_summary", "pivot_counts", "histogram_quantiles",
-           "benford_screen", "activity_tail_index", "series_health"]
+           "benford_screen", "activity_tail_index", "series_health", "calendar_uniformity"]
 
 
 def _r(col, digits: int = 6):
@@ -667,3 +667,52 @@ def series_health(
     for piece in (lb, hu, vr, ph, cu):
         out = out.join(piece, k, "left")
     return out
+
+
+# chi-square 95th percentiles for the calendar dimensions' dof
+_CHI2_95_CAL = {23: 35.172462, 6: 12.591587}
+
+
+def calendar_uniformity(
+    df,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+):
+    """Chi-square uniformity test of event load over the two calendar
+    dimensions — hour-of-day (dof 23) and day-of-week (dof 6) — per
+    key: the significance call on top of hod_profile's descriptive
+    shape ("IS there a diurnal/weekly cycle" rather than "what does it
+    look like"). Uses the algebraic identity
+    X^2 = sum(O^2) * bins / n - n, so missing bins need no spine
+    (they contribute 0 to sum(O^2)) and the whole test is two
+    partial-aggregable groupBys per dimension, unioned.
+
+    Returns (key, dimension, n, n_bins, x2, crit_5pct, nonuniform).
+    Keys with n = 0 cannot occur (no rows, no key); n >= 1 always
+    yields a defined statistic.
+    """
+
+    def one_dim(bin_col, name, bins):
+        counts = (
+            df.select(F.col(key_col), bin_col.alias("_b"))
+            .groupBy(key_col, "_b").agg(F.count("*").alias("_o"))
+        )
+        crit = float(_CHI2_95_CAL[bins - 1])
+        per = counts.groupBy(key_col).agg(
+            F.sum("_o").cast("long").alias("n"),
+            F.sum(F.col("_o") * F.col("_o")).alias("_so2"),
+        )
+        x2 = F.round(
+            F.col("_so2") * F.lit(float(bins)) / F.col("n") - F.col("n")
+            + F.lit(1e-9), 6)
+        return per.select(
+            key_col, F.lit(name).alias("dimension"), "n",
+            F.lit(bins).cast("int").alias("n_bins"),
+            x2.alias("x2"),
+            F.lit(crit).alias("crit_5pct"),
+            (x2 > crit).alias("nonuniform"),
+        )
+
+    hod = one_dim(F.hour(F.col(ts_col)), "hour_of_day", 24)
+    dow = one_dim(F.dayofweek(F.col(ts_col)), "day_of_week", 7)
+    return hod.unionByName(dow)

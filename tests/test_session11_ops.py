@@ -1282,3 +1282,65 @@ def test_theilsen_ci_degenerate_single_point(spark):
     assert r["n_pairs"] == 0
     assert r["slope_per_day"] is None
     assert r["ci_lo"] is None and r["ci_hi"] is None
+
+
+# --------------------------------------------- CvM and calendar
+
+
+def test_cvm_detects_broad_mild_shift(spark):
+    """A +0.8-sigma location shift spread over the whole distribution:
+    CvM must flag it; same-distribution halves must not."""
+    from cesium_spark.operators.drift import cvm_by_group
+
+    rng = np.random.RandomState(79)
+    base = rng.randn(600).round(3) * 10 + 100
+    ref_rows = [(i, 3600.0 * i, float(v)) for i, v in enumerate(base)]
+    shifted = base + 8.0
+    cur_rows = [(i, 3600.0 * i, float(v)) for i, v in enumerate(shifted)]
+
+    def mk(rows, et):
+        return spark.createDataFrame(
+            [(i, s, et, v) for i, s, v in rows],
+            "event_id long, sec double, event_type string, value double",
+        ).select("event_id", F.timestamp_seconds("sec").alias("ts"),
+                 "event_type", "value")
+
+    out = cvm_by_group(mk(ref_rows, "x"), mk(cur_rows, "x")).collect()[0]
+    assert out["drifted"] is True and out["cvm_t"] > 0.461
+    same = cvm_by_group(mk(ref_rows, "x"),
+                        mk(ref_rows[:300], "x")).collect()[0]
+    assert same["drifted"] is False
+
+
+def test_calendar_uniformity_detects_diurnal_cycle(spark):
+    from cesium_spark.operators.analytics import calendar_uniformity
+
+    rng = np.random.RandomState(83)
+    rows = []
+    eid = 0
+    # 'cyclic': heavy business-hours load; 'flat': uniform
+    for day in range(14):
+        for h in range(24):
+            base = 12 if 9 <= h <= 17 else 2
+            for _ in range(base):
+                rows.append((eid, float(86400 * day + 3600 * h), "cyclic"))
+                eid += 1
+            for _ in range(5):
+                rows.append((eid, float(86400 * day + 3600 * h
+                                        + int(rng.randint(0, 3600))),
+                             "flat"))
+                eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, sec double, event_type string"
+    ).select("event_id", F.timestamp_seconds("sec").alias("ts"),
+             "event_type")
+    out = {(r["event_type"], r["dimension"]): r
+           for r in calendar_uniformity(df).collect()}
+    assert out[("cyclic", "hour_of_day")]["nonuniform"] is True
+    assert out[("flat", "hour_of_day")]["nonuniform"] is False
+    # both types are built uniform across days -> day-of-week uniform
+    assert out[("flat", "day_of_week")]["nonuniform"] is False
+    # hand check of the spine-free identity on the flat type
+    r = out[("flat", "hour_of_day")]
+    assert r["n"] == 14 * 24 * 5 and r["n_bins"] == 24
+    assert abs(r["x2"]) < 1e-6   # exactly uniform counts -> X^2 = 0
