@@ -3333,6 +3333,17 @@ def _ddsketch_readout(ev, buckets):
     )
 
 
+def q_slo_burn_rate(spark, sf_dir):
+    """SRE multi-window burn-rate alerting per actor (SRE Workbook
+    ch. 5): flag events where the trailing 1h error rate exceeds
+    14.4x the SLO budget AND the trailing 6h rate exceeds 6x — speed
+    from the short window, flap-resistance from the long one. Two
+    RANGE frames over one sort; alert comparisons on ROUNDED rates."""
+    from cesium_spark.operators.slo import slo_burn_rate
+
+    return slo_burn_rate(_events(spark, sf_dir))
+
+
 def q_cvm_drift(spark, sf_dir):
     """Two-sample Cramér-von Mises drift per event type (same
     first/second-half split as ks_drift/psi_drift): the INTEGRATED
@@ -4600,6 +4611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poisson_trend": q_poisson_trend,
         "theilsen_ci": q_theilsen_ci,
         "cvm_drift": q_cvm_drift,
+        "slo_burn_rate": q_slo_burn_rate,
         "calendar_uniformity": q_calendar_uniformity,
         "variance_ratio_streamed": q_variance_ratio_streamed,
         "seasonal_naive_interval": q_seasonal_naive_interval,
@@ -9039,6 +9051,45 @@ def oracle_sql() -> dict[str, str]:
                             AND lo.rk = meta.lo_rk
         LEFT JOIN ranked hi ON hi.user_id = meta.user_id
                             AND hi.rk = meta.hi_rk
+    """
+
+    # SLO burn: RANGE frames in integer microseconds; thresholds are
+    # budget * multiplier with budget = 1 - 0.95; rates rounded before
+    # the alert comparison
+    sql["slo_burn_rate"] = """
+        WITH b AS (
+          SELECT user_id, ts, epoch_us(ts) AS us,
+                 CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS e
+          FROM events
+        ),
+        rr AS (
+          SELECT user_id, ts, e,
+                 round(sum(e) OVER ws / count(*) OVER ws::DOUBLE
+                       + 1e-9, 6) AS rs,
+                 round(sum(e) OVER wl / count(*) OVER wl::DOUBLE
+                       + 1e-9, 6) AS rl,
+                 count(*) OVER ws AS ns
+          FROM b
+          WINDOW ws AS (PARTITION BY user_id ORDER BY us
+                        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
+                 wl AS (PARTITION BY user_id ORDER BY us
+                        RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)
+        ),
+        per AS (
+          SELECT user_id, count(*)::BIGINT AS n,
+                 sum(e)::BIGINT AS n_err,
+                 count(CASE WHEN rs > 0.72 AND rl > 0.3 AND ns >= 10
+                            THEN 1 END)::BIGINT AS n_burn_alerts,
+                 min(CASE WHEN rs > 0.72 AND rl > 0.3 AND ns >= 10
+                          THEN ts END) AS first_alert
+          FROM rr GROUP BY 1
+        )
+        SELECT user_id, n, n_err,
+               round(n_err / n::DOUBLE + 1e-9, 6) AS err_rate,
+               n_burn_alerts, first_alert,
+               round(round(n_err / n::DOUBLE + 1e-9, 6)
+                     / 0.05::DOUBLE + 1e-9, 6) AS budget_consumed
+        FROM per
     """
 
     # CvM: the ks_drift relation with the integrated statistic; the

@@ -1344,3 +1344,41 @@ def test_calendar_uniformity_detects_diurnal_cycle(spark):
     r = out[("flat", "hour_of_day")]
     assert r["n"] == 14 * 24 * 5 and r["n_bins"] == 24
     assert abs(r["x2"]) < 1e-6   # exactly uniform counts -> X^2 = 0
+
+
+# ------------------------------------------------- SLO burn rate
+
+
+def test_slo_burn_rate_multiwindow_alerting(spark):
+    from cesium_spark.operators.slo import slo_burn_rate
+
+    rows = []
+    eid = 0
+    # actor 1: healthy 12h (2% errors), then a 150-min full outage —
+    # long enough that the trailing 6h error rate crosses 6x budget
+    # (a 90-min outage tops out at ~0.29 < 0.30: the long window is
+    # exactly the flap-guard that ignores short bursts)
+    for i in range(720):
+        et = "error" if i % 50 == 0 else "view"
+        rows.append((eid, float(60 * i), 1, et)); eid += 1
+    for i in range(150):
+        rows.append((eid, float(60 * (720 + i)), 1, "error")); eid += 1
+    # actor 2: steady 2% errors, never bursts
+    for i in range(800):
+        et = "error" if i % 50 == 0 else "view"
+        rows.append((eid, float(60 * i), 2, et)); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, sec double, user_id long, event_type string"
+    ).select("event_id", F.timestamp_seconds("sec").alias("ts"),
+             "user_id", "event_type")
+    out = {r["user_id"]: r for r in slo_burn_rate(df).collect()}
+    # the outage must fire: 1h trailing rate reaches 1.0 > 0.72 and
+    # the 6h rate climbs past 0.30 after ~65 error-minutes
+    assert out[1]["n_burn_alerts"] > 0
+    assert out[1]["first_alert"] is not None
+    assert out[1]["budget_consumed"] > 1.0
+    # steady 2% never trips either window and sits inside budget
+    assert out[2]["n_burn_alerts"] == 0
+    assert out[2]["first_alert"] is None
+    assert out[2]["budget_consumed"] < 1.0
+    assert abs(out[2]["err_rate"] - 0.02) < 1e-9
