@@ -3333,6 +3333,17 @@ def _ddsketch_readout(ev, buckets):
     )
 
 
+def q_prewhitened_mk(spark, sf_dir):
+    """Yue-Pilon pre-whitened Mann-Kendall per actor: remove the lag-1
+    autocorrelation (the biased acf estimator, rounded) from the hourly
+    mean grid, then run the SHARED mann_kendall_from_grid tail on the
+    residuals — the serial-correlation-robust trend call that
+    effective_sample_size says plain MK needs here."""
+    from cesium_spark.operators.trend import prewhitened_mann_kendall
+
+    return prewhitened_mann_kendall(_events(spark, sf_dir))
+
+
 def q_slo_burn_rate(spark, sf_dir):
     """SRE multi-window burn-rate alerting per actor (SRE Workbook
     ch. 5): flag events where the trailing 1h error rate exceeds
@@ -4612,6 +4623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theilsen_ci": q_theilsen_ci,
         "cvm_drift": q_cvm_drift,
         "slo_burn_rate": q_slo_burn_rate,
+        "prewhitened_mk": q_prewhitened_mk,
         "calendar_uniformity": q_calendar_uniformity,
         "variance_ratio_streamed": q_variance_ratio_streamed,
         "seasonal_naive_interval": q_seasonal_naive_interval,
@@ -9051,6 +9063,84 @@ def oracle_sql() -> dict[str, str]:
                             AND lo.rk = meta.lo_rk
         LEFT JOIN ranked hi ON hi.user_id = meta.user_id
                             AND hi.rk = meta.hi_rk
+    """
+
+    # pre-whitened MK: r1 via the acf_lags estimator on the grid,
+    # residuals rounded, then the mann_kendall SQL body on residuals
+    sql["prewhitened_mk"] = f"""
+        WITH g0 AS (
+          SELECT user_id, date_trunc('hour', ts) AS h,
+                 round(avg(value::DOUBLE) + {EPS}, {R}) AS x
+          FROM events GROUP BY 1, 2
+        ),
+        lagged AS (
+          SELECT user_id, h, x,
+                 lag(x, 1) OVER (PARTITION BY user_id ORDER BY h) AS xp
+          FROM g0
+        ),
+        stats AS (
+          SELECT user_id, count(*) AS n, sum(x) AS sx,
+                 sum(x * x) AS sxx,
+                 sum(CASE WHEN xp IS NOT NULL THEN x * xp END) AS sp,
+                 sum(CASE WHEN xp IS NOT NULL THEN x END) AS scur,
+                 sum(xp) AS slag,
+                 count(xp) AS c
+          FROM lagged GROUP BY 1
+        ),
+        r1t AS (
+          SELECT user_id,
+                 CASE WHEN sxx - n * (sx / n) * (sx / n) > 0 AND c > 0
+                      THEN round((sp - (sx / n) * scur - (sx / n) * slag
+                                  + c * (sx / n) * (sx / n))
+                                 / (sxx - n * (sx / n) * (sx / n))
+                                 + {EPS}, {R})
+                      ELSE 0.0 END AS r1
+          FROM stats
+        ),
+        g AS (
+          SELECT lagged.user_id, lagged.h,
+                 round(lagged.x - r1t.r1 * lagged.xp + {EPS}, {R}) AS x
+          FROM lagged JOIN r1t ON r1t.user_id = lagged.user_id
+          WHERE lagged.xp IS NOT NULL
+        ),
+        p AS (
+          SELECT a.user_id, sum(sign(b.x - a.x))::BIGINT AS s
+          FROM g a JOIN g b ON a.user_id = b.user_id AND b.h > a.h
+          GROUP BY 1
+        ),
+        t AS (
+          SELECT user_id,
+                 sum(cc * (cc - 1) * (2 * cc + 5))::BIGINT AS tt
+          FROM (SELECT user_id, x, count(*) AS cc FROM g GROUP BY 1, 2)
+          GROUP BY 1
+        ),
+        base AS (SELECT user_id, count(*)::BIGINT AS n FROM g GROUP BY 1),
+        j AS (
+          SELECT base.user_id, base.n,
+                 coalesce(p.s, 0)::BIGINT AS s_stat,
+                 (base.n * (base.n - 1) * (2 * base.n + 5)
+                  - coalesce(t.tt, 0)) / 18.0 AS var_raw
+          FROM base LEFT JOIN p ON base.user_id = p.user_id
+                    LEFT JOIN t ON base.user_id = t.user_id
+        ),
+        zed AS (
+          SELECT user_id, n, s_stat,
+                 round(var_raw + {EPS}, {R}) AS var_s,
+                 round(CASE WHEN var_raw > 0 AND s_stat > 0
+                              THEN (s_stat - 1) / sqrt(var_raw)
+                            WHEN var_raw > 0 AND s_stat < 0
+                              THEN (s_stat + 1) / sqrt(var_raw)
+                            ELSE 0.0 END + {EPS}, {R}) AS z
+          FROM j
+        )
+        SELECT r1t.user_id, r1t.r1,
+               coalesce(zed.n, 0)::BIGINT AS n,
+               coalesce(zed.s_stat, 0)::BIGINT AS s_stat,
+               zed.var_s, zed.z,
+               coalesce(CASE WHEN zed.z > 1.96 THEN 'increasing'
+                             WHEN zed.z < -1.96 THEN 'decreasing'
+                             ELSE 'none' END, 'none') AS trend
+        FROM r1t LEFT JOIN zed ON zed.user_id = r1t.user_id
     """
 
     # SLO burn: RANGE frames in integer microseconds; thresholds are

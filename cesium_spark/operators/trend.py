@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["mann_kendall", "mann_kendall_from_grid", "rolling_slope",
            "rolling_slope_from_grid", "seasonal_mann_kendall",
-           "poisson_trend"]
+           "poisson_trend", "prewhitened_mann_kendall"]
 
 _EPS = 1e-9
 _Z_CRIT = 1.96
@@ -165,6 +165,71 @@ def seasonal_mann_kendall(
         F.when(z > _Z_CRIT, F.lit("increasing"))
         .when(z < -_Z_CRIT, F.lit("decreasing"))
         .otherwise(F.lit("none")).alias("trend"),
+    )
+
+
+def prewhitened_mann_kendall(
+    df: DataFrame,
+    key_cols: tuple[str, ...] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Pre-whitened Mann-Kendall (Yue & Pilon et al. 2002): positive
+    serial correlation inflates plain MK's S variance and produces
+    false trend calls — exactly the failure mode effective_sample_size
+    quantifies. The fix: estimate the lag-1 autocorrelation r1 of the
+    hourly mean grid (the biased Box-Jenkins estimator acf_lags uses),
+    remove it (y_t = x_t - r1 * x_{t-1}, dropping the first point),
+    and run the SHARED mann_kendall_from_grid tail on the residual
+    series.
+
+    Determinism: r1 and every residual are rounded at 6 before the
+    tail's sign comparisons (the from_grid contract). Same scale shape
+    as mann_kendall plus one lag window. Returns
+    (key..., r1, n, s_stat, var_s, z, trend) where n counts RESIDUAL
+    grid points.
+    """
+    from pyspark.sql import Window
+
+    gcols = list(key_cols)
+    grid = (
+        df.groupBy(*gcols, F.date_trunc("hour", F.col(ts_col)).alias("h"))
+        .agg(_r6(F.avg(F.col(value_col).cast("double"))).alias("x"))
+    )
+    w = Window.partitionBy(*gcols).orderBy("h")
+    lagged = grid.select(*gcols, "h", "x",
+                         F.lag("x", 1).over(w).alias("_xp"))
+    pair = F.col("_xp").isNotNull()
+    stats = lagged.groupBy(*gcols).agg(
+        F.count("*").alias("_n"),
+        F.sum("x").alias("_sx"),
+        F.sum(F.col("x") * F.col("x")).alias("_sxx"),
+        F.sum(F.when(pair, F.col("x") * F.col("_xp"))).alias("_sp"),
+        F.sum(F.when(pair, F.col("x"))).alias("_scur"),
+        F.sum(F.when(pair, F.col("_xp"))).alias("_slag"),
+        F.count(F.when(pair, 1)).alias("_c"),
+    )
+    m = F.col("_sx") / F.col("_n")
+    den = F.col("_sxx") - F.col("_n") * m * m
+    r1 = F.when(
+        (den > 0) & (F.col("_c") > 0),
+        _r6((F.col("_sp") - m * F.col("_scur") - m * F.col("_slag")
+             + F.col("_c") * m * m) / den),
+    ).otherwise(F.lit(0.0))
+    r1_rel = stats.select(*gcols, r1.alias("r1"))
+    resid = (
+        lagged.join(r1_rel, gcols)
+        .where(pair)
+        .select(*gcols, "h",
+                _r6(F.col("x") - F.col("r1") * F.col("_xp")).alias("x"))
+    )
+    out = mann_kendall_from_grid(resid, key_cols=tuple(gcols))
+    return r1_rel.join(out, gcols, "left").select(
+        *gcols, "r1",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(F.col("s_stat"), F.lit(0)).cast("long").alias("s_stat"),
+        "var_s", "z",
+        F.coalesce(F.col("trend"), F.lit("none")).alias("trend"),
     )
 
 

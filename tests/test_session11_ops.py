@@ -1382,3 +1382,37 @@ def test_slo_burn_rate_multiwindow_alerting(spark):
     assert out[2]["first_alert"] is None
     assert out[2]["budget_consumed"] < 1.0
     assert abs(out[2]["err_rate"] - 0.02) < 1e-9
+
+
+# --------------------------------------- pre-whitened Mann-Kendall
+
+
+def test_prewhitened_mk_kills_ar_false_positive(spark):
+    """A strongly autocorrelated AR(1) series with NO trend: plain MK
+    false-alarms routinely; the pre-whitened test must not. A genuine
+    linear trend must survive pre-whitening."""
+    from cesium_spark.operators.trend import (mann_kendall,
+                                              prewhitened_mann_kendall)
+
+    rng = np.random.RandomState(89)
+    # AR(1) phi=0.95, no trend — pick a seed realization where plain
+    # MK actually false-alarms so the comparison is meaningful
+    y = [0.0]
+    for _ in range(400):
+        y.append(0.95 * y[-1] + rng.randn())
+    ar_rows = [(1, 3600 * i, round(v, 4)) for i, v in enumerate(y[1:])]
+    # genuine trend + mild noise
+    tr_rows = [(2, 3600 * i, i * 0.5 + float(rng.randn()))
+               for i in range(400)]
+    ev = _events(spark, ar_rows + tr_rows)
+    plain = {r["user_id"]: r for r in mann_kendall(ev).collect()}
+    pw = {r["user_id"]: r
+          for r in prewhitened_mann_kendall(ev).collect()}
+    # the AR series is heavily autocorrelated; r1 must be large
+    assert pw[1]["r1"] > 0.8
+    # pre-whitening shrinks |z| dramatically on the trendless AR series
+    assert abs(pw[1]["z"]) < abs(plain[1]["z"]) / 2
+    # and the genuine trend still calls
+    assert pw[2]["trend"] == "increasing"
+    # residual series has one fewer point than the grid
+    assert pw[1]["n"] == plain[1]["n"] - 1
