@@ -3333,6 +3333,18 @@ def _ddsketch_readout(ev, buckets):
     )
 
 
+def q_dfa_alpha(spark, sf_dir):
+    """Detrended fluctuation analysis per actor (Peng et al. 1994):
+    the modern long-memory estimator beside hurst_rs — a per-block
+    linear detrend of the integrated profile keeps alpha meaningful on
+    nonstationary series where R/S reads trend as memory. Closed-form
+    block RMS from three sums (pos moments exact), same bounded
+    explode and ordered-prefix discipline as hurst."""
+    from cesium_spark.operators.longmem import dfa_alpha
+
+    return dfa_alpha(_events(spark, sf_dir))
+
+
 def q_prewhitened_mk(spark, sf_dir):
     """Yue-Pilon pre-whitened Mann-Kendall per actor: remove the lag-1
     autocorrelation (the biased acf estimator, rounded) from the hourly
@@ -4624,6 +4636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cvm_drift": q_cvm_drift,
         "slo_burn_rate": q_slo_burn_rate,
         "prewhitened_mk": q_prewhitened_mk,
+        "dfa_alpha": q_dfa_alpha,
         "calendar_uniformity": q_calendar_uniformity,
         "variance_ratio_streamed": q_variance_ratio_streamed,
         "seasonal_naive_interval": q_seasonal_naive_interval,
@@ -9063,6 +9076,81 @@ def oracle_sql() -> dict[str, str]:
                             AND lo.rk = meta.lo_rk
         LEFT JOIN ranked hi ON hi.user_id = meta.user_id
                             AND hi.rk = meta.hi_rk
+    """
+
+    # DFA: profile from the ordered prefix sum, per-block closed-form
+    # detrended RMS (pos moments exact integers), F(s) rounded before
+    # the log regression
+    sql["dfa_alpha"] = """
+        WITH grid AS (
+          SELECT user_id, date_trunc('hour', ts) AS h,
+                 round(avg(value::DOUBLE) + 1e-9, 6) AS x
+          FROM events GROUP BY 1, 2
+        ),
+        g AS (
+          SELECT user_id,
+                 row_number() OVER w - 1 AS i,
+                 sum(x) OVER (PARTITION BY user_id ORDER BY h
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS run,
+                 sum(x) OVER (PARTITION BY user_id) AS skx,
+                 count(*) OVER (PARTITION BY user_id) AS nk
+          FROM grid
+          WINDOW w AS (PARTITION BY user_id ORDER BY h)
+        ),
+        prof AS (
+          SELECT user_id, i, run - (i + 1) * (skx / nk) AS y FROM g
+        ),
+        e AS (
+          SELECT user_id, s, y, i // s AS blk, (i % s)::DOUBLE AS pos
+          FROM prof CROSS JOIN (SELECT unnest([8, 16, 32, 64]) AS s)
+        ),
+        blocks AS (
+          SELECT user_id, s, count(*) AS cnt,
+                 sum(y) AS sy, sum(y * y) AS syy, sum(y * pos) AS syp
+          FROM e GROUP BY user_id, s, blk
+          HAVING count(*) = s
+        ),
+        r2 AS (
+          SELECT user_id, s,
+                 ((syy - sy * sy / s::DOUBLE)
+                  - (syp - (s::DOUBLE - 1) / 2.0 * sy)
+                    * (syp - (s::DOUBLE - 1) / 2.0 * sy)
+                    / (s::DOUBLE * (s::DOUBLE * s::DOUBLE - 1) / 12.0))
+                 / s::DOUBLE AS r2
+          FROM blocks
+        ),
+        per_size AS (
+          SELECT user_id, s,
+                 round(sqrt(greatest(avg(r2), 0.0)) + 1e-9, 6) AS f
+          FROM r2 GROUP BY 1, 2
+        ),
+        reg AS (
+          SELECT user_id, count(*) AS k,
+                 sum(ln(s::DOUBLE)) AS sx, sum(ln(f)) AS sy,
+                 sum(ln(s::DOUBLE) * ln(f)) AS sxy,
+                 sum(ln(s::DOUBLE) * ln(s::DOUBLE)) AS sxx
+          FROM per_size WHERE f > 0 GROUP BY 1
+        ),
+        base AS (SELECT user_id, count(*)::BIGINT AS n_hours
+                 FROM g GROUP BY 1)
+        SELECT base.user_id, n_hours,
+               coalesce(k, 0)::INT AS n_sizes,
+               CASE WHEN k >= 2
+                    THEN round((k * sxy - sx * sy)
+                               / (k * sxx - sx * sx) + 1e-9, 6)
+               END AS alpha,
+               f8.f AS f_8, f16.f AS f_16, f32.f AS f_32, f64.f AS f_64
+        FROM base
+        LEFT JOIN reg USING (user_id)
+        LEFT JOIN (SELECT user_id, f FROM per_size WHERE s = 8) f8
+               USING (user_id)
+        LEFT JOIN (SELECT user_id, f FROM per_size WHERE s = 16) f16
+               USING (user_id)
+        LEFT JOIN (SELECT user_id, f FROM per_size WHERE s = 32) f32
+               USING (user_id)
+        LEFT JOIN (SELECT user_id, f FROM per_size WHERE s = 64) f64
+               USING (user_id)
     """
 
     # pre-whitened MK: r1 via the acf_lags estimator on the grid,

@@ -1416,3 +1416,43 @@ def test_prewhitened_mk_kills_ar_false_positive(spark):
     assert pw[2]["trend"] == "increasing"
     # residual series has one fewer point than the grid
     assert pw[1]["n"] == plain[1]["n"] - 1
+
+
+# ---------------------------------------------------------- DFA
+
+
+def test_dfa_alpha_separates_noise_classes(spark):
+    """White noise -> alpha ~ 0.5; a random walk -> alpha ~ 1.5; a
+    linear trend -> alpha near the walk/trend end well above 1."""
+    from cesium_spark.operators.longmem import dfa_alpha
+
+    rng = np.random.RandomState(97)
+    white = [(1, 3600 * i, float(v)) for i, v in
+             enumerate(rng.randn(256).round(4) * 10 + 50)]
+    walk = [(2, 3600 * i, float(v)) for i, v in
+            enumerate(np.cumsum(rng.randn(256)).round(4) + 100)]
+    out = {r["user_id"]: r
+           for r in dfa_alpha(_events(spark, white + walk)).collect()}
+    assert 0.3 < out[1]["alpha"] < 0.75
+    assert out[2]["alpha"] > 1.1
+    assert out[1]["n_sizes"] == 4
+    # fluctuation grows with scale for the walk
+    assert out[2]["f_64"] > out[2]["f_8"]
+
+
+def test_dfa_trend_signature_vs_rs_saturation(spark):
+    """A linear signal trend: R/S saturates toward H ~ 1 — the SAME
+    reading as a random walk, so it cannot tell trend from memory.
+    DFA's alpha keeps scaling: the quadratic profile gives the
+    textbook alpha ~ 2 trend signature, cleanly separated from the
+    walk's ~1.5 and noise's ~0.5 — the diagnostic R/S lacks."""
+    from cesium_spark.operators.longmem import dfa_alpha, hurst_rs
+
+    rng = np.random.RandomState(101)
+    rows = [(1, 3600 * i, 0.5 * i + float(rng.randn()))
+            for i in range(256)]
+    ev = _events(spark, rows)
+    h = hurst_rs(ev).collect()[0]["hurst"]
+    a = dfa_alpha(ev).collect()[0]["alpha"]
+    assert 0.85 < h < 1.2    # R/S clamps near 1: trend == walk to R/S
+    assert a > 1.7           # DFA's distinct nonstationarity signature
