@@ -3333,6 +3333,17 @@ def _ddsketch_readout(ev, buckets):
     )
 
 
+def q_weekend_lift(spark, sf_dir):
+    """Weekend-vs-weekday rate lift per type with the exposure-correct
+    log-rate-ratio z-test: rates per grid hour of each class within
+    the key's own span (bounded hour-spine explode), variance from the
+    counts alone — the calendar-effect readout beside
+    calendar_uniformity's omnibus chi-square."""
+    from cesium_spark.operators.analytics import weekend_lift
+
+    return weekend_lift(_events(spark, sf_dir))
+
+
 def q_dfa_alpha(spark, sf_dir):
     """Detrended fluctuation analysis per actor (Peng et al. 1994):
     the modern long-memory estimator beside hurst_rs — a per-block
@@ -4637,6 +4648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slo_burn_rate": q_slo_burn_rate,
         "prewhitened_mk": q_prewhitened_mk,
         "dfa_alpha": q_dfa_alpha,
+        "weekend_lift": q_weekend_lift,
         "calendar_uniformity": q_calendar_uniformity,
         "variance_ratio_streamed": q_variance_ratio_streamed,
         "seasonal_naive_interval": q_seasonal_naive_interval,
@@ -9076,6 +9088,65 @@ def oracle_sql() -> dict[str, str]:
                             AND lo.rk = meta.lo_rk
         LEFT JOIN ranked hi ON hi.user_id = meta.user_id
                             AND hi.rk = meta.hi_rk
+    """
+
+    # weekend lift: Spark dayofweek is 1=Sun..7=Sat; DuckDB dayofweek
+    # is 0=Sun..6=Sat — weekend = {0, 6} here
+    sql["weekend_lift"] = """
+        WITH counts AS (
+          SELECT event_type,
+                 count(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 END)::BIGINT
+                   AS n_weekend,
+                 count(CASE WHEN dayofweek(ts) NOT IN (0, 6) THEN 1
+                       END)::BIGINT AS n_weekday
+          FROM events GROUP BY 1
+        ),
+        span AS (
+          SELECT event_type, min(date_trunc('hour', ts)) AS h0,
+                 max(date_trunc('hour', ts)) AS h1
+          FROM events GROUP BY 1
+        ),
+        spine AS (
+          SELECT s.event_type, g.h
+          FROM span s, LATERAL (
+            SELECT unnest(generate_series(s.h0, s.h1, INTERVAL 1 HOUR))
+              AS h) g
+        ),
+        expo AS (
+          SELECT event_type,
+                 count(CASE WHEN dayofweek(h) IN (0, 6) THEN 1 END)::BIGINT
+                   AS hours_weekend,
+                 count(CASE WHEN dayofweek(h) NOT IN (0, 6) THEN 1
+                       END)::BIGINT AS hours_weekday
+          FROM spine GROUP BY 1
+        ),
+        j AS (
+          SELECT counts.*, expo.hours_weekend, expo.hours_weekday
+          FROM counts JOIN expo USING (event_type)
+        ),
+        zz AS (
+          SELECT *,
+                 CASE WHEN n_weekend > 0 AND n_weekday > 0
+                       AND hours_weekend > 0 AND hours_weekday > 0
+                 THEN round(
+                   ln((n_weekend / hours_weekend::DOUBLE)
+                      / (n_weekday / hours_weekday::DOUBLE))
+                   / sqrt(1.0 / n_weekend + 1.0 / n_weekday) + 1e-9, 6)
+                 END AS z
+          FROM j
+        )
+        SELECT event_type, n_weekend, n_weekday,
+               hours_weekend, hours_weekday,
+               CASE WHEN z IS NOT NULL THEN round(
+                 (n_weekend / hours_weekend::DOUBLE)
+                 / (n_weekday / hours_weekday::DOUBLE) + 1e-9, 6)
+               END AS lift,
+               z,
+               CASE WHEN z IS NULL THEN 'insufficient'
+                    WHEN z > 1.96 THEN 'higher'
+                    WHEN z < -1.96 THEN 'lower'
+                    ELSE 'none' END AS verdict
+        FROM zz
     """
 
     # DFA: profile from the ordered prefix sum, per-block closed-form

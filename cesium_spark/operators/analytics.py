@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 __all__ = ["cohort_retention", "hampel_outliers", "skew_report",
            "json_field_stats", "value_histogram",
            "rollup_summary", "pivot_counts", "histogram_quantiles",
-           "benford_screen", "activity_tail_index", "series_health", "calendar_uniformity"]
+           "benford_screen", "activity_tail_index", "series_health", "calendar_uniformity", "weekend_lift"]
 
 
 def _r(col, digits: int = 6):
@@ -716,3 +716,65 @@ def calendar_uniformity(
     hod = one_dim(F.hour(F.col(ts_col)), "hour_of_day", 24)
     dow = one_dim(F.dayofweek(F.col(ts_col)), "day_of_week", 7)
     return hod.unionByName(dow)
+
+
+def weekend_lift(
+    df,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+):
+    """Weekend-vs-weekday rate lift per key with an exposure-correct
+    two-sample Poisson rate test: rates are events per GRID HOUR of
+    each class within the key's own [min, max] hour span (a key whose
+    span covers two weekends isn't penalized for the calendar), lift
+    is the rate ratio, and z = ln(lift) / sqrt(1/n_we + 1/n_wd) — the
+    standard log-rate-ratio test whose variance depends only on the
+    counts. The hour spine is the same bounded explode the zero-filled
+    grids use (span hours, never event volume).
+
+    Returns (key, n_weekend, n_weekday, hours_weekend, hours_weekday,
+    lift, z, verdict) with verdict in {'higher','lower','none',
+    'insufficient'} at |z| > 1.96 ('insufficient' when either class
+    has zero events or zero exposure).
+    """
+    counts = (
+        df.select(F.col(key_col),
+                  F.dayofweek(F.col(ts_col)).isin(1, 7).alias("_we"))
+        .groupBy(key_col)
+        .agg(F.count(F.when(F.col("_we"), 1)).cast("long")
+             .alias("n_weekend"),
+             F.count(F.when(~F.col("_we"), 1)).cast("long")
+             .alias("n_weekday"))
+    )
+    spine = (
+        df.groupBy(key_col)
+        .agg(F.min(F.date_trunc("hour", F.col(ts_col))).alias("_h0"),
+             F.max(F.date_trunc("hour", F.col(ts_col))).alias("_h1"))
+        .select(key_col, F.explode(
+            F.sequence("_h0", "_h1", F.expr("INTERVAL 1 HOUR")))
+            .alias("_h"))
+    )
+    expo = spine.groupBy(key_col).agg(
+        F.count(F.when(F.dayofweek("_h").isin(1, 7), 1)).cast("long")
+        .alias("hours_weekend"),
+        F.count(F.when(~F.dayofweek("_h").isin(1, 7), 1)).cast("long")
+        .alias("hours_weekday"),
+    )
+    j = counts.join(expo, key_col)
+    ok = ((F.col("n_weekend") > 0) & (F.col("n_weekday") > 0)
+          & (F.col("hours_weekend") > 0) & (F.col("hours_weekday") > 0))
+    rate_we = F.col("n_weekend") / F.col("hours_weekend")
+    rate_wd = F.col("n_weekday") / F.col("hours_weekday")
+    lift_raw = rate_we / rate_wd
+    se = F.sqrt(1.0 / F.col("n_weekend") + 1.0 / F.col("n_weekday"))
+    z = F.when(ok, F.round(F.log(lift_raw) / se + F.lit(1e-9), 6))
+    return j.select(
+        key_col, "n_weekend", "n_weekday",
+        "hours_weekend", "hours_weekday",
+        F.when(ok, F.round(lift_raw + F.lit(1e-9), 6)).alias("lift"),
+        z.alias("z"),
+        F.when(~ok, F.lit("insufficient"))
+        .when(z > 1.96, F.lit("higher"))
+        .when(z < -1.96, F.lit("lower"))
+        .otherwise(F.lit("none")).alias("verdict"),
+    )

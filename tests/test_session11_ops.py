@@ -1456,3 +1456,40 @@ def test_dfa_trend_signature_vs_rs_saturation(spark):
     a = dfa_alpha(ev).collect()[0]["alpha"]
     assert 0.85 < h < 1.2    # R/S clamps near 1: trend == walk to R/S
     assert a > 1.7           # DFA's distinct nonstationarity signature
+
+
+# ---------------------------------------------------- weekend lift
+
+
+def test_weekend_lift_detects_planted_effect(spark):
+    from cesium_spark.operators.analytics import weekend_lift
+
+    # 2024-01-01 is a Monday; epoch day 0 of our synthetic secs is a
+    # Thursday (1970-01-01) -> compute weekend by weekday index
+    import datetime as dt
+    rows = []
+    eid = 0
+    for day in range(28):
+        wd = (dt.date(2024, 1, 1) + dt.timedelta(days=day)).weekday()
+        weekend = wd >= 5
+        base = dt.datetime(2024, 1, 1) + dt.timedelta(days=day)
+        secs0 = (base - dt.datetime(1970, 1, 1)).total_seconds()
+        for h in range(24):
+            # 'boosted': 3x rate on weekends; 'flat': uniform
+            for _ in range(9 if weekend else 3):
+                rows.append((eid, secs0 + 3600 * h, "boosted")); eid += 1
+            for _ in range(4):
+                rows.append((eid, secs0 + 3600 * h, "flat")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, sec double, event_type string"
+    ).select("event_id", F.timestamp_seconds("sec").alias("ts"),
+             "event_type")
+    out = {r["event_type"]: r for r in weekend_lift(df).collect()}
+    b = out["boosted"]
+    assert b["verdict"] == "higher"
+    assert abs(b["lift"] - 3.0) < 0.05
+    # 28 days starting Monday: 8 weekend days = 192 weekend hours
+    assert b["hours_weekend"] == 8 * 24
+    f = out["flat"]
+    assert f["verdict"] == "none"
+    assert abs(f["lift"] - 1.0) < 0.02
