@@ -636,31 +636,41 @@ def series_health(
     oracled operator; this composition is the "what does the fleet
     look like" query an operator runs hourly.
 
-    Plan shape: each diagnostic is one scan + its own (bounded)
-    relation, joined on the series key at actor cardinality — the
-    joins are grid-sized, never event-sized. A deployment that wants
-    one-scan economics computes the family from the shared hourly grid
-    state (see streaming/stream.grid_batch_fn — mann_kendall, hurst,
-    and the slope family already share that sufficient statistic).
+    Plan shape (r7): the raw-event input is projected to the four
+    needed columns and materialized ONCE (lazy localCheckpoint) so the
+    six diagnostics share a single scan, and the three grid-family
+    tests (Mann-Kendall, Hurst, variance ratio) share ONE materialized
+    hourly-grid relation — their common sufficient statistic (the same
+    (key, hour, rounded mean) grid the streaming head maintains) —
+    instead of each re-aggregating raw events. Before this the plan
+    held 48 Exchanges over six independent full scans; every join
+    stays at actor cardinality, grid-sized, never event-sized.
     """
     from .drift import page_hinkley
-    from .longmem import hurst_rs, variance_ratio
-    from .trend import mann_kendall
+    from .longmem import _hourly_grid, hurst_from_grid, variance_ratio_from_grid
+    from .trend import mann_kendall_from_grid
     from .tsstats import cusum_changepoint, ljung_box
 
     k = key_col
     kw = dict(ts_col=ts_col, value_col=value_col)
-    mk = mann_kendall(df, key_cols=(k,), **kw).select(
+    narrow = df.select(k, ts_col, value_col, tiebreak_col).localCheckpoint(
+        eager=False)
+    # shared hourly-grid sufficient statistic (identical expression in
+    # trend.mann_kendall / longmem.hurst_rs / longmem.variance_ratio:
+    # round(avg(value)+1e-9, 6) per (key, hour))
+    grid = _hourly_grid(narrow, [k], ts_col, value_col).localCheckpoint(
+        eager=False)
+    mk = mann_kendall_from_grid(grid, key_cols=(k,)).select(
         k, "n", F.col("z").alias("trend_z"), "trend")
-    lb = ljung_box(df, key_col=k, tiebreak_col=tiebreak_col, **kw).select(
+    lb = ljung_box(narrow, key_col=k, tiebreak_col=tiebreak_col, **kw).select(
         k, F.col("q_stat").alias("lb_q"),
         F.col("reject_white_noise").alias("autocorrelated"))
-    hu = hurst_rs(df, key_cols=(k,), **kw).select(k, "hurst")
-    vr = variance_ratio(df, key_cols=(k,), **kw).select(
+    hu = hurst_from_grid(grid, key_cols=(k,)).select(k, "hurst")
+    vr = variance_ratio_from_grid(grid, key_cols=(k,)).select(
         k, "vr", "random_walk")
-    ph = page_hinkley(df, key_col=k, tiebreak_col=tiebreak_col, **kw).select(
+    ph = page_hinkley(narrow, key_col=k, tiebreak_col=tiebreak_col, **kw).select(
         k, F.col("drift").alias("level_drift"), "first_breach")
-    cu = cusum_changepoint(df, key_col=k, tiebreak_col=tiebreak_col,
+    cu = cusum_changepoint(narrow, key_col=k, tiebreak_col=tiebreak_col,
                            value_col=value_col, ts_col=ts_col).select(
         k, "cp_pos")
     out = mk

@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
+from .fanout import fan_out
+
 __all__ = [
     "exact_dedup_groups",
     "char_shingles",
@@ -86,7 +88,12 @@ def char_shingles(
         f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 0)),"
         f" i -> substring({text_col}, i, {k}))"
     )
-    out = df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+    # fan_out: the shingle explode (and the minhash digests computed on
+    # top of it) is the expensive pre-exchange work of the whole dedup
+    # stack; a single-row-group input file would otherwise run it on one
+    # core (guide §2.5 input skew). No-op when the scan already splits.
+    src = fan_out(df.select(F.col(id_col), F.col(text_col)))
+    out = src.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
     return out.distinct() if distinct else out
 
 
@@ -256,9 +263,12 @@ def incremental_minhash_pairs(
     probes instead of O(corpus^2) candidate regeneration, which is the
     difference between a nightly dedup and one that keeps up with
     ingestion."""
+    # one materialization (lazy localCheckpoint): new_rows feeds three
+    # plan branches (index anti-join, union, probe side) that would each
+    # re-derive the shingle+digest subtree
     new_rows = minhash_band_rows(
         new_docs, id_col, text_col, k, num_hashes, bands, hash_fn
-    )
+    ).localCheckpoint(eager=False)
     # replay safety: a batch retry re-ingests ids the index already has;
     # keeping both copies would double-count matching_bands and bloat
     # the index on every retry. The new batch's version WINS (re-ingest
@@ -306,9 +316,16 @@ def minhash_lsh_pairs(
     Returns distinct (id_a < id_b) pairs with the number of matching
     bands.
     """
+    # materialize the band relation ONCE (lazy localCheckpoint): the
+    # self-join's broadcast side otherwise re-derives the whole
+    # shingle-explode + digest subtree — the plan showed two complete
+    # scan→Generate→HashAggregate pipelines, i.e. every minhash digest
+    # computed twice (guide §2.4: remove duplicated subtrees). The band
+    # relation is ~2-5% of corpus bytes (id + band + key), and the
+    # checkpoint blocks are reclaimed when the plan is dropped.
     bands_df = minhash_band_rows(
         df, id_col, text_col, k, num_hashes, bands, hash_fn
-    )
+    ).localCheckpoint(eager=False)
     a = bands_df.alias("a")
     b_ = bands_df.alias("b")
     return (
@@ -476,9 +493,11 @@ def duplicate_token_spans(
     count) is deliberate: span hotness is UNBOUNDED (a boilerplate line
     can appear in every document), and partial aggregation + AQE
     skew-join absorb that where a window would concentrate the hot
-    span's rows in one task; the price is that the span relation is
-    computed twice (it reads only (id, text) and the scan is pruned to
-    those columns — plan-tested). hash_fn="xxhash64" is the production
+    span's rows in one task; the span relation is materialized once
+    (lazy localCheckpoint) so the count side and the join side share
+    one tokenize+hash pass instead of re-deriving it (r7 optimization;
+    the checkpoint stores (id, 8-byte key) rows — bytes the groupBy
+    shuffle moves anyway). hash_fn="xxhash64" is the production
     path (JVM codegen); md5 is the DuckDB-oracle-portable default.
 
     NULL text rows come back as (id, NULL, 0, 0, 0.0) — matching the
@@ -488,6 +507,10 @@ def duplicate_token_spans(
     diverge on exotica like \\x0B, so such documents can produce
     different span keys across engines."""
     base, spans = _token_span_relations(df, id_col, text_col, k, hash_fn)
+    # one materialization: the count side and the join side otherwise
+    # each re-derive the tokenize+hash subtree (r7: lazy localCheckpoint,
+    # MEMORY_AND_DISK, blocks reclaimed with the plan)
+    spans = spans.localCheckpoint(eager=False)
     cnt = spans.groupBy("key").agg(F.count("*").alias("c"))
     per = (
         spans.join(cnt, "key")
@@ -536,6 +559,7 @@ def remove_duplicate_spans(
 
     base, spans = _token_span_relations(df, id_col, text_col, k, hash_fn,
                                         with_pos=True)
+    spans = spans.localCheckpoint(eager=False)
     cnt = spans.groupBy("key").agg(F.count("*").alias("c"))
     dup_pos = (
         spans.join(cnt.filter(F.col("c") >= min_count), "key")
@@ -591,7 +615,11 @@ def _token_span_relations(df, id_col, text_col, k, hash_fn, with_pos=False):
     toks = F.filter(
         F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
     )
-    base = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    # fan_out before the tokenize/slice/hash pipeline (single-row-group
+    # inputs would run it all on one core; no-op on well-split tables)
+    base = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col).alias("id"), toks.alias("toks")
+    )
     nwin = F.greatest(F.size("toks") - F.lit(k - 1), F.lit(0))
     # guard: sequence(1, 0) would generate a DESCENDING [1, 0] sequence
     wins = F.when(nwin >= 1, F.sequence(F.lit(1), nwin)).otherwise(
