@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .fanout import fan_out
+
 __all__ = [
     "cosine_topk_bruteforce",
     "lsh_bucket_topk",
@@ -63,7 +65,9 @@ def cosine_topk_bruteforce(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # fan_out: the per-(query, candidate) cosine folds are the whole
+    # cost and sit before any exchange — spread a single-split scan
+    c = fan_out(corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")))
     scored = (
         c.join(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .fanout import fan_out
+
 __all__ = [
     "text_stats", "quality_score", "lang_id", "fingerprint",
     "token_topk", "tfidf_top_terms", "repetition_stats", "bm25_topk",
@@ -55,7 +57,9 @@ def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     n_bpe = F.size(F.regexp_extract_all(t, F.lit(BPE_SPLIT), F.lit(1)))
     n_punct = n_chars - F.length(F.regexp_replace(t, PUNCT_CLASS, ""))
     n_stop = _stopword_hits(t, LANG_STOPWORDS["en"])
-    return df.select(
+    # map-only regex pass: fan out single-split scans so the per-doc
+    # regex work uses every core (no-op on well-split tables)
+    return fan_out(df).select(
         F.col(id_col),
         n_chars.cast("long").alias("n_chars"),
         n_tokens.cast("long").alias("n_tokens"),
@@ -91,7 +95,7 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     # reversed so earlier language codes win ties via later .when override
     for lang in sorted(hits, reverse=True):
         guess = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(guess)
-    return df.select(F.col(id_col), guess.alias("lang_guess"))
+    return fan_out(df).select(F.col(id_col), guess.alias("lang_guess"))
 
 
 def winnowing_fingerprint(
@@ -138,7 +142,8 @@ def winnowing_fingerprint(
         return pd.Series(out)
 
     udf = F.pandas_udf(_fp, "array<long>")
-    return df.select(F.col(id_col), udf(F.col(text_col)).alias("fingerprints"))
+    return fan_out(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), udf(F.col(text_col)).alias("fingerprints"))
 
 
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -146,7 +151,7 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     whitespace-collapsed text. Equal fingerprints = near-identical docs
     modulo case/whitespace."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " ")
-    return df.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+    return fan_out(df).select(F.col(id_col), F.md5(norm).alias("fingerprint"))
 
 
 #: Gopher (Rae et al. 2021, table A1) repetition-removal thresholds: a
@@ -262,7 +267,9 @@ def repetition_stats(
         return pd.DataFrame(out, columns=names)
 
     rep_udf = F.pandas_udf(rep_fn, ", ".join(f"{n} double" for n in names))
-    out = df.select(
+    # per-doc Counter work is the whole cost: fan out single-split scans
+    # so the Arrow pass uses every core (no-op on well-split tables)
+    out = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), rep_udf(F.col(text_col)).alias("_m")
     ).select(id_col, "_m.*")
     flag = F.lit(False)
@@ -294,7 +301,8 @@ def token_topk(
     from pyspark.sql.window import Window
 
     counts = (
-        df.select(F.explode(_tokens(text_col)).alias("token"))
+        fan_out(df.select(F.col(text_col)))
+        .select(F.explode(_tokens(text_col)).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("n"))
     )
@@ -517,7 +525,7 @@ def c4_line_filter(
         + F.lit(1e-9),
         round_digits,
     )
-    return df.select(
+    return fan_out(df).select(
         F.col(id_col),
         n_lines.alias("n_lines"),
         n_kept.alias("n_kept"),
@@ -626,7 +634,7 @@ def gopher_quality_filter(
     def _r(c):
         return F.round(c + F.lit(1e-9), round_digits)
 
-    return df.select(
+    return fan_out(df).select(
         F.col(id_col),
         n_words.alias("n_words"),
         _r(mean_wl).alias("mean_word_len"),
@@ -680,7 +688,7 @@ def normalize_text(
         out = F.lower(out)
     if collapse_ws:
         out = F.trim(F.regexp_replace(out, r"\s+", " "))
-    return df.select(
+    return fan_out(df).select(
         F.col(id_col),
         F.col(text_col).alias("_orig"),
         out.alias("text_norm"),
@@ -735,7 +743,7 @@ def script_profile(
         .when(cyr >= cjk, F.lit("cyrillic"))
         .otherwise(F.lit("cjk"))
     )
-    return df.select(
+    return fan_out(df).select(
         F.col(id_col),
         n.alias("n_chars"),
         frac(lat).alias("latin_frac"),
