@@ -56,6 +56,7 @@ def make_kernel(
     key_cols: Sequence[str],
     custom_functions: Mapping[str, Callable] | None = None,
     raise_exceptions: bool = False,
+    const_e: float | None = None,
 ) -> Callable[[pd.DataFrame], pd.DataFrame]:
     """Build the applyInPandas function: one output row per group with the
     group keys followed by one float64 column per feature.
@@ -69,7 +70,8 @@ def make_kernel(
         pdf = pdf.sort_values(["t", "_ord"], kind="stable")
         t = pdf["t"].to_numpy(dtype=np.float64)
         m = pdf["m"].to_numpy(dtype=np.float64)
-        e = pdf["e"].to_numpy(dtype=np.float64)
+        e = (np.full(len(pdf), const_e, dtype=np.float64)
+             if const_e is not None else pdf["e"].to_numpy(dtype=np.float64))
         vals = compute_features(
             t, m, e, features, custom_functions=custom_functions,
             raise_exceptions=raise_exceptions,
@@ -122,6 +124,7 @@ def make_batch_kernel(
     key_cols: Sequence[str],
     custom_functions: Mapping[str, Callable] | None = None,
     raise_exceptions: bool = False,
+    const_e: float | None = None,
 ) -> Callable:
     """Build the mapInPandas function: processes MANY groups per Arrow
     batch (Spark's grouped-map dispatch costs ~15 ms *per group*, which is
@@ -149,7 +152,11 @@ def make_batch_kernel(
         ends = np.append(starts[1:], n)
         t = pdf["t"].to_numpy(dtype=np.float64)
         m = pdf["m"].to_numpy(dtype=np.float64)
-        e = pdf["e"].to_numpy(dtype=np.float64)
+        # constant default error: synthesized here instead of shuffled
+        # as a per-row column (guide §2.3: shuffle fewer bytes — this
+        # drops 8 bytes/row from the kernel's one exchange)
+        e = (np.full(n, const_e, dtype=np.float64)
+             if const_e is not None else pdf["e"].to_numpy(dtype=np.float64))
         out_keys = {k: pdf[k].to_numpy()[starts] for k in keys}
         out_feats: dict[str, np.ndarray] = {}
         if fast:
@@ -179,12 +186,13 @@ def make_partition_kernel(
     key_cols: Sequence[str],
     custom_functions: Mapping[str, Callable] | None = None,
     raise_exceptions: bool = False,
+    const_e: float | None = None,
 ) -> Callable:
     """mapInPandas function for hash-partitioned-but-unsorted input: the
     whole partition is concatenated once, stably sorted by (keys, t, _ord)
     in pandas, and evaluated through the same batched group kernel."""
     batch_kernel = make_batch_kernel(
-        features, key_cols, custom_functions, raise_exceptions
+        features, key_cols, custom_functions, raise_exceptions, const_e
     )
     keys = list(key_cols)
 
@@ -242,9 +250,11 @@ def featurize(
     m_col = F.col(m) if isinstance(m, str) else m
     if m_col is None:
         m_col = F.length(F.col("text")).cast("double")
+    # default (constant) per-point error: synthesized inside the kernel
+    # instead of shuffled as an 8-byte-per-row column — the value is
+    # identical (np.full of the same double), only the exchange narrows
+    const_e = DEFAULT_ERROR_VALUE if e is None else None
     e_col = F.col(e) if isinstance(e, str) else e
-    if e_col is None:
-        e_col = F.lit(DEFAULT_ERROR_VALUE).cast("double")
     t_col = F.col(t) if isinstance(t, str) else t
     if t_col is None:
         # integer microseconds -> double -> one division: bit-deterministic
@@ -255,7 +265,7 @@ def featurize(
         F.col(key_col),
         t_col.alias("t"),
         m_col.alias("m"),
-        e_col.alias("e"),
+        *([] if const_e is not None else [e_col.alias("e")]),
         F.col(tiebreak_col).cast("long").alias("_ord"),
     ]
     key_cols = [key_col]
@@ -273,7 +283,8 @@ def featurize(
     schema = StructType(out_fields)
 
     if strategy == "grouped":
-        kernel = make_kernel(features, key_cols, custom_functions, raise_exceptions)
+        kernel = make_kernel(features, key_cols, custom_functions,
+                             raise_exceptions, const_e)
         return narrow.groupBy(*key_cols).applyInPandas(kernel, schema=schema)
 
     npart = num_partitions or narrow.sparkSession.conf.get("spark.sql.shuffle.partitions")
@@ -284,7 +295,7 @@ def featurize(
         # secondary sort (object-dtype string keys sort poorly in pandas:
         # 23.0s vs 16.9s at 32 cores / 25M rows) — kept for reference.
         mapper = make_partition_kernel(
-            features, key_cols, custom_functions, raise_exceptions
+            features, key_cols, custom_functions, raise_exceptions, const_e
         )
         arranged = narrow.repartition(int(npart), *key_cols)
         return arranged.mapInPandas(mapper, schema=schema)
@@ -292,7 +303,8 @@ def featurize(
     # default "batched": one shuffle on the group key + JVM in-partition
     # secondary sort, then whole-batch numpy evaluation (no per-group
     # dispatch)
-    mapper = make_batch_kernel(features, key_cols, custom_functions, raise_exceptions)
+    mapper = make_batch_kernel(features, key_cols, custom_functions,
+                               raise_exceptions, const_e)
     arranged = narrow.repartition(int(npart), *key_cols).sortWithinPartitions(
         *key_cols, "t", "_ord"
     )

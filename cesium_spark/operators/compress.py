@@ -54,10 +54,32 @@ def text_content_hash(texts) -> str:
 
 
 def digest_chain_hash(turn_digests) -> str:
-    """text_content_hash when the per-turn md5 hex digests are already
-    available (the compress_blocks fast path: JVM computes them)."""
+    """text_content_hash when the per-turn md5 digests are already
+    available (the compress_blocks fast path: JVM computes them).
+    Accepts hex strings or raw 16-byte digests — the binary form is
+    what compress_blocks ships since r7 (half the shuffle bytes for the
+    lineage column); both hash the same lowercase-hex chain."""
+    import binascii
+
+    chunks = []
+    for d in turn_digests:
+        if isinstance(d, (bytes, bytearray)):
+            # hexlify(concat of raw digests) == concat of per-digest hex,
+            # so the whole chain hashes in ONE md5 call instead of one
+            # update per turn (the per-turn update loop was ~half the
+            # Python time of the compress pass)
+            chunks.append(d)
+        elif d:
+            return _digest_chain_hash_str(turn_digests)
+    return hashlib.md5(binascii.hexlify(b"".join(chunks))).hexdigest()
+
+
+def _digest_chain_hash_str(turn_digests) -> str:
+    """Legacy hex-string form (callers holding 32-hex digests)."""
     h = hashlib.md5()
     for d in turn_digests:
+        if isinstance(d, (bytes, bytearray)):
+            d = d.hex()
         h.update((d or "").encode())
     return h.hexdigest()
 
@@ -84,9 +106,15 @@ def compress_blocks(
     ]
     if text_col is not None:
         # per-turn md5 computed JVM-side: the lineage hash needs only the
-        # 32-hex digest chain in Python, never the raw text through Arrow
+        # digest chain in Python, never the raw text through Arrow.
+        # Shipped as the raw 16-byte digest (unhex) rather than the
+        # 32-char hex string — same value, half the bytes through the
+        # kernel's one exchange (guide §2.3); hex form is recovered
+        # losslessly in digest_chain_hash
         cols.append(
-            F.md5(F.coalesce(F.col(text_col), F.lit("")).cast("string")).alias("_text")
+            F.unhex(
+                F.md5(F.coalesce(F.col(text_col), F.lit("")).cast("string"))
+            ).alias("_text")
         )
     narrow = df.select(*cols)
     keys = [key_col, "window_start"]
