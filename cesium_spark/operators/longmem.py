@@ -89,6 +89,7 @@ def hurst_from_grid(
     grid: DataFrame,
     key_cols: tuple[str, ...] = ("user_id",),
     sizes: tuple[int, ...] = _DEFAULT_SIZES,
+    materialize: bool = True,
 ) -> DataFrame:
     """The R/S analysis itself, over any (key..., h, x) grid relation
     — public so the streaming head (mergeable per-hour sum/count
@@ -153,6 +154,12 @@ def hurst_from_grid(
         .agg(_r6(F.avg("_rs")).alias("rs"),
              F.count("*").cast("long").alias("n_blocks"))
     )
+    if materialize:
+        # keys x len(sizes) rows feeding BOTH the regression and the
+        # pivot — materialize once (lazy localCheckpoint) so the whole
+        # explode + double-window block chain runs a single time;
+        # materialize=False keeps the pure-DataFrame lineage (plan tests)
+        per_size = per_size.localCheckpoint(eager=False)
 
     # least-squares slope of ln(rs) on ln(s) over sizes with rs > 0
     # (rounded rs, so the inclusion set matches across engines)

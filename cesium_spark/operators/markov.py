@@ -205,12 +205,27 @@ def markov_nll(
         .where(F.col("from_type").isNotNull())
         .groupBy(key_col, "from_type", "to_type")
         .agg(F.count("*").cast("long").alias("n_ft"))
+        # the corpus matrix below is the per-actor relation re-summed,
+        # so one materialization serves both (r7: previously the event
+        # stream was scanned + lag-windowed twice — once here, once
+        # inside event_transitions)
+        .localCheckpoint(eager=False)
     )
-    mat = event_transitions(
-        df.where(F.col(type_col).isNotNull()),
-        key_col=key_col, ts_col=ts_col, type_col=type_col,
-        tiebreak_col=tiebreak_col, round_digits=round_digits,
-    ).select("from_type", "to_type", "prob")
+    # corpus transition matrix derived FROM the per-actor counts: with
+    # type non-null (filtered above), event_transitions' pair relation
+    # is exactly sum_actors(n_ft) per (from, to) — same counts, same
+    # window-conditional probability, same rounding (_r6 at
+    # round_digits), so prob is value-identical to calling it on df
+    tot = Window.partitionBy("from_type")
+    mat = (
+        pairs.groupBy("from_type", "to_type")
+        .agg(F.sum("n_ft").cast("long").alias("n"))
+        .select(
+            "from_type", "to_type",
+            F.round(F.col("n") / F.sum("n").over(tot) + F.lit(_EPS),
+                    round_digits).alias("prob"),
+        )
+    )
     bits = -F.log2(F.col("prob"))
     scored = pairs.join(F.broadcast(mat), ["from_type", "to_type"])
     # argmax via min(struct(-bits, from, to)): -bits ascending == bits

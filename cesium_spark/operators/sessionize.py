@@ -92,6 +92,10 @@ def session_concurrency(
         sessionize(df, gap_minutes, key_col, ts_col, tiebreak_col)
         .groupBy(key_col, "session_id")
         .agg(F.min(ts_col).alias("t_start"), F.max(ts_col).alias("t_end"))
+        # session-bounded relation feeding THREE sweep branches (carry /
+        # starts / ends): materialize once instead of re-running the
+        # sessionize window chain per branch
+        .localCheckpoint(eager=False)
     )
     return concurrency_from_spans(sess)
 

@@ -512,7 +512,11 @@ def build_ivfpq_index(
             {"list_id": lists, "codes": [c.tolist() for c in codes]}
         )
 
-    enc_udf = F.pandas_udf(encode_fn, "list_id int, codes array<smallint>")
+    # asNondeterministic: the optimizer otherwise duplicates the UDF —
+    # the join's pushed isnotnull(list_id) filter evaluated one copy and
+    # the projection another, encoding the whole corpus TWICE (guide
+    # §4.4). The function is pure; the mark only pins one evaluation.
+    enc_udf = F.pandas_udf(encode_fn, "list_id int, codes array<smallint>").asNondeterministic()
     index = corpus.select(
         F.col(id_col).alias("neighbor_id"), enc_udf(F.col(vec_col)).alias("e")
     ).select("neighbor_id", "e.list_id", "e.codes")
@@ -755,7 +759,7 @@ def embedding_near_dup_pairs(
         alpha = np.arccos(np.clip(sims[np.arange(len(vs)), lid], -1.0, 1.0))
         return pd.DataFrame({"list_id": lid.astype(np.int32), "alpha": alpha})
 
-    assign_udf = F.pandas_udf(assign_fn, "struct<list_id:int, alpha:double>")
+    assign_udf = F.pandas_udf(assign_fn, "struct<list_id:int, alpha:double>").asNondeterministic()
     assigned = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),

@@ -679,10 +679,15 @@ def test_hurst_grid_bounded_no_python(spark):
     """Hurst R/S: the x4 explode runs on the GRID relation (post
     hourly aggregate), never on raw events, and the whole analysis is
     JVM-side with no cartesian."""
-    from cesium_spark.operators.longmem import hurst_rs
+    from cesium_spark.operators.longmem import _hourly_grid, hurst_from_grid
 
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    plan = _plan(hurst_rs(ev))
+    # materialize=False: the production path lazily checkpoints the
+    # per-size relation (shared by regression + pivot), which truncates
+    # the visible lineage; the unmaterialized plan carries the same
+    # operator shape this test pins
+    plan = _plan(hurst_from_grid(_hourly_grid(ev, ["user_id"], "ts", "value"),
+                                 materialize=False))
     assert "EvalPython" not in plan and "MapInPandas" not in plan
     assert "CartesianProduct" not in plan
     # the explode (Generate) must sit ABOVE the hourly aggregate:
