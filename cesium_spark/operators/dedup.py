@@ -179,15 +179,35 @@ def minhash_signatures(
         shingle with one lucky-small digest dominates every document's
         min, and chunking concentrates several such hot hash functions
         into the same band (measured per-band collision 0.0094 vs 0.0002
-        at sf0.01). Independent digests keep per-band luck independent."""
-    sh = char_shingles(df, id_col, text_col, k, distinct=False)
+        at sf0.01). Independent digests keep per-band luck independent.
+
+    r7 physical rework: ZERO shuffles. The signature is a pure per-row
+    function of the document (min over its own shingles), so it is
+    computed with higher-order functions — one shingle array per row,
+    then array_min(transform(shingles, hash_i)) per hash — instead of
+    explode + groupBy(id). Values are identical (min over the same
+    multiset; verified element-wise at both SFs): the shingle sequence
+    expression is char_shingles' verbatim, so short/empty documents
+    produce the same (possibly duplicated) shingles, and documents with
+    NULL text are absent exactly as explode dropped them. What the old
+    shape paid — materializing one row per shingle occurrence and one
+    partial-min hash-aggregation row per (doc, partition) through an
+    Exchange — is gone; at 100 TB the whole signature stage now fuses
+    into the scan."""
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 0)),"
+        f" i -> substring({text_col}, i, {k}))"
+    )
+    src = fan_out(df.select(F.col(id_col), F.col(text_col))).filter(
+        F.col(text_col).isNotNull()
+    )
+    withg = src.select(F.col(id_col).alias("id"), grams.alias("_g"))
     if hash_fn == "md5":
-        cols = [
-            F.min(
-                F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))
-            ).alias(f"mh_{i}")
-            for i in range(num_hashes)
-        ]
+        def _hash_i(i):
+            # 1-arg closure, NOT a default-arg lambda: a 2-parameter
+            # lambda would make transform() bind the second arg to the
+            # ARRAY INDEX and silently hash the wrong seed
+            return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
     elif hash_fn == "xxhash64":
         # production fast path: xxhash64 is a JVM-native codegen'd 64-bit
         # hash, ~an order of magnitude cheaper than md5 per call. The
@@ -197,13 +217,15 @@ def minhash_signatures(
         # (DuckDB has no compatible xxhash64), so the DuckDB-oracled
         # driver query keeps md5; pipelines that only need self-
         # consistent signatures should prefer this.
-        cols = [
-            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
-            for i in range(num_hashes)
-        ]
+        def _hash_i(i):
+            return lambda s: F.xxhash64(F.lit(i), s)
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r} (md5 | xxhash64)")
-    return sh.groupBy("id").agg(*cols)
+    cols = [
+        F.array_min(F.transform(F.col("_g"), _hash_i(i))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return withg.select("id", *cols)
 
 
 def minhash_band_rows(
