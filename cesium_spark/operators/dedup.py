@@ -162,9 +162,7 @@ def minhash_signatures(
     hash_fn="xxhash64" swaps in the JVM-native hash (same soundness,
     ~10x cheaper, not cross-engine reproducible — see below).
 
-    Plan: ONE shuffle total. The digests are computed directly on the
-    (doc, shingle) relation map-side and reduced by partial min, so the
-    shuffle carries at most one partial-min row per (doc, partition).
+    Plan: ZERO shuffles (see the r7 rework note below).
     Deliberate cost choices, all profiled at sf0.1:
       - no distinct-shingle vocabulary (round 1's broadcast of it was the
         VERDICT's top scale-killer, and the shuffle join that replaces
@@ -897,7 +895,8 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")
     )
     udf = F.pandas_udf(_simhash_token_batch, LongType())
-    return df.select(F.col(id_col).alias("id"), udf(toks).alias("simhash"))
+    src = fan_out(df.select(F.col(id_col), F.col(text_col)))
+    return src.select(F.col(id_col).alias("id"), udf(toks).alias("simhash"))
 
 
 def simhash_pairs(
