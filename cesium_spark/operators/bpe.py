@@ -191,5 +191,9 @@ def bpe_encode(
             out.append(toks)
         return pd.Series(out)
 
+    from .fanout import fan_out
+
     enc_udf = F.pandas_udf(enc_fn, "array<string>")
-    return df.withColumn(out_col, enc_udf(F.col(text_col)))
+    # the per-word merge loop is the whole cost and sits before any
+    # exchange: fan out single-split scans (no-op on well-split tables)
+    return fan_out(df).withColumn(out_col, enc_udf(F.col(text_col)))

@@ -1048,14 +1048,16 @@ def dedup_lines(
     doc's lines collect into a single row, bounded by document size.
     Line text itself shuffles once (into the rebuild); the counting
     joins move only fixed-width hashes."""
-    lines = df.select(
+    lines = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("id"),
         F.posexplode_outer(F.split(F.col(text_col), sep)).alias("line_no", "line"),
     )
     norm = F.lower(F.trim(F.col("line")))
+    # the keyed line relation feeds both the corpus count and the
+    # rebuild join — materialize once (lazy localCheckpoint)
     keyed = lines.withColumn(
         "key", F.when(norm != "", F.md5(norm)).otherwise(F.lit(None))
-    )
+    ).localCheckpoint(eager=False)
     stats = (
         keyed.filter(F.col("key").isNotNull())
         .groupBy("key")

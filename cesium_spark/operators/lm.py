@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .fanout import fan_out
 from .text import _tokens
 
 __all__ = ["bigram_logprob_score", "perplexity_buckets", "dsir_select"]
@@ -52,17 +53,24 @@ def bigram_logprob_score(
     )
 
     def _rels(d):
-        dt = d.select(F.col(id_col), toks.alias("_toks"))
+        dt = fan_out(d.select(F.col(id_col), F.col(text_col))).select(
+            F.col(id_col), toks.alias("_toks"))
         bg = dt.filter(F.size("_toks") >= 2).select(
             id_col, F.explode(pairs).alias("p")
         ).select(id_col, "p.w1", "p.w2")
         return dt, bg
 
     docs_toks, doc_bigrams = _rels(df)
+    # the bigram relation feeds BOTH the training counts and the probe
+    # side of the scoring join — materialize once (lazy localCheckpoint,
+    # bytes the groupBy shuffle moves anyway) instead of re-running the
+    # tokenize+explode subtree per consumer
+    doc_bigrams = doc_bigrams.localCheckpoint(eager=False)
     if train_df is None:
         train_toks, train_bigrams = docs_toks, doc_bigrams
     else:
         train_toks, train_bigrams = _rels(train_df)
+        train_bigrams = train_bigrams.localCheckpoint(eager=False)
 
     uni = (
         train_toks.select(F.explode("_toks").alias("w1"))

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .fanout import fan_out
+
 __all__ = ["PII_PATTERNS", "redact_pii"]
 
 # ordered: most-specific first (SSN's 3-2-4 shape never collides with
@@ -54,7 +56,8 @@ def redact_pii(
             .cast("long").alias(f"n_{name}")  # NULL text -> 0 found
         )
         cur = F.regexp_replace(cur, pat, f"<{name.upper()}>")
-    out = df.select(
+    # map-only regex chain over full text: fan out single-split scans
+    out = fan_out(df).select(
         F.col(id_col), cur.alias("redacted_text"), *counts
     )
     total = None

@@ -68,9 +68,10 @@ def hashed_token_features(
     """(id, bucket, x): token-frequency per hashed bucket, plus the
     always-on intercept pseudo-bucket ``n_buckets`` with x = 1.0 (so the
     bias trains/scores through the same dataflow as the weights)."""
+    from .fanout import fan_out
     from .text import _tokens
 
-    toks = docs.select(
+    toks = fan_out(docs.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("id"), _tokens(text_col).alias("_toks")
     )
     exploded = toks.select(

@@ -58,8 +58,10 @@ def cluster_keywords(
         emb, k=k, iters=iters, id_col=vec_id_col, vec_col=vec_col,
         round_digits=round_digits,
     ).select(F.col(vec_id_col).alias(doc_id_col), "cluster")
+    from cesium_spark.operators.fanout import fan_out
+
     toks = (
-        docs.select(doc_id_col, text_col)
+        fan_out(docs.select(doc_id_col, text_col))
         .join(assign, doc_id_col)
         .select("cluster", F.explode(_tokens(text_col)).alias("t"))
     )
