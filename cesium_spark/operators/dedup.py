@@ -513,12 +513,14 @@ def duplicate_token_spans(
     count) is deliberate: span hotness is UNBOUNDED (a boilerplate line
     can appear in every document), and partial aggregation + AQE
     skew-join absorb that where a window would concentrate the hot
-    span's rows in one task; the span relation is materialized once
-    (lazy localCheckpoint) so the count side and the join side share
-    one tokenize+hash pass instead of re-deriving it (r7 optimization;
-    the checkpoint stores (id, 8-byte key) rows — bytes the groupBy
-    shuffle moves anyway). hash_fn="xxhash64" is the production
-    path (JVM codegen); md5 is the DuckDB-oracle-portable default.
+    span's rows in one task; the price is that the span relation is
+    computed twice (it reads only (id, text) and the scan is pruned to
+    those columns — plan-tested; an r7 A/B of materializing it once via
+    localCheckpoint measured SLOWER at sf0.1 — [1.45-1.49] vs
+    [0.95-1.35] — the recompute overlaps across branches where the
+    checkpoint barriers, so the deliberate recompute stays).
+    hash_fn="xxhash64" is the production path (JVM codegen); md5 is the
+    DuckDB-oracle-portable default.
 
     NULL text rows come back as (id, NULL, 0, 0, 0.0) — matching the
     SQL oracle's NULL n_tokens rather than legacy Spark's size()=-1.
@@ -527,10 +529,6 @@ def duplicate_token_spans(
     diverge on exotica like \\x0B, so such documents can produce
     different span keys across engines."""
     base, spans = _token_span_relations(df, id_col, text_col, k, hash_fn)
-    # one materialization: the count side and the join side otherwise
-    # each re-derive the tokenize+hash subtree (r7: lazy localCheckpoint,
-    # MEMORY_AND_DISK, blocks reclaimed with the plan)
-    spans = spans.localCheckpoint(eager=False)
     cnt = spans.groupBy("key").agg(F.count("*").alias("c"))
     per = (
         spans.join(cnt, "key")
@@ -579,7 +577,6 @@ def remove_duplicate_spans(
 
     base, spans = _token_span_relations(df, id_col, text_col, k, hash_fn,
                                         with_pos=True)
-    spans = spans.localCheckpoint(eager=False)
     cnt = spans.groupBy("key").agg(F.count("*").alias("c"))
     dup_pos = (
         spans.join(cnt.filter(F.col("c") >= min_count), "key")
@@ -1053,11 +1050,9 @@ def dedup_lines(
         F.posexplode_outer(F.split(F.col(text_col), sep)).alias("line_no", "line"),
     )
     norm = F.lower(F.trim(F.col("line")))
-    # the keyed line relation feeds both the corpus count and the
-    # rebuild join — materialize once (lazy localCheckpoint)
     keyed = lines.withColumn(
         "key", F.when(norm != "", F.md5(norm)).otherwise(F.lit(None))
-    ).localCheckpoint(eager=False)
+    )
     stats = (
         keyed.filter(F.col("key").isNotNull())
         .groupBy("key")

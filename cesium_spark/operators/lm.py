@@ -61,16 +61,17 @@ def bigram_logprob_score(
         return dt, bg
 
     docs_toks, doc_bigrams = _rels(df)
-    # the bigram relation feeds BOTH the training counts and the probe
-    # side of the scoring join — materialize once (lazy localCheckpoint,
-    # bytes the groupBy shuffle moves anyway) instead of re-running the
-    # tokenize+explode subtree per consumer
-    doc_bigrams = doc_bigrams.localCheckpoint(eager=False)
+    # NOTE (r7): materializing doc_bigrams once (localCheckpoint) was
+    # A/B-tested against letting the training counts and the scoring
+    # probe each re-derive the tokenize+explode subtree — recompute won
+    # ([5.96, 2.10, 1.65] vs [6.10, 2.19, 1.94] at sf0.1): the map-only
+    # tokenize overlaps across plan branches, while the checkpoint
+    # inserts a barrier and stores a token-bearing relation. Kept as
+    # independent derivations.
     if train_df is None:
         train_toks, train_bigrams = docs_toks, doc_bigrams
     else:
         train_toks, train_bigrams = _rels(train_df)
-        train_bigrams = train_bigrams.localCheckpoint(eager=False)
 
     uni = (
         train_toks.select(F.explode("_toks").alias("w1"))
